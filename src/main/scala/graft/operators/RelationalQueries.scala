@@ -1,0 +1,475 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The relational operator surface of SURVEY.md §2.4-2.6, re-expressed
+  * over the synthetic star schema (TESTDATA.md) so every operator is
+  * oracle-checkable against DuckDB.
+  *
+  * Reference provenance (cited per query): the reference's query layer
+  * is read_db.py:19-38 (full scans, LIKE-prefix, OR-disjunction,
+  * schema listing) plus the two pandas inner merges main.py:257-263;
+  * aggregation/window/sort capability is required by its downstream
+  * model (README.md:19, SURVEY §2.6) though absent from the repo.
+  *
+  * Scale notes (100 TB): every query here is a declarative DataFrame
+  * plan — filters and projections reach the parquet scan (verified via
+  * explain in RelationalQueriesSpec), small dimension tables are
+  * explicitly `broadcast`, and aggregates are partial (map-side
+  * combine) by construction. The final `orderBy` on each query exists
+  * for oracle determinism; at production scale callers drop it (it is
+  * the last stage, so it does not change the shape of the work before
+  * it).
+  */
+object RelationalQueries {
+  import QueryDef.apply
+
+  val all: Seq[QueryDef] = Seq(
+
+    // R4 (read_db.py:36): full scan with projection — column pruning
+    // must reach the scan (only 4 of 11 lineitem columns read).
+    QueryDef(
+      "q01_scan_project",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+          .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // P5-as-relational (SURVEY §2.2): filter + project; predicates push
+    // down to parquet (PushedFilters on l_shipdate/l_discount).
+    QueryDef(
+      "q02_filter_pushdown",
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(l_shipdate AS DATE) AS ship_date, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").cast("date").as("ship_date"), col("l_discount"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // R5 (read_db.py:19): LIKE-prefix predicate. The reference fakes
+    // date partition pruning with `レースID LIKE '2020-09-28%'`; on a
+    // partitioned layout this becomes real pruning (see BoatracePipeline).
+    QueryDef(
+      "q03_prefix_like",
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE p_name LIKE 'small%' ORDER BY p_partkey""".stripMargin) {
+      (s, d) =>
+        Tables.part(s, d)
+          .filter(col("p_name").startsWith("small"))
+          .select("p_partkey", "p_name", "p_brand")
+          .orderBy("p_partkey")
+    },
+
+    // R6 (read_db.py:22-27): disjunctive predicate (OR of prefixes).
+    QueryDef(
+      "q04_or_predicate",
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |WHERE o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT"
+          || col("o_orderpriority") === "2-HIGH")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // SURVEY §2.6 aggregation capability (TPC-H Q1 shape): grouped
+    // aggregate with partial (map-side) combine — no shuffle of raw rows.
+    QueryDef(
+      "q05_groupby_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2)        AS sum_qty,
+        |       round(sum(l_extendedprice), 2)   AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4))
+        |         AS sum_disc_price,
+        |       round(avg(l_discount), 2)        AS avg_disc,
+        |       count(*)                          AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          // Exact decimal arithmetic: double products land on half-cent
+          // boundaries where float summation order flips round(); decimal
+          // is order-independent and bit-identical to the DuckDB oracle.
+          sum(col("l_extendedprice").cast("decimal(18,4)")
+            * (lit(1) - col("l_discount").cast("decimal(18,4)")))
+            .cast("decimal(18,4)").as("sum_disc_price"),
+          round(avg("l_discount"), 2).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // R1 (main.py:262 env⋈result): 1:N inner equi-join with an
+    // explicitly broadcast small side (region is tiny at any SF).
+    QueryDef(
+      "q06_broadcast_join",
+      """SELECT n_nationkey, n_name, r_name FROM nation
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")
+    },
+
+    // R2 (main.py:262 composite-key join) generalized to the TPC-H Q3
+    // shape: 3-way join + grouped aggregate. customer (small) is
+    // broadcast; orders⋈lineitem shuffles on the join key once and the
+    // aggregate reuses that co-partitioning.
+    QueryDef(
+      "q07_multijoin_agg",
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4))
+        |         AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate  > TIMESTAMP '1996-06-30'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)")
+          * (lit(1) - col("l_discount").cast("decimal(18,4)")))
+          .cast("decimal(18,4)").as("revenue"))
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("order_date"), col("revenue"))
+        .orderBy("o_orderkey")
+    },
+
+    // R3 (main.py:224 append): UNION ALL of disjoint subsets.
+    QueryDef(
+      "q08_union_all",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, 'finished_big' AS tag
+        |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 300000
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, 'open_small' AS tag
+        |FROM orders WHERE o_orderstatus = 'O' AND o_totalprice < 10000
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val a = o.filter(col("o_orderstatus") === "F" && col("o_totalprice") > 300000)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          lit("finished_big").as("tag"))
+      val b = o.filter(col("o_orderstatus") === "O" && col("o_totalprice") < 10000)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          lit("open_small").as("tag"))
+      a.unionByName(b).orderBy("o_orderkey")
+    },
+
+    // Exact distinct (dedup in relational form; SURVEY §2.6 set-op gap).
+    QueryDef(
+      "q09_distinct",
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .select("c_mktsegment", "c_nationkey").distinct()
+        .orderBy("c_mktsegment", "c_nationkey")
+    },
+
+    // SURVEY §2.6 window capability: top-3 orders per customer.
+    // row_number with a total order (price desc, key asc) so ranks are
+    // deterministic under ties.
+    QueryDef(
+      "q10_window_topk_per_group",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+
+    // Global top-k (sort + limit) — TakeOrderedAndProject physical op,
+    // no full sort shuffle at scale.
+    QueryDef(
+      "q11_sort_limit",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .select("o_orderkey", "o_totalprice")
+          .limit(100)
+    },
+
+    // EXISTS as left-semi join (shuffle-free if right side broadcasts).
+    QueryDef(
+      "q12_semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // NOT EXISTS as left-anti join.
+    QueryDef(
+      "q13_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Aggregate + HAVING (post-aggregation filter).
+    QueryDef(
+      "q14_agg_having",
+      """SELECT o_custkey, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total_spent
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_spent"))
+        .filter(col("n_orders") >= 12)
+        .orderBy("o_custkey")
+    },
+
+    // §2.5 scalar-function surface: concat / substring / replace /
+    // regexp_extract / lpad / upper / length — the reference's string
+    // ops (race-ID concat main.py:163, replace main.py:203-207,
+    // regex extracts patterns.py:26-28, zero-pad main.py:274).
+    QueryDef(
+      "q15_string_functions",
+      """SELECT p_partkey,
+        |       concat(p_brand, '#', p_type)            AS brand_type,
+        |       substring(p_name, 1, 5)                 AS name5,
+        |       upper(p_type)                            AS type_upper,
+        |       replace(p_name, ' ', '_')                AS name_us,
+        |       regexp_extract(p_name, '^(\w+)', 1)      AS first_word,
+        |       lpad(CAST(p_size AS VARCHAR), 4, '0')    AS size_pad,
+        |       CAST(length(p_name) AS INT)              AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        upper(col("p_type")).as("type_upper"),
+        regexp_replace(col("p_name"), " ", "_").as("name_us"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        length(col("p_name")).as("name_len"))
+        .orderBy("p_partkey")
+    },
+
+    // §2.5 date surface: year/month extraction, last_day (the
+    // reference's calendar.monthrange, main.py:272), month truncation.
+    QueryDef(
+      "q16_date_functions",
+      """SELECT o_orderkey,
+        |       CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)  AS order_year,
+        |       CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
+        |       CAST(EXTRACT(DAY FROM last_day(CAST(o_orderdate AS DATE))) AS INT)
+        |         AS days_in_month,
+        |       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        dayofmonth(last_day(col("o_orderdate").cast("date"))).as("days_in_month"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))
+        .orderBy("o_orderkey")
+    },
+
+    // Conditional aggregation (pivot-by-CASE).
+    QueryDef(
+      "q17_conditional_agg",
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+        |       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS sum_f,
+        |       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS sum_o,
+        |       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS sum_p,
+        |       count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .agg(
+          round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+            .otherwise(0)), 2).as("sum_f"),
+          round(sum(when(col("o_orderstatus") === "O", col("o_totalprice"))
+            .otherwise(0)), 2).as("sum_o"),
+          round(sum(when(col("o_orderstatus") === "P", col("o_totalprice"))
+            .otherwise(0)), 2).as("sum_p"),
+          count(lit(1)).as("n"))
+        .orderBy("order_year")
+    },
+
+    // Scalar subquery: orders above the global mean (broadcast the
+    // 1-row aggregate, never collect to the driver).
+    QueryDef(
+      "q18_scalar_subquery",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val a = o.agg(avg("o_totalprice").as("ap"))
+      o.join(broadcast(a))
+        .filter(col("o_totalprice") > lit(2) * col("ap"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // ROLLUP (multi-level aggregate in one pass).
+    QueryDef(
+      "q19_rollup",
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+        |       count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer GROUP BY ROLLUP(c_mktsegment)
+        |ORDER BY segment""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .rollup("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("sum_bal"))
+        .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          col("n_cust"), col("sum_bal"))
+        .orderBy("segment")
+    },
+
+    // JSON extraction (events.props — SURVEY §1.4 extension column).
+    QueryDef(
+      "q20_json_extract",
+      """SELECT event_id, user_id,
+        |       CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .orderBy("event_id")
+    },
+
+    // Time-bucketed aggregate — the batch analog of a tumbling-window
+    // streaming agg (see graft.streaming for the readStream form).
+    QueryDef(
+      "q21_time_bucket_agg",
+      """SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY bucket_hour, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("bucket_hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("bucket_hour", "event_type")
+    },
+
+    // Sessionization via lag-gap (30-min inactivity), exact to the
+    // microsecond on both engines (epoch-micros arithmetic).
+    QueryDef(
+      "q22_sessionize",
+      """SELECT user_id, count(*) AS n_events,
+        |       CAST(sum(new_session) AS INT) AS n_sessions FROM (
+        |  SELECT user_id,
+        |         CASE WHEN prev_us IS NOT NULL
+        |                AND (epoch_us(ts) - prev_us) <= 1800000000
+        |              THEN 0 ELSE 1 END AS new_session
+        |  FROM (SELECT user_id, ts,
+        |          lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |            ORDER BY ts, event_id) AS prev_us
+        |        FROM events) s
+        |) t GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_us").isNotNull
+            && (unix_micros(col("ts")) - col("prev_us")) <= 1800000000L, 0)
+            .otherwise(1))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum("new_session").cast("int").as("n_sessions"))
+        .orderBy("user_id")
+    },
+
+    // INTERSECT (distinct set semantics on both engines).
+    QueryDef(
+      "q23_intersect",
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      e.filter(col("event_type") === "purchase").select("user_id")
+        .intersect(e.filter(col("event_type") === "error").select("user_id"))
+        .orderBy("user_id")
+    },
+
+    // EXCEPT.
+    QueryDef(
+      "q24_except",
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      e.filter(col("event_type") === "view").select("user_id")
+        .except(e.filter(col("event_type") === "purchase").select("user_id"))
+        .orderBy("user_id")
+    },
+
+    // R7 (read_db.py:38 schema introspection): expose a table's schema
+    // as rows — metadata-only, no scan of table data.
+    QueryDef(
+      "q25_schema_introspection",
+      """SELECT column_name, CAST(ordinal AS INT) AS ordinal FROM (
+        |  SELECT unnest(['l_orderkey','l_partkey','l_suppkey','l_linenumber',
+        |                 'l_quantity','l_extendedprice','l_discount','l_tax',
+        |                 'l_returnflag','l_linestatus','l_shipdate']) AS column_name,
+        |         unnest([1,2,3,4,5,6,7,8,9,10,11]) AS ordinal)
+        |ORDER BY ordinal""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d).schema.fieldNames.toSeq.zipWithIndex
+        .map { case (n, i) => (n, i + 1) }
+        .toDF("column_name", "ordinal")
+        .orderBy("ordinal")
+    },
+  )
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RelationalQueries
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalQueriesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every query runs and most return rows at sf0.001") {
+    val counts = RelationalQueries.all.map(q => q.name -> q.run(spark, sf).count())
+    // q13 (anti join) legitimately returns 0 when every customer ordered.
+    val empty = counts.filter(_._2 == 0).map(_._1).toSet
+    assert(empty.subsetOf(Set("q13_anti_join", "q24_except")), s"unexpected empty: $empty")
+  }
+
+  test("q05 aggregate matches hand-computed group count") {
+    val df = SparkEntry.queries("q05_groupby_agg")(spark, sf)
+    assert(df.count() === 6) // 3 returnflags x 2 linestatuses
+    assert(df.columns.toSeq === Seq("l_returnflag", "l_linestatus", "sum_qty",
+      "sum_base_price", "sum_disc_price", "avg_disc", "count_order"))
+  }
+
+  test("q06 join produces one row per nation") {
+    assert(SparkEntry.queries("q06_broadcast_join")(spark, sf).count() === 25)
+  }
+
+  test("filter + projection push down to the parquet scan (q02)") {
+    val df = SparkEntry.queries("q02_filter_pushdown")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("l_shipdate") && plan.contains("l_discount"),
+      s"expected pushed filters in:\n$plan")
+    // Column pruning: scan must not read all 11 lineitem columns.
+    assert(plan.contains("ReadSchema"), "expected ReadSchema in scan")
+    assert(!plan.contains("l_returnflag"), "l_returnflag should be pruned")
+  }
+
+  test("q06 uses a broadcast join, not a shuffle join") {
+    val plan = SparkEntry.queries("q06_broadcast_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
+  test("q11 top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = SparkEntry.queries("q11_sort_limit")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle coverage: every query has oracle SQL or documented absence") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q))
+  }
+}

@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify),
+runs the matching oracle SQL from oracle_sql.json in DuckDB over the
+same sf tables, sorts columns by name and rows by value, and diffs.
+"""
+import duckdb
+import json
+import sys
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    with open(f"{outdir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    n_ok = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchdf()
+            exp = con.execute(sql).fetchdf()
+            got, exp = norm(got), norm(exp)
+            if list(got.columns) != list(exp.columns):
+                print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+                n_fail += 1
+                continue
+            if got.shape != exp.shape:
+                print(f"FAIL {name}: shape {got.shape} != {exp.shape}")
+                n_fail += 1
+                continue
+            # dtype report (informational — the driver may compare types)
+            dt = [(c, str(got[c].dtype), str(exp[c].dtype))
+                  for c in got.columns if str(got[c].dtype) != str(exp[c].dtype)]
+            diff_cols = []
+            for c in got.columns:
+                a, b = got[c], exp[c]
+                if not a.equals(b):
+                    try:
+                        eq = (a == b) | (a.isna() & b.isna())
+                        if not eq.all():
+                            diff_cols.append(c)
+                    except Exception:
+                        diff_cols.append(c)
+            if diff_cols:
+                print(f"FAIL {name}: value diff in {diff_cols}")
+                for c in diff_cols[:2]:
+                    m = ~((got[c] == exp[c]) | (got[c].isna() & exp[c].isna()))
+                    print(f"  {c} first diffs:\n    got {got[c][m].head(3).tolist()}"
+                          f"\n    exp {exp[c][m].head(3).tolist()}")
+                n_fail += 1
+            else:
+                extra = f" (dtype diff: {dt})" if dt else ""
+                print(f"OK   {name}: {got.shape[0]} rows{extra}")
+                n_ok += 1
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+    print(f"\n{n_ok} ok, {n_fail} fail, "
+          f"{len(oracle)} with oracle")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
