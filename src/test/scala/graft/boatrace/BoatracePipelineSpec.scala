@@ -1,0 +1,100 @@
+package graft.boatrace
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Value-parity of the Spark race table against the reference's
+  * committed golden table CSVs (join outputs). Golden column order
+  * is result→env→schedule (an older merge ordering, SURVEY §0);
+  * comparison is by column NAME and typed value, order-free.
+  */
+class BoatracePipelineSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val ref = "/root/reference"
+
+  private lazy val parsed = BoatracePipeline.parseDir(spark, s"$ref/txt")
+  private lazy val race: DataFrame = BoatracePipeline.raceTable(
+    BoatracePipeline.envDf(spark, parsed),
+    BoatracePipeline.resultDf(spark, parsed),
+    BoatracePipeline.scheduleDf(spark, parsed))
+
+  private val doubleCols = Set("展示", "全国勝率", "全国2率", "当地勝率",
+    "当地2率", "モーター2率", "ボート2率")
+  private val intCols = Set("順位", "風速", "波高", "艇番", "年齢", "体重")
+
+  /** Canonicalize a value for comparison: numerics via double/int
+    * parse (the golden passed through pandas float formatting —
+    * "37.50" prints as "37.5"), strings as-is. */
+  private def canon(colName: String, v: String): String =
+    if (doubleCols(colName)) v.toDouble.toString
+    else if (intCols(colName)) v.toDouble.toInt.toString
+    else v
+
+  private def goldenRows(date: String): Seq[Map[String, String]] = {
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$ref/table/$date.csv")).asScala.toSeq
+    val header = lines.head.split(",", -1)
+    lines.tail.filter(_.nonEmpty).map { l =>
+      header.zip(l.split(",", -1)).map { case (h, v) => h -> canon(h, v) }.toMap
+    }
+  }
+
+  private def sparkRows(date: String): Seq[Map[String, String]] = {
+    val df = race.filter(org.apache.spark.sql.functions.col("レースID")
+      .startsWith(date))
+    val cols = df.columns
+    df.collect().toSeq.map { r =>
+      cols.zipWithIndex.map { case (c, i) => c -> canon(c, r.getString(i)) }.toMap
+    }
+  }
+
+  private def assertParity(date: String): Unit = {
+    val got = sparkRows(date)
+    val want = goldenRows(date)
+    assert(got.size === want.size, s"$date row count")
+    val gotSorted = got.map(_.toSeq.sortBy(_._1)).sortBy(_.toString)
+    val wantSorted = want.map(_.toSeq.sortBy(_._1)).sortBy(_.toString)
+    gotSorted.zip(wantSorted).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g === w, s"$date row $i")
+    }
+  }
+
+  test("race table matches golden table/2020-08-01.csv (854 rows)") {
+    assertParity("2020-08-01")
+  }
+
+  test("race table matches the goldens for ALL 31 August 2020 dates") {
+    val cols = race.columns
+    val byDate = race.collect().toSeq
+      .map { r =>
+        cols.zipWithIndex.map { case (c, i) => c -> canon(c, r.getString(i)) }.toMap
+      }
+      .groupBy(_("レースID").substring(0, 10))
+    (1 to 31).map(d => f"2020-08-$d%02d").foreach { date =>
+      val got = byDate.getOrElse(date, Seq.empty)
+      val want = goldenRows(date)
+      assert(got.size === want.size, s"$date row count")
+      val gotSorted = got.map(_.toSeq.sortBy(_._1)).sortBy(_.toString)
+      val wantSorted = want.map(_.toSeq.sortBy(_._1)).sortBy(_.toString)
+      assert(gotSorted === wantSorted, s"$date content")
+    }
+  }
+
+  test("typed race table decomposes the race id for partitioning") {
+    val typed = BoatracePipeline.typedRace(race)
+    val r = typed.filter(org.apache.spark.sql.functions.col("race_no") === 12)
+    assert(r.count() > 0)
+    assert(typed.schema("date").dataType.typeName === "date")
+    assert(typed.schema("順位").dataType.typeName === "integer")
+  }
+
+  test("race join broadcasts env (plan shape)") {
+    val plan = race.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+}
