@@ -1,0 +1,274 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deduplication operators over `documents` / `embeddings` — the
+  * training-data-pipeline surface: exact (hash-groupBy), MinHash+LSH,
+  * SimHash, n-gram Jaccard with inverted-index blocking, and
+  * embedding-cosine near-dup.
+  *
+  * Cross-engine exactness strategy (every op here is oracle-checked
+  * against DuckDB):
+  *   - text hashing goes through md5 (lowercase hex on both engines);
+  *   - set similarity (Jaccard) is a ratio of integer set sizes —
+  *     exact division, bit-identical;
+  *   - embedding math quantizes floats to integers first
+  *     (`round(x*10000)` — float→double is exact, one IEEE multiply
+  *     and one half-away-from-zero round are bit-identical on both
+  *     engines), then all dot products / norms are exact BIGINT sums;
+  *     the final `dot / sqrt(n1*n2)` is two correctly-rounded IEEE
+  *     ops on identical inputs → identical doubles.
+  *
+  * Scale notes (100 TB): the LSH band join (d02) and the rare-shingle
+  * inverted index (d04) are the scalable candidate generators — both
+  * shuffle on a short key (band hash / shingle) and never materialize
+  * the O(n²) pair space. The brute-force pair scan in d05 is the
+  * correctness baseline; its scale path is v02/v03 in
+  * SimilarityQueries (LSH buckets / IVF cells).
+  */
+object DedupQueries {
+
+  /** Tokenize: split trimmed text on whitespace runs. */
+  private def words(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Distinct 3-word shingles of the tokenized doc (min 1 shingle). */
+  private def shingles(w: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(w) - 2, lit(1))),
+      i => concat_ws(" ", slice(w, i, lit(3)))))
+
+  private val shinglesSql =
+    """list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+      |      i -> array_to_string(w[i:i+2], ' ')))""".stripMargin
+
+  /** docs → (doc_id, s: array<string> of distinct 3-shingles). */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), shingles(col("w")).as("s"))
+
+  /** Exact Jaccard over two distinct-element arrays (set semantics on
+    * both engines: array_intersect/array_union dedup, as do DuckDB's
+    * list_intersect + list_distinct∘list_concat). */
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b))
+
+  /** embeddings → (vec_id, r: array<long> quantized, nn: long self-dot). */
+  private[operators] def quantized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 10000).cast("long")).as("r"))
+      .withColumn("nn",
+        aggregate(transform(col("r"), x => x * x), lit(0L), (acc, v) => acc + v))
+
+  private[operators] val quantizedSql =
+    """SELECT vec_id, label, r,
+      |       CAST(list_sum(list_transform(r, x -> x*x)) AS BIGINT) AS nn
+      |FROM (SELECT vec_id, label,
+      |        list_transform(embedding,
+      |          x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS r
+      |      FROM embeddings)""".stripMargin
+
+  /** Exact long dot product of two equal-length long arrays. */
+  private[operators] def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** cos from exact integer dot + norms: identical doubles on both
+    * engines (one divide, one sqrt, one multiply — all IEEE-exact on
+    * identical integer inputs). */
+  private[operators] def cosine(dot: Column, nnA: Column, nnB: Column): Column =
+    dot.cast("double") / sqrt(nnA.cast("double") * nnB.cast("double"))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Exact dedup = hash-groupBy on a normalized key (here: the
+    // 8-token prefix — full-text md5 finds nothing in this corpus by
+    // construction; prefix-normalized dedup is the realistic pipeline
+    // op and has 23 planted groups). One shuffle on the 32-char key;
+    // partial aggregation applies. members is a sorted id list so the
+    // output is deterministic.
+    QueryDef(
+      "d01_exact_dedup",
+      """SELECT key_hash, min(doc_id) AS keep_id,
+        |       count(*) AS n_copies,
+        |       array_to_string(list_sort(list(doc_id)), ',') AS members
+        |FROM (SELECT doc_id,
+        |        md5(array_to_string((string_split_regex(trim(text), '\s+'))[1:8], ' '))
+        |          AS key_hash
+        |      FROM documents) t
+        |GROUP BY key_hash HAVING count(*) >= 2
+        |ORDER BY keep_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(words(col("text")), 1, 8))).as("key_hash"))
+        .groupBy("key_hash")
+        .agg(
+          min("doc_id").as("keep_id"),
+          count(lit(1)).as("n_copies"),
+          array_join(transform(sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string")), ",").as("members"))
+        .filter(col("n_copies") >= 2)
+        .orderBy("keep_id")
+    },
+
+    // MinHash + LSH near-dup: 8 md5-minhashes over 3-shingles, banded
+    // 4×2; candidate pairs share a band key (equi-join on the band —
+    // the only shuffle over pairs); candidates are confirmed with
+    // exact Jaccard >= 0.5. Finds the 25 planted near-dup pairs.
+    QueryDef(
+      "d02_minhash_lsh",
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        |           FROM documents),
+        |sh AS (SELECT doc_id, $shinglesSql AS s FROM w),
+        |sig AS (SELECT doc_id, s, list_transform(generate_series(0, 7),
+        |          k -> list_min(list_transform(s, x -> md5(k || '|' || x)))) AS sig
+        |        FROM sh),
+        |bands AS (SELECT doc_id, b, sig[2*b+1] || sig[2*b+2] AS key
+        |          FROM sig, generate_series(0, 3) t(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |         FROM bands a JOIN bands c
+        |           ON a.key = c.key AND a.b = c.b AND a.doc_id < c.doc_id)
+        |SELECT doc_a, doc_b, jacc FROM (
+        |  SELECT doc_a, doc_b,
+        |         len(list_intersect(x.s, y.s))::DOUBLE
+        |           / len(list_distinct(list_concat(x.s, y.s))) AS jacc
+        |  FROM cand JOIN sh x ON x.doc_id = cand.doc_a
+        |            JOIN sh y ON y.doc_id = cand.doc_b) j
+        |WHERE jacc >= 0.5 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val sh = shingled(s, d)
+      val sig = sh.select(col("doc_id"), col("s"),
+        transform(sequence(lit(0), lit(7)),
+          k => array_min(transform(col("s"),
+            x => md5(concat(k.cast("string"), lit("|"), x))))).as("sig"))
+      val bands = sig
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(3))).as("b"), col("sig"))
+        .select(col("doc_id"), col("b"),
+          concat(element_at(col("sig"), col("b") * 2 + 1),
+            element_at(col("sig"), col("b") * 2 + 2)).as("key"))
+      val cand = bands.as("a")
+        .join(bands.as("c"),
+          col("a.key") === col("c.key") && col("a.b") === col("c.b")
+            && col("a.doc_id") < col("c.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          jaccard(col("sa"), col("sb")).as("jacc"))
+        .filter(col("jacc") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // SimHash: 32-bit fingerprint from md5-derived token hashes
+    // weighted by term frequency. Pure integer arithmetic (shift /
+    // mask / signed sums) → bit-identical across engines. Two
+    // aggregations, both with map-side partial combine; the bit
+    // explosion is ×32 but each row is (id, bit, ±cnt) — tiny.
+    QueryDef(
+      "d03_simhash",
+      """WITH tok AS (SELECT doc_id, w, count(*)::BIGINT AS cnt FROM
+        |    (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |     FROM documents) t GROUP BY doc_id, w),
+        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS hv,
+        |             cnt FROM tok),
+        |bits AS (SELECT doc_id, b,
+        |           sum(CASE WHEN (hv >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS contrib
+        |         FROM h, generate_series(0, 31) t(b) GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |       CAST(sum(CASE WHEN contrib > 0 THEN (1::BIGINT << b) ELSE 0 END)
+        |            AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      val h = tok.select(col("doc_id"),
+        expr("CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)").as("hv"),
+        col("cnt"))
+      h.select(col("doc_id"), col("hv"), col("cnt"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+        .groupBy("doc_id", "b")
+        .agg(sum(when(expr("(shiftright(hv, b) & 1) = 1"), col("cnt"))
+          .otherwise(-col("cnt"))).as("contrib"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("contrib") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // n-gram (3-shingle) Jaccard with inverted-index blocking: only
+    // pairs sharing a RARE shingle (document frequency <= 5) are ever
+    // scored — the candidate space shuffles on the shingle, never on
+    // the pair, so the op survives n where O(n²) does not. High-J
+    // pairs share many rare shingles, so recall at J>=0.5 is total on
+    // this corpus (verified == the 25 planted pairs).
+    QueryDef(
+      "d04_ngram_jaccard",
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        |           FROM documents),
+        |sh AS (SELECT doc_id, $shinglesSql AS s FROM w),
+        |inv AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+        |rare AS (SELECT sg FROM inv GROUP BY sg HAVING count(*) <= 5),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |         FROM inv a JOIN inv c ON a.sg = c.sg AND a.doc_id < c.doc_id
+        |         WHERE a.sg IN (SELECT sg FROM rare))
+        |SELECT doc_a, doc_b, jacc FROM (
+        |  SELECT doc_a, doc_b,
+        |         len(list_intersect(x.s, y.s))::DOUBLE
+        |           / len(list_distinct(list_concat(x.s, y.s))) AS jacc
+        |  FROM cand JOIN sh x ON x.doc_id = cand.doc_a
+        |            JOIN sh y ON y.doc_id = cand.doc_b) j
+        |WHERE jacc >= 0.5 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val sh = shingled(s, d)
+      val inv = sh.select(col("doc_id"), explode(col("s")).as("sg"))
+      val rare = inv.groupBy("sg").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 5).select("sg")
+      val rareInv = inv.join(rare, "sg")
+      val cand = rareInv.as("a")
+        .join(rareInv.as("c"),
+          col("a.sg") === col("c.sg") && col("a.doc_id") < col("c.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          jaccard(col("sa"), col("sb")).as("jacc"))
+        .filter(col("jacc") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Embedding-cosine near-dup, brute-force pair scan (correctness
+    // baseline; scale path = LSH buckets, see v02). Quantized-integer
+    // dot/norms → the cosine double is bit-identical to DuckDB's, so
+    // the 0.4 threshold cuts the same set on both engines.
+    QueryDef(
+      "d05_embedding_neardup",
+      s"""WITH n AS ($quantizedSql)
+        |SELECT id_a, id_b, cos_sim FROM (
+        |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+        |         CAST(list_sum(list_transform(generate_series(1, len(a.r)),
+        |                i -> a.r[i] * c.r[i])) AS DOUBLE)
+        |           / sqrt(CAST(a.nn AS DOUBLE) * CAST(c.nn AS DOUBLE)) AS cos_sim
+        |  FROM n a JOIN n c ON a.vec_id < c.vec_id) t
+        |WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val n = quantized(s, d)
+      val a = n.select(col("vec_id").as("id_a"), col("r").as("ra"),
+        col("nn").as("nna"))
+      val c = n.select(col("vec_id").as("id_b"), col("r").as("rb"),
+        col("nn").as("nnb"))
+      a.join(c, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          cosine(dotL(col("ra"), col("rb")), col("nna"), col("nnb"))
+            .as("cos_sim"))
+        .filter(col("cos_sim") >= 0.4)
+        .orderBy("id_a", "id_b")
+    },
+  )
+}

@@ -245,15 +245,19 @@ object RelationalQueries {
         .orderBy("c_custkey")
     },
 
-    // NOT EXISTS as left-anti join.
+    // NOT EXISTS as left-anti join (customers with no urgent order —
+    // the filter keeps the result non-empty so the oracle check is a
+    // real value comparison, not a trivially-empty match).
     QueryDef(
       "q13_anti_join",
       """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
       Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
-          "left_anti")
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     },
@@ -347,12 +351,12 @@ object RelationalQueries {
     QueryDef(
       "q18_scalar_subquery",
       """SELECT o_orderkey, o_totalprice FROM orders
-        |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       val o = Tables.orders(s, d)
       val a = o.agg(avg("o_totalprice").as("ap"))
       o.join(broadcast(a))
-        .filter(col("o_totalprice") > lit(2) * col("ap"))
+        .filter(col("o_totalprice") > lit(1.5) * col("ap"))
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")
     },
@@ -429,30 +433,34 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
-    // INTERSECT (distinct set semantics on both engines).
+    // INTERSECT (distinct set semantics on both engines). Keyed on
+    // (user, day) — user_id alone is degenerate in this corpus (every
+    // user does every event type).
     QueryDef(
       "q23_intersect",
-      """SELECT user_id FROM events WHERE event_type = 'purchase'
+      """SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        |WHERE event_type = 'purchase'
         |INTERSECT
-        |SELECT user_id FROM events WHERE event_type = 'error'
-        |ORDER BY user_id""".stripMargin) { (s, d) =>
+        |SELECT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'error'
+        |ORDER BY user_id, day""".stripMargin) { (s, d) =>
       val e = Tables.events(s, d)
-      e.filter(col("event_type") === "purchase").select("user_id")
-        .intersect(e.filter(col("event_type") === "error").select("user_id"))
-        .orderBy("user_id")
+      def side(t: String) = e.filter(col("event_type") === t)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+      side("purchase").intersect(side("error")).orderBy("user_id", "day")
     },
 
     // EXCEPT.
     QueryDef(
       "q24_except",
-      """SELECT user_id FROM events WHERE event_type = 'view'
+      """SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        |WHERE event_type = 'view'
         |EXCEPT
-        |SELECT user_id FROM events WHERE event_type = 'purchase'
-        |ORDER BY user_id""".stripMargin) { (s, d) =>
+        |SELECT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, day""".stripMargin) { (s, d) =>
       val e = Tables.events(s, d)
-      e.filter(col("event_type") === "view").select("user_id")
-        .except(e.filter(col("event_type") === "purchase").select("user_id"))
-        .orderBy("user_id")
+      def side(t: String) = e.filter(col("event_type") === t)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+      side("view").except(side("purchase")).orderBy("user_id", "day")
     },
 
     // R7 (read_db.py:38 schema introspection): expose a table's schema

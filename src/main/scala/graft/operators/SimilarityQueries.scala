@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import DedupQueries.{cosine, dotL, quantized, quantizedSql}
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors): brute-force cosine top-k as the exact baseline, plus the
+  * two standard scale paths — random-hyperplane LSH buckets and an
+  * IVF-style coarse-cell search (the provided `label` column plays the
+  * role of the coarse quantizer cell).
+  *
+  * All math uses DedupQueries' quantized-integer scheme, so the
+  * cosines are bit-identical doubles on Spark and DuckDB and the
+  * top-k cuts / rankings agree exactly (ties broken by vec_id).
+  *
+  * Scale notes (100 TB): v01 is O(Q·N) with the query side broadcast —
+  * right for small Q, and the per-partition work is a codegen'd
+  * array-dot. v02 shuffles once on the 8-bit bucket key (expected
+  * N/256 candidates per bucket); v03 shuffles once on the cell id.
+  * Neither ever materializes the full pair space.
+  */
+object SimilarityQueries {
+
+  private val Q = 20 // query set = vec_id < 20
+  private val K = 5
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Brute-force exact cosine top-k per query vector. The query side
+    // is broadcast (tiny); candidates stream through a single scan.
+    QueryDef(
+      "v01_ann_brute_topk",
+      s"""WITH n AS ($quantizedSql),
+        |cs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         CAST(list_sum(list_transform(generate_series(1, len(q.r)),
+        |                i -> q.r[i] * c.r[i])) AS DOUBLE)
+        |           / sqrt(CAST(q.nn AS DOUBLE) * CAST(c.nn AS DOUBLE)) AS cos_sim
+        |       FROM n q JOIN n c ON q.vec_id < $Q AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |             ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM cs) t
+        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      val n = quantized(s, d)
+      val q = n.filter(col("vec_id") < Q)
+        .select(col("vec_id").as("query_id"), col("r").as("rq"),
+          col("nn").as("nnq"))
+      val c = n.select(col("vec_id").as("neighbor_id"), col("r").as("rc"),
+        col("nn").as("nnc"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(dotL(col("rq"), col("rc")), col("nnq"), col("nnc"))
+            .as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    },
+
+    // Random-hyperplane LSH ANN: 8 pseudo-random hyperplanes derived
+    // from md5 (coefficients in [-1000, 1000], identical on both
+    // engines), sign-bit bucket per vector, candidates share the
+    // bucket. Exact cosine re-rank inside the bucket, top-3. Recall
+    // is approximate by design — the oracle runs the same algorithm.
+    QueryDef(
+      "v02_ann_lsh_bucket",
+      s"""WITH n AS ($quantizedSql),
+        |dots AS (SELECT vec_id, p,
+        |           CAST(list_sum(list_transform(generate_series(1, len(r)),
+        |             j -> ((CAST(('0x' || substr(md5(p || ':' || j), 1, 8)) AS BIGINT)
+        |                    % 2001) - 1000) * r[j])) AS BIGINT) AS pd
+        |         FROM n, generate_series(0, 7) t(p)),
+        |buck AS (SELECT vec_id,
+        |           CAST(sum(CASE WHEN pd > 0 THEN (1::BIGINT << p) ELSE 0 END)
+        |                AS BIGINT) AS bucket
+        |         FROM dots GROUP BY vec_id),
+        |nb AS (SELECT n.vec_id, r, nn, bucket FROM n JOIN buck USING (vec_id)),
+        |cs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         CAST(list_sum(list_transform(generate_series(1, len(q.r)),
+        |                i -> q.r[i] * c.r[i])) AS DOUBLE)
+        |           / sqrt(CAST(q.nn AS DOUBLE) * CAST(c.nn AS DOUBLE)) AS cos_sim
+        |       FROM nb q JOIN nb c ON q.bucket = c.bucket
+        |         AND q.vec_id < $Q AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |             ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM cs) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      val n = quantized(s, d)
+      // plane coefficient for (plane p, dim j): md5-derived int in
+      // [-1000, 1000] — same literal construction as the oracle SQL.
+      val planeDot = (p: org.apache.spark.sql.Column) =>
+        aggregate(
+          transform(sequence(lit(1), size(col("r"))),
+            j => ((conv(substring(md5(concat(p.cast("string"), lit(":"),
+              j.cast("string"))), 1, 8), 16, 10).cast("long") % 2001)
+              - 1000) * element_at(col("r"), j)),
+          lit(0L), (acc, v) => acc + v)
+      val dots = n.select(col("vec_id"), col("r"),
+          explode(sequence(lit(0), lit(7))).as("p"))
+        .select(col("vec_id"), col("p"), planeDot(col("p")).as("pd"))
+      val buck = dots.groupBy("vec_id")
+        .agg(sum(when(col("pd") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0L)).as("bucket"))
+      val nb = n.join(buck, "vec_id")
+      val q = nb.filter(col("vec_id") < Q)
+        .select(col("vec_id").as("query_id"), col("r").as("rq"),
+          col("nn").as("nnq"), col("bucket"))
+      val c = nb.select(col("vec_id").as("neighbor_id"), col("r").as("rc"),
+        col("nn").as("nnc"), col("bucket"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      q.join(c, Seq("bucket"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(dotL(col("rq"), col("rc")), col("nnq"), col("nnc"))
+            .as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    },
+
+    // IVF-style coarse search: `label` is the coarse cell; the cell
+    // "centroid" is the exact integer component-wise sum of member
+    // vectors (direction of the mean — same cosine ranking, no float
+    // averaging). Each query probes its best cell only, then exact
+    // top-3 within the cell.
+    QueryDef(
+      "v03_ann_ivf_cell",
+      s"""WITH n AS ($quantizedSql),
+        |cen AS (SELECT label, j, CAST(sum(r[j]) AS BIGINT) AS cj
+        |        FROM n, generate_series(1, 64) t(j) GROUP BY label, j),
+        |cent AS (SELECT label, list(cj ORDER BY j) AS c,
+        |           CAST(list_sum(list_transform(list(cj ORDER BY j), x -> x*x))
+        |                AS DOUBLE) AS cn
+        |         FROM cen GROUP BY label),
+        |probe AS (SELECT query_id, label FROM (
+        |    SELECT q.vec_id AS query_id, cent.label,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             CAST(list_sum(list_transform(generate_series(1, 64),
+        |                    i -> q.r[i] * cent.c[i])) AS DOUBLE)
+        |               / sqrt(CAST(q.nn AS DOUBLE) * cn) DESC, cent.label) AS rn
+        |    FROM n q, cent WHERE q.vec_id < $Q) t WHERE rn = 1),
+        |cs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+        |         CAST(list_sum(list_transform(generate_series(1, len(q.r)),
+        |                i -> q.r[i] * c.r[i])) AS DOUBLE)
+        |           / sqrt(CAST(q.nn AS DOUBLE) * CAST(c.nn AS DOUBLE)) AS cos_sim
+        |       FROM n q JOIN probe ON probe.query_id = q.vec_id
+        |         JOIN n c ON c.label = probe.label AND c.vec_id <> q.vec_id)
+        |SELECT query_id, label, neighbor_id, cos_sim, rank FROM (
+        |  SELECT query_id, label, neighbor_id, cos_sim,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |             ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM cs) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      val n = quantized(s, d)
+      // integer centroid (component-wise sum) per cell, exact.
+      val cen = n.select(col("label"), col("r"),
+          explode(sequence(lit(1), lit(64))).as("j"))
+        .select(col("label"), col("j"), element_at(col("r"), col("j")).as("rj"))
+        .groupBy("label", "j").agg(sum("rj").as("cj"))
+      val cent = cen.groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
+          x => x.getField("cj")).as("c"))
+        .withColumn("cn",
+          aggregate(transform(col("c"), x => x * x), lit(0L),
+            (acc, v) => acc + v).cast("double"))
+      val q = n.filter(col("vec_id") < Q)
+        .select(col("vec_id").as("query_id"), col("r").as("rq"),
+          col("nn").as("nnq"))
+      val wProbe = Window.partitionBy("query_id").orderBy(
+        (dotL(col("rq"), col("c")).cast("double") /
+          sqrt(col("nnq").cast("double") * col("cn"))).desc, col("label"))
+      val probe = broadcast(q).crossJoin(broadcast(cent))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("rq"), col("nnq"), col("label"))
+      val c = n.select(col("vec_id").as("neighbor_id"), col("r").as("rc"),
+        col("nn").as("nnc"), col("label"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      broadcast(probe).join(c, Seq("label"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("label"), col("neighbor_id"),
+          cosine(dotL(col("rq"), col("rc")), col("nnq"), col("nnc"))
+            .as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("query_id", "label", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    },
+  )
+}

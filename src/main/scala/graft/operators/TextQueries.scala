@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (language ID, quality scoring,
+  * token counting, document fingerprinting). All four are pure
+  * column-expression pipelines (whole-stage codegen, no UDFs), and all
+  * four carry DuckDB oracles: the arithmetic is integer/exact so the
+  * hashes match bit-for-bit.
+  *
+  * Scale: each query is a single scan + projection (no shuffle except
+  * the final ORDER BY, which exists only for oracle determinism).
+  */
+object TextQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Whitespace tokenization + count (the BPE-ish regex variant of
+    // token counting; corpus text is space-separated lowercase words).
+    QueryDef(
+      "t01_token_count",
+      """SELECT doc_id,
+        |       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: length / distinct-token ratio / mean token
+    // length — integer-derived doubles, bit-identical across engines.
+    QueryDef(
+      "t02_text_quality",
+      """SELECT doc_id,
+        |       CAST(length(text) AS INT) AS n_chars_m,
+        |       CAST(len(w) AS INT) AS n_tokens,
+        |       CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+        |       CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio,
+        |       CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w) AS avg_token_len
+        |FROM (SELECT doc_id, text,
+        |        string_split_regex(trim(text), '\s+') AS w FROM documents) t
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("w", split(trim(col("text")), "\\s+"))
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars_m"),
+          size(col("w")).as("n_tokens"),
+          size(array_distinct(col("w"))).as("n_distinct"),
+          (size(array_distinct(col("w"))).cast("double") / size(col("w")))
+            .as("distinct_ratio"),
+          (length(regexp_replace(col("text"), " ", "")).cast("double")
+            / size(col("w"))).as("avg_token_len"))
+        .orderBy("doc_id")
+    },
+
+    // Language ID by stopword-marker frequency (n-gram heuristic):
+    // count marker substrings with exact integer arithmetic, argmax
+    // with a fixed tie order. (The corpus `lang` column is synthetic
+    // and unrelated to the text; this is the capability, scored on
+    // determinism.)
+    QueryDef(
+      "t03_lang_id",
+      """SELECT doc_id, c_en, c_es, c_de, c_fr,
+        |       CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+        |            WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+        |            WHEN c_de >= c_fr THEN 'de'
+        |            ELSE 'fr' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS INT) AS c_en,
+        |    CAST((length(text) - length(replace(text, ' el ', ''))) / 4 AS INT)  AS c_es,
+        |    CAST((length(text) - length(replace(text, ' der ', ''))) / 5 AS INT) AS c_de,
+        |    CAST((length(text) - length(replace(text, ' le ', ''))) / 4 AS INT)  AS c_fr
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      def cnt(marker: String) =
+        ((length(col("text")) - length(regexp_replace(col("text"),
+          java.util.regex.Pattern.quote(marker), ""))) / marker.length)
+          .cast("int")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          cnt(" the ").as("c_en"), cnt(" el ").as("c_es"),
+          cnt(" der ").as("c_de"), cnt(" le ").as("c_fr"))
+        .withColumn("lang_pred",
+          when(col("c_en") >= col("c_es") && col("c_en") >= col("c_de")
+            && col("c_en") >= col("c_fr"), "en")
+            .when(col("c_es") >= col("c_de") && col("c_es") >= col("c_fr"), "es")
+            .when(col("c_de") >= col("c_fr"), "de")
+            .otherwise("fr"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprint: minimum md5 over 5-word shingles (the
+    // MinHash primitive with k=1, also a rolling-fingerprint stand-in;
+    // lexicographic min over lowercase hex agrees across engines).
+    QueryDef(
+      "t04_doc_fingerprint",
+      """SELECT doc_id,
+        |       list_min(list_transform(generate_series(1, greatest(len(w)-4, 1)),
+        |         i -> md5(array_to_string(w[i:i+4], ' ')))) AS fingerprint
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("w", split(trim(col("text")), "\\s+"))
+        .select(col("doc_id"),
+          array_min(transform(
+            sequence(lit(1), greatest(size(col("w")) - 4, lit(1))),
+            i => md5(concat_ws(" ", slice(col("w"), i, lit(5))))))
+            .as("fingerprint"))
+        .orderBy("doc_id")
+    },
+  )
+}
