@@ -50,6 +50,10 @@ object BoatracePipeline {
       .load(txtDir)
       .select("path", "content")
       .as[(String, Array[Byte])]
+      // binaryFile packs many small files into one input split
+      // (maxPartitionBytes), which would serialize the whole parse
+      // into a single task; spread files across the cluster first.
+      .repartition(spark.sparkContext.defaultParallelism)
       .map { case (path, bytes) =>
         val name = path.substring(path.lastIndexOf('/') + 1)
         val date = KbParser.dateFromFileName(name)

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Primitive-loop kernels for the text-dedup hot path. Spark's
+  * higher-order array functions (transform / aggregate / sequence /
+  * slice) are CodegenFallback — interpreted per element — which makes
+  * shingling + signature computation the dominant cost of the MinHash
+  * pipeline. These kernels compute exactly the same values in tight
+  * JVM loops; everything relational (banding joins, candidate
+  * generation, Jaccard confirm) stays declarative on top.
+  *
+  * Semantics mirror the SQL construction exactly:
+  *   tokenize   = trim spaces, split on \s+            (split(trim(text),'\s+'))
+  *   shingles   = distinct 3-grams, tail-truncating    (w[i:i+2], i ≤ max(n-2,1))
+  *   hash       = md5 first-8-hex as uint32            (('0x'||substr(md5,1,8))::BIGINT)
+  *   minhash_k  = min over shingles of ((2k+1)h + 7919k) mod 4294967311
+  */
+object TextKernels {
+
+  private[graft] def tokenize(text: String): Array[String] = {
+    // Spark `trim` strips 0x20 only (String.trim also strips \t\n —
+    // not equivalent on arbitrary input).
+    var b = 0
+    var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    text.substring(b, e).split("\\s+", -1)
+  }
+
+  private[graft] def shingles3(w: Array[String]): Array[String] = {
+    val n = math.max(w.length - 2, 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < n) {
+      val end = math.min(i + 3, w.length)
+      seen.add(w.slice(i, end).mkString(" "))
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  /** docs(doc_id, text) → (doc_id, s: distinct 3-shingle array). */
+  def shingled(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.selectExpr("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) => (id, shingles3(tokenize(text))) }
+      .toDF("doc_id", "s")
+  }
+
+  /** docs(doc_id, text) → (doc_id, s, sig: k minhashes). */
+  def minhashSignatures(spark: SparkSession, docs: DataFrame,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    docs.selectExpr("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val s = shingles3(tokenize(text))
+        val hv = s.map(VectorKernels.md5Hex8)
+        val sig = Array.tabulate(k) { ki =>
+          var m = Long.MaxValue
+          var i = 0
+          while (i < hv.length) {
+            val h = ((2L * ki + 1) * hv(i) + 7919L * ki) % 4294967311L
+            if (h < m) m = h
+            i += 1
+          }
+          m
+        }
+        (id, s, sig)
+      }
+      .toDF("doc_id", "s", "sig")
+  }
+}

@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Primitive-array compute kernels for vector similarity.
+  *
+  * Spark's higher-order array functions (`zip_with`, `aggregate`) are
+  * CodegenFallback — interpreted per element, which makes an all-pairs
+  * dot-product scan ~30× slower than a JVM primitive loop. For the
+  * brute-force pair scan we therefore drop to `mapPartitions` over the
+  * candidate side with the (bounded) comparison set broadcast as
+  * `Array[Long]`s — SURVEY §7's documented "(d) mapPartitions as a
+  * last resort" case: a tight numeric kernel Catalyst cannot codegen.
+  *
+  * The arithmetic is identical to the expression form: exact Long
+  * dot/norms from the quantized vectors, then one IEEE divide + sqrt —
+  * so results are bit-identical to the DuckDB oracle.
+  *
+  * Scale note: broadcasting all vectors is the explicit contract of a
+  * brute-force pair scan (the comparison set must be bounded — same
+  * requirement as Spark's own broadcast join). The unbounded-N paths
+  * are the LSH-bucket and IVF-cell queries, which shuffle on a short
+  * key instead.
+  */
+object VectorKernels {
+
+  /** md5(s), first 8 hex chars parsed as an unsigned 32-bit value —
+    * identical to `CAST(('0x'||substr(md5(s),1,8)) AS BIGINT)` /
+    * `conv(substring(md5(s),1,8),16,10)`. */
+  private[graft] def md5Hex8(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** All (query, candidate) cosines for a bounded query set
+    * (vec_id < maxQueryId), skipping self-pairs. Returns
+    * (query_id, neighbor_id, cos_sim); the caller ranks/filters
+    * declaratively. Queries are broadcast; candidates stream through
+    * one scan — O(Q·N) with no shuffle before the ranking. */
+  def crossCosine(spark: SparkSession, quantized: DataFrame,
+      maxQueryId: Long): DataFrame = {
+    import spark.implicits._
+    val vecs = quantized.select("vec_id", "r", "nn")
+      .as[(Long, Array[Long], Long)]
+    val qs = vecs.filter(_._1 < maxQueryId).collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(qs)
+    vecs.mapPartitions { it =>
+      val queries = bc.value
+      it.flatMap { case (idC, rc, nnC) =>
+        queries.iterator.filter(_._1 != idC).map { case (idQ, rq, nnQ) =>
+          var dot = 0L
+          var j = 0
+          while (j < rq.length) { dot += rq(j) * rc(j); j += 1 }
+          (idQ, idC, dot.toDouble / math.sqrt(nnQ.toDouble * nnC.toDouble))
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "cos_sim")
+  }
+
+  /** Random-hyperplane LSH bucket per vector: nPlanes md5-derived
+    * hyperplanes (coefficient for (p, j) = md5("p:j")[0:8] % 2001 -
+    * 1000, j 1-based — the same literal construction as the SQL
+    * oracle), bucket = sign-bit word of the plane dots. The plane
+    * matrix is a deterministic constant, so it is computed once per
+    * partition instead of per (row × plane × dim) as an expression
+    * tree would. Returns (vec_id, bucket). */
+  def lshBuckets(spark: SparkSession, quantized: DataFrame,
+      nPlanes: Int): DataFrame = {
+    import spark.implicits._
+    quantized.select("vec_id", "r").as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        var planes: Array[Array[Long]] = null
+        it.map { case (id, r) =>
+          if (planes == null)
+            planes = Array.tabulate(nPlanes, r.length) { (p, j0) =>
+              (md5Hex8(s"$p:${j0 + 1}") % 2001L) - 1000L
+            }
+          var bucket = 0L
+          var p = 0
+          while (p < nPlanes) {
+            val cp = planes(p)
+            var dot = 0L
+            var j = 0
+            while (j < cp.length) { dot += cp(j) * r(j); j += 1 }
+            if (dot > 0) bucket |= (1L << p)
+            p += 1
+          }
+          (id, bucket)
+        }
+      }.toDF("vec_id", "bucket")
+  }
+
+  /** All pairs (id_a < id_b) with cosine >= minCos over a quantized
+    * vector table (vec_id: long, r: array<long>, nn: long self-dot).
+    * Returns columns (id_a, id_b, cos_sim) — unsorted; caller orders.
+    */
+  def neardupPairs(spark: SparkSession, quantized: DataFrame,
+      minCos: Double): DataFrame = {
+    import spark.implicits._
+    val vecs = quantized.select("vec_id", "r", "nn")
+      .as[(Long, Array[Long], Long)]
+    // Bounded broadcast of the comparison set (one quantized vector
+    // per row); sorted so each partition's inner loop can stop early
+    // at id_a >= id_b.
+    val all = vecs.collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(all)
+    vecs.mapPartitions { it =>
+      val as = bc.value
+      it.flatMap { case (idB, rb, nnB) =>
+        val out = Iterator.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < as.length && as(i)._1 < idB) {
+          val (idA, ra, nnA) = as(i)
+          var dot = 0L
+          var j = 0
+          while (j < ra.length) { dot += ra(j) * rb(j); j += 1 }
+          val cos = dot.toDouble / math.sqrt(nnA.toDouble * nnB.toDouble)
+          if (cos >= minCos) out += ((idA, idB, cos))
+          i += 1
+        }
+        out.result()
+      }
+    }.toDF("id_a", "id_b", "cos_sim")
+  }
+}

@@ -34,21 +34,9 @@ object DedupQueries {
   /** Tokenize: split trimmed text on whitespace runs. */
   private def words(c: Column): Column = split(trim(c), "\\s+")
 
-  /** Distinct 3-word shingles of the tokenized doc (min 1 shingle). */
-  private def shingles(w: Column): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(w) - 2, lit(1))),
-      i => concat_ws(" ", slice(w, i, lit(3)))))
-
   private val shinglesSql =
     """list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 1)),
       |      i -> array_to_string(w[i:i+2], ' ')))""".stripMargin
-
-  /** docs → (doc_id, s: array<string> of distinct 3-shingles). */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), words(col("text")).as("w"))
-      .select(col("doc_id"), shingles(col("w")).as("s"))
 
   /** Exact Jaccard over two distinct-element arrays (set semantics on
     * both engines: array_intersect/array_union dedup, as do DuckDB's
@@ -116,19 +104,29 @@ object DedupQueries {
         .orderBy("keep_id")
     },
 
-    // MinHash + LSH near-dup: 8 md5-minhashes over 3-shingles, banded
-    // 4×2; candidate pairs share a band key (equi-join on the band —
-    // the only shuffle over pairs); candidates are confirmed with
-    // exact Jaccard >= 0.5. Finds the 25 planted near-dup pairs.
+    // MinHash + LSH near-dup: 8 minhashes over 3-shingles — ONE md5
+    // per shingle, then 8 universal-hash derivations ((2k+1)·h + 7919k
+    // mod p, exact BIGINT on both engines) — banded 4×2; candidate
+    // pairs share a band key (equi-join on the band — the only shuffle
+    // over pairs); candidates are confirmed with exact Jaccard >= 0.5.
+    // Finds the 25 planted near-dup pairs. The shingle+hash subplan is
+    // persisted: it feeds both sides of the self-join and the confirm
+    // joins, and Spark does not reuse unpersisted subplans.
     QueryDef(
       "d02_minhash_lsh",
       s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
         |           FROM documents),
         |sh AS (SELECT doc_id, $shinglesSql AS s FROM w),
+        |hs AS (SELECT doc_id, s, list_transform(s,
+        |          x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hv
+        |       FROM sh),
         |sig AS (SELECT doc_id, s, list_transform(generate_series(0, 7),
-        |          k -> list_min(list_transform(s, x -> md5(k || '|' || x)))) AS sig
-        |        FROM sh),
-        |bands AS (SELECT doc_id, b, sig[2*b+1] || sig[2*b+2] AS key
+        |          k -> list_min(list_transform(hv,
+        |                 h -> ((2*k+1)*h + 7919*k) % 4294967311))) AS sig
+        |        FROM hs),
+        |bands AS (SELECT doc_id, b,
+        |            CAST(sig[2*b+1] AS VARCHAR) || ':' ||
+        |            CAST(sig[2*b+2] AS VARCHAR) AS key
         |          FROM sig, generate_series(0, 3) t(b)),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
         |         FROM bands a JOIN bands c
@@ -137,20 +135,21 @@ object DedupQueries {
         |  SELECT doc_a, doc_b,
         |         len(list_intersect(x.s, y.s))::DOUBLE
         |           / len(list_distinct(list_concat(x.s, y.s))) AS jacc
-        |  FROM cand JOIN sh x ON x.doc_id = cand.doc_a
-        |            JOIN sh y ON y.doc_id = cand.doc_b) j
+        |  FROM cand JOIN sig x ON x.doc_id = cand.doc_a
+        |            JOIN sig y ON y.doc_id = cand.doc_b) j
         |WHERE jacc >= 0.5 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val sh = shingled(s, d)
-      val sig = sh.select(col("doc_id"), col("s"),
-        transform(sequence(lit(0), lit(7)),
-          k => array_min(transform(col("s"),
-            x => md5(concat(k.cast("string"), lit("|"), x))))).as("sig"))
+      // shingle + md5 + 8 universal hashes in one primitive-loop pass
+      // (TextKernels — the expression form is interpreted per element)
+      val sig = graft.functions.TextKernels
+        .minhashSignatures(s, Tables.documents(s, d), 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = sig
         .select(col("doc_id"),
           explode(sequence(lit(0), lit(3))).as("b"), col("sig"))
         .select(col("doc_id"), col("b"),
-          concat(element_at(col("sig"), col("b") * 2 + 1),
-            element_at(col("sig"), col("b") * 2 + 2)).as("key"))
+          concat(element_at(col("sig"), col("b") * 2 + 1).cast("string"),
+            lit(":"),
+            element_at(col("sig"), col("b") * 2 + 2).cast("string")).as("key"))
       val cand = bands.as("a")
         .join(bands.as("c"),
           col("a.key") === col("c.key") && col("a.b") === col("c.b")
@@ -158,8 +157,8 @@ object DedupQueries {
         .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
         .distinct()
       cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+        .join(sig.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           jaccard(col("sa"), col("sb")).as("jacc"))
         .filter(col("jacc") >= 0.5)
@@ -225,7 +224,12 @@ object DedupQueries {
         |  FROM cand JOIN sh x ON x.doc_id = cand.doc_a
         |            JOIN sh y ON y.doc_id = cand.doc_b) j
         |WHERE jacc >= 0.5 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val sh = shingled(s, d)
+      // persisted: feeds the inverted index twice (self-join), the
+      // rare-shingle filter, and both confirm joins. Shingling runs in
+      // the primitive-loop kernel (expression form is interpreted).
+      val sh = graft.functions.TextKernels
+        .shingled(s, Tables.documents(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val inv = sh.select(col("doc_id"), explode(col("s")).as("sg"))
       val rare = inv.groupBy("sg").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 5).select("sg")
@@ -247,7 +251,9 @@ object DedupQueries {
     // Embedding-cosine near-dup, brute-force pair scan (correctness
     // baseline; scale path = LSH buckets, see v02). Quantized-integer
     // dot/norms → the cosine double is bit-identical to DuckDB's, so
-    // the 0.4 threshold cuts the same set on both engines.
+    // the 0.4 threshold cuts the same set on both engines. The pair
+    // scan runs as a primitive-loop kernel (VectorKernels) — Spark's
+    // higher-order array functions are interpreted and ~30× slower.
     QueryDef(
       "d05_embedding_neardup",
       s"""WITH n AS ($quantizedSql)
@@ -258,16 +264,8 @@ object DedupQueries {
         |           / sqrt(CAST(a.nn AS DOUBLE) * CAST(c.nn AS DOUBLE)) AS cos_sim
         |  FROM n a JOIN n c ON a.vec_id < c.vec_id) t
         |WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      val n = quantized(s, d)
-      val a = n.select(col("vec_id").as("id_a"), col("r").as("ra"),
-        col("nn").as("nna"))
-      val c = n.select(col("vec_id").as("id_b"), col("r").as("rb"),
-        col("nn").as("nnb"))
-      a.join(c, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          cosine(dotL(col("ra"), col("rb")), col("nna"), col("nnb"))
-            .as("cos_sim"))
-        .filter(col("cos_sim") >= 0.4)
+      graft.functions.VectorKernels
+        .neardupPairs(s, quantized(s, d), 0.4)
         .orderBy("id_a", "id_b")
     },
   )

@@ -45,18 +45,11 @@ object SimilarityQueries {
         |             ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
         |  FROM cs) t
         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-      val n = quantized(s, d)
-      val q = n.filter(col("vec_id") < Q)
-        .select(col("vec_id").as("query_id"), col("r").as("rq"),
-          col("nn").as("nnq"))
-      val c = n.select(col("vec_id").as("neighbor_id"), col("r").as("rc"),
-        col("nn").as("nnc"))
+      // cosines via the primitive-loop kernel (higher-order array
+      // expressions are interpreted); ranking stays declarative.
       val w = Window.partitionBy("query_id")
         .orderBy(col("cos_sim").desc, col("neighbor_id"))
-      broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          cosine(dotL(col("rq"), col("rc")), col("nnq"), col("nnc"))
-            .as("cos_sim"))
+      graft.functions.VectorKernels.crossCosine(s, quantized(s, d), Q)
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
@@ -94,21 +87,11 @@ object SimilarityQueries {
         |  FROM cs) t
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
       val n = quantized(s, d)
-      // plane coefficient for (plane p, dim j): md5-derived int in
-      // [-1000, 1000] — same literal construction as the oracle SQL.
-      val planeDot = (p: org.apache.spark.sql.Column) =>
-        aggregate(
-          transform(sequence(lit(1), size(col("r"))),
-            j => ((conv(substring(md5(concat(p.cast("string"), lit(":"),
-              j.cast("string"))), 1, 8), 16, 10).cast("long") % 2001)
-              - 1000) * element_at(col("r"), j)),
-          lit(0L), (acc, v) => acc + v)
-      val dots = n.select(col("vec_id"), col("r"),
-          explode(sequence(lit(0), lit(7))).as("p"))
-        .select(col("vec_id"), col("p"), planeDot(col("p")).as("pd"))
-      val buck = dots.groupBy("vec_id")
-        .agg(sum(when(col("pd") > 0,
-          expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0L)).as("bucket"))
+      // bucket assignment via the plane kernel (the plane matrix is a
+      // constant — one materialization per partition instead of an
+      // interpreted expression per row×plane×dim); candidate
+      // generation stays a declarative equi-join on the bucket.
+      val buck = graft.functions.VectorKernels.lshBuckets(s, n, 8)
       val nb = n.join(buck, "vec_id")
       val q = nb.filter(col("vec_id") < Q)
         .select(col("vec_id").as("query_id"), col("r").as("rq"),
