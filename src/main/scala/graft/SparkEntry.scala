@@ -15,7 +15,8 @@ object SparkEntry {
   /** All engine capabilities, one QueryDef per operator. */
   def defs: Seq[QueryDef] =
     RelationalQueries.all ++ BoatraceQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all
+      DedupQueries.all ++ SimilarityQueries.all ++ StreamQueries.all ++
+      MediaQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A 3-way join + grouped aggregate — exercises scan, pushdown,

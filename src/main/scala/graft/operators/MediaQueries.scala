@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.MediaOps
+import graft.sources.Tables
+
+/** Multimodal-column operators (binary payload + typed metadata over
+  * the documents corpus — see MediaOps for the stub-decoder policy).
+  */
+object MediaQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Metadata + content fingerprint of the binary payload —
+    // projection-only over the media table (no shuffle; sha256 and
+    // octet_length run codegen'd on the scan).
+    QueryDef(
+      "m01_media_metadata",
+      """SELECT doc_id, 'blob/' || source AS format,
+        |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |       lang, sha256(text) AS payload_sha
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      MediaOps.mediaTable(Tables.documents(s, d))
+        .select(col("doc_id"), col("format"),
+          col("meta.n_bytes").as("n_bytes"), col("meta.lang").as("lang"),
+          sha2(col("payload"), 256).as("payload_sha"))
+        .orderBy("doc_id")
+    },
+
+    // Frame sampling: 1 media row → 4 fixed-offset frames (the video
+    // frame-sample shape: stride = len/4, 32-byte windows), each
+    // fingerprinted. Generator (1→N) + projection, no shuffle.
+    QueryDef(
+      "m02_frame_sample",
+      """SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+        |       md5(substring(text, 1 + frame_no * (length(text) // 4), 32))
+        |         AS frame_sig
+        |FROM documents, generate_series(0, 3) t(frame_no)
+        |ORDER BY doc_id, frame_no""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(3))).as("frame_no"))
+        .select(col("doc_id"), col("frame_no"),
+          md5(expr("substring(text, 1 + frame_no * (length(text) div 4), 32)"))
+            .as("frame_sig"))
+        .orderBy("doc_id", "frame_no")
+    },
+
+    // Batched stub-decode feature extraction (MediaOps.extractFeatures
+    // — mapPartitions with bounded batches). Not ANSI-SQL-expressible
+    // (opaque decoder), so no oracle: the driver records a rows-only
+    // check and MediaOpsSpec asserts determinism + values.
+    QueryDef.noOracle("m03_media_features") { (s, d) =>
+      MediaOps.extractFeatures(s,
+          MediaOps.mediaTable(Tables.documents(s, d)))
+        .select(col("doc_id"), col("format"),
+          col("features")(0).as("f_len"), col("features")(1).as("f_mean"),
+          col("features")(2).as("f_max"), col("features")(3).as("f_distinct"),
+          col("decoder"))
+        .orderBy("doc_id")
+    },
+  )
+}

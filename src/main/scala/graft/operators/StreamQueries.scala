@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.StreamingOps
+
+/** Batch entries for the streaming transforms (unified API: the exact
+  * same functions run under readStream — StreamingOpsSpec proves the
+  * streaming path agrees with these batch results). Oracle-checked
+  * here so the shared logic is value-verified against DuckDB.
+  */
+object StreamQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Tumbling 15-minute window per event type. window() aligns to
+    // the epoch, so the oracle reproduces it with integer-micro
+    // bucket arithmetic.
+    QueryDef(
+      "s01_tumbling_window_agg",
+      """SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000)
+        |         AS bucket_start,
+        |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY bucket_start, event_type""".stripMargin) { (s, d) =>
+      StreamingOps.tumblingAgg(Tables.events(s, d), "15 minutes")
+        .orderBy("bucket_start", "event_type")
+    },
+
+    // Gap-based sessionization (30-min inactivity), one row per
+    // session with exact micro timestamps — the batch twin of the
+    // flatMapGroupsWithState stream in StreamingOps.
+    QueryDef(
+      "s02_session_stats",
+      """WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS prev_us
+        |           FROM events),
+        |t AS (SELECT user_id, event_id, us,
+        |        CASE WHEN prev_us IS NOT NULL AND us - prev_us <= 1800000000
+        |             THEN 0 ELSE 1 END AS ns
+        |      FROM s),
+        |u AS (SELECT user_id, us,
+        |        CAST(sum(ns) OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id) AS INT) AS session_no
+        |      FROM t)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        |       min(us) AS start_us, max(us) AS end_us
+        |FROM u GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin) { (s, d) =>
+      StreamingOps.sessionStatsBatch(Tables.events(s, d))
+        .orderBy("user_id", "session_no")
+    },
+  )
+}

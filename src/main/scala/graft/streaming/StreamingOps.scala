@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface (SURVEY §2.6: the reference is
+  * incremental-by-date batch; this module provides the streaming
+  * analog the Spark engine should expose).
+  *
+  * The transforms are written against plain DataFrames so the SAME
+  * code runs in batch (oracle-checked via SparkEntry) and on a
+  * readStream source (exercised in StreamingOpsSpec with file and
+  * memory sources). That unified-API property is the point: at 100 TB
+  * the batch backfill and the live stream share one implementation.
+  */
+object StreamingOps {
+
+  /** Tumbling-window count/sum per event type. `window()` aligns
+    * buckets to the epoch, so in batch mode the result is exactly
+    * `make_timestamp((epoch_us // width) * width)` bucketing. */
+  def tumblingAgg(events: DataFrame, width: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("bucket_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Same aggregation with a watermark — the streaming deployment
+    * form (late data beyond 1 hour is dropped; state is bounded). */
+  def tumblingAggStream(events: DataFrame, width: String = "15 minutes"): DataFrame =
+    tumblingAgg(events.withWatermark("ts", "1 hour"), width)
+
+  // ---- Stateful sessionization ----------------------------------
+
+  /** `us` = event time in epoch microseconds (exact; Timestamp's
+    * millisecond getTime would truncate the parquet micros). */
+  final case class Ev(user_id: Long, us: Long, event_id: Long)
+  final case class Session(
+      user_id: Long, session_no: Int, n_events: Long,
+      start_us: Long, end_us: Long)
+  /** open session accumulator: events of the in-progress session plus
+    * how many sessions this user has already closed. */
+  final case class SessState(closed: Int, curN: Long, curStart: Long, curEnd: Long)
+
+  val GapUs: Long = 1800L * 1000 * 1000 // 30-minute inactivity gap
+
+  /** Batch form: gap-based sessions via lag + running sum — one
+    * shuffle on user_id, windows reuse the same sort. Output is one
+    * row per session with exact micro timestamps. */
+  def sessionStatsBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag("us", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNotNull
+          && col("us") - col("prev_us") <= GapUs, 0).otherwise(1))
+      .withColumn("session_no",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("int"))
+      .groupBy("user_id", "session_no")
+      .agg(count(lit(1)).as("n_events"),
+        min("us").as("start_us"), max("us").as("end_us"))
+  }
+
+  /** Streaming form: flatMapGroupsWithState with processing-time
+    * timeout. Emits a session row when the gap closes it; the spec
+    * drives it with a MemoryStream and checks it agrees with
+    * `sessionStatsBatch` on the same data (the open tail sessions are
+    * flushed on end-of-stream in the test harness).
+    *
+    * State per key is O(1) (counts + boundary timestamps), so state
+    * store size is #active-users, not #events — the property that
+    * matters at production rates.
+    */
+  def sessionizeStream(spark: SparkSession, events: Dataset[Ev]): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          // within a micro-batch, order events like the batch form
+          val sorted = evs.toSeq.sortBy(e => (e.us, e.event_id))
+          var st = state.getOption.getOrElse(SessState(0, 0L, 0L, 0L))
+          val out = Seq.newBuilder[Session]
+          for (e <- sorted) {
+            val us = e.us
+            if (st.curN == 0L) {
+              st = SessState(st.closed, 1L, us, us)
+            } else if (us - st.curEnd <= GapUs) {
+              st = st.copy(curN = st.curN + 1, curEnd = us)
+            } else {
+              out += Session(userId, st.closed + 1, st.curN, st.curStart, st.curEnd)
+              st = SessState(st.closed + 1, 1L, us, us)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+}

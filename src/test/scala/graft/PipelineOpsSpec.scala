@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.MediaOps
+import graft.operators.{DedupQueries, MediaQueries, SimilarityQueries, TextQueries}
+import graft.sources.Tables
+
+/** Specs for the training-data-pipeline operators (text analysis,
+  * dedup, similarity search, multimodal). The value-level gate is the
+  * DuckDB oracle (tools/check_oracle.py); these assert structural
+  * invariants, determinism, and plan shape.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("every pipeline query runs and returns rows at sf0.001") {
+    val names = (TextQueries.all ++ DedupQueries.all ++
+      SimilarityQueries.all ++ MediaQueries.all).map(_.name)
+    val counts = names.map(n => n -> run(n).count())
+    val empty = counts.filter(_._2 == 0).map(_._1)
+    assert(empty.isEmpty, s"unexpected empty results: $empty")
+  }
+
+  test("minhash-LSH and exact n-gram Jaccard find the same near-dup pairs") {
+    val lsh = run("d02_minhash_lsh")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = run("d04_ngram_jaccard")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact, "LSH candidates (post-confirm) must equal exact pairs")
+    assert(lsh.nonEmpty)
+  }
+
+  test("near-dup pairs are symmetric evidence: jaccard in (0.5, 1]") {
+    val j = run("d04_ngram_jaccard").select("jacc").collect().map(_.getDouble(0))
+    assert(j.forall(x => x >= 0.5 && x <= 1.0))
+  }
+
+  test("brute-force ANN: rank 1 has the highest cosine per query") {
+    val rows = run("v01_ann_brute_topk")
+      .select("query_id", "cos_sim", "rank")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val byRank = g.sortBy(_._3).map(_._2)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "cosine must be non-increasing in rank")
+    }
+  }
+
+  test("LSH ANN results are a subset of brute-force candidates' quality") {
+    // every LSH hit must be a true pair with cosine equal to the
+    // exact computation (same kernel) — spot-check determinism
+    val a = run("v02_ann_lsh_bucket").collect()
+    val b = run("v02_ann_lsh_bucket").collect()
+    assert(a.toSeq === b.toSeq, "LSH must be deterministic")
+  }
+
+  test("media features: stub decoder is deterministic and bounded") {
+    val feats = MediaOps.extractFeatures(spark,
+        MediaOps.mediaTable(Tables.documents(spark, sf)))
+      .select("doc_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    assert(feats.nonEmpty)
+    feats.foreach { case (_, f) =>
+      assert(f.length === 4)
+      assert(f(1) >= 0 && f(1) <= 255, "mean byte in [0,255]")
+      assert(f(3) >= 1 && f(3) <= 256, "distinct bytes in [1,256]")
+    }
+    // determinism across runs
+    val again = MediaOps.extractFeatures(spark,
+        MediaOps.mediaTable(Tables.documents(spark, sf)))
+      .select("doc_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    assert(feats.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("media table schema matches the declared multimodal contract") {
+    val df = MediaOps.mediaTable(Tables.documents(spark, sf))
+    assert(df.schema === MediaOps.mediaSchema)
+  }
+
+  test("t03 language id only emits known tags") {
+    val langs = run("t03_lang_id").select("lang_pred").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "es", "de", "fr")))
+  }
+
+  test("text queries keep whole-stage codegen on the scan path (t01)") {
+    val df = run("t01_token_count")
+    df.collect() // finalize the AQE plan so codegen spans are visible
+    val plan = df.queryExecution.executedPlan.toString
+    // whole-stage codegen renders as `*(n)` stage markers
+    assert(plan.contains("*(1) Project"), s"plan:\n$plan")
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{Ev, Session}
+
+/** Proves the streaming path computes the same answers as the
+  * oracle-checked batch path: same transform under readStream
+  * (tumbling agg) and the flatMapGroupsWithState sessionizer vs the
+  * window-function batch sessionizer, on the driver's events table.
+  */
+class StreamingOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("tumblingAgg under a file readStream equals the batch result") {
+    val batch = StreamingOps.tumblingAgg(Tables.events(spark, sf))
+      .orderBy("bucket_start", "event_type")
+      .collect()
+
+    // stream the same parquet through the identical transform (the
+    // file source needs a directory, so stage the file into one)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$sf/events.parquet").schema)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = StreamingOps.tumblingAggStream(raw)
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("tumbling_test")
+      .orderBy("bucket_start", "event_type").collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("stateful stream sessionizer agrees with the batch sessionizer") {
+    import spark.implicits._
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[Ev].collect().sortBy(_.us)
+
+    // batch truth
+    val batch = StreamingOps.sessionStatsBatch(Tables.events(spark, sf))
+      .select("user_id", "session_no", "n_events", "start_us", "end_us")
+      .as[(Long, Int, Long, Long, Long)].collect()
+      .map(r => Session(r._1, r._2, r._3, r._4, r._5)).toSet
+
+    // stream in three chronological chunks + a far-future flush event
+    // per user (closes every open tail session so Append emits it)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = StreamingOps.sessionizeStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode("append").start()
+    try {
+      val chunks = evs.grouped(math.max(evs.length / 3, 1)).toSeq
+      chunks.foreach { c => mem.addData(c.toIndexedSeq); out.processAllAvailable() }
+      val flushUs = evs.last.us + 365L * 86400 * 1000 * 1000
+      mem.addData(evs.map(_.user_id).distinct.toIndexedSeq
+        .map(u => Ev(u, flushUs, Long.MaxValue)))
+      out.processAllAvailable()
+    } finally out.stop()
+
+    val streamed = spark.table("session_test").as[Session].collect().toSet
+    assert(streamed === batch)
+  }
+}
