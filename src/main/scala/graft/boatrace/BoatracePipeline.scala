@@ -63,6 +63,31 @@ object BoatracePipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Same as parseDir but starting from the raw downloaded `.lzh`
+    * archives (SURVEY §2.1 S3): decompress (graft.sources.Lha, a pure
+    * JVM lh5 decoder) and parse inside one executor-side flatMap —
+    * archive bytes never touch the driver. `pathGlobFilter` selects
+    * e.g. "[KB]2020-08-*.lzh". */
+  def parseLzhDir(spark: SparkSession, lzhDir: String,
+      glob: String = "*.lzh"): Dataset[ParsedFile] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(lzhDir)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .flatMap { case (_, bytes) =>
+        graft.sources.Lha.extract(bytes).map { e =>
+          val date = KbParser.dateFromFileName(e.name)
+          // archives carry CRLF; the parser's verified form is LF
+          val t = KbParser.parseBytes(date, graft.sources.Lha.normalizeNewlines(e.data))
+          ParsedFile(date, t.results, t.envs, t.odds, t.schedules)
+        }
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
   // ---- The four relational tables (reference schemas, Japanese
   // column names from main.py:104-108). String-typed parity layer.
 

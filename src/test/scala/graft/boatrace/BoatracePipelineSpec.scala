@@ -98,3 +98,33 @@ class BoatracePipelineSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
 }
+
+/** The lzh-source pipeline must produce exactly the rows of the
+  * txt-source pipeline (same dates), proving the in-flatMap lh5
+  * decode + newline normalization is transparent to parsing. */
+class LzhPipelineSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  test("parseLzhDir over August archives equals parseDir over txt") {
+    val fromTxt = BoatracePipeline.parseDir(spark, "/root/reference/txt")
+    val fromLzh = BoatracePipeline.parseLzhDir(
+      spark, "/root/reference/lzh", "[KB]2020-08-*.lzh")
+    try {
+      // two files per date (K and B) — key on (date, kind)
+      def key(p: BoatracePipeline.ParsedFile) = (p.date, p.schedules.nonEmpty)
+      val a = fromTxt.collect().sortBy(key)
+      val b = fromLzh.collect().sortBy(key)
+      assert(a.map(key).toSeq === b.map(key).toSeq, "same (date, kind) files")
+      a.zip(b).foreach { case (x, y) =>
+        val d = x.date
+        assert(x.results === y.results, s"$d results")
+        assert(x.envs === y.envs, s"$d envs")
+        assert(x.odds === y.odds, s"$d odds")
+        assert(x.schedules === y.schedules, s"$d schedules")
+      }
+    } finally {
+      fromTxt.unpersist()
+      fromLzh.unpersist()
+    }
+  }
+}
