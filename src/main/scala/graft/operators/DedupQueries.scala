@@ -46,7 +46,7 @@ object DedupQueries {
       size(array_union(a, b))
 
   /** embeddings → (vec_id, r: array<long> quantized, nn: long self-dot). */
-  private[operators] def quantized(s: SparkSession, d: String): DataFrame =
+  private[graft] def quantized(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"),

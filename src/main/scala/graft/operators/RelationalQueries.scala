@@ -463,6 +463,71 @@ object RelationalQueries {
       side("view").except(side("purchase")).orderBy("user_id", "day")
     },
 
+    // CUBE: all grouping combinations in one pass (multi-level
+    // partial aggregation; one shuffle).
+    QueryDef(
+      "q26_cube",
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+        |       coalesce(CAST(c_nationkey AS INT), -1) AS nation,
+        |       count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer GROUP BY CUBE(c_mktsegment, c_nationkey)
+        |ORDER BY segment, nation""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .cube("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("sum_bal"))
+        .select(
+          coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          coalesce(col("c_nationkey").cast("int"), lit(-1)).as("nation"),
+          col("n"), col("sum_bal"))
+        .orderBy("segment", "nation")
+    },
+
+    // GROUPING SETS via the SQL surface (R4's spark.sql path over a
+    // registered view — the reference's read_db.py entry form).
+    QueryDef(
+      "q27_grouping_sets",
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |       coalesce(o_orderstatus, 'ALL')  AS status,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY priority, status""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+          |       coalesce(o_orderstatus, 'ALL')  AS status,
+          |       count(*) AS n
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+          |ORDER BY priority, status""".stripMargin)
+    },
+
+    // PIVOT (wide conditional aggregation; the DataFrame pivot op).
+    QueryDef(
+      "q28_pivot",
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+        |       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+        |       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+        |       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+        |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum("o_totalprice"), 2))
+        .orderBy("order_year")
+    },
+
+    // Approximate sketches (HLL distinct count, quantile sketch).
+    // Sketch internals differ by engine, so there is no value oracle;
+    // RelationalQueriesSpec bounds the error against exact values.
+    QueryDef.noOracle("q29_approx_sketches") { (s, d) =>
+      Tables.orders(s, d).agg(
+        approx_count_distinct("o_custkey").as("approx_customers"),
+        count_distinct(col("o_custkey")).as("exact_customers"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+          .as("approx_median_price"))
+    },
+
     // R7 (read_db.py:38 schema introspection): expose a table's schema
     // as rows — metadata-only, no scan of table data.
     QueryDef(

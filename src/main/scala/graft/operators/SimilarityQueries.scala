@@ -4,7 +4,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import DedupQueries.{cosine, dotL, quantized, quantizedSql}
+import DedupQueries.{cosine, quantized, quantizedSql}
+import graft.plans.GraftExtensions
 
 /** Similarity search over the `embeddings` table (64-dim float
   * vectors): brute-force cosine top-k as the exact baseline, plus the
@@ -86,6 +87,7 @@ object SimilarityQueries {
         |             ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
         |  FROM cs) t
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      GraftExtensions.register(s) // native codegen dot_long (plans.DotLong)
       val n = quantized(s, d)
       // bucket assignment via the plane kernel (the plane matrix is a
       // constant — one materialization per partition instead of an
@@ -103,8 +105,8 @@ object SimilarityQueries {
       q.join(c, Seq("bucket"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
-          cosine(dotL(col("rq"), col("rc")), col("nnq"), col("nnc"))
-            .as("cos_sim"))
+          cosine(call_function("dot_long", col("rq"), col("rc")),
+            col("nnq"), col("nnc")).as("cos_sim"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
@@ -144,6 +146,7 @@ object SimilarityQueries {
         |             ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
         |  FROM cs) t
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      GraftExtensions.register(s) // native codegen dot_long (plans.DotLong)
       val n = quantized(s, d)
       // integer centroid (component-wise sum) per cell, exact.
       val cen = n.select(col("label"), col("r"),
@@ -160,7 +163,7 @@ object SimilarityQueries {
         .select(col("vec_id").as("query_id"), col("r").as("rq"),
           col("nn").as("nnq"))
       val wProbe = Window.partitionBy("query_id").orderBy(
-        (dotL(col("rq"), col("c")).cast("double") /
+        (call_function("dot_long", col("rq"), col("c")).cast("double") /
           sqrt(col("nnq").cast("double") * col("cn"))).desc, col("label"))
       val probe = broadcast(q).crossJoin(broadcast(cent))
         .withColumn("rn", row_number().over(wProbe))
@@ -173,8 +176,8 @@ object SimilarityQueries {
       broadcast(probe).join(c, Seq("label"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("label"), col("neighbor_id"),
-          cosine(dotL(col("rq"), col("rc")), col("nnq"), col("nnc"))
-            .as("cos_sim"))
+          cosine(call_function("dot_long", col("rq"), col("rc")),
+            col("nnq"), col("nnc")).as("cos_sim"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select("query_id", "label", "neighbor_id", "cos_sim", "rank")

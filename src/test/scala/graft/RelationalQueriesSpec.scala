@@ -60,6 +60,15 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
   }
 
+  test("approx sketches land within tolerance of exact values (q29)") {
+    val r = SparkEntry.queries("q29_approx_sketches")(spark, sf).head()
+    val approx = r.getLong(0).toDouble
+    val exact = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"HLL estimate $approx vs exact $exact")
+    assert(r.getDouble(2) > 0, "median sketch must be positive")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
