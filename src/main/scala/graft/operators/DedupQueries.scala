@@ -231,13 +231,19 @@ object DedupQueries {
         .shingled(s, Tables.documents(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val inv = sh.select(col("doc_id"), explode(col("s")).as("sg"))
-      val rare = inv.groupBy("sg").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 5).select("sg")
-      val rareInv = inv.join(rare, "sg")
-      val cand = rareInv.as("a")
-        .join(rareInv.as("c"),
-          col("a.sg") === col("c.sg") && col("a.doc_id") < col("c.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+      // one shuffle: group the inverted index by shingle, keep rare
+      // posting lists (2..5 docs), expand ordered pairs in-group —
+      // equivalent to the self-join form but without re-shuffling the
+      // full index twice more (the oracle keeps the join formulation;
+      // the candidate SET is identical).
+      val cand = inv.groupBy("sg").agg(collect_set("doc_id").as("ids"))
+        .filter(size(col("ids")).between(2, 5))
+        .select(explode(expr(
+          """flatten(transform(ids,
+            |  x -> transform(filter(ids, y -> y > x),
+            |         y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
+          .as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .distinct()
       cand
         .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")

@@ -54,6 +54,14 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
 
+  test("q10 rank<=k prunes per partition via WindowGroupLimit") {
+    val df = SparkEntry.queries("q10_window_topk_per_group")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected partial top-k pushdown in:\n$plan")
+  }
+
   test("q11 top-k compiles to TakeOrderedAndProject (no global sort)") {
     val plan = SparkEntry.queries("q11_sort_limit")(spark, sf)
       .queryExecution.executedPlan.toString
