@@ -42,6 +42,40 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("file source -> transform -> parquet sink E2E with checkpoint") {
+    import spark.implicits._
+    // incremental arrival: documents split into 3 parquet files
+    val inDir = java.nio.file.Files.createTempDirectory("docs_in")
+    val outDir = java.nio.file.Files.createTempDirectory("docs_out")
+    val ckDir = java.nio.file.Files.createTempDirectory("docs_ck")
+    val docs = Tables.documents(spark, sf).collect()
+    val schema = Tables.documents(spark, sf).schema
+    docs.grouped(math.max(docs.length / 3, 1)).zipWithIndex.foreach {
+      case (chunk, i) =>
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(chunk.toIndexedSeq), schema)
+          .write.parquet(s"$inDir/chunk_$i")
+    }
+    def transformTokens(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+    val q = transformTokens(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/*"))
+      .writeStream.format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ckDir.toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.read.parquet(outDir.toString)
+      .orderBy("doc_id").collect()
+    val batch = transformTokens(Tables.documents(spark, sf))
+      .orderBy("doc_id").collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("stateful stream sessionizer agrees with the batch sessionizer") {
     import spark.implicits._
     val evs = Tables.events(spark, sf)
