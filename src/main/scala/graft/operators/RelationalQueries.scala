@@ -528,6 +528,24 @@ object RelationalQueries {
           .as("approx_median_price"))
     },
 
+    // Salted join (skew mitigation): identical results to the plain
+    // inner join — the oracle IS the plain join — but the left side's
+    // key space is spread over 8 salts so a hot key cannot produce a
+    // straggler reducer. See functions.SaltedJoin.
+    QueryDef(
+      "q30_salted_join",
+      """SELECT o_orderkey, c_custkey, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 250000
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      graft.functions.SaltedJoin.inner(
+          Tables.orders(s, d).filter(col("o_totalprice") > 250000),
+          Tables.customer(s, d),
+          col("o_custkey"), col("c_custkey"), 8)
+        .select("o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
     // R7 (read_db.py:38 schema introspection): expose a table's schema
     // as rows — metadata-only, no scan of table data.
     QueryDef(
