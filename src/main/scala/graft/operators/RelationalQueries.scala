@@ -546,6 +546,38 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     },
 
+    // Temporal as-of join (an operator Spark lacks natively; DuckDB's
+    // ASOF JOIN is the oracle): each purchase matched to the latest
+    // signup of the same user at-or-before it. Composed Spark-first:
+    // union both sides with a kind tag, one window pass per user
+    // carrying the last signup timestamp forward — a single shuffle
+    // on user_id, no range-explosion join.
+    QueryDef(
+      "q31_asof_join",
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_us,
+        |       epoch_us(s.ts) AS signup_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND s.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "signup"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          when(col("event_type") === "signup", 0).otherwise(1).as("kind"))
+      // at equal timestamps the signup (kind 0) sorts first, so an
+      // exactly-simultaneous signup matches (ASOF <= semantics)
+      val w = Window.partitionBy("user_id").orderBy("us", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      e.withColumn("signup_us",
+          last(when(col("kind") === 0, col("us")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("us").as("p_us"),
+          col("signup_us"))
+        .orderBy("event_id")
+    },
+
     // R7 (read_db.py:38 schema introspection): expose a table's schema
     // as rows — metadata-only, no scan of table data.
     QueryDef(

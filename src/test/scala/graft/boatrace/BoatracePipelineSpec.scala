@@ -97,6 +97,30 @@ class BoatracePipelineSpec extends AnyFunSuite {
     val plan = race.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
+
+  test("warehouse date filter prunes partitions (the R5 LIKE-prefix upgrade)") {
+    val wh = java.nio.file.Files.createTempDirectory("boatrace_wh").toString
+    BoatracePipeline.buildWarehouse(spark, "/root/reference/txt", wh)
+    val q = spark.table("race")
+      .filter(org.apache.spark.sql.functions.col("date") === "2020-08-28")
+    assert(q.count() > 0)
+    val scan = q.queryExecution.executedPlan.toString
+    // the date predicate must land in PartitionFilters (pruned scan),
+    // not in the data filters of a full scan
+    assert(scan.contains("PartitionFilters:") && scan.contains("2020-08-28"),
+      s"expected partition pruning in:\n$scan")
+    val prunedFiles = q.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .map(_.files.length).sum
+      }.sum
+    val allFiles = spark.table("race").queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(Nil, Nil).map(_.files.length).sum
+      }.sum
+    assert(prunedFiles < allFiles,
+      s"pruned scan should read fewer files ($prunedFiles vs $allFiles)")
+  }
 }
 
 /** The lzh-source pipeline must produce exactly the rows of the
