@@ -163,6 +163,15 @@ object BoatracePipeline {
   def buildWarehouse(spark: SparkSession, txtDir: String,
       warehouseDir: String): DataFrame = {
     val parsed = parseDir(spark, txtDir)
+    try writeWarehouse(spark, parsed, warehouseDir)
+    finally parsed.unpersist()
+    spark.table("race")
+  }
+
+  /** Write the five tables of an already-parsed corpus as
+    * date-partitioned Parquet and register them as views. */
+  def writeWarehouse(spark: SparkSession, parsed: Dataset[ParsedFile],
+      warehouseDir: String): Unit = {
     val env = envDf(spark, parsed)
     val result = resultDf(spark, parsed)
     val odds = oddsDf(spark, parsed)
@@ -179,7 +188,5 @@ object BoatracePipeline {
         .parquet(s"$warehouseDir/$name")
       spark.read.parquet(s"$warehouseDir/$name").createOrReplaceTempView(name)
     }
-    parsed.unpersist()
-    spark.table("race")
   }
 }

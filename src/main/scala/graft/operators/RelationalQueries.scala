@@ -578,6 +578,79 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // Rolling time-range window frame (1-hour trailing sum/count per
+    // user): RANGE frames over epoch micros — exact integer bounds,
+    // so both engines cut identical frames.
+    QueryDef(
+      "q32_rolling_range_window",
+      """SELECT event_id, user_id, us,
+        |       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |       round(sum(value) OVER w, 2) AS sum_1h
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events) t
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-3600000000L, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", round(sum("value").over(w), 2))
+        .select("event_id", "user_id", "us", "n_1h", "sum_1h")
+        .orderBy("event_id")
+    },
+
+    // Ranking-function family under one total order.
+    QueryDef(
+      "q33_ranking_functions",
+      """SELECT o_orderkey,
+        |       CAST(rank()       OVER w AS INT) AS rnk,
+        |       CAST(dense_rank() OVER w AS INT) AS drnk,
+        |       CAST(ntile(4)     OVER w AS INT) AS quartile,
+        |       round(percent_rank() OVER w, 6) AS prank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("prank"))
+        .orderBy("o_orderkey")
+    },
+
+    // Correlated subquery (orders above their own customer's average).
+    // The comparison is price·n > sum in DECIMAL — exact on both
+    // engines, where a floating avg would flip boundary rows on
+    // summation order.
+    QueryDef(
+      "q34_correlated_subquery",
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        |FROM orders o
+        |JOIN (SELECT o_custkey,
+        |        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+        |        count(*) AS n
+        |      FROM orders GROUP BY o_custkey) a
+        |  ON o.o_custkey = a.o_custkey
+        |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * a.n > a.s
+        |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val a = o.groupBy(col("o_custkey").as("a_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("s"),
+          count(lit(1)).as("n"))
+      o.join(a, col("o_custkey") === col("a_custkey"))
+        .filter(col("o_totalprice").cast("decimal(18,2)") * col("n") > col("s"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
     // R7 (read_db.py:38 schema introspection): expose a table's schema
     // as rows — metadata-only, no scan of table data.
     QueryDef(
