@@ -76,6 +76,47 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("watermarked stream-stream join matches the batch interval join") {
+    import spark.implicits._
+    // purchases joined to same-user signups within the preceding hour
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    def sides(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts")),
+      df.filter(col("event_type") === "signup")
+        .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+          col("ts").as("s_ts")))
+    def joinCond = col("p_user") === col("s_user") &&
+      col("s_ts") <= col("p_ts") &&
+      col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+
+    val (bp, bs) = sides(e)
+    val batch = bp.join(bs, joinCond)
+      .select("p_id", "s_id").orderBy("p_id", "s_id").collect()
+
+    implicit val sqlCtx = spark.sqlContext
+    // re-shape: MemoryStream of the raw tuples, restore columns
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val (sp, ss) = sides(stream)
+    val q = sp.withWatermark("p_ts", "2 hours")
+      .join(ss.withWatermark("s_ts", "2 hours"), joinCond)
+      .select("p_id", "s_id")
+      .writeStream.format("memory").queryName("ss_join_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(e.select("event_id", "ts", "user_id", "event_type")
+        .as[(Long, java.sql.Timestamp, Long, String)].collect().toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("ss_join_test")
+      .orderBy("p_id", "s_id").collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("stateful stream sessionizer agrees with the batch sessionizer") {
     import spark.implicits._
     val evs = Tables.events(spark, sf)
