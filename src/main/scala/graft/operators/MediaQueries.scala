@@ -48,10 +48,23 @@ object MediaQueries {
     },
 
     // Batched stub-decode feature extraction (MediaOps.extractFeatures
-    // — mapPartitions with bounded batches). Not ANSI-SQL-expressible
-    // (opaque decoder), so no oracle: the driver records a rows-only
-    // check and MediaOpsSpec asserts determinism + values.
-    QueryDef.noOracle("m03_media_features") { (s, d) =>
+    // — mapPartitions with bounded batches). The stub's byte
+    // statistics ARE SQL-expressible for this ASCII corpus (bytes ==
+    // chars), so the oracle states them over the text — a real codec
+    // would drop this to a rows-only check.
+    QueryDef(
+      "m03_media_features",
+      """SELECT doc_id, 'blob/' || source AS format,
+        |       CAST(length(text) AS DOUBLE) AS f_len,
+        |       CAST(list_sum(list_transform(string_split(text, ''),
+        |              c -> ord(c))) AS DOUBLE)
+        |         / greatest(length(text), 1) AS f_mean,
+        |       CAST(list_max(list_transform(string_split(text, ''),
+        |              c -> ord(c))) AS DOUBLE) AS f_max,
+        |       CAST(len(list_distinct(string_split(text, ''))) AS DOUBLE)
+        |         AS f_distinct,
+        |       'stub-v1' AS decoder
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       MediaOps.extractFeatures(s,
           MediaOps.mediaTable(Tables.documents(s, d)))
         .select(col("doc_id"), col("format"),
