@@ -48,6 +48,39 @@ object TextKernels {
       .toDF("doc_id", "s")
   }
 
+  /** 32-bit TF-weighted SimHash per document — map-only (the
+    * explode-per-bit relational form shuffles rows×32 for what is a
+    * pure per-row computation; at scale this op must not shuffle at
+    * all). Bit semantics identical to the SQL oracle: hash =
+    * md5-first-8-hex, contribution ±tf per bit, fingerprint bit set
+    * iff contribution > 0. */
+  def simhash32(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.selectExpr("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val counts = new java.util.HashMap[String, Long]()
+        tokenize(text).foreach(w => counts.merge(w, 1L, _ + _))
+        val contrib = new Array[Long](32)
+        counts.forEach { (w, cnt) =>
+          val h = VectorKernels.md5Hex8(w)
+          var b = 0
+          while (b < 32) {
+            if (((h >>> b) & 1L) == 1L) contrib(b) += cnt
+            else contrib(b) -= cnt
+            b += 1
+          }
+        }
+        var fp = 0L
+        var b = 0
+        while (b < 32) {
+          if (contrib(b) > 0) fp |= (1L << b)
+          b += 1
+        }
+        (id, fp)
+      }
+      .toDF("doc_id", "simhash")
+  }
+
   /** docs(doc_id, text) → (doc_id, s, sig: k minhashes). */
   def minhashSignatures(spark: SparkSession, docs: DataFrame,
       k: Int): DataFrame = {

@@ -184,20 +184,11 @@ object DedupQueries {
         |       CAST(sum(CASE WHEN contrib > 0 THEN (1::BIGINT << b) ELSE 0 END)
         |            AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(words(col("text"))).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-      val h = tok.select(col("doc_id"),
-        expr("CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)").as("hv"),
-        col("cnt"))
-      h.select(col("doc_id"), col("hv"), col("cnt"),
-          explode(sequence(lit(0), lit(31))).as("b"))
-        .groupBy("doc_id", "b")
-        .agg(sum(when(expr("(shiftright(hv, b) & 1) = 1"), col("cnt"))
-          .otherwise(-col("cnt"))).as("contrib"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("contrib") > 0,
-          expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+      // map-only kernel: SimHash is a per-row computation; the
+      // explode-per-bit relational form (the oracle's formulation)
+      // would shuffle rows×32 (see TextKernels.simhash32).
+      graft.functions.TextKernels
+        .simhash32(s, Tables.documents(s, d))
         .orderBy("doc_id")
     },
 

@@ -651,6 +651,24 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     },
 
+    // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`: both sort and linearly interpolate at p(n-1) —
+    // identical IEEE arithmetic on identical sorted values).
+    QueryDef(
+      "q35_exact_percentiles",
+      """SELECT o_orderpriority,
+        |       quantile_cont(o_totalprice, 0.5) AS p50,
+        |       quantile_cont(o_totalprice, 0.9) AS p90
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.9)).as("p90"))
+        .orderBy("o_orderpriority")
+    },
+
     // R7 (read_db.py:38 schema introspection): expose a table's schema
     // as rows — metadata-only, no scan of table data.
     QueryDef(

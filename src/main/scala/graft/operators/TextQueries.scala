@@ -115,5 +115,20 @@ object TextQueries {
             .as("fingerprint"))
         .orderBy("doc_id")
     },
+    // BPE-ish regex tokenization (letters-run | digits-run | single
+    // symbol) — the non-whitespace tokenizer variant; counts match
+    // bit-exactly since both engines run the same regex class.
+    QueryDef(
+      "t05_bpe_tokens",
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |            AS INT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
   )
 }
