@@ -1,0 +1,170 @@
+package graft.boatrace.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.boatrace.{BoatracePipeline, GoldenCsv, KbParser}
+import graft.sources.Lha
+
+/** DataSource V2 connector: `spark.read.format("boatrace")` over a
+  * directory of official K/B files — extracted TXT or raw LZH
+  * archives, auto-detected per file.
+  *
+  * ```
+  * spark.read.format("boatrace").option("table", "result")
+  *   .load("/data/lzh")          // or .option("table", "odds") etc.
+  * ```
+  *
+  * The optional custom piece of SURVEY §4, done the DSv2 way:
+  *  - planning lists files on the driver (one InputPartition per
+  *    file — the same unit of work the flatMap pipeline uses; at
+  *    scale the listing is the only driver-side cost);
+  *  - decode (lh5 + CP932) and parse run inside the partition reader
+  *    on executors;
+  *  - column pruning is pushed down (`SupportsPushDownRequiredColumns`):
+  *    a `select(レースID)` materializes one UTF8String per row, not 14.
+  *
+  * Registered as short name `boatrace` via DataSourceRegister
+  * (META-INF/services).
+  */
+class DefaultSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "boatrace"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BoatraceTable.schemaFor(BoatraceTable.tableName(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new BoatraceTable(
+      BoatraceTable.tableName(new CaseInsensitiveStringMap(properties)),
+      BoatraceTable.paths(new CaseInsensitiveStringMap(properties)))
+}
+
+object BoatraceTable {
+  val Tables: Map[String, Seq[String]] = Map(
+    "result" -> GoldenCsv.ResultHeader,
+    "env" -> GoldenCsv.EnvHeader,
+    "odds" -> GoldenCsv.OddsHeader,
+    "schedule" -> GoldenCsv.ScheduleHeader)
+
+  def tableName(options: CaseInsensitiveStringMap): String = {
+    val t = options.getOrDefault("table", "result")
+    require(Tables.contains(t), s"unknown boatrace table '$t' " +
+      s"(expected one of ${Tables.keys.mkString(", ")})")
+    t
+  }
+
+  /** String-typed parity schema (SURVEY §1.3). */
+  def schemaFor(table: String): StructType =
+    StructType(Tables(table).map(StructField(_, StringType, nullable = false)))
+
+  def paths(options: CaseInsensitiveStringMap): Seq[String] =
+    Option(options.get("paths"))
+      .map(p => p.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+      .orElse(Option(options.get("path")).map(Seq(_)))
+      .getOrElse(Seq.empty)
+}
+
+final class BoatraceTable(table: String, roots: Seq[String])
+    extends Table with SupportsRead {
+  override def name(): String = s"boatrace.$table"
+  override def schema(): StructType = BoatraceTable.schemaFor(table)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new BoatraceScanBuilder(table, roots)
+}
+
+final class BoatraceScanBuilder(table: String, roots: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = BoatraceTable.schemaFor(table)
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new BoatraceScan(table, roots, required)
+}
+
+final class BoatraceScan(table: String, roots: Seq[String],
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"BoatraceScan(table=$table, columns=${required.fieldNames.mkString(",")})"
+
+  /** Driver-side planning = file listing only. */
+  override def planInputPartitions(): Array[InputPartition] =
+    roots.flatMap { root =>
+      val f = new java.io.File(root)
+      val files =
+        if (f.isFile) Array(f)
+        else Option(f.listFiles()).getOrElse(Array.empty).filter(x =>
+          x.isFile && {
+            val n = x.getName.toLowerCase
+            n.endsWith(".txt") || n.endsWith(".lzh")
+          })
+      files.sortBy(_.getName).map(x => BoatraceFilePartition(x.getAbsolutePath))
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BoatraceReaderFactory(table,
+      required.fieldNames.map(BoatraceTable.Tables(table).indexOf(_)))
+}
+
+final case class BoatraceFilePartition(path: String) extends InputPartition
+
+/** `colIdx`: for each required output column, its ordinal in the full
+  * table row (column pruning happens here, per row, before any string
+  * materialization). */
+final class BoatraceReaderFactory(table: String, colIdx: Array[Int])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val path = p.asInstanceOf[BoatraceFilePartition].path
+    new PartitionReader[InternalRow] {
+      private val rows: Iterator[Seq[String]] = {
+        val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+        val entries =
+          if (path.toLowerCase.endsWith(".lzh"))
+            Lha.extract(bytes).map(e => e.name -> Lha.normalizeNewlines(e.data))
+          else {
+            val n = path.substring(path.lastIndexOf('/') + 1)
+            Seq(n -> bytes)
+          }
+        entries.iterator.flatMap { case (name, data) =>
+          val t = KbParser.parseBytes(KbParser.dateFromFileName(name), data)
+          table match {
+            case "result" => t.results.iterator.map(r =>
+              Seq(r.raceId, r.rank, r.playerId, r.exhibition))
+            case "env" => t.envs.iterator.map(e =>
+              Seq(e.raceId, e.weather, e.windDir, e.windSpeed, e.waveHeight, e.venue))
+            case "odds" => t.odds.iterator.map(o => o.raceId +: o.values)
+            case "schedule" => t.schedules.iterator.map(s =>
+              Seq(s.raceId, s.lane, s.playerId, s.name, s.age, s.branch,
+                s.weight, s.rank, s.nationalWin, s.nationalTop2, s.localWin,
+                s.localTop2, s.motorTop2, s.boatTop2))
+          }
+        }
+      }
+      private var current: Seq[String] = _
+      override def next(): Boolean = {
+        if (rows.hasNext) { current = rows.next(); true } else false
+      }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(colIdx.toIndexedSeq.map(i =>
+          UTF8String.fromString(current(i))))
+      override def close(): Unit = ()
+    }
+  }
+}

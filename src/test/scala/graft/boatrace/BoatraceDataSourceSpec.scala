@@ -1,0 +1,62 @@
+package graft.boatrace
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The DSv2 `boatrace` format must agree row-for-row with the flatMap
+  * pipeline, from both TXT and LZH sources, and push column pruning
+  * into the reader. */
+class BoatraceDataSourceSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def viaPipeline(table: String) = {
+    val parsed = BoatracePipeline.parseDir(spark, "/root/reference/txt")
+    val df = table match {
+      case "result" => BoatracePipeline.resultDf(spark, parsed)
+      case "odds" => BoatracePipeline.oddsDf(spark, parsed)
+      case "schedule" => BoatracePipeline.scheduleDf(spark, parsed)
+      case "env" => BoatracePipeline.envDf(spark, parsed)
+    }
+    val rows = df.collect().map(_.toSeq).toSet
+    parsed.unpersist()
+    rows
+  }
+
+  test("format(boatrace) over TXT equals the pipeline tables") {
+    for (t <- Seq("result", "env", "odds", "schedule")) {
+      val v2 = spark.read.format("boatrace").option("table", t)
+        .load("/root/reference/txt").collect().map(_.toSeq).toSet
+      assert(v2 === viaPipeline(t), s"table $t")
+      assert(v2.nonEmpty)
+    }
+  }
+
+  test("format(boatrace) decodes LZH archives transparently") {
+    val tmp = java.nio.file.Files.createTempDirectory("lzh_ds")
+    for (f <- Seq("K2020-08-01.lzh", "B2020-08-01.lzh"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"/root/reference/lzh/$f"), tmp.resolve(f))
+    val v2 = spark.read.format("boatrace").option("table", "odds")
+      .load(tmp.toString)
+    assert(v2.count() > 0)
+    // all rows carry the archive's date
+    assert(v2.filter(v2("レースID").startsWith("2020-08-01")).count()
+      === v2.count())
+  }
+
+  test("column pruning reaches the reader") {
+    val df = spark.read.format("boatrace").option("table", "schedule")
+      .load("/root/reference/txt")
+      .select("レースID")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("columns=レースID"), s"pruned scan not found in:\n$plan")
+  }
+
+  test("one input partition per file (scalable planning unit)") {
+    val df = spark.read.format("boatrace").option("table", "result")
+      .load("/root/reference/txt")
+    assert(df.rdd.getNumPartitions === 62)
+  }
+}
