@@ -70,8 +70,12 @@ object BoatraceTable {
 
   def paths(options: CaseInsensitiveStringMap): Seq[String] =
     Option(options.get("paths"))
-      .map(p => p.stripPrefix("[").stripSuffix("]").split(",")
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+      .map { json =>
+        // Spark serializes multi-path loads as a JSON array; parse it
+        // properly (paths may contain commas/escapes)
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        m.readValue(json, classOf[Array[String]]).toSeq
+      }
       .orElse(Option(options.get("path")).map(Seq(_)))
       .getOrElse(Seq.empty)
 }
@@ -104,10 +108,15 @@ final class BoatraceScan(table: String, roots: Seq[String],
   override def description(): String =
     s"BoatraceScan(table=$table, columns=${required.fieldNames.mkString(",")})"
 
-  /** Driver-side planning = file listing only. */
-  override def planInputPartitions(): Array[InputPartition] =
-    roots.flatMap { root =>
+  /** Driver-side planning = file listing only. Local-filesystem
+    * scope (java.io); a cluster deployment swaps in the Hadoop
+    * FileSystem API here and in the reader. Fails fast on an empty or
+    * missing root — a connector must never turn a bad path into an
+    * empty result. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts: Array[InputPartition] = roots.flatMap { root =>
       val f = new java.io.File(root)
+      require(f.exists(), s"boatrace source path does not exist: $root")
       val files =
         if (f.isFile) Array(f)
         else Option(f.listFiles()).getOrElse(Array.empty).filter(x =>
@@ -115,8 +124,13 @@ final class BoatraceScan(table: String, roots: Seq[String],
             val n = x.getName.toLowerCase
             n.endsWith(".txt") || n.endsWith(".lzh")
           })
-      files.sortBy(_.getName).map(x => BoatraceFilePartition(x.getAbsolutePath))
+      files.sortBy(_.getName).map(x =>
+        BoatraceFilePartition(x.getAbsolutePath): InputPartition)
     }.toArray
+    require(parts.nonEmpty,
+      s"boatrace source matched no .TXT/.lzh files under: ${roots.mkString(", ")}")
+    parts
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BoatraceReaderFactory(table,
@@ -158,12 +172,19 @@ final class BoatraceReaderFactory(table: String, colIdx: Array[Int])
         }
       }
       private var current: Seq[String] = _
+      private val out = new Array[Any](colIdx.length)
       override def next(): Boolean = {
         if (rows.hasNext) { current = rows.next(); true } else false
       }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(colIdx.toIndexedSeq.map(i =>
-          UTF8String.fromString(current(i))))
+      override def get(): InternalRow = {
+        var i = 0
+        while (i < colIdx.length) {
+          out(i) = UTF8String.fromString(current(colIdx(i)))
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          out.clone())
+      }
       override def close(): Unit = ()
     }
   }

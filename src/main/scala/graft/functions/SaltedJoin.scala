@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigating equi-join: salt the skewed (left) side's key into
@@ -15,21 +15,28 @@ import org.apache.spark.sql.functions._
   * split (e.g. a shuffle feeding an aggregation) or when the skew is
   * known ahead of time — at 100 TB you pick the salt factor from key
   * histograms collected on ingest.
+  *
+  * Keys are taken by NAME and resolved against each aliased side, so
+  * self-joins (the canonical skew case) resolve unambiguously.
   */
 object SaltedJoin {
 
-  def inner(left: DataFrame, right: DataFrame, leftKey: Column,
-      rightKey: Column, saltFactor: Int): DataFrame = {
+  def inner(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, saltFactor: Int): DataFrame = {
+    // a salt column name no input column can collide with
+    val salt = Iterator.from(0).map(i => s"__salt$i")
+      .find(n => !left.columns.contains(n) && !right.columns.contains(n)).get
     // deterministic salt: spread left rows by a hash of the whole row
     // (monotonically_increasing_id would also do; hash keeps it
     // content-deterministic for testing)
-    val salted = left.withColumn("__salt",
+    val salted = left.as("l").withColumn(salt,
       pmod(hash(struct(left.columns.map(col).toIndexedSeq: _*)),
         lit(saltFactor)))
-    val replicated = right.withColumn("__salt",
+    val replicated = right.as("r").withColumn(salt,
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated,
-        leftKey === rightKey && salted("__salt") === replicated("__salt"))
-      .drop("__salt")
+        col(s"l.$leftKey") === col(s"r.$rightKey")
+          && salted(salt) === replicated(salt))
+      .drop(salt)
   }
 }

@@ -56,12 +56,14 @@ object MediaQueries {
       "m03_media_features",
       """SELECT doc_id, 'blob/' || source AS format,
         |       CAST(length(text) AS DOUBLE) AS f_len,
-        |       CAST(list_sum(list_transform(string_split(text, ''),
-        |              c -> ord(c))) AS DOUBLE)
-        |         / greatest(length(text), 1) AS f_mean,
-        |       CAST(list_max(list_transform(string_split(text, ''),
-        |              c -> ord(c))) AS DOUBLE) AS f_max,
-        |       CAST(len(list_distinct(string_split(text, ''))) AS DOUBLE)
+        |       CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |         CAST(list_sum(list_transform(string_split(text, ''),
+        |                c -> ord(c))) AS DOUBLE) / length(text) END AS f_mean,
+        |       CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |         CAST(list_max(list_transform(string_split(text, ''),
+        |                c -> ord(c))) AS DOUBLE) END AS f_max,
+        |       CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |         CAST(len(list_distinct(string_split(text, ''))) AS DOUBLE) END
         |         AS f_distinct,
         |       'stub-v1' AS decoder
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>

@@ -541,7 +541,7 @@ object RelationalQueries {
       graft.functions.SaltedJoin.inner(
           Tables.orders(s, d).filter(col("o_totalprice") > 250000),
           Tables.customer(s, d),
-          col("o_custkey"), col("c_custkey"), 8)
+          "o_custkey", "c_custkey", 8)
         .select("o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice")
         .orderBy("o_orderkey")
     },

@@ -17,6 +17,8 @@ class BucketedJoinSpec extends AnyFunSuite {
   test("join of co-bucketed tables runs without a shuffle exchange") {
     // tables land in the default ./spark-warehouse (gitignored);
     // warehouse.dir is a static conf and cannot move at runtime
+    val savedBucketing = spark.conf.get("spark.sql.sources.bucketing.enabled")
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
 
@@ -53,7 +55,8 @@ class BucketedJoinSpec extends AnyFunSuite {
     } finally {
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.sources.bucketing.enabled", savedBucketing)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
     }
   }
 }

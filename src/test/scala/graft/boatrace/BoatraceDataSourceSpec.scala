@@ -10,26 +10,23 @@ import graft.TestSpark
 class BoatraceDataSourceSpec extends AnyFunSuite {
   import TestSpark.spark
 
-  private def viaPipeline(table: String) = {
-    val parsed = BoatracePipeline.parseDir(spark, "/root/reference/txt")
-    val df = table match {
-      case "result" => BoatracePipeline.resultDf(spark, parsed)
-      case "odds" => BoatracePipeline.oddsDf(spark, parsed)
-      case "schedule" => BoatracePipeline.scheduleDf(spark, parsed)
-      case "env" => BoatracePipeline.envDf(spark, parsed)
-    }
-    val rows = df.collect().map(_.toSeq).toSet
-    parsed.unpersist()
-    rows
-  }
-
   test("format(boatrace) over TXT equals the pipeline tables") {
-    for (t <- Seq("result", "env", "odds", "schedule")) {
-      val v2 = spark.read.format("boatrace").option("table", t)
-        .load("/root/reference/txt").collect().map(_.toSeq).toSet
-      assert(v2 === viaPipeline(t), s"table $t")
-      assert(v2.nonEmpty)
-    }
+    // parse once, derive all four expected tables from the shared
+    // persisted dataset
+    val parsed = BoatracePipeline.parseDir(spark, "/root/reference/txt")
+    try {
+      val expected = Map(
+        "result" -> BoatracePipeline.resultDf(spark, parsed),
+        "env" -> BoatracePipeline.envDf(spark, parsed),
+        "odds" -> BoatracePipeline.oddsDf(spark, parsed),
+        "schedule" -> BoatracePipeline.scheduleDf(spark, parsed))
+      for ((t, df) <- expected) {
+        val v2 = spark.read.format("boatrace").option("table", t)
+          .load("/root/reference/txt").collect().map(_.toSeq).toSet
+        assert(v2 === df.collect().map(_.toSeq).toSet, s"table $t")
+        assert(v2.nonEmpty)
+      }
+    } finally parsed.unpersist()
   }
 
   test("format(boatrace) decodes LZH archives transparently") {

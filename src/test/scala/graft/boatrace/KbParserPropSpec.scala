@@ -19,11 +19,12 @@ class KbParserPropSpec extends AnyFunSuite {
 
   /** scalatestplus isn't on the offline classpath; drive the Gen
     * directly over fixed seeds (deterministic, reproducible). */
-  private def forAll[A](gen: Gen[A], n: Int = 100)(body: A => Unit): Unit =
+  private def forAll[A](gen: Gen[A], n: Int = 100)(body: A => Unit): Unit = {
+    var executed = 0
     (1 to n).foreach { i =>
       gen.apply(Gen.Parameters.default, Seed(i.toLong)) match {
         case Some(a) =>
-          try body(a)
+          try { body(a); executed += 1 }
           catch {
             case e: Throwable =>
               throw new AssertionError(s"failed for seed $i: $a", e)
@@ -31,6 +32,9 @@ class KbParserPropSpec extends AnyFunSuite {
         case None => ()
       }
     }
+    // a broken generator must not make the property vacuously true
+    assert(executed >= n / 2, s"only $executed of $n samples generated")
+  }
 
   private val date = "2020-08-15"
 
