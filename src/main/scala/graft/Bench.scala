@@ -15,10 +15,15 @@ object Bench {
     // below measure the engine, not JVM startup. Per-query codegen is
     // still inside each measurement.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // best-of-2 per query: one JVM run has several-hundred-ms noise
+    // from GC/JIT; the min is the stable engine cost.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

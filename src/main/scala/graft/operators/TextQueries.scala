@@ -115,6 +115,86 @@ object TextQueries {
             .as("fingerprint"))
         .orderBy("doc_id")
     },
+    // Repetition ratio (the Gopher-class quality filter): fraction of
+    // duplicate 5-grams — high values indicate boilerplate/spam.
+    QueryDef(
+      "t06_repetition_ratio",
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(generate_series(1, greatest(len(w)-4, 1)),
+        |          i -> array_to_string(w[i:i+4], ' ')) AS gs
+        |      FROM w)
+        |SELECT doc_id, CAST(len(gs) AS INT) AS n_grams,
+        |       CAST(len(gs) - len(list_distinct(gs)) AS INT) AS n_repeated,
+        |       CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) / len(gs)
+        |         AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("w", split(trim(col("text")), "\\s+"))
+        .withColumn("gs", transform(
+          sequence(lit(1), greatest(size(col("w")) - 4, lit(1))),
+          i => concat_ws(" ", slice(col("w"), i, lit(5)))))
+        .select(col("doc_id"),
+          size(col("gs")).as("n_grams"),
+          (size(col("gs")) - size(array_distinct(col("gs")))).as("n_repeated"),
+          ((size(col("gs")) - size(array_distinct(col("gs")))).cast("double")
+            / size(col("gs"))).as("rep_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Stopword ratio (quality scoring input): fixed multilingual
+    // stopword set, exact integer counts.
+    QueryDef(
+      "t07_stopword_ratio",
+      """SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+        |       CAST(len(list_filter(w, x -> list_contains(
+        |         ['the','a','of','and','in','el','le','der'], x))) AS INT)
+        |         AS n_stop,
+        |       CAST(len(list_filter(w, x -> list_contains(
+        |         ['the','a','of','and','in','el','le','der'], x))) AS DOUBLE)
+        |         / len(w) AS stop_ratio
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val stops = Seq("the", "a", "of", "and", "in", "el", "le", "der")
+      Tables.documents(s, d)
+        .withColumn("w", split(trim(col("text")), "\\s+"))
+        .withColumn("n_stop",
+          size(filter(col("w"), x => x.isInCollection(stops))))
+        .select(col("doc_id"), size(col("w")).as("n_tokens"),
+          col("n_stop"),
+          (col("n_stop").cast("double") / size(col("w"))).as("stop_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Compression-ratio quality signal (C4/RefinedWeb-style): highly
+    // compressible text is repetitive/low-information. Deflate is not
+    // SQL-expressible, so no oracle — PipelineOpsSpec bounds and
+    // determinism-checks it. Map-only (Deflater inside mapPartitions).
+    QueryDef.noOracle("t08_compression_ratio") { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select("doc_id", "text").as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val raw = text.getBytes("UTF-8")
+            val deflater = new java.util.zip.Deflater(6)
+            deflater.setInput(raw)
+            deflater.finish()
+            val buf = new Array[Byte](raw.length + 64)
+            var z = 0
+            while (!deflater.finished()) z += deflater.deflate(buf, z,
+              buf.length - z)
+            deflater.end()
+            (id, raw.length, z,
+              if (raw.length == 0) 0.0 else z.toDouble / raw.length)
+          }
+        }
+        .toDF("doc_id", "n_bytes", "n_compressed", "compression_ratio")
+        .orderBy("doc_id")
+    },
+
     // BPE-ish regex tokenization (letters-run | digits-run | single
     // symbol) — the non-whitespace tokenizer variant; counts match
     // bit-exactly since both engines run the same regex class.

@@ -82,6 +82,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(df.schema === MediaOps.mediaSchema)
   }
 
+  test("t08 compression ratio is bounded and deterministic") {
+    val a = run("t08_compression_ratio").collect()
+    val b = run("t08_compression_ratio").collect()
+    assert(a.toSeq === b.toSeq, "deflate must be deterministic")
+    a.foreach { r =>
+      val ratio = r.getDouble(3)
+      assert(ratio > 0 && ratio < 1.2, s"implausible ratio $ratio")
+      assert(r.getInt(2) > 0)
+    }
+  }
+
   test("t03 language id only emits known tags") {
     val langs = run("t03_lang_id").select("lang_pred").distinct()
       .collect().map(_.getString(0)).toSet
