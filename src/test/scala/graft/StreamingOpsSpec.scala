@@ -76,6 +76,33 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming dropDuplicates equals batch distinct (stateful dedup)") {
+    import spark.implicits._
+    val batch = Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct()
+      .orderBy("user_id", "event_type").collect()
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      val rows = Tables.events(spark, sf)
+        .select("user_id", "event_type").as[(Long, String)].collect()
+      // two chunks with overlap: state must dedup across micro-batches
+      mem.addData(rows.take(rows.length / 2 + 100).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2 - 100).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("dedup_test")
+      .orderBy("user_id", "event_type").collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("watermarked stream-stream join matches the batch interval join") {
     import spark.implicits._
     // purchases joined to same-user signups within the preceding hour
