@@ -669,6 +669,31 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     },
 
+    // Range (band) join — non-equi join class: each order lands in
+    // its price band. The band table is tiny and broadcast, so the
+    // theta-join is a broadcast nested-loop over 10 rows per order —
+    // the correct plan when one side is bounded; for two large sides
+    // the technique is banding both sides on floor(value/width) and
+    // equi-joining the band key first (same shape as the LSH bucket
+    // join, v02).
+    QueryDef(
+      "q36_range_join",
+      """SELECT o_orderkey, o_totalprice, CAST(b.band_id AS INT) AS band_id
+        |FROM orders o JOIN (
+        |  SELECT band_id, band_id * 60000.0 AS lo, (band_id+1) * 60000.0 AS hi
+        |  FROM (SELECT unnest(generate_series(0, 9)) AS band_id)) b
+        |  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val bands = (0 to 9).map(i => (i, i * 60000.0, (i + 1) * 60000.0))
+        .toDF("band_id", "lo", "hi")
+      Tables.orders(s, d)
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .select("o_orderkey", "o_totalprice", "band_id")
+        .orderBy("o_orderkey")
+    },
+
     // R7 (read_db.py:38 schema introspection): expose a table's schema
     // as rows — metadata-only, no scan of table data.
     QueryDef(
