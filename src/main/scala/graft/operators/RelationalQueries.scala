@@ -94,12 +94,15 @@ object RelationalQueries {
     QueryDef(
       "q05_groupby_agg",
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2)        AS sum_qty,
-        |       round(sum(l_extendedprice), 2)   AS sum_base_price,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |         AS sum_qty,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |         AS sum_base_price,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
         |                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4))
         |         AS sum_disc_price,
-        |       round(avg(l_discount), 2)        AS avg_disc,
+        |       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |               / count(*), 2) AS avg_disc,
         |       count(*)                          AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -109,15 +112,20 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          // Exact decimal arithmetic: double products land on half-cent
-          // boundaries where float summation order flips round(); decimal
-          // is order-independent and bit-identical to the DuckDB oracle.
+          // All float aggregates go through exact decimal sums (the
+          // source values have <= 2 decimals): double summation order
+          // varies with partitioning and flips round() at half-cent
+          // boundaries; decimal is order-independent and bit-identical
+          // to the DuckDB oracle. Ratios divide AFTER the exact sum.
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2)
+            .as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double"), 2).as("sum_base_price"),
           sum(col("l_extendedprice").cast("decimal(18,4)")
             * (lit(1) - col("l_discount").cast("decimal(18,4)")))
             .cast("decimal(18,4)").as("sum_disc_price"),
-          round(avg("l_discount"), 2).as("avg_disc"),
+          round(sum(col("l_discount").cast("decimal(18,2)")).cast("double")
+            / count(lit(1)), 2).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -266,13 +274,15 @@ object RelationalQueries {
     QueryDef(
       "q14_agg_having",
       """SELECT o_custkey, count(*) AS n_orders,
-        |       round(sum(o_totalprice), 2) AS total_spent
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |         AS total_spent
         |FROM orders GROUP BY o_custkey HAVING count(*) >= 12
         |ORDER BY o_custkey""".stripMargin) { (s, d) =>
       Tables.orders(s, d)
         .groupBy("o_custkey")
         .agg(count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 2).as("total_spent"))
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total_spent"))
         .filter(col("n_orders") >= 12)
         .orderBy("o_custkey")
     },
@@ -328,20 +338,24 @@ object RelationalQueries {
     QueryDef(
       "q17_conditional_agg",
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
-        |       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS sum_f,
-        |       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS sum_o,
-        |       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS sum_p,
+        |       round(CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |         THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE), 2) AS sum_f,
+        |       round(CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |         THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE), 2) AS sum_o,
+        |       round(CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |         THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE), 2) AS sum_p,
         |       count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin) { (s, d) =>
+      def sumStatus(st: String) =
+        round(sum(when(col("o_orderstatus") === st,
+          col("o_totalprice").cast("decimal(18,2)")).otherwise(0))
+          .cast("double"), 2)
       Tables.orders(s, d)
         .groupBy(year(col("o_orderdate")).as("order_year"))
         .agg(
-          round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
-            .otherwise(0)), 2).as("sum_f"),
-          round(sum(when(col("o_orderstatus") === "O", col("o_totalprice"))
-            .otherwise(0)), 2).as("sum_o"),
-          round(sum(when(col("o_orderstatus") === "P", col("o_totalprice"))
-            .otherwise(0)), 2).as("sum_p"),
+          sumStatus("F").as("sum_f"),
+          sumStatus("O").as("sum_o"),
+          sumStatus("P").as("sum_p"),
           count(lit(1)).as("n"))
         .orderBy("order_year")
     },
@@ -365,12 +379,16 @@ object RelationalQueries {
     QueryDef(
       "q19_rollup",
       """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
-        |       count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        |       count(*) AS n_cust,
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |         AS sum_bal
         |FROM customer GROUP BY ROLLUP(c_mktsegment)
         |ORDER BY segment""".stripMargin) { (s, d) =>
       Tables.customer(s, d)
         .rollup("c_mktsegment")
-        .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("sum_bal"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2)
+            .as("sum_bal"))
         .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
           col("n_cust"), col("sum_bal"))
         .orderBy("segment")
@@ -395,13 +413,17 @@ object RelationalQueries {
     QueryDef(
       "q21_time_bucket_agg",
       """SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
-        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |       count(*) AS n,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |         AS sum_value
         |FROM events GROUP BY 1, 2
         |ORDER BY bucket_hour, event_type""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("bucket_hour"),
           col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+            .as("sum_value"))
         .orderBy("bucket_hour", "event_type")
     },
 
@@ -469,12 +491,16 @@ object RelationalQueries {
       "q26_cube",
       """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
         |       coalesce(CAST(c_nationkey AS INT), -1) AS nation,
-        |       count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+        |       count(*) AS n,
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |         AS sum_bal
         |FROM customer GROUP BY CUBE(c_mktsegment, c_nationkey)
         |ORDER BY segment, nation""".stripMargin) { (s, d) =>
       Tables.customer(s, d)
         .cube("c_mktsegment", "c_nationkey")
-        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("sum_bal"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2)
+            .as("sum_bal"))
         .select(
           coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
           coalesce(col("c_nationkey").cast("int"), lit(-1)).as("nation"),
@@ -585,7 +611,8 @@ object RelationalQueries {
       "q32_rolling_range_window",
       """SELECT event_id, user_id, us,
         |       CAST(count(*) OVER w AS BIGINT) AS n_1h,
-        |       round(sum(value) OVER w, 2) AS sum_1h
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2)
+        |         AS sum_1h
         |FROM (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events) t
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -597,7 +624,11 @@ object RelationalQueries {
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("us"), col("value"))
         .withColumn("n_1h", count(lit(1)).over(w))
-        .withColumn("sum_1h", round(sum("value").over(w), 2))
+        // decimal window sum: sliding-frame sums are order/structure-
+        // dependent in double (segment trees vs running sums)
+        .withColumn("sum_1h",
+          round(sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("double"), 2))
         .select("event_id", "user_id", "us", "n_1h", "sum_1h")
         .orderBy("event_id")
     },

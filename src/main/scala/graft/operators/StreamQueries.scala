@@ -21,7 +21,9 @@ object StreamQueries {
       "s01_tumbling_window_agg",
       """SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000)
         |         AS bucket_start,
-        |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |       event_type, count(*) AS n,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |         AS sum_value
         |FROM events GROUP BY 1, 2
         |ORDER BY bucket_start, event_type""".stripMargin) { (s, d) =>
       StreamingOps.tumblingAgg(Tables.events(s, d), "15 minutes")

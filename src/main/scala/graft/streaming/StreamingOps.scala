@@ -22,8 +22,11 @@ object StreamingOps {
   def tumblingAgg(events: DataFrame, width: String = "15 minutes"): DataFrame =
     events
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      // decimal sum: order-independent (double summation order varies
+      // with partitioning and can flip round() at half-cent boundaries)
       .agg(count(lit(1)).as("n"),
-        round(sum("value"), 2).as("sum_value"))
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+          .as("sum_value"))
       .select(col("w.start").as("bucket_start"), col("event_type"),
         col("n"), col("sum_value"))
 
