@@ -92,44 +92,88 @@ final class BoatraceTable(table: String, roots: Seq[String])
 }
 
 final class BoatraceScanBuilder(table: String, roots: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = BoatraceTable.schemaFor(table)
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new BoatraceScan(table, roots, required)
+  /** Record レースID prefix predicates for FILE pruning (the race id
+    * starts with the ISO date, and each file carries exactly one
+    * date — so a prefix predicate selects files at planning time, the
+    * connector's equivalent of partition pruning). All filters are
+    * returned as residual: Spark re-applies them, so pruning can only
+    * skip files that provably contain no matching row. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(BoatraceScan.datePrefixOf(_).isDefined)
+    filters // all residual
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
+
+  override def build(): Scan = new BoatraceScan(table, roots, required,
+    pushed.flatMap(BoatraceScan.datePrefixOf))
+}
+
+object BoatraceScan {
+  /** A filter guarantees a date prefix when it constrains レースID to
+    * start with one (equality implies the prefix too). Spark
+    * backtick-quotes non-ASCII field names in translated v1 filters. */
+  private def isRaceId(field: String): Boolean =
+    field == "レースID" || field == "`レースID`"
+
+  def datePrefixOf(f: org.apache.spark.sql.sources.Filter): Option[String] = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case StringStartsWith(c, p) if isRaceId(c) => Some(p.take(10))
+      case EqualTo(c, v: String) if isRaceId(c) => Some(v.take(10))
+      case _ => None
+    }
+  }
 }
 
 final class BoatraceScan(table: String, roots: Seq[String],
-    required: StructType) extends Scan with Batch {
+    required: StructType, datePrefixes: Array[String]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"BoatraceScan(table=$table, columns=${required.fieldNames.mkString(",")})"
+    s"BoatraceScan(table=$table, columns=${required.fieldNames.mkString(",")}" +
+      (if (datePrefixes.nonEmpty)
+        s", prunedToDates=${datePrefixes.mkString("|")}" else "") + ")"
 
-  /** Driver-side planning = file listing only. Local-filesystem
-    * scope (java.io); a cluster deployment swaps in the Hadoop
-    * FileSystem API here and in the reader. Fails fast on an empty or
-    * missing root — a connector must never turn a bad path into an
-    * empty result. */
+  /** Driver-side planning = file listing + date-prefix file pruning.
+    * Local-filesystem scope (java.io); a cluster deployment swaps in
+    * the Hadoop FileSystem API here and in the reader. Fails fast on
+    * an empty or missing root — a connector must never turn a bad
+    * path into an empty result (an existing root pruned to zero files
+    * by a filter IS a valid empty result). */
   override def planInputPartitions(): Array[InputPartition] = {
-    val parts: Array[InputPartition] = roots.flatMap { root =>
+    val all: Array[java.io.File] = roots.flatMap { root =>
       val f = new java.io.File(root)
       require(f.exists(), s"boatrace source path does not exist: $root")
-      val files =
-        if (f.isFile) Array(f)
-        else Option(f.listFiles()).getOrElse(Array.empty).filter(x =>
-          x.isFile && {
-            val n = x.getName.toLowerCase
-            n.endsWith(".txt") || n.endsWith(".lzh")
-          })
-      files.sortBy(_.getName).map(x =>
-        BoatraceFilePartition(x.getAbsolutePath): InputPartition)
+      if (f.isFile) Array(f)
+      else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(x => x.isFile && {
+          val n = x.getName.toLowerCase
+          n.endsWith(".txt") || n.endsWith(".lzh")
+        })
     }.toArray
-    require(parts.nonEmpty,
+    require(all.nonEmpty,
       s"boatrace source matched no .TXT/.lzh files under: ${roots.mkString(", ")}")
-    parts
+    val kept =
+      if (datePrefixes.isEmpty) all
+      else all.filter { x =>
+        val date = scala.util.Try(
+          KbParser.dateFromFileName(x.getName)).toOption
+        // keep on ANY prefix match; unparseable names are kept (never
+        // prune on uncertainty)
+        date.forall(d => datePrefixes.exists(p => d.startsWith(p.take(10))))
+      }
+    kept.sortBy(_.getName).map(x =>
+      BoatraceFilePartition(x.getAbsolutePath): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

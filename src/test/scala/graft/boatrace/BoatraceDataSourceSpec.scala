@@ -51,6 +51,22 @@ class BoatraceDataSourceSpec extends AnyFunSuite {
     assert(plan.contains("columns=レースID"), s"pruned scan not found in:\n$plan")
   }
 
+  test("レースID prefix predicate prunes files at planning time") {
+    val df = spark.read.format("boatrace").option("table", "result")
+      .load("/root/reference/txt")
+    val filtered = df.filter(df("レースID").startsWith("2020-08-28"))
+    // only that date's K file (result rows come from K) should be read:
+    // 2 of 62 files survive pruning (K+B of the date)
+    assert(filtered.rdd.getNumPartitions === 2,
+      s"expected 2 pruned partitions, got ${filtered.rdd.getNumPartitions}")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("prunedToDates=2020-08-28"), s"plan:\n$plan")
+    // correctness: pruned result equals the unpruned filter
+    val full = df.collect().filter(_.getString(0).startsWith("2020-08-28"))
+    assert(filtered.count() === full.length)
+    assert(filtered.count() > 0)
+  }
+
   test("one input partition per file (scalable planning unit)") {
     val df = spark.read.format("boatrace").option("table", "result")
       .load("/root/reference/txt")
