@@ -216,18 +216,19 @@ final class BoatraceReaderFactory(table: String, colIdx: Array[Int])
         }
       }
       private var current: Seq[String] = _
-      private val out = new Array[Any](colIdx.length)
       override def next(): Boolean = {
         if (rows.hasNext) { current = rows.next(); true } else false
       }
       override def get(): InternalRow = {
+        // fresh array per row: Spark does not copy rows out of
+        // readers, so a shared buffer would corrupt buffered rows
+        val out = new Array[Any](colIdx.length)
         var i = 0
         while (i < colIdx.length) {
           out(i) = UTF8String.fromString(current(colIdx(i)))
           i += 1
         }
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          out.clone())
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
       }
       override def close(): Unit = ()
     }

@@ -177,18 +177,30 @@ object TextQueries {
       Tables.documents(s, d)
         .select("doc_id", "text").as[(Long, String)]
         .mapPartitions { it =>
-          it.map { case (id, text) =>
+          // one native zlib stream per partition, reset per row (a
+          // Deflater holds off-heap state — per-row init/free would be
+          // millions of JNI allocations of pure overhead at scale)
+          val deflater = new java.util.zip.Deflater(6)
+          val chunk = new Array[Byte](64 * 1024)
+          val out = it.map { case (id, text) =>
             val raw = text.getBytes("UTF-8")
-            val deflater = new java.util.zip.Deflater(6)
+            deflater.reset()
             deflater.setInput(raw)
             deflater.finish()
-            val buf = new Array[Byte](raw.length + 64)
+            // drain in fixed chunks: only the total size matters, and
+            // incompressible input can exceed any input-sized buffer
             var z = 0
-            while (!deflater.finished()) z += deflater.deflate(buf, z,
-              buf.length - z)
-            deflater.end()
+            while (!deflater.finished()) z += deflater.deflate(chunk)
             (id, raw.length, z,
               if (raw.length == 0) 0.0 else z.toDouble / raw.length)
+          }
+          new Iterator[(Long, Int, Int, Double)] {
+            override def hasNext: Boolean = {
+              val h = out.hasNext
+              if (!h) deflater.end()
+              h
+            }
+            override def next(): (Long, Int, Int, Double) = out.next()
           }
         }
         .toDF("doc_id", "n_bytes", "n_compressed", "compression_ratio")
