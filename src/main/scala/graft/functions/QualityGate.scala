@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+/** Quality gate with single-pass observability: filter a corpus on
+  * quality signals AND collect the acceptance metrics in the same job
+  * via `observe()` — no second scan over 100 TB just to count what
+  * was dropped.
+  *
+  * The returned Observation yields (after the DataFrame is consumed):
+  *   n_total, n_kept, n_too_short, n_too_repetitive — the numbers a
+  *   pipeline run must log for every filtering stage (silent-drop
+  *   pipelines are undebuggable at scale; SURVEY's "no silent caps"
+  *   rule applied to row filtering).
+  */
+object QualityGate {
+
+  final case class Gated(df: DataFrame, observation: Observation)
+
+  /** Keep documents with >= minTokens tokens and < maxRepetition
+    * duplicate-5-gram ratio. */
+  def filterDocuments(docs: DataFrame, minTokens: Int = 20,
+      maxRepetition: Double = 0.5): Gated = {
+    val obs = Observation()
+    val scored = docs
+      .withColumn("__w", split(trim(col("text")), "\\s+"))
+      .withColumn("__n_tokens", size(col("__w")))
+      .withColumn("__gs", transform(
+        sequence(lit(1), greatest(size(col("__w")) - 4, lit(1))),
+        i => concat_ws(" ", slice(col("__w"), i, lit(5)))))
+      .withColumn("__rep",
+        (size(col("__gs")) - size(array_distinct(col("__gs")))).cast("double")
+          / size(col("__gs")))
+      .withColumn("__keep",
+        col("__n_tokens") >= minTokens && col("__rep") < maxRepetition)
+    val observed = scored.observe(obs,
+      count(lit(1)).as("n_total"),
+      sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("__n_tokens") < minTokens, 1L).otherwise(0L))
+        .as("n_too_short"),
+      sum(when(col("__rep") >= maxRepetition, 1L).otherwise(0L))
+        .as("n_too_repetitive"))
+    Gated(
+      observed.filter(col("__keep"))
+        .drop("__w", "__n_tokens", "__gs", "__rep", "__keep"),
+      obs)
+  }
+}

@@ -93,6 +93,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quality gate filters and observes metrics in one pass") {
+    val gated = graft.functions.QualityGate.filterDocuments(
+      Tables.documents(spark, sf), minTokens = 100, maxRepetition = 0.5)
+    val kept = gated.df.count()
+    val m = gated.observation.get
+    assert(m("n_total").asInstanceOf[Long] > 0)
+    assert(m("n_kept").asInstanceOf[Long] === kept,
+      "observed kept-count must equal the filtered row count")
+    assert(m("n_kept").asInstanceOf[Long] < m("n_total").asInstanceOf[Long],
+      "gate with minTokens=100 must drop some docs in this corpus")
+    // the drop reasons must account for everything dropped (a doc can
+    // fail both, so the reason counts bound the drops from above)
+    val dropped = m("n_total").asInstanceOf[Long] - m("n_kept").asInstanceOf[Long]
+    assert(m("n_too_short").asInstanceOf[Long]
+      + m("n_too_repetitive").asInstanceOf[Long] >= dropped)
+    // gated output keeps the original schema
+    assert(gated.df.columns.toSeq ===
+      Tables.documents(spark, sf).columns.toSeq)
+  }
+
   test("t03 language id only emits known tags") {
     val langs = run("t03_lang_id").select("lang_pred").distinct()
       .collect().map(_.getString(0)).toSet
