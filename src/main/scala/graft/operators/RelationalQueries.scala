@@ -725,6 +725,30 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     },
 
+    // Top-k per group via a typed Aggregator UDAF (bounded buffer +
+    // map-side combine: shuffles k rows per group, not the group).
+    // Same semantics as q10's window form; the oracle states the
+    // window form, proving the two formulations agree.
+    QueryDef(
+      "q37_topk_aggregator",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+      val topk = udaf(new graft.functions.TopKAggregator(3))
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(topk(col("o_orderkey"), col("o_totalprice")).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"),
+          col("col._2").as("o_orderkey"),
+          col("col._1").as("o_totalprice"),
+          (col("pos") + 1).cast("int").as("rn"))
+        .orderBy("o_custkey", "rn")
+    },
+
     // R7 (read_db.py:38 schema introspection): expose a table's schema
     // as rows — metadata-only, no scan of table data.
     QueryDef(

@@ -62,6 +62,16 @@ class RelationalQueriesSpec extends AnyFunSuite {
       s"expected partial top-k pushdown in:\n$plan")
   }
 
+  test("q37 aggregator top-k uses partial (map-side) aggregation") {
+    val df = SparkEntry.queries("q37_topk_aggregator")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // typed-Aggregator plans run as ObjectHashAggregate with a
+    // partial_ stage before the shuffle (k rows per group shuffled)
+    assert(plan.contains("ObjectHashAggregate"), s"plan:\n$plan")
+    assert(plan.contains("partial_"), s"expected partial agg in:\n$plan")
+  }
+
   test("q11 top-k compiles to TakeOrderedAndProject (no global sort)") {
     val plan = SparkEntry.queries("q11_sort_limit")(spark, sf)
       .queryExecution.executedPlan.toString
