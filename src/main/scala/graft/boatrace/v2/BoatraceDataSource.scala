@@ -93,12 +93,23 @@ final class BoatraceTable(table: String, roots: Seq[String])
 
 final class BoatraceScanBuilder(table: String, roots: Seq[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = BoatraceTable.schemaFor(table)
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var limit: Int = Int.MaxValue
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Bound each partition's output: a `limit n` query emits at most n
+    * rows per file instead of converting them all (the per-file parse
+    * itself stays whole-file — files are ~150 KB and the parser is
+    * single-pass). Returning false keeps Spark's own global Limit on
+    * top (the per-partition bound is necessary, not sufficient). */
+  override def pushLimit(l: Int): Boolean = {
+    limit = l
+    false
+  }
 
   /** Record レースID prefix predicates for FILE pruning (the race id
     * starts with the ISO date, and each file carries exactly one
@@ -115,7 +126,7 @@ final class BoatraceScanBuilder(table: String, roots: Seq[String])
     pushed
 
   override def build(): Scan = new BoatraceScan(table, roots, required,
-    pushed.flatMap(BoatraceScan.datePrefixOf))
+    pushed.flatMap(BoatraceScan.datePrefixOf), limit)
 }
 
 object BoatraceScan {
@@ -136,13 +147,15 @@ object BoatraceScan {
 }
 
 final class BoatraceScan(table: String, roots: Seq[String],
-    required: StructType, datePrefixes: Array[String]) extends Scan with Batch {
+    required: StructType, datePrefixes: Array[String],
+    limit: Int = Int.MaxValue) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"BoatraceScan(table=$table, columns=${required.fieldNames.mkString(",")}" +
       (if (datePrefixes.nonEmpty)
-        s", prunedToDates=${datePrefixes.mkString("|")}" else "") + ")"
+        s", prunedToDates=${datePrefixes.mkString("|")}" else "") +
+      (if (limit != Int.MaxValue) s", pushedLimit=$limit" else "") + ")"
 
   /** Driver-side planning = file listing + date-prefix file pruning.
     * Local-filesystem scope (java.io); a cluster deployment swaps in
@@ -178,7 +191,7 @@ final class BoatraceScan(table: String, roots: Seq[String],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BoatraceReaderFactory(table,
-      required.fieldNames.map(BoatraceTable.Tables(table).indexOf(_)))
+      required.fieldNames.map(BoatraceTable.Tables(table).indexOf(_)), limit)
 }
 
 final case class BoatraceFilePartition(path: String) extends InputPartition
@@ -186,11 +199,12 @@ final case class BoatraceFilePartition(path: String) extends InputPartition
 /** `colIdx`: for each required output column, its ordinal in the full
   * table row (column pruning happens here, per row, before any string
   * materialization). */
-final class BoatraceReaderFactory(table: String, colIdx: Array[Int])
-    extends PartitionReaderFactory {
+final class BoatraceReaderFactory(table: String, colIdx: Array[Int],
+    limit: Int = Int.MaxValue) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val path = p.asInstanceOf[BoatraceFilePartition].path
     new PartitionReader[InternalRow] {
+      private var emitted = 0
       private val rows: Iterator[Seq[String]] = {
         val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
         val entries =
@@ -217,7 +231,9 @@ final class BoatraceReaderFactory(table: String, colIdx: Array[Int])
       }
       private var current: Seq[String] = _
       override def next(): Boolean = {
-        if (rows.hasNext) { current = rows.next(); true } else false
+        if (emitted < limit && rows.hasNext) {
+          current = rows.next(); emitted += 1; true
+        } else false
       }
       override def get(): InternalRow = {
         // fresh array per row: Spark does not copy rows out of

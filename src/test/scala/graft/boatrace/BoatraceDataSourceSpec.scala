@@ -67,6 +67,14 @@ class BoatraceDataSourceSpec extends AnyFunSuite {
     assert(filtered.count() > 0)
   }
 
+  test("limit is pushed into the reader (per-partition row bound)") {
+    val df = spark.read.format("boatrace").option("table", "result")
+      .load("/root/reference/txt").limit(5)
+    assert(df.count() === 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedLimit=5"), s"plan:\n$plan")
+  }
+
   test("one input partition per file (scalable planning unit)") {
     val df = spark.read.format("boatrace").option("table", "result")
       .load("/root/reference/txt")
