@@ -44,6 +44,28 @@ class BoatraceDbSpec extends AnyFunSuite {
     assert(cols.size >= 21)
   }
 
+  test("capstone: full-2020 warehouse from raw archives, queried end-to-end") {
+    // the complete reference workflow at 12x its corpus: all 732 LZH
+    // archives -> decode -> parse -> join -> partitioned warehouse ->
+    // interactive queries
+    val dir = java.nio.file.Files.createTempDirectory("boatrace_year").toString
+    BoatraceDb.open(spark, "/root/reference/lzh", dir, fromLzh = true)
+    val race = spark.table("race")
+    val total = race.count()
+    assert(total > 300000, s"full-year race rows: $total")
+    // date-pruned query touches one partition
+    val day = BoatraceDb.racesOn(spark, "2020-08-01")
+    assert(day.count() === 854) // the verified golden row count
+    // the per-player aggregate the downstream model consumes
+    val players = race.groupBy("選手登番")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("starts"))
+    assert(players.count() > 1500)
+    // restore the August txt warehouse for any later suite
+    BoatraceDb.open(spark, "/root/reference/txt",
+      java.nio.file.Files.createTempDirectory("boatrace_aug").toString)
+  }
+
   test("warehouse from LZH source serves the same query surface") {
     val dir = java.nio.file.Files.createTempDirectory("boatrace_db_lzh").toString
     // small slice: one date's K+B archives
