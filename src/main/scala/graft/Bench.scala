@@ -16,19 +16,31 @@ object Bench {
     // still inside each measurement.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // best-of-2 per query: one JVM run has several-hundred-ms noise
-    // from GC/JIT; the min is the stable engine cost.
+    // from GC/JIT; the min is the stable engine cost. The noop sink
+    // forces FULL evaluation — count() would let Catalyst prune
+    // projections and eliminate the final sort, timing a different
+    // query than the one declared.
+    val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          errors += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
     }.toMap
+    if (errors.nonEmpty)
+      System.err.println(s"[bench] ${errors.distinct.size} queries failed: " +
+        errors.distinct.mkString(", "))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

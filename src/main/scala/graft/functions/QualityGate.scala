@@ -19,7 +19,9 @@ object QualityGate {
   final case class Gated(df: DataFrame, observation: Observation)
 
   /** Keep documents with >= minTokens tokens and < maxRepetition
-    * duplicate-5-gram ratio. */
+    * duplicate-5-gram ratio. Metrics reconcile exactly:
+    * n_total = n_kept + n_null + n_too_short + n_too_repetitive
+    * (buckets are mutually exclusive, checked in priority order). */
   def filterDocuments(docs: DataFrame, minTokens: Int = 20,
       maxRepetition: Double = 0.5): Gated = {
     val obs = Observation()
@@ -32,18 +34,24 @@ object QualityGate {
       .withColumn("__rep",
         (size(col("__gs")) - size(array_distinct(col("__gs")))).cast("double")
           / size(col("__gs")))
+      // null-safe: a null text is its own (dropped + counted) bucket —
+      // a quality gate must never drop rows it does not count
+      .withColumn("__null", col("text").isNull)
+      .withColumn("__short", !col("__null") && col("__n_tokens") < minTokens)
+      .withColumn("__repetitive", !col("__null") && !col("__short")
+        && col("__rep") >= maxRepetition)
       .withColumn("__keep",
-        col("__n_tokens") >= minTokens && col("__rep") < maxRepetition)
+        !col("__null") && !col("__short") && !col("__repetitive"))
     val observed = scored.observe(obs,
       count(lit(1)).as("n_total"),
       sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
-      sum(when(col("__n_tokens") < minTokens, 1L).otherwise(0L))
-        .as("n_too_short"),
-      sum(when(col("__rep") >= maxRepetition, 1L).otherwise(0L))
-        .as("n_too_repetitive"))
+      sum(when(col("__null"), 1L).otherwise(0L)).as("n_null"),
+      sum(when(col("__short"), 1L).otherwise(0L)).as("n_too_short"),
+      sum(when(col("__repetitive"), 1L).otherwise(0L)).as("n_too_repetitive"))
     Gated(
       observed.filter(col("__keep"))
-        .drop("__w", "__n_tokens", "__gs", "__rep", "__keep"),
+        .drop("__w", "__n_tokens", "__gs", "__rep",
+          "__null", "__short", "__repetitive", "__keep"),
       obs)
   }
 }

@@ -26,11 +26,15 @@ object SaltedJoin {
     // a salt column name no input column can collide with
     val salt = Iterator.from(0).map(i => s"__salt$i")
       .find(n => !left.columns.contains(n) && !right.columns.contains(n)).get
-    // deterministic salt: spread left rows by a hash of the whole row
-    // (monotonically_increasing_id would also do; hash keeps it
-    // content-deterministic for testing)
+    // salt = hash(key, per-row id): spreads even byte-identical
+    // duplicate rows of a hot key (a whole-row hash would send them
+    // all to one bucket — the straggler this operator exists to
+    // prevent), and avoids hashing unhashable column types (MapType).
+    // The salt value itself never affects the join RESULT — any
+    // assignment joins each left row to the one matching right
+    // replica — so the id's non-determinism across retries is fine.
     val salted = left.as("l").withColumn(salt,
-      pmod(hash(struct(left.columns.map(col).toIndexedSeq: _*)),
+      pmod(hash(col(s"l.$leftKey"), monotonically_increasing_id()),
         lit(saltFactor)))
     val replicated = right.as("r").withColumn(salt,
       explode(sequence(lit(0), lit(saltFactor - 1))))

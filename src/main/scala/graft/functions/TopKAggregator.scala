@@ -22,20 +22,38 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKAggregator(k: Int)
     extends Aggregator[(Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
-  private def lt(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2) // "better" first
+  // total order even under NaN (java.lang.Double.compare: NaN sorts
+  // above all values, so it can never violate the sort contract)
+  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1) // desc
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
 
-  private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    s.sortWith(lt).take(k)
+  /** O(k) bounded insert into an already-sorted buffer (skip
+    * immediately when worse than the current k-th). */
+  private def insert(buf: Seq[(Double, Long)],
+      x: (Double, Long)): Seq[(Double, Long)] = {
+    if (buf.length >= k && ord.compare(x, buf.last) >= 0) buf
+    else {
+      val i = buf.indexWhere(e => ord.compare(x, e) < 0) match {
+        case -1 => buf.length
+        case n => n
+      }
+      (buf.take(i) :+ x) ++ buf.drop(i).take(k - i - 1)
+    }
+  }
 
   override def zero: Seq[(Double, Long)] = Seq.empty
 
   override def reduce(buf: Seq[(Double, Long)],
       row: (Long, Double)): Seq[(Double, Long)] =
-    trim(buf :+ ((row._2, row._1)))
+    insert(buf, (row._2, row._1))
 
   override def merge(a: Seq[(Double, Long)],
-      b: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(a ++ b)
+      b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    b.foldLeft(a)(insert)
 
   override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
 

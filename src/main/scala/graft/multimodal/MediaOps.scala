@@ -49,7 +49,11 @@ object MediaOps {
     * implementation would decode `payload` (JPEG/PNG/WAV/...) and
     * compute model-ready features; this stands in with byte-level
     * statistics so the pipeline shape is testable offline. */
-  private[multimodal] def decodeStub(payload: Array[Byte]): Array[Double] = {
+  private[multimodal] def decodeStub(payloadOrNull: Array[Byte]): Array[Double] = {
+    // null payload (null source text) decodes like an empty one — a
+    // decoder must not fail the whole job on one bad row
+    val payload =
+      if (payloadOrNull == null) Array.emptyByteArray else payloadOrNull
     var sum = 0L
     var mx = 0
     val seen = new java.util.BitSet(256)

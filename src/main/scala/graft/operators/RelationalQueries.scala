@@ -550,7 +550,7 @@ object RelationalQueries {
       Tables.orders(s, d).agg(
         approx_count_distinct("o_custkey").as("approx_customers"),
         count_distinct(col("o_custkey")).as("exact_customers"),
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
           .as("approx_median_price"))
     },
 

@@ -69,40 +69,70 @@ object StreamingOps {
         min("us").as("start_us"), max("us").as("end_us"))
   }
 
-  /** Streaming form: flatMapGroupsWithState with processing-time
-    * timeout. Emits a session row when the gap closes it; the spec
-    * drives it with a MemoryStream and checks it agrees with
-    * `sessionStatsBatch` on the same data (the open tail sessions are
-    * flushed on end-of-stream in the test harness).
+  /** Streaming form: flatMapGroupsWithState with a processing-time
+    * timeout of one gap — an idle user's open session is emitted and
+    * the key's state evicted when the timeout fires, so the state
+    * store tracks ACTIVE users only and the last session of a
+    * departed user is not held forever.
     *
     * State per key is O(1) (counts + boundary timestamps), so state
     * store size is #active-users, not #events — the property that
-    * matters at production rates.
+    * matters at production rates. (`idleTimeout = false` disables the
+    * eviction path — used by the deterministic test harness, whose
+    * processAllAvailable cannot coexist with processing-time
+    * timeouts.)
+    *
+    * Ordering contract: agrees exactly with `sessionStatsBatch` when
+    * each user's events arrive in event-time order across
+    * micro-batches (in-batch disorder is sorted away; in-session
+    * disorder is absorbed via min/max extents). Full cross-batch
+    * event-time disorder needs watermark-buffered event-time
+    * sessionization — a different state shape (buffer per key) that
+    * trades the O(1) state for reordering tolerance.
     */
-  def sessionizeStream(spark: SparkSession, events: Dataset[Ev]): Dataset[Session] = {
+  def sessionizeStream(spark: SparkSession, events: Dataset[Ev],
+      idleTimeout: Boolean = true): Dataset[Session] = {
     import spark.implicits._
+    val timeoutConf =
+      if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (userId: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
-          // within a micro-batch, order events like the batch form
-          val sorted = evs.toSeq.sortBy(e => (e.us, e.event_id))
-          var st = state.getOption.getOrElse(SessState(0, 0L, 0L, 0L))
-          val out = Seq.newBuilder[Session]
-          for (e <- sorted) {
-            val us = e.us
-            if (st.curN == 0L) {
-              st = SessState(st.closed, 1L, us, us)
-            } else if (us - st.curEnd <= GapUs) {
-              st = st.copy(curN = st.curN + 1, curEnd = us)
-            } else {
-              out += Session(userId, st.closed + 1, st.curN, st.curStart, st.curEnd)
-              st = SessState(st.closed + 1, 1L, us, us)
+          if (state.hasTimedOut) {
+            // idle gap elapsed in processing time: close + evict
+            val st = state.get
+            state.remove()
+            if (st.curN > 0)
+              Iterator(Session(userId, st.closed + 1, st.curN,
+                st.curStart, st.curEnd))
+            else Iterator.empty
+          } else {
+            // within a micro-batch, order events like the batch form
+            val sorted = evs.toSeq.sortBy(e => (e.us, e.event_id))
+            var st = state.getOption.getOrElse(SessState(0, 0L, 0L, 0L))
+            val out = Seq.newBuilder[Session]
+            for (e <- sorted) {
+              val us = e.us
+              if (st.curN == 0L) {
+                st = SessState(st.closed, 1L, us, us)
+              } else if (us - st.curEnd <= GapUs) {
+                // min/max extents absorb bounded in-session disorder
+                st = st.copy(curN = st.curN + 1,
+                  curStart = math.min(st.curStart, us),
+                  curEnd = math.max(st.curEnd, us))
+              } else {
+                out += Session(userId, st.closed + 1, st.curN, st.curStart, st.curEnd)
+                st = SessState(st.closed + 1, 1L, us, us)
+              }
             }
+            state.update(st)
+            if (idleTimeout)
+              state.setTimeoutDuration(GapUs / 1000) // gap, in millis
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }
   }
 

@@ -160,7 +160,8 @@ class StreamingOpsSpec extends AnyFunSuite {
     // per user (closes every open tail session so Append emits it)
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
-    val out = StreamingOps.sessionizeStream(spark, mem.toDS())
+    val out = StreamingOps.sessionizeStream(spark, mem.toDS(),
+      idleTimeout = false)
       .writeStream.format("memory").queryName("session_test")
       .outputMode("append").start()
     try {
