@@ -103,11 +103,11 @@ class PipelineOpsSpec extends AnyFunSuite {
       "observed kept-count must equal the filtered row count")
     assert(m("n_kept").asInstanceOf[Long] < m("n_total").asInstanceOf[Long],
       "gate with minTokens=100 must drop some docs in this corpus")
-    // the drop reasons must account for everything dropped (a doc can
-    // fail both, so the reason counts bound the drops from above)
-    val dropped = m("n_total").asInstanceOf[Long] - m("n_kept").asInstanceOf[Long]
-    assert(m("n_too_short").asInstanceOf[Long]
-      + m("n_too_repetitive").asInstanceOf[Long] >= dropped)
+    // buckets are mutually exclusive: they reconcile exactly
+    assert(m("n_kept").asInstanceOf[Long] + m("n_null").asInstanceOf[Long]
+      + m("n_too_short").asInstanceOf[Long]
+      + m("n_too_repetitive").asInstanceOf[Long]
+      === m("n_total").asInstanceOf[Long])
     // gated output keeps the original schema
     assert(gated.df.columns.toSeq ===
       Tables.documents(spark, sf).columns.toSeq)
