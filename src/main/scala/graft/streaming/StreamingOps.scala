@@ -47,6 +47,9 @@ object StreamingOps {
     * how many sessions this user has already closed. */
   final case class SessState(closed: Int, curN: Long, curStart: Long, curEnd: Long)
 
+  /** event-time sessionizer state: non-finalized (us, event_id) buffer. */
+  final case class BufState(closed: Int, buf: Seq[(Long, Long)])
+
   val GapUs: Long = 1800L * 1000 * 1000 // 30-minute inactivity gap
 
   /** Batch form: gap-based sessions via lag + running sum — one
@@ -90,6 +93,58 @@ object StreamingOps {
     * sessionization — a different state shape (buffer per key) that
     * trades the O(1) state for reordering tolerance.
     */
+  /** Event-time sessionization with watermark-buffered disorder
+    * tolerance — the production form when events arrive out of order
+    * across micro-batches. State per key buffers only NON-FINALIZED
+    * events: a session is emitted exactly when the watermark passes
+    * its end + gap (no later event inside the watermark can extend
+    * it), and an EventTimeTimeout finalizes the tail when a user goes
+    * idle. Events older than the watermark are dropped (documented —
+    * flatMapGroupsWithState does not drop late rows itself), so the
+    * result equals `sessionStatsBatch` whenever disorder stays within
+    * the watermark delay.
+    *
+    * Input: (user_id: long, ts: timestamp, event_id: long).
+    */
+  def sessionizeEventTime(spark: SparkSession, events: DataFrame,
+      watermarkDelay: String = "1 day"): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BufState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId, rows, state) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var st = state.getOption.getOrElse(BufState(0, Nil))
+          // merge new in-watermark events into the buffer (micros from
+          // the Timestamp: getTime millis + sub-milli nanos)
+          val incoming = rows.map { case (_, ts, id) =>
+            (ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L, id)
+          }.filter(_._1 >= wmUs)
+          val all = (st.buf ++ incoming).sortBy(identity).distinct
+          // split the sorted buffer into gap-delimited sessions
+          val sessions = all.foldLeft(Vector.empty[Vector[(Long, Long)]]) {
+            case (acc, e) =>
+              if (acc.nonEmpty && e._1 - acc.last.last._1 <= GapUs)
+                acc.init :+ (acc.last :+ e)
+              else acc :+ Vector(e)
+          }
+          // a session is final once the watermark passed its end + gap
+          val (fin, open) = sessions.partition(s => s.last._1 + GapUs < wmUs)
+          val out = fin.zipWithIndex.map { case (s, i) =>
+            Session(userId, st.closed + 1 + i, s.size, s.head._1, s.last._1)
+          }
+          st = BufState(st.closed + fin.size, open.flatten)
+          state.update(st)
+          if (st.buf.nonEmpty)
+            state.setTimeoutTimestamp((st.buf.map(_._1).max + GapUs) / 1000L + 1)
+          out.iterator
+      }
+  }
+
   def sessionizeStream(spark: SparkSession, events: Dataset[Ev],
       idleTimeout: Boolean = true): Dataset[Session] = {
     import spark.implicits._

@@ -144,6 +144,55 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("event-time sessionizer handles cross-batch disorder (watermark buffer)") {
+    import spark.implicits._
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[Ev].collect().sortBy(_.us)
+
+    // batch truth on the same events
+    val batch = StreamingOps.sessionStatsBatch(Tables.events(spark, sf))
+      .select("user_id", "session_no", "n_events", "start_us", "end_us")
+      .as[(Long, Int, Long, Long, Long)].collect()
+      .map(r => Session(r._1, r._2, r._3, r._4, r._5)).toSet
+
+    // deterministic DISORDER: shuffle within 64-event blocks (hours of
+    // jitter), well inside the 7-day watermark delay
+    val rnd = new scala.util.Random(7)
+    val disordered = evs.grouped(64).flatMap(b => rnd.shuffle(b.toSeq)).toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val stream = mem.toDF().toDF("user_id", "ts", "event_id")
+    val out = StreamingOps.sessionizeEventTime(spark, stream, "7 days")
+      .writeStream.format("memory").queryName("evt_session_test")
+      .outputMode("append").start()
+    def toRow(e: Ev) =
+      (e.user_id, new java.sql.Timestamp(e.us / 1000) {
+        setNanos(((e.us % 1000000) * 1000).toInt)
+      }, e.event_id)
+    try {
+      disordered.grouped(disordered.length / 3 + 1).foreach { c =>
+        mem.addData(c.map(toRow).toIndexedSeq); out.processAllAvailable()
+      }
+      // two far-future flush rounds per user: the watermark lags one
+      // batch behind the data, so round 1 advances it and round 2's
+      // batch finalizes every real session against it
+      for (k <- 1 to 2) {
+        val flushUs = evs.last.us + k * 30L * 86400 * 1000 * 1000
+        mem.addData(evs.map(_.user_id).distinct.toIndexedSeq
+          .map(u => toRow(Ev(u, flushUs, Long.MaxValue - k))))
+        out.processAllAvailable()
+      }
+    } finally out.stop()
+
+    // ignore sessions formed by the flush events themselves
+    val streamed = spark.table("evt_session_test").as[Session].collect()
+      .filter(_.start_us <= evs.last.us).toSet
+    assert(streamed === batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
   test("stateful stream sessionizer agrees with the batch sessionizer") {
     import spark.implicits._
     val evs = Tables.events(spark, sf)
