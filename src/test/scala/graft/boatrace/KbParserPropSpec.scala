@@ -108,6 +108,91 @@ class KbParserPropSpec extends AnyFunSuite {
     sb.result().toArray
   }
 
+  // ---- B-file (番組表 / schedule) generator ----------------------
+
+  final case class EntrySpec(lane: Int, regNo: Int, age: Int,
+      weight: Int, clazz: String, rates: Vector[Int]) // 6 rate fields ×100
+
+  final case class BRaceSpec(entries: List[EntrySpec])
+
+  private val genEntry: Gen[Int => EntrySpec] = for {
+    regNo <- Gen.choose(2000, 5999)
+    age <- Gen.choose(16, 70)
+    weight <- Gen.choose(40, 60)
+    clazz <- Gen.oneOf("A1", "A2", "B1", "B2")
+    rates <- Gen.containerOfN[Vector, Int](6, Gen.choose(0, 9999))
+  } yield (lane: Int) => EntrySpec(lane, regNo, age, weight, clazz, rates)
+
+  private val genBRace: Gen[BRaceSpec] = for {
+    n <- Gen.choose(4, 6)
+    mk <- Gen.containerOfN[List, Int => EntrySpec](n, genEntry)
+  } yield BRaceSpec(mk.zipWithIndex.map { case (f, i) => f(i + 1) })
+
+  private val genBFile: Gen[List[(String, String, List[BRaceSpec])]] =
+    Gen.nonEmptyListOf(for {
+      venue <- Gen.oneOf("大　村", "戸田", "びわこ")
+      name <- Gen.oneOf("テスト競走", "記念レース")
+      races <- Gen.nonEmptyListOf(genBRace).map(_.take(12))
+    } yield (venue, name, races)).map(_.take(3))
+
+  private def renderB(
+      sections: List[(String, String, List[BRaceSpec])]): Array[String] = {
+    def r2(x: Int) = f"${x / 100}%d.${x % 100}%02d"
+    val sb = Vector.newBuilder[String]
+    for ((venue, name, races) <- sections) {
+      sb += " " * 28 + "＊＊＊　番組表　＊＊＊\n"
+      sb += "\n"
+      sb += " " * 10 + name + "\n"
+      sb += "\n"
+      sb += "　　　ボートレース" + venue + "\n"
+      for ((race, idx) <- races.zipWithIndex) {
+        sb += f"　${idx + 1}%dＲ  一　般　　　          Ｈ１８００ｍ  電話投票締切予定１４：３９\n"
+        sb += "-" * 79 + "\n"
+        for (e <- race.entries)
+          sb += (f"${e.lane}%d ${e.regNo}%04d" + "選　手　名" +
+            f"${e.age}%02d" + "東京" + f"${e.weight}%02d${e.clazz}%s " +
+            f"${r2(e.rates(0))}%5s ${r2(e.rates(1))}%5s ${r2(e.rates(2))}%5s " +
+            f"${r2(e.rates(3))}%5s 32 ${r2(e.rates(4))}%5s 55 ${r2(e.rates(5))}%5s " +
+            "6 444 6      5\n")
+        sb += "\n"
+      }
+    }
+    sb.result().toArray
+  }
+
+  test("parser invariants hold on arbitrary synthetic B files") {
+    forAll(genBFile) { sections =>
+      val t = KbParser.parse(date, renderB(sections))
+      val allRaces = sections.flatMap { case (v, n, rs) => rs.map((v, n, _)) }
+
+      // only the schedule table is populated from a B file
+      assert(t.results.isEmpty && t.envs.isEmpty && t.odds.isEmpty)
+      assert(t.schedules.size === allRaces.map(_._3.entries.size).sum)
+
+      // full-width race counter threads per-section numbering into ids
+      val expectedIds = sections.flatMap { case (v, n, rs) =>
+        rs.zipWithIndex.flatMap { case (r, i) =>
+          r.entries.map(_ => s"$date$v$n${i + 1}R")
+        }
+      }
+      assert(t.schedules.map(_.raceId).toList === expectedIds)
+
+      // every captured column round-trips (motor/boat numbers between
+      // the rate columns are matched but deliberately NOT captured)
+      def r2(x: Int) = s"${x / 100}.${f"${x % 100}%02d"}"
+      t.schedules.zip(allRaces.flatMap(_._3.entries)).foreach { case (row, e) =>
+        assert(row.lane === e.lane.toString)
+        assert(row.playerId === f"${e.regNo}%04d")
+        assert(row.age === f"${e.age}%02d")
+        assert(row.weight === f"${e.weight}%02d")
+        assert(row.rank === e.clazz)
+        assert(Seq(row.nationalWin, row.nationalTop2, row.localWin,
+          row.localTop2, row.motorTop2, row.boatTop2) ===
+          e.rates.map(r2))
+      }
+    }
+  }
+
   test("parser invariants hold on arbitrary synthetic K files") {
     forAll(genFile) { sections =>
       val t = KbParser.parse(date, render(sections))
