@@ -21,17 +21,22 @@ object Bench {
     // projections and eliminate the final sort, timing a different
     // query than the one declared.
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // A failed attempt contributes NO timing: mixing time-to-failure
+    // into min/total would silently deflate the headline number while
+    // the query sits in the errors list.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           errors += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      if (times.isEmpty) None else Some(name -> times.min)
     }.toMap
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.distinct.size} queries failed: " +

@@ -98,9 +98,9 @@ object RelationalQueries {
         |         AS sum_qty,
         |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
         |         AS sum_base_price,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
         |                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4))
-        |         AS sum_disc_price,
+        |            AS DOUBLE) AS sum_disc_price,
         |       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
         |               / count(*), 2) AS avg_disc,
         |       count(*)                          AS count_order
@@ -123,7 +123,7 @@ object RelationalQueries {
             .cast("double"), 2).as("sum_base_price"),
           sum(col("l_extendedprice").cast("decimal(18,4)")
             * (lit(1) - col("l_discount").cast("decimal(18,4)")))
-            .cast("decimal(18,4)").as("sum_disc_price"),
+            .cast("decimal(18,4)").cast("double").as("sum_disc_price"),
           round(sum(col("l_discount").cast("decimal(18,2)")).cast("double")
             / count(lit(1)), 2).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -151,9 +151,9 @@ object RelationalQueries {
     QueryDef(
       "q07_multijoin_agg",
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
         |                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4))
-        |         AS revenue
+        |            AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders   ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -172,7 +172,7 @@ object RelationalQueries {
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(sum(col("l_extendedprice").cast("decimal(18,4)")
           * (lit(1) - col("l_discount").cast("decimal(18,4)")))
-          .cast("decimal(18,4)").as("revenue"))
+          .cast("decimal(18,4)").cast("double").as("revenue"))
         .select(col("o_orderkey"),
           col("o_orderdate").cast("date").as("order_date"), col("revenue"))
         .orderBy("o_orderkey")
@@ -532,14 +532,19 @@ object RelationalQueries {
     QueryDef(
       "q28_pivot",
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
-        |       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
-        |       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
-        |       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+        |       round(CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |                 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS F,
+        |       round(CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |                 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS O,
+        |       round(CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |                 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS P
         |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin) { (s, d) =>
       Tables.orders(s, d)
         .groupBy(year(col("o_orderdate")).as("order_year"))
         .pivot("o_orderstatus", Seq("F", "O", "P"))
-        .agg(round(sum("o_totalprice"), 2))
+        // Exact decimal sum (order-independent), rounded in double like
+        // every other money aggregate in this file.
+        .agg(round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2))
         .orderBy("order_year")
     },
 

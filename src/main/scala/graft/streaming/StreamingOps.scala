@@ -72,27 +72,6 @@ object StreamingOps {
         min("us").as("start_us"), max("us").as("end_us"))
   }
 
-  /** Streaming form: flatMapGroupsWithState with a processing-time
-    * timeout of one gap — an idle user's open session is emitted and
-    * the key's state evicted when the timeout fires, so the state
-    * store tracks ACTIVE users only and the last session of a
-    * departed user is not held forever.
-    *
-    * State per key is O(1) (counts + boundary timestamps), so state
-    * store size is #active-users, not #events — the property that
-    * matters at production rates. (`idleTimeout = false` disables the
-    * eviction path — used by the deterministic test harness, whose
-    * processAllAvailable cannot coexist with processing-time
-    * timeouts.)
-    *
-    * Ordering contract: agrees exactly with `sessionStatsBatch` when
-    * each user's events arrive in event-time order across
-    * micro-batches (in-batch disorder is sorted away; in-session
-    * disorder is absorbed via min/max extents). Full cross-batch
-    * event-time disorder needs watermark-buffered event-time
-    * sessionization — a different state shape (buffer per key) that
-    * trades the O(1) state for reordering tolerance.
-    */
   /** Event-time sessionization with watermark-buffered disorder
     * tolerance — the production form when events arrive out of order
     * across micro-batches. State per key buffers only NON-FINALIZED
@@ -103,6 +82,12 @@ object StreamingOps {
     * flatMapGroupsWithState does not drop late rows itself), so the
     * result equals `sessionStatsBatch` whenever disorder stays within
     * the watermark delay.
+    *
+    * State size: after a user's tail session is finalized the key keeps
+    * an EMPTY buffer carrying only the closed-session counter (needed
+    * for session_no continuity if the user returns), so the store is
+    * O(#distinct users ever seen), not O(#active users) — the same
+    * deliberate retention as sessionizeStream's idle tombstones.
     *
     * Input: (user_id: long, ts: timestamp, event_id: long).
     */
@@ -145,6 +130,39 @@ object StreamingOps {
       }
   }
 
+  /** Idle-timeout transition (pure; unit-tested directly because a
+    * processing-time timeout cannot fire under the deterministic
+    * processAllAvailable harness): close the open session if any,
+    * and keep a tombstone carrying the closed-session counter so
+    * session numbering survives eviction. */
+  def onIdleTimeout(userId: Long, st: SessState): (SessState, Iterator[Session]) =
+    if (st.curN > 0)
+      (SessState(st.closed + 1, 0L, 0L, 0L),
+        Iterator(Session(userId, st.closed + 1, st.curN, st.curStart, st.curEnd)))
+    else (SessState(st.closed, 0L, 0L, 0L), Iterator.empty)
+
+  /** Streaming sessionization, processing-time form:
+    * flatMapGroupsWithState with a processing-time timeout of one gap —
+    * an idle user's open session is emitted when the timeout fires and
+    * the key's state shrinks to a tombstone carrying only the
+    * closed-session counter (session_no continuity survives the idle
+    * gap; see onIdleTimeout).
+    *
+    * State per key is O(1) (counts + boundary timestamps; one int for
+    * idle tombstones), so state store size is O(#distinct users ever
+    * seen), not O(#events) — the property that matters at production
+    * rates. (`idleTimeout = false` disables the timeout path — used by
+    * the deterministic test harness, whose processAllAvailable cannot
+    * coexist with processing-time timeouts.)
+    *
+    * Ordering contract: agrees exactly with `sessionStatsBatch` when
+    * each user's events arrive in event-time order across
+    * micro-batches (in-batch disorder is sorted away; in-session
+    * disorder is absorbed via min/max extents). Full cross-batch
+    * event-time disorder needs `sessionizeEventTime` above — a
+    * different state shape (buffer per key) that trades the O(1)
+    * state for reordering tolerance.
+    */
   def sessionizeStream(spark: SparkSession, events: Dataset[Ev],
       idleTimeout: Boolean = true): Dataset[Session] = {
     import spark.implicits._
@@ -157,13 +175,15 @@ object StreamingOps {
         OutputMode.Append(), timeoutConf) {
         (userId: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
-            // idle gap elapsed in processing time: close + evict
-            val st = state.get
-            state.remove()
-            if (st.curN > 0)
-              Iterator(Session(userId, st.closed + 1, st.curN,
-                st.curStart, st.curEnd))
-            else Iterator.empty
+            val (tomb, out) = onIdleTimeout(userId, state.get)
+            // Tombstone, NOT remove(): the `closed` counter must
+            // survive eviction — a user returning after the idle gap
+            // would otherwise restart session_no at 1, emitting
+            // duplicate (user_id, session_no) keys and diverging from
+            // sessionStatsBatch. The payload shrinks to one counter;
+            // state is O(#distinct users), same as the event-time form.
+            state.update(tomb)
+            out
           } else {
             // within a micro-batch, order events like the batch form
             val sorted = evs.toSeq.sortBy(e => (e.us, e.event_id))

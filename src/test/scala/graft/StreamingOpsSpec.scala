@@ -225,4 +225,20 @@ class StreamingOpsSpec extends AnyFunSuite {
     val streamed = spark.table("session_test").as[Session].collect().toSet
     assert(streamed === batch)
   }
+
+  test("idle timeout keeps a session_no tombstone (no renumbering on return)") {
+    // The processing-time timeout path cannot fire under
+    // processAllAvailable, so the transition is verified directly:
+    // closing an open session must leave a tombstone whose `closed`
+    // counter continues the numbering when the user returns.
+    import StreamingOps.{SessState, Session, onIdleTimeout}
+    val (tomb, out) = onIdleTimeout(7L, SessState(closed = 2, 5L, 100L, 900L))
+    assert(out.toSeq === Seq(Session(7L, 3, 5L, 100L, 900L)))
+    assert(tomb === SessState(3, 0L, 0L, 0L))
+    // a returning user's next session numbers from the tombstone
+    assert(tomb.closed + 1 === 4)
+    // timing out an already-empty tombstone emits nothing, keeps count
+    val (tomb2, out2) = onIdleTimeout(7L, tomb)
+    assert(out2.isEmpty && tomb2.closed === 3)
+  }
 }
