@@ -54,5 +54,29 @@ object StreamQueries {
       StreamingOps.sessionStatsBatch(Tables.events(s, d))
         .orderBy("user_id", "session_no")
     },
+
+    // Sliding 30-minute window hopping every 15 minutes: each event
+    // belongs to exactly two windows — the one starting at its
+    // 15-minute bucket and the one 15 minutes earlier. The oracle
+    // reproduces window()'s fan-out with a two-branch UNION ALL over
+    // integer-micro bucket arithmetic.
+    QueryDef(
+      "s03_sliding_window_agg",
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+        |w AS (SELECT (us // 900000000) * 900000000 AS ws, event_type, value
+        |      FROM e
+        |      UNION ALL
+        |      SELECT (us // 900000000) * 900000000 - 900000000, event_type,
+        |             value
+        |      FROM e)
+        |SELECT make_timestamp(ws) AS window_start, event_type,
+        |       count(*) AS n,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |         AS sum_value
+        |FROM w GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+      StreamingOps.slidingAgg(Tables.events(s, d), "30 minutes", "15 minutes")
+        .orderBy("window_start", "event_type")
+    },
   )
 }

@@ -222,5 +222,50 @@ object TextQueries {
             lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe_tokens"))
         .orderBy("doc_id")
     },
+
+    // Document chunking for training: fixed 200-char windows with a
+    // 50-char overlap (stride 150) — the context-window packing step
+    // of an LLM data pipeline. sequence()+explode is a codegen'd
+    // generator: 1 doc → N chunk rows with NO shuffle (the ORDER BY
+    // exists only for oracle determinism), so at 100 TB this stays a
+    // map-only stage whose output partitioning follows the input.
+    QueryDef(
+      "t09_chunk_documents",
+      """SELECT doc_id, CAST(gs / 150 AS INT) AS chunk_no,
+        |       substr(text, CAST(gs AS INT) + 1, 200) AS chunk
+        |FROM (SELECT doc_id, text,
+        |        unnest(range(0, CAST(length(text) AS BIGINT), 150)) AS gs
+        |      FROM documents WHERE length(text) > 0)
+        |ORDER BY doc_id, chunk_no""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        // empty docs chunk to nothing (sequence/generate_series differ
+        // on empty ranges, so both sides filter them out explicitly)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), length(col("text")) - 1, lit(150)))
+            .as("start"))
+        .select(col("doc_id"), (col("start") / 150).cast("int").as("chunk_no"),
+          col("text").substr(col("start") + 1, lit(200)).as("chunk"))
+        .orderBy("doc_id", "chunk_no")
+    },
+
+    // Global vocabulary with counts, top-k by frequency — the
+    // tokenizer-training / frequency-filter step. explode fans each
+    // doc into tokens; the groupBy count does a map-side partial
+    // aggregate BEFORE the shuffle, so shuffle volume is
+    // O(#distinct tokens per partition), not O(#tokens) — the property
+    // that makes a corpus-wide vocab feasible at 100 TB. Ties broken
+    // by token for a deterministic LIMIT cut.
+    QueryDef(
+      "t10_vocab_topk",
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(100)
+    },
   )
 }

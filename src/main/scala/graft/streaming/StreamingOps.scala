@@ -35,6 +35,26 @@ object StreamingOps {
   def tumblingAggStream(events: DataFrame, width: String = "15 minutes"): DataFrame =
     tumblingAgg(events.withWatermark("ts", "1 hour"), width)
 
+  /** Sliding (hopping) window: every event lands in width/slide
+    * overlapping buckets (window() emits them as a generator before
+    * the aggregate — map-side fan-out, then one shuffle on
+    * (window, event_type) with partial aggregation, exactly like the
+    * tumbling form). */
+  def slidingAgg(events: DataFrame, width: String = "30 minutes",
+      slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+          .as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Streaming deployment form of slidingAgg (bounded state). */
+  def slidingAggStream(events: DataFrame, width: String = "30 minutes",
+      slide: String = "15 minutes"): DataFrame =
+    slidingAgg(events.withWatermark("ts", "1 hour"), width, slide)
+
   // ---- Stateful sessionization ----------------------------------
 
   /** `us` = event time in epoch microseconds (exact; Timestamp's

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.multimodal.MediaOps
-import graft.operators.{DedupQueries, MediaQueries, SimilarityQueries, TextQueries}
+import graft.operators.{DedupQueries, MediaQueries, SamplingQueries, SimilarityQueries, TextQueries}
 import graft.sources.Tables
 
 /** Specs for the training-data-pipeline operators (text analysis,
@@ -19,7 +19,7 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("every pipeline query runs and returns rows at sf0.001") {
     val names = (TextQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ MediaQueries.all).map(_.name)
+      SimilarityQueries.all ++ MediaQueries.all ++ SamplingQueries.all).map(_.name)
     val counts = names.map(n => n -> run(n).count())
     val empty = counts.filter(_._2 == 0).map(_._1)
     assert(empty.isEmpty, s"unexpected empty results: $empty")
@@ -125,5 +125,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     // whole-stage codegen renders as `*(n)` stage markers
     assert(plan.contains("*(1) Project"), s"plan:\n$plan")
+  }
+
+  test("hash split is partition-invariant and covers every doc once") {
+    val a = run("p01_hash_split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // same computation over a differently-partitioned input must land
+    // every doc in the same split — the reproducibility contract that
+    // rng-based sample() cannot give
+    val b = graft.operators.SamplingQueries.all.head
+      .run(spark, sf) // re-run; partitioning varies with AQE anyway
+    val b7 = b.repartition(7).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(a === b7)
+    val total = Tables.documents(spark, sf).count()
+    assert(a.size.toLong === total)
+    // 80/10/10 within binomial slack on this corpus
+    val frac = a.values.count(_ == "train").toDouble / a.size
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+  }
+
+  test("stratified sample rate is near 20% for every stratum") {
+    val sampled = run("p02_stratified_sample").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, n) <- totals) {
+      val rate = sampled.getOrElse(src, 0L).toDouble / n
+      assert(rate > 0.05 && rate < 0.40, s"stratum $src rate $rate")
+    }
+  }
+
+  test("chunking reassembles: stride-150 chunks cover the text exactly") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = run("t09_chunk_documents").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1)
+    for ((id, cs) <- chunks) {
+      val sorted = cs.sortBy(_._2).map(_._3)
+      // drop the 50-char overlap from every chunk after the first
+      val rebuilt = sorted.head + sorted.tail.map(c => c.drop(50)).mkString
+      assert(rebuilt === docs(id), s"doc $id did not reassemble")
+    }
+    assert(chunks.keySet === docs.keySet)
   }
 }

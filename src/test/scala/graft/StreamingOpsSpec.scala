@@ -42,6 +42,34 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("slidingAgg under a file readStream equals the batch result") {
+    val batch = StreamingOps.slidingAgg(Tables.events(spark, sf))
+      .orderBy("window_start", "event_type")
+      .collect()
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Files.createTempDirectory("events_sliding")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$sf/events.parquet").schema)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = StreamingOps.slidingAggStream(raw)
+      .writeStream.format("memory").queryName("sliding_test")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("sliding_test")
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.toSeq === batch.toSeq)
+    // every event lands in exactly width/slide = 2 windows
+    val nEvents = Tables.events(spark, sf).count()
+    val nWindowed = batch.map(_.getAs[Long]("n")).sum
+    assert(nWindowed === 2 * nEvents)
+  }
+
   test("file source -> transform -> parquet sink E2E with checkpoint") {
     import spark.implicits._
     // incremental arrival: documents split into 3 parquet files
