@@ -265,5 +265,49 @@ object DedupQueries {
         .neardupPairs(s, quantized(s, d), 0.4)
         .orderBy("id_a", "id_b")
     },
+
+    // Test-set decontamination: find held-out (test-split) documents
+    // that share any 32-char window with a train-split document — the
+    // benchmark-leakage check every LLM data pipeline runs before
+    // training. Reuses p01's deterministic md5 split (b<80 train,
+    // b>=90 test). Character grams at stride 16 guarantee any shared
+    // run of >= 47 chars produces at least one aligned-equal gram on
+    // both sides. Shape: map-only gram fan-out (sequence+explode,
+    // codegen'd) → distinct → LEFT SEMI join keyed on the gram → one
+    // small per-doc count. The semi join shuffles only distinct grams
+    // (never the O(test × train) pair space) and Spark builds/probes a
+    // hash relation — the same inverted-index blocking idea as d04,
+    // here with positional grams so it scales linearly in corpus size.
+    QueryDef(
+      "d06_decontaminate",
+      """WITH split AS (
+        |  SELECT doc_id, text,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |           % 100 AS b
+        |  FROM documents WHERE length(text) >= 32),
+        |grams AS (
+        |  SELECT doc_id, b, substr(text, CAST(gs AS INT) + 1, 32) AS g
+        |  FROM (SELECT doc_id, b, text,
+        |          unnest(range(0, CAST(length(text) - 31 AS BIGINT), 16)) AS gs
+        |        FROM split)),
+        |tr AS (SELECT DISTINCT g FROM grams WHERE b < 80),
+        |te AS (SELECT DISTINCT doc_id, g FROM grams WHERE b >= 90)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM te WHERE g IN (SELECT g FROM tr)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val b = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      val grams = Tables.documents(s, d)
+        .filter(length(col("text")) >= 32)
+        .select(col("doc_id"), b.as("b"), col("text"),
+          explode(sequence(lit(0), length(col("text")) - 32, lit(16))).as("gs"))
+        .select(col("doc_id"), col("b"),
+          col("text").substr(col("gs") + 1, lit(32)).as("g"))
+      val train = grams.filter(col("b") < 80).select("g").distinct()
+      val test  = grams.filter(col("b") >= 90).select("doc_id", "g").distinct()
+      test.join(train, Seq("g"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    },
   )
 }

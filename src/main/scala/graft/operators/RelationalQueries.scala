@@ -754,6 +754,149 @@ object RelationalQueries {
         .orderBy("o_custkey", "rn")
     },
 
+    // LEFT OUTER join + aggregate: customers with zero orders must
+    // survive with n_orders=0 / total_spent=0 (inner-join semantics —
+    // the reference's only join form, main.py:262 — would drop them).
+    // Aggregating AFTER the join keeps the shape one shuffle on
+    // c_custkey; the decimal sum is order-independent.
+    QueryDef(
+      "q38_left_outer_agg",
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |       round(CAST(sum(CAST(coalesce(o_totalprice, 0) AS DECIMAL(18,2)))
+        |                  AS DOUBLE), 2) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(sum(coalesce(col("o_totalprice"), lit(0)).cast("decimal(18,2)"))
+            .cast("double"), 2).as("total_spent"))
+        .orderBy("c_custkey")
+    },
+
+    // FULL OUTER join aligning two independently-aggregated daily
+    // series (order placements vs line shipments) on the calendar —
+    // days present in only one side keep a zero on the other. Both
+    // inputs are pre-aggregated (map-side partial), so the outer join
+    // runs on ~#days rows, not raw data.
+    QueryDef(
+      "q39_full_outer_align",
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
+        |           FROM orders GROUP BY 1),
+        |     l AS (SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS n_ships
+        |           FROM lineitem GROUP BY 1)
+        |SELECT coalesce(o.d, l.d) AS d, coalesce(n_orders, 0) AS n_orders,
+        |       coalesce(n_ships, 0) AS n_ships
+        |FROM o FULL OUTER JOIN l ON o.d = l.d
+        |ORDER BY d""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("od"))
+        .agg(count(lit(1)).as("n_orders"))
+      val l = Tables.lineitem(s, d)
+        .groupBy(col("l_shipdate").cast("date").as("ld"))
+        .agg(count(lit(1)).as("n_ships"))
+      o.join(l, col("od") === col("ld"), "full_outer")
+        .select(coalesce(col("od"), col("ld")).as("d"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_ships"), lit(0L)).as("n_ships"))
+        .orderBy("d")
+    },
+
+    // EXISTS / NOT EXISTS through the SQL surface: Catalyst
+    // decorrelates both into one semi- and one anti-join (same
+    // physical shape as q12/q13 — asserted in RelationalQueriesSpec),
+    // demonstrating the subquery syntax a reference user would write.
+    QueryDef(
+      "q40_exists_subquery",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer_ex")
+      Tables.orders(s, d).createOrReplaceTempView("orders_ex")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer_ex c
+          |WHERE EXISTS (SELECT 1 FROM orders_ex o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_totalprice > 400000)
+          |  AND NOT EXISTS (SELECT 1 FROM orders_ex o
+          |                  WHERE o.o_custkey = c.c_custkey
+          |                    AND o.o_orderstatus = 'P')
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // Statistical aggregates (stddev / correlation) with exact decimal
+    // component sums: built-in corr()/stddev() stream doubles whose
+    // summation order varies with partitioning, so both engines here
+    // aggregate the five moments as DECIMALs (order-independent) and
+    // finish with identical scalar IEEE arithmetic — deterministic to
+    // the last bit, still one map-side-combined aggregate per group.
+    QueryDef(
+      "q41_stats_agg",
+      """SELECT c_mktsegment,
+        |       round(sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 4) AS sd_price,
+        |       round((n * sxy - sx * sy) /
+        |             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+        |         AS corr_price_bal
+        |FROM (
+        |  SELECT c_mktsegment, CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |                  CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)) *
+        |                  CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |                  CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment)
+        |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val x = col("o_totalprice").cast("decimal(18,2)")
+      val y = col("c_acctbal").cast("decimal(18,2)")
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(x).cast("double").as("sx"), sum(x * x).cast("double").as("sxx"),
+          sum(y).cast("double").as("sy"), sum(y * y).cast("double").as("syy"),
+          sum(x * y).cast("double").as("sxy"))
+        .select(col("c_mktsegment"),
+          round(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+            (col("n") * (col("n") - 1.0))), 4).as("sd_price"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr_price_bal"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Array aggregation: collect per-group keys into a SORTED array
+    // (collect_list order is partition-dependent; sort_array makes it
+    // canonical) and emit it as a joined string — the grouped-list
+    // surface (DuckDB list()/list_sort) with a hash-stable output.
+    QueryDef(
+      "q42_array_agg",
+      """SELECT o_custkey, CAST(len(ks) AS BIGINT) AS n,
+        |       array_to_string(list_transform(ks, k -> CAST(k AS VARCHAR)), ',')
+        |         AS order_keys
+        |FROM (SELECT o_custkey, list_sort(list(o_orderkey)) AS ks
+        |      FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey)
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("ks"))
+        .select(col("o_custkey"), size(col("ks")).cast("bigint").as("n"),
+          array_join(transform(col("ks"), _.cast("string")), ",")
+            .as("order_keys"))
+        .orderBy("o_custkey")
+    },
+
     // R7 (read_db.py:38 schema introspection): expose a table's schema
     // as rows — metadata-only, no scan of table data.
     QueryDef(

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -64,6 +65,76 @@ object SamplingQueries {
         .agg(count(lit(1)).as("n_sampled"),
           count_distinct(col("doc_id")).as("n_distinct"))
         .orderBy("source")
+    },
+
+    // Sequence packing (next-fit): assign each document to the
+    // 2048-token context-window pack where its first token lands,
+    // given a deterministic order. Packing is inherently sequential,
+    // so the scalable form shards first (16 md5-shards here; O(10k) on
+    // a real cluster): within a shard a running-sum window computes
+    // each doc's start offset, and pack_id = shard ⊕ offset/budget.
+    // One shuffle on the shard key; shards are independent, so the
+    // sequential scan parallelizes across them and the result is
+    // reproducible on any partitioning.
+    QueryDef(
+      "p03_pack_sequences",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |           AS n_tok,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |           % 16 AS shard
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok, shard,
+        |        CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM t)
+        |SELECT doc_id, n_tok,
+        |       shard * 1000000 + CAST(floor((cum - n_tok) / 2048.0) AS BIGINT)
+        |         AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 16
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tok"),
+          shard.as("shard"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("n_tok"),
+          (col("shard") * 1000000 +
+            floor((col("cum") - col("n_tok")) / 2048.0).cast("bigint"))
+            .as("pack_id"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic global training-order shuffle: md5(doc_id) is the
+    // sort key, sharded so each data-loader shard gets its own
+    // independently-ordered slice. row_number runs PER SHARD (the
+    // window partitions on shard — no single-partition global window),
+    // so the op is one shuffle + per-shard sort, reproducible bit-for-
+    // bit on any cluster: epoch reshuffling = salt the md5 with the
+    // epoch number.
+    QueryDef(
+      "p04_train_order",
+      """SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard
+        |              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |         AS pos_in_shard
+        |FROM (SELECT doc_id,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |          % 8 AS shard
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 8
+      val w = Window.partitionBy("shard")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), shard.as("shard"))
+        .withColumn("pos_in_shard", row_number().over(w).cast("bigint"))
+        .orderBy("doc_id")
     },
   )
 }

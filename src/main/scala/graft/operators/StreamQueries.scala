@@ -78,5 +78,25 @@ object StreamQueries {
       StreamingOps.slidingAgg(Tables.events(s, d), "30 minutes", "15 minutes")
         .orderBy("window_start", "event_type")
     },
+
+    // Keep-first dedup (batch form of dropDuplicatesWithinWatermark —
+    // see StreamingOps.dedupStreamWithinWatermark). The order key is
+    // epoch MICROS on both sides: events.parquet carries nanos, and
+    // ordering by the raw nanos timestamp could pick a different row
+    // than the micros-truncated Spark timestamp when two events share
+    // a microsecond.
+    QueryDef(
+      "s04_dedup_first",
+      """SELECT user_id, event_type, first_us, first_event_id FROM (
+        |  SELECT user_id, event_type,
+        |         CAST(epoch_us(ts) AS BIGINT) AS first_us,
+        |         event_id AS first_event_id,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |             ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      StreamingOps.dedupFirstBatch(Tables.events(s, d))
+        .orderBy("user_id", "event_type")
+    },
   )
 }

@@ -249,6 +249,42 @@ object TextQueries {
         .orderBy("doc_id", "chunk_no")
     },
 
+    // PII redaction — the scrubbing pass of a training-data pipeline.
+    // The synthetic corpus carries no natural PII, so BOTH engines
+    // first plant a deterministic email + phone derived from doc_id
+    // (identical strings by construction), then redact: the oracle
+    // proves the redaction fired on every row and produced identical
+    // output. Map-only (scan → two regexp_replace → project), no
+    // shuffle; regexes are RE2/Java-compatible subset so the engines
+    // agree. DuckDB needs the 'g' flag for replace-all (Spark's
+    // regexp_replace is always global).
+    QueryDef(
+      "t11_pii_redact",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |         '@mail.example.com or +1-555-' ||
+        |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |       regexp_replace(regexp_replace(t,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted,
+        |       CAST(length(t) AS INT) AS len_raw
+        |FROM aug ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val aug = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), aug.as("t"))
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(col("t"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+            "\\+\\d{1,2}-\\d{3}-\\d{4}", "<PHONE>").as("redacted"),
+          length(col("t")).as("len_raw"))
+        .orderBy("doc_id")
+    },
+
     // Global vocabulary with counts, top-k by frequency — the
     // tokenizer-training / frequency-filter step. explode fans each
     // doc into tokens; the groupBy count does a map-side partial

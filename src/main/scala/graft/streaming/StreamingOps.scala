@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -54,6 +55,38 @@ object StreamingOps {
   def slidingAggStream(events: DataFrame, width: String = "30 minutes",
       slide: String = "15 minutes"): DataFrame =
     slidingAgg(events.withWatermark("ts", "1 hour"), width, slide)
+
+  /** Keep-first event dedup, batch form: the earliest event per
+    * (user_id, event_type) under the total order (event-time micros,
+    * event_id). One shuffle on the key; WindowGroupLimit prunes to one
+    * row per key before the final window evaluates. */
+  def dedupFirstBatch(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("first_us"),
+        col("event_id").as("first_event_id"))
+  }
+
+  /** Streaming form: dropDuplicatesWithinWatermark keeps the FIRST
+    * ARRIVAL per key and — unlike plain dropDuplicates, whose state
+    * grows with every key ever seen — evicts a key's state once the
+    * watermark passes its event time, bounding state to the keys
+    * active inside the watermark window. Equals dedupFirstBatch when
+    * arrival order is event-time order (the replay/backfill case);
+    * with disorder it keeps the first arrival, the standard streaming
+    * contract. */
+  def dedupStreamWithinWatermark(events: DataFrame,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("first_us"),
+        col("event_id").as("first_event_id"))
 
   // ---- Stateful sessionization ----------------------------------
 

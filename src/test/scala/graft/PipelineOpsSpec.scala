@@ -156,6 +156,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t11 redaction scrubs every planted email and phone") {
+    val rows = run("t11_pii_redact").collect()
+    assert(rows.nonEmpty)
+    val phoneRe = """\+\d{1,2}-\d{3}-\d{4}""".r
+    for (r <- rows) {
+      val red = r.getString(1)
+      assert(red.contains("<EMAIL>") && red.contains("<PHONE>"), red.takeRight(80))
+      assert(!red.contains("@"), red.takeRight(80))
+      assert(phoneRe.findFirstIn(red).isEmpty, red.takeRight(80))
+    }
+  }
+
+  test("d06 decontamination matches a brute-force 32-gram overlap") {
+    import java.security.MessageDigest
+    def md5hex(s: String) = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(id: Long) = java.lang.Long.parseLong(
+      md5hex(id.toString).take(8), 16) % 100
+    def grams(t: String) =
+      (0 to t.length - 32 by 16).map(i => t.substring(i, i + 32)).toSet
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).filter(_._2.length >= 32)
+    val trainGrams = docs.filter(d => bucket(d._1) < 80)
+      .flatMap(d => grams(d._2)).toSet
+    val expected = docs.filter(d => bucket(d._1) >= 90)
+      .map { case (id, t) => id -> grams(t).count(trainGrams) }
+      .filter(_._2 > 0).toMap
+    val got = run("d06_decontaminate").collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got === expected)
+  }
+
   test("chunking reassembles: stride-150 chunks cover the text exactly") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

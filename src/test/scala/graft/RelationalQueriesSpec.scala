@@ -72,6 +72,27 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(plan.contains("partial_"), s"expected partial agg in:\n$plan")
   }
 
+  test("q40 EXISTS/NOT EXISTS decorrelate to one semi and one anti join") {
+    val plan = SparkEntry.queries("q40_exists_subquery")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a semi join in:\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected an anti join in:\n$plan")
+  }
+
+  test("q38 left outer join keeps customers with zero orders") {
+    val df = SparkEntry.queries("q38_left_outer_agg")(spark, sf)
+    val nCustomers = graft.sources.Tables.customer(spark, sf).count()
+    assert(df.count() === nCustomers)
+    // zero-order rows must agree with a direct anti join vs all orders
+    val zeros = df.filter("n_orders = 0").count()
+    val anti = graft.sources.Tables.customer(spark, sf)
+      .join(graft.sources.Tables.orders(spark, sf),
+        org.apache.spark.sql.functions.col("c_custkey") ===
+          org.apache.spark.sql.functions.col("o_custkey"), "left_anti")
+      .count()
+    assert(zeros === anti)
+  }
+
   test("q11 top-k compiles to TakeOrderedAndProject (no global sort)") {
     val plan = SparkEntry.queries("q11_sort_limit")(spark, sf)
       .queryExecution.executedPlan.toString

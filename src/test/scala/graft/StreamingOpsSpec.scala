@@ -131,6 +131,43 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("dropDuplicatesWithinWatermark equals batch keep-first dedup") {
+    import spark.implicits._
+    val batch = StreamingOps.dedupFirstBatch(Tables.events(spark, sf))
+      .orderBy("user_id", "event_type").collect()
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Long)]
+    val stream = mem.toDF().toDF("user_id", "ts", "event_type", "event_id")
+    // The watermark must cover the corpus's event-time span (~1 month):
+    // dropDuplicatesWithinWatermark EVICTS a key once the watermark
+    // passes its event time and will re-emit that key's next event —
+    // with a 1-hour delay here, each (user, type) would surface ~once
+    // per batch, not once ever. Bounded-state dedup equals global
+    // batch dedup only while keys stay inside the watermark window.
+    val q = StreamingOps.dedupStreamWithinWatermark(stream, "90 days")
+      .writeStream.format("memory").queryName("dedup_wm_test")
+      .outputMode("append").start()
+    try {
+      // event-time arrival order (the backfill/replay case where the
+      // streaming keep-first-arrival contract coincides with batch
+      // keep-earliest), split across micro-batches so eviction +
+      // cross-batch state are exercised
+      val rows = Tables.events(spark, sf)
+        .select("user_id", "ts", "event_type", "event_id")
+        .as[(Long, java.sql.Timestamp, String, Long)].collect()
+        .sortBy(r => (r._2.getTime, r._4))
+      rows.grouped(math.max(rows.length / 3, 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.table("dedup_wm_test")
+      .orderBy("user_id", "event_type").collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("watermarked stream-stream join matches the batch interval join") {
     import spark.implicits._
     // purchases joined to same-user signups within the preceding hour
