@@ -897,6 +897,34 @@ object RelationalQueries {
         .orderBy("o_custkey")
     },
 
+    // The SAME as-of semantics as q31, through the engine's own
+    // Catalyst operator (plans/AsOfJoin.scala: custom LogicalPlan +
+    // SparkStrategy + physical merge-join node — the (c)-tier
+    // extension path for operators Spark lacks). Oracle: DuckDB's
+    // native ASOF LEFT JOIN. AsOfJoinSpec additionally pins the
+    // physical plan to AsOfJoinExec and proves q31-equality.
+    QueryDef(
+      "q43_asof_custom_exec",
+      """SELECT p.event_id, p.user_id, p.p_us, s.signup_us
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS p_us
+        |      FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id AS s_user, epoch_us(ts) AS signup_us
+        |                FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.s_user AND s.signup_us <= p.p_us
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"),
+          unix_micros(col("ts")).as("signup_us"))
+      graft.plans.AsOfJoin.asofJoin(s, purchases, signups,
+          Seq("user_id"), Seq("s_user"), "p_us", "signup_us")
+        .select("event_id", "user_id", "p_us", "signup_us")
+        .orderBy("event_id")
+    },
+
     // R7 (read_db.py:38 schema introspection): expose a table's schema
     // as rows — metadata-only, no scan of table data.
     QueryDef(

@@ -1,0 +1,152 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graft.GraftSqlShims
+
+/** As-of join as a first-class Catalyst operator — the (c)-tier
+  * extension path: custom LogicalPlan + SparkStrategy + SparkPlan,
+  * registered per session. Spark SQL has no ASOF JOIN (only the
+  * Pandas-on-Spark merge_asof API); the composable fallback is the
+  * union+window form (q31). This operator gives the join its own
+  * physical node: one co-partitioning shuffle on the key + in-
+  * partition sort on (key, ts) — the SAME cost shape as a sort-merge
+  * equi-join — then a single forward merge pass per partition that
+  * keeps, for every left row, the latest right row with
+  * `right.ts <= left.ts` (LEFT OUTER: unmatched left rows keep nulls).
+  *
+  * Scale: no range explosion (never materializes candidate pairs the
+  * way a `BETWEEN` theta-join would), state during the merge is ONE
+  * buffered right row, and both children's sorts/exchanges are planned
+  * by EnsureRequirements — so AQE, co-partitioned reuse, and bucketed
+  * inputs all compose. Ordering contract: ties on right ts resolve to
+  * the LAST right row in (key, ts) sort order; callers that need
+  * determinism under ties must project a tie-free right payload
+  * (DuckDB's ASOF JOIN has the same caveat).
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTs: Attribute, rightTs: Attribute) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy: AsOfJoinPlan → AsOfJoinExec. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts) =>
+      AsOfJoinExec(lk, rk, lts, rts, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical as-of merge join. Children are hash-co-partitioned on the
+  * join key and sorted by (key, ts) — both requirements are declared,
+  * not hand-built, so Catalyst inserts (or elides, for bucketed /
+  * already-partitioned input) the exchanges. */
+case class AsOfJoinExec(
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTs: Attribute, rightTs: Attribute,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTs).map(SortOrder(_, Ascending)))
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTsExpr = leftTs
+    val rTsExpr = rightTs
+    val keyTypes = leftKeys.map(_.dataType)
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKey = UnsafeProjection.create(lKeyExprs, leftOut)
+      val rKey = UnsafeProjection.create(rKeyExprs, rightOut)
+      val lTs = BindReferences.bindReference(lTsExpr: Expression, leftOut)
+      val rTs = BindReferences.bindReference(rTsExpr: Expression, rightOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val nullRight = new GenericInternalRow(rightOut.length)
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val buf = rIter.buffered
+      // one-row merge state: the latest right row at-or-before the
+      // current left timestamp, and the key it belongs to
+      var matchKey: UnsafeRow = null
+      var lastMatch: InternalRow = null
+      lIter.map { lrow =>
+        val lk = lKey(lrow)
+        val lt = lTs.eval(lrow).asInstanceOf[Long]
+        var advancing = true
+        while (advancing && buf.hasNext) {
+          val rk = rKey(buf.head)
+          val c = keyOrd.compare(rk, lk)
+          if (c < 0 || (c == 0 && rTs.eval(buf.head).asInstanceOf[Long] <= lt)) {
+            val rrow = buf.next()
+            if (c == 0) {
+              // copies: projections and iterators reuse row buffers
+              lastMatch = rrow.copy()
+              if (matchKey == null || keyOrd.compare(matchKey, lk) != 0)
+                matchKey = lk.copy()
+            }
+          } else advancing = false
+        }
+        val matched = matchKey != null && keyOrd.compare(matchKey, lk) == 0
+        resultProj(joined(lrow, if (matched) lastMatch else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** User-facing API. */
+object AsOfJoin {
+
+  /** Register the planner strategy on a live session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val exp = GraftSqlShims.experimental(spark)
+    if (!exp.extraStrategies.contains(AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+  }
+
+  /** LEFT OUTER as-of join: every `left` row, plus the columns of the
+    * latest `right` row with the same key and `rightTsCol <=
+    * leftTsCol` (nulls when none). Timestamp columns must be LongType
+    * (epoch micros — the engine's canonical event-time encoding) and
+    * non-null; column names must not collide across sides. */
+  def asofJoin(spark: SparkSession, left: DataFrame, right: DataFrame,
+      leftKeyCols: Seq[String], rightKeyCols: Seq[String],
+      leftTsCol: String, rightTsCol: String): DataFrame = {
+    register(spark)
+    val lp = GraftSqlShims.analyzedPlan(left)
+    val rp = GraftSqlShims.analyzedPlan(right)
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found in ${p.output.map(_.name).mkString(", ")}"))
+    GraftSqlShims.ofRows(spark, AsOfJoinPlan(lp, rp,
+      leftKeyCols.map(attr(lp, _)), rightKeyCols.map(attr(rp, _)),
+      attr(lp, leftTsCol), attr(rp, rightTsCol)))
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.AsOfJoin
+import graft.sources.Tables
+
+/** The custom Catalyst as-of join (plans/AsOfJoin.scala): physical
+  * plan shape, agreement with the composable union+window form (q31),
+  * left-outer null handling, and hand-checked edge cases.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("hand-built example: latest at-or-before match per key, nulls otherwise") {
+    import spark.implicits._
+    val trades = Seq((1L, 10L, "t1"), (1L, 20L, "t2"), (2L, 15L, "t3"),
+      (3L, 5L, "t4"))
+      .toDF("sym", "t_us", "trade")
+    val quotes = Seq((1L, 8L, 1.0), (1L, 10L, 2.0), (1L, 19L, 3.0),
+      (2L, 30L, 9.0))
+      .toDF("q_sym", "q_us", "px")
+    val got = AsOfJoin.asofJoin(spark, trades, quotes,
+        Seq("sym"), Seq("q_sym"), "t_us", "q_us")
+      .select("trade", "px").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // t1: quote at exactly 10 wins over 8 (<= semantics, latest);
+    // t2: 19 < 20 -> 3.0; t3: only quote is later -> null; t4: no
+    // quotes for sym 3 -> null
+    assert(got === Map("t1" -> Some(2.0), "t2" -> Some(3.0),
+      "t3" -> None, "t4" -> None))
+  }
+
+  test("plans through AsOfJoinExec with co-partitioned sorted children") {
+    val e = Tables.events(spark, sf)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val s = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), unix_micros(col("ts")).as("signup_us"))
+    val df = AsOfJoin.asofJoin(spark, p, s,
+      Seq("user_id"), Seq("s_user"), "p_us", "signup_us")
+    val plan = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix in plan strings
+    assert(plan.contains("AsOfJoin "), s"plan:\n$plan")
+    // EnsureRequirements satisfied the declared requirements
+    assert(plan.contains("Sort"), s"expected child sorts in:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning"),
+      s"expected key co-partitioning in:\n$plan")
+  }
+
+  test("custom exec agrees with the union+window composition (q31)") {
+    val viaExec = SparkEntry.queries("q43_asof_custom_exec")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val viaWindow = SparkEntry.queries("q31_asof_join")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(viaExec === viaWindow)
+  }
+
+  test("left outer: one output row per purchase, partition-invariant") {
+    val e = Tables.events(spark, sf)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val s = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), unix_micros(col("ts")).as("signup_us"))
+    val out = AsOfJoin.asofJoin(spark, p, s,
+      Seq("user_id"), Seq("s_user"), "p_us", "signup_us")
+    assert(out.count() === p.count())
+    // same result when the inputs arrive differently partitioned
+    val out7 = AsOfJoin.asofJoin(spark, p.repartition(7), s.repartition(3),
+      Seq("user_id"), Seq("s_user"), "p_us", "signup_us")
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(out.orderBy("event_id").collect().map(_.toSeq).toSeq === out7)
+  }
+}
