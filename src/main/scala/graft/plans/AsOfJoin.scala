@@ -3,8 +3,9 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, PredicateHelper, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graft.GraftSqlShims
@@ -46,6 +47,29 @@ object AsOfJoinStrategy extends SparkStrategy {
     case AsOfJoinPlan(l, r, lk, rk, lts, rts) =>
       AsOfJoinExec(lk, rk, lts, rts, planLater(l), planLater(r)) :: Nil
     case _ => Nil
+  }
+}
+
+/** Optimizer rule: push left-side-only conjuncts through the as-of
+  * join. Catalyst's own PushPredicateThroughJoin cannot see a custom
+  * node, so without this rule a `WHERE` above an asofJoin blocks all
+  * pushdown and the scans read everything. Pushing a predicate over
+  * LEFT columns is semantics-preserving for the left-outer as-of
+  * join: dropping a left row never changes any other row's match
+  * (matches depend only on the right side). Right-side predicates do
+  * NOT commute (they would change which right row is "latest" and
+  * null-extension) and stay put.
+  */
+object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, j: AsOfJoinPlan) =>
+      val (pushable, rest) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(j.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))
+        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
   }
 }
 
@@ -123,11 +147,14 @@ case class AsOfJoinExec(
 /** User-facing API. */
 object AsOfJoin {
 
-  /** Register the planner strategy on a live session (idempotent). */
+  /** Register the planner strategy + optimizer rule on a live session
+    * (idempotent). */
   def register(spark: SparkSession): Unit = {
     val exp = GraftSqlShims.experimental(spark)
     if (!exp.extraStrategies.contains(AsOfJoinStrategy))
       exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+    if (!exp.extraOptimizations.contains(PushFilterThroughAsOfJoin))
+      exp.extraOptimizations = exp.extraOptimizations :+ PushFilterThroughAsOfJoin
   }
 
   /** LEFT OUTER as-of join: every `left` row, plus the columns of the

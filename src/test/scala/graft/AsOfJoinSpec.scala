@@ -50,6 +50,27 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"expected key co-partitioning in:\n$plan")
   }
 
+  test("left-only filters push through the custom node to the scan") {
+    val e = Tables.events(spark, sf)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val s = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), unix_micros(col("ts")).as("signup_us"))
+    val joined = AsOfJoin.asofJoin(spark, p, s,
+      Seq("user_id"), Seq("s_user"), "p_us", "signup_us")
+    val filtered = joined.filter(col("event_id") < 100)
+    val plan = filtered.queryExecution.executedPlan.toString
+    // PushFilterThroughAsOfJoin moved the conjunct below the custom
+    // node; Catalyst's stock rules then carried it into the scan
+    assert(plan.contains("LessThan(event_id,100)"),
+      s"expected the filter in PushedFilters:\n$plan")
+    // and it is semantics-preserving: same rows as filtering the input
+    val expected = AsOfJoin.asofJoin(spark, p.filter(col("event_id") < 100), s,
+      Seq("user_id"), Seq("s_user"), "p_us", "signup_us")
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(filtered.orderBy("event_id").collect().map(_.toSeq).toSeq === expected)
+  }
+
   test("custom exec agrees with the union+window composition (q31)") {
     val viaExec = SparkEntry.queries("q43_asof_custom_exec")(spark, sf)
       .collect().map(_.toSeq).toSeq
