@@ -222,12 +222,17 @@ object DedupQueries {
         .shingled(s, Tables.documents(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val inv = sh.select(col("doc_id"), explode(col("s")).as("sg"))
-      // one shuffle: group the inverted index by shingle, keep rare
-      // posting lists (2..5 docs), expand ordered pairs in-group —
-      // equivalent to the self-join form but without re-shuffling the
-      // full index twice more (the oracle keeps the join formulation;
-      // the candidate SET is identical).
-      val cand = inv.groupBy("sg").agg(collect_set("doc_id").as("ids"))
+      // Document-frequency FIRST (map-side-combined count — shuffles
+      // one long per distinct shingle), then posting lists only for
+      // the rare shingles: collecting sets for every shingle and
+      // filtering afterwards builds (and ships) thousand-element sets
+      // for frequent shingles just to throw them away. AQE broadcasts
+      // the rare set when it is small; at corpus scale the join
+      // degrades gracefully to a shuffle on sg.
+      val rare = inv.groupBy("sg").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 5)).select("sg")
+      val cand = inv.join(rare, "sg")
+        .groupBy("sg").agg(collect_set("doc_id").as("ids"))
         .filter(size(col("ids")).between(2, 5))
         .select(explode(expr(
           """flatten(transform(ids,
