@@ -34,6 +34,22 @@ object DedupQueries {
   /** Tokenize: split trimmed text on whitespace runs. */
   private def words(c: Column): Column = split(trim(c), "\\s+")
 
+  /** DuckDB CTE chain computing the d03 32-bit TF-weighted SimHash per
+    * doc (ends in `sim(doc_id, simhash)`); shared by d03 and d07. */
+  private val simhashCteSql =
+    """tok AS (SELECT doc_id, w, count(*)::BIGINT AS cnt FROM
+      |    (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |     FROM documents) t GROUP BY doc_id, w),
+      |h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS hv,
+      |             cnt FROM tok),
+      |bits AS (SELECT doc_id, b,
+      |           sum(CASE WHEN (hv >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS contrib
+      |         FROM h, generate_series(0, 31) t(b) GROUP BY doc_id, b),
+      |sim AS (SELECT doc_id,
+      |          CAST(sum(CASE WHEN contrib > 0 THEN (1::BIGINT << b) ELSE 0 END)
+      |               AS BIGINT) AS simhash
+      |        FROM bits GROUP BY doc_id)""".stripMargin
+
   private val shinglesSql =
     """list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 1)),
       |      i -> array_to_string(w[i:i+2], ' ')))""".stripMargin
@@ -172,18 +188,8 @@ object DedupQueries {
     // explosion is ×32 but each row is (id, bit, ±cnt) — tiny.
     QueryDef(
       "d03_simhash",
-      """WITH tok AS (SELECT doc_id, w, count(*)::BIGINT AS cnt FROM
-        |    (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
-        |     FROM documents) t GROUP BY doc_id, w),
-        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS hv,
-        |             cnt FROM tok),
-        |bits AS (SELECT doc_id, b,
-        |           sum(CASE WHEN (hv >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS contrib
-        |         FROM h, generate_series(0, 31) t(b) GROUP BY doc_id, b)
-        |SELECT doc_id,
-        |       CAST(sum(CASE WHEN contrib > 0 THEN (1::BIGINT << b) ELSE 0 END)
-        |            AS BIGINT) AS simhash
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      s"""WITH $simhashCteSql
+        |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin) { (s, d) =>
       // map-only kernel: SimHash is a per-row computation; the
       // explode-per-bit relational form (the oracle's formulation)
       // would shuffle rows×32 (see TextKernels.simhash32).
@@ -269,6 +275,45 @@ object DedupQueries {
       graft.functions.VectorKernels
         .neardupPairs(s, quantized(s, d), 0.4)
         .orderBy("id_a", "id_b")
+    },
+
+    // SimHash NEAR-DUP PAIRS (d03 builds fingerprints; this finds the
+    // duplicates): pairs within Hamming distance 3 of each other's
+    // 32-bit simhash. Blocking: 4 bands of 8 bits — by pigeonhole, <=3
+    // flipped bits leave at least one band intact, so band-equality
+    // candidate generation has TOTAL recall at the threshold, and the
+    // join shuffles on the short (band, value) key, never the pair
+    // space. Confirm is one codegen'd xor+bit_count per candidate.
+    QueryDef(
+      "d07_simhash_neardup",
+      s"""WITH $simhashCteSql,
+        |bands AS (SELECT doc_id, simhash, b, (simhash >> (b*8)) & 255 AS bv
+        |          FROM sim, generate_series(0, 3) t(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        |                a.simhash AS ha, c.simhash AS hb
+        |         FROM bands a JOIN bands c
+        |           ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val sim = graft.functions.TextKernels
+        .simhash32(s, Tables.documents(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bands = sim.select(col("doc_id"), col("simhash"),
+          explode(sequence(lit(0), lit(3))).as("b"))
+        .select(col("doc_id"), col("simhash"), col("b"),
+          expr("shiftright(simhash, b * 8) & CAST(255 AS BIGINT)").as("bv"))
+      val a = bands.select(col("b").as("ab"), col("bv").as("abv"),
+        col("doc_id").as("doc_a"), col("simhash").as("ha"))
+      val c = bands.select(col("b").as("cb"), col("bv").as("cbv"),
+        col("doc_id").as("doc_b"), col("simhash").as("hb"))
+      a.join(c, col("ab") === col("cb") && col("abv") === col("cbv")
+          && col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb").distinct()
+        .select(col("doc_a"), col("doc_b"),
+          expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
     },
 
     // Test-set decontamination: find held-out (test-split) documents

@@ -109,6 +109,33 @@ object SamplingQueries {
         .orderBy("doc_id")
     },
 
+    // Source-mixture resampling: downsample each source to a TARGET
+    // mixture rate (high-quality sources kept at 60%, mid at 35%,
+    // tail at 15%) — the corpus-weighting step of LLM data prep.
+    // Same md5-bucket determinism as p01/p02; the per-source rate is
+    // one codegen'd CASE, so the op stays a map-only filter with a
+    // tiny count aggregate on top.
+    QueryDef(
+      "p05_mixture_resample",
+      """WITH t AS (SELECT source, doc_id,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |          % 100 AS b
+        |      FROM documents)
+        |SELECT source, count(*) AS n_kept
+        |FROM t
+        |WHERE b < CASE WHEN source IN ('src0','src1','src2','src3') THEN 60
+        |              WHEN source IN ('src4','src5','src6','src7') THEN 35
+        |              ELSE 15 END
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val rate = when(col("source").isin("src0", "src1", "src2", "src3"), 60)
+        .when(col("source").isin("src4", "src5", "src6", "src7"), 35)
+        .otherwise(15)
+      Tables.documents(s, d)
+        .filter(bucket < rate)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")
+    },
+
     // Deterministic global training-order shuffle: md5(doc_id) is the
     // sort key, sharded so each data-loader shard gets its own
     // independently-ordered slice. row_number runs PER SHARD (the

@@ -72,6 +72,18 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(plan.contains("partial_"), s"expected partial agg in:\n$plan")
   }
 
+  test("AQE re-plans shuffle reads at runtime (coalesced partitions)") {
+    val df = SparkEntry.queries("q05_groupby_agg")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // after execution the adaptive plan is final and the post-shuffle
+    // read is an AQEShuffleRead (coalesced at this tiny scale) — the
+    // runtime re-planning that handles scale-dependent partition
+    // counts without manual tuning
+    assert(plan.contains("AQEShuffleRead"), s"plan:\n$plan")
+    assert(plan.contains("isFinalPlan=true"), s"plan:\n$plan")
+  }
+
   test("q40 EXISTS/NOT EXISTS decorrelate to one semi and one anti join") {
     val plan = SparkEntry.queries("q40_exists_subquery")(spark, sf)
       .queryExecution.executedPlan.toString

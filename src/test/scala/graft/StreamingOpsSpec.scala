@@ -168,6 +168,37 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("foreachBatch sink: batchId-keyed writes stay idempotent under retry") {
+    import spark.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("fb_out")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("user_id", "event_type")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // the epoch id keys the output path: a retried epoch
+        // OVERWRITES its own partition instead of appending a second
+        // copy — the standard exactly-once-effects recipe for sinks
+        // without transactions
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        // simulate the retry the contract protects against
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+    val rows = Tables.events(spark, sf)
+      .select("user_id", "event_type").as[(Long, String)].collect()
+    try {
+      rows.grouped(math.max(rows.length / 3, 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // every input row exactly once despite each epoch writing twice
+    val written = spark.read.parquet(s"$outDir/batch=*")
+    assert(written.count() === rows.length)
+  }
+
   test("watermarked stream-stream join matches the batch interval join") {
     import spark.implicits._
     // purchases joined to same-user signups within the preceding hour
