@@ -63,6 +63,36 @@ object BoatraceQueries {
         .orderBy("選手登番")
     },
 
+    // Leak-free ML feature view: per (race, player), the player's form
+    // STRICTLY BEFORE that race — prior starts / wins / win rate /
+    // mean exhibition time. This is the feature shape the reference's
+    // downstream LightGBM model needs (README.md:19): computing it
+    // with a plain groupBy (boatrace_player_stats) leaks the race's
+    // own outcome into its features; the `rowsBetween(unbounded, -1)`
+    // frame cannot. One shuffle on 選手登番, then a single ordered
+    // window pass per player.
+    QueryDef.noOracle("boatrace_player_form") { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val (env, result, _, schedule) = tables(s)
+      val race = BoatracePipeline.typedRace(
+        BoatracePipeline.raceTable(env, result, schedule))
+      val w = Window.partitionBy("選手登番").orderBy("date", "レースID")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      race.select(col("レースID"), col("date"), col("選手登番"),
+          col("順位"), col("展示"))
+        .withColumn("prior_starts", count(lit(1)).over(w))
+        // sum over the empty first-race frame is NULL (count is 0) —
+        // a debut player has 0 prior wins, not unknown
+        .withColumn("prior_wins",
+          coalesce(sum(when(col("順位") === 1, 1).otherwise(0)).over(w),
+            lit(0L)))
+        .withColumn("prior_win_rate",
+          when(col("prior_starts") > 0,
+            col("prior_wins").cast("double") / col("prior_starts")))
+        .withColumn("prior_avg_exhibition", round(avg("展示").over(w), 4))
+        .orderBy("レースID", "選手登番")
+    },
+
     // R5 on the partition-prunable layout: the reference's
     // `レースID LIKE '2020-08-28%'` (read_db.py:19) expressed as a
     // date-column filter.

@@ -925,6 +925,82 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // TPC-H Q5 shape: 6-table star join (fact lineitem against five
+    // dims) with a region filter and a date window. All four dim
+    // tables are broadcast (region/nation are tiny; customer/supplier
+    // prune to keys first), so the only shuffle is the final
+    // per-nation aggregate — the canonical star-schema plan at any
+    // scale. Revenue through DECIMAL (order-independent).
+    QueryDef(
+      "q44_star_join_q5",
+      """SELECT n_name,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                      (1 - CAST(l_discount AS DECIMAL(18,4))))
+        |                  AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |             AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+      val rev = (col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1) - col("l_discount").cast("decimal(18,4)")))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")
+              && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(rev).cast("double"), 2).as("revenue"))
+        .orderBy("n_name")
+    },
+
+    // TPC-H Q10 shape: top-20 customers by returned-item revenue.
+    // Exact decimal revenue makes the DESC order (and therefore the
+    // LIMIT cut) deterministic; ties broken by key.
+    QueryDef(
+      "q45_top_returners_q10",
+      """SELECT c_custkey, c_name, n_name,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                      (1 - CAST(l_discount AS DECIMAL(18,4))))
+        |                  AS DOUBLE), 2) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      val rev = (col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1) - col("l_discount").cast("decimal(18,4)")))
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .join(broadcast(Tables.orders(s, d)),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(round(sum(rev).cast("double"), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
     // R7 (read_db.py:38 schema introspection): expose a table's schema
     // as rows — metadata-only, no scan of table data.
     QueryDef(
