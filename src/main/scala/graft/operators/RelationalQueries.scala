@@ -925,12 +925,14 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
-    // TPC-H Q5 shape: 6-table star join (fact lineitem against five
-    // dims) with a region filter and a date window. All four dim
-    // tables are broadcast (region/nation are tiny; customer/supplier
-    // prune to keys first), so the only shuffle is the final
-    // per-nation aggregate — the canonical star-schema plan at any
-    // scale. Revenue through DECIMAL (order-independent).
+    // TPC-H Q5 shape: 6-table join with a region filter and a date
+    // window. Scale-honest join strategy: lineitem/orders/customer
+    // are FACT-sized (they grow with SF — broadcasting them would die
+    // at 100 TB) and shuffle-join on their keys; supplier/nation/
+    // region are genuine dims and broadcast explicitly. At test scale
+    // AQE upgrades the small shuffle joins to broadcasts on its own —
+    // the hints encode what stays true at 1000×. Revenue through
+    // DECIMAL (order-independent).
     QueryDef(
       "q44_star_join_q5",
       """SELECT n_name,
@@ -951,11 +953,11 @@ object RelationalQueries {
       val rev = (col("l_extendedprice").cast("decimal(18,4)") *
         (lit(1) - col("l_discount").cast("decimal(18,4)")))
       Tables.lineitem(s, d)
-        .join(broadcast(Tables.orders(s, d)
+        .join(Tables.orders(s, d)
             .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")
-              && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))),
+              && col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)),
+        .join(Tables.customer(s, d),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.supplier(s, d)),
           col("l_suppkey") === col("s_suppkey")
@@ -971,7 +973,9 @@ object RelationalQueries {
 
     // TPC-H Q10 shape: top-20 customers by returned-item revenue.
     // Exact decimal revenue makes the DESC order (and therefore the
-    // LIMIT cut) deterministic; ties broken by key.
+    // LIMIT cut) deterministic; ties broken by key. Facts
+    // (lineitem/orders/customer) shuffle-join; only nation is
+    // broadcast-hinted (AQE broadcasts the rest at test scale).
     QueryDef(
       "q45_top_returners_q10",
       """SELECT c_custkey, c_name, n_name,
@@ -989,9 +993,9 @@ object RelationalQueries {
         (lit(1) - col("l_discount").cast("decimal(18,4)")))
       Tables.lineitem(s, d)
         .filter(col("l_returnflag") === "R")
-        .join(broadcast(Tables.orders(s, d)),
+        .join(Tables.orders(s, d),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)),
+        .join(Tables.customer(s, d),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)),
           col("c_nationkey") === col("n_nationkey"))
