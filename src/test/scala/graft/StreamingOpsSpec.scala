@@ -168,6 +168,90 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("stateful sessionization runs on the RocksDB state store backend") {
+    import spark.implicits._
+    val batch = StreamingOps.sessionStatsBatch(Tables.events(spark, sf))
+      .select("user_id", "session_no", "n_events", "start_us", "end_us")
+      .as[(Long, Int, Long, Long, Long)].collect().toSet
+
+    // the production state backend for large state: spillable,
+    // checkpointed RocksDB instead of the default in-JVM-heap map
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[StreamingOps.Ev]
+      val out = StreamingOps.sessionizeStream(spark, mem.toDS(),
+          idleTimeout = false)
+        .writeStream.format("memory").queryName("rocksdb_session_test")
+        .outputMode("append").start()
+      try {
+        val evs = Tables.events(spark, sf)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"))
+          .as[StreamingOps.Ev].collect().sortBy(e => (e.us, e.event_id))
+        evs.grouped(math.max(evs.length / 3, 1)).foreach { chunk =>
+          mem.addData(chunk.toIndexedSeq)
+          out.processAllAvailable()
+        }
+      } finally out.stop()
+      val streamed = spark.table("rocksdb_session_test")
+        .select("user_id", "session_no", "n_events", "start_us", "end_us")
+        .as[(Long, Int, Long, Long, Long)].collect().toSet
+      // open tail sessions are unemitted in append mode — the emitted
+      // (closed) sessions must be a subset equal on closed keys
+      val closedBatch = batch.filter(b => streamed.exists(s =>
+        s._1 == b._1 && s._2 == b._2))
+      assert(streamed === closedBatch)
+      assert(streamed.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("checkpoint recovery: a restarted query resumes exactly-once") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("ck_in")
+    val outDir = java.nio.file.Files.createTempDirectory("ck_out")
+    val ckDir = java.nio.file.Files.createTempDirectory("ck_ck")
+    val docs = Tables.documents(spark, sf).collect()
+    val schema = Tables.documents(spark, sf).schema
+    def writeChunk(chunk: Array[org.apache.spark.sql.Row], i: Int): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk.toIndexedSeq), schema)
+        .write.parquet(s"$inDir/chunk_$i")
+    def transform(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+    def startQuery() = transform(
+        spark.readStream.schema(schema).parquet(s"$inDir/*"))
+      .writeStream.format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ckDir.toString)
+      .outputMode("append").start()
+
+    val (first, second) = docs.splitAt(docs.length / 2)
+    writeChunk(first, 0)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // new data arrives while the query is DOWN; the restarted query
+    // must pick it up from the checkpoint without reprocessing chunk 0
+    writeChunk(second, 1)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = spark.read.parquet(outDir.toString)
+      .orderBy("doc_id").collect()
+    val batch = transform(Tables.documents(spark, sf))
+      .orderBy("doc_id").collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("foreachBatch sink: batchId-keyed writes stay idempotent under retry") {
     import spark.implicits._
     val outDir = java.nio.file.Files.createTempDirectory("fb_out")
