@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.QualityGate
+
+/** End-to-end training-corpus preparation — the composition a user of
+  * this engine actually runs, built from the oracle-checked pieces:
+  *
+  *   quality gate (observed, single pass)
+  *     → exact dedup (keep lowest doc_id per content hash)
+  *     → deterministic train/val/test split (md5 bucket)
+  *     → decontamination (drop TRAIN docs sharing any 32-char gram
+  *       with a TEST doc — evaluation integrity beats corpus size)
+  *     → sequence packing of the train split (sharded next-fit)
+  *
+  * Every stage is a declarative plan: the whole prepare() composes
+  * into ONE Spark job graph per output, with shuffles only where the
+  * algorithm requires them (dedup groupBy, decontamination semi join,
+  * packing's per-shard window). Determinism: every decision is a pure
+  * function of document content/id, so reruns — at any partitioning,
+  * any cluster size — produce identical corpora (the property that
+  * makes 100 TB pipeline runs diffable and resumable).
+  */
+object CorpusPrep {
+
+  final case class Prepared(
+      train: DataFrame,   // doc_id, text, n_tok, pack_id
+      valid: DataFrame,   // doc_id, text
+      test: DataFrame,    // doc_id, text
+      metrics: Observation)
+
+  private def bucket(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 100
+
+  def prepare(spark: SparkSession, docs: DataFrame,
+      minTokens: Int = 20, packBudget: Long = 2048L,
+      shards: Int = 16): Prepared = {
+
+    // 1. quality gate (metrics via observe — no second scan)
+    val gated = QualityGate.filterDocuments(docs, minTokens)
+
+    // 2. exact dedup: canonical copy = lowest doc_id per content hash
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val deduped = gated.df
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    // 3. split
+    val withSplit = deduped.withColumn("split",
+      when(bucket(col("doc_id")) < 80, "train")
+        .when(bucket(col("doc_id")) < 90, "val").otherwise("test"))
+
+    // 4. decontamination: 32-char grams at stride 16 (any shared run
+    // >= 47 chars produces an aligned-equal gram); LEFT ANTI join
+    // drops contaminated TRAIN docs, never the pair space
+    def grams(df: DataFrame) = df
+      .filter(length(col("text")) >= 32)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), length(col("text")) - 32, lit(16))).as("gs"))
+      .select(col("doc_id"), col("text").substr(col("gs") + 1, lit(32)).as("g"))
+    val testGrams = grams(withSplit.filter(col("split") === "test"))
+      .select("g").distinct()
+    val contaminated = grams(withSplit.filter(col("split") === "train"))
+      .join(testGrams, Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    val trainClean = withSplit.filter(col("split") === "train")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+
+    // 5. pack the train split: next-fit within md5-shards (packing is
+    // sequential; sharding is what parallelizes it)
+    val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % shards
+    val pw = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val train = trainClean
+      .withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("bigint"))
+      .withColumn("shard", shard)
+      .withColumn("__cum", sum(col("n_tok")).over(pw))
+      .withColumn("pack_id", col("shard") * 1000000 +
+        floor((col("__cum") - col("n_tok")) / packBudget.toDouble).cast("bigint"))
+      .select("doc_id", "text", "n_tok", "pack_id")
+
+    Prepared(
+      train,
+      withSplit.filter(col("split") === "val").select("doc_id", "text"),
+      withSplit.filter(col("split") === "test").select("doc_id", "text"),
+      gated.observation)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.CorpusPrep
+import graft.sources.Tables
+
+/** End-to-end invariants of the composed corpus-preparation pipeline:
+  * metric reconciliation, dedup/split/decontamination guarantees, and
+  * the next-fit packing bound — plus full determinism under
+  * repartitioning.
+  */
+class CorpusPrepSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val prep = CorpusPrep.prepare(spark, docs)
+  private lazy val train = prep.train.collect()
+  private lazy val valid = prep.valid.collect()
+  private lazy val test = prep.test.collect()
+
+  test("quality metrics reconcile and splits are disjoint + exhaustive") {
+    val _ = (train, valid, test) // consume so the observation resolves
+    val m = prep.metrics.get
+    assert(m("n_total").asInstanceOf[Long] ===
+      m("n_kept").asInstanceOf[Long] + m("n_null").asInstanceOf[Long] +
+        m("n_too_short").asInstanceOf[Long] +
+        m("n_too_repetitive").asInstanceOf[Long])
+    val ids = train.map(_.getLong(0)) ++ valid.map(_.getLong(0)) ++
+      test.map(_.getLong(0))
+    assert(ids.distinct.length === ids.length, "splits overlap")
+  }
+
+  test("no duplicated content survives across any split") {
+    val texts = train.map(_.getString(1)) ++ valid.map(_.getString(1)) ++
+      test.map(_.getString(1))
+    assert(texts.distinct.length === texts.length)
+  }
+
+  test("train shares no 32-char gram with test (decontaminated)") {
+    def grams(t: String) =
+      (0 to t.length - 32 by 16).map(i => t.substring(i, i + 32)).toSet
+    val testGrams = test.map(_.getString(1)).filter(_.length >= 32)
+      .flatMap(grams).toSet
+    val leaked = train.map(r => r.getLong(0) -> r.getString(1))
+      .filter(_._2.length >= 32)
+      .filter { case (_, t) => grams(t).exists(testGrams) }
+    assert(leaked.isEmpty, s"contaminated train docs: ${leaked.map(_._1).toSeq}")
+  }
+
+  test("next-fit packing bound: every pack fits budget + one document") {
+    val byPack = train.map(r => (r.getLong(3), r.getLong(2)))
+      .groupBy(_._1).map { case (p, rows) => p -> rows.map(_._2) }
+    val maxDoc = train.map(_.getLong(2)).max
+    for ((pack, toks) <- byPack) {
+      assert(toks.sum <= 2048 + maxDoc,
+        s"pack $pack holds ${toks.sum} tokens")
+    }
+    // multi-doc packs exist (the packer actually packs)
+    assert(byPack.values.exists(_.size > 1))
+  }
+
+  test("the pipeline is deterministic under repartitioning") {
+    val again = CorpusPrep.prepare(spark, docs.repartition(7))
+    val a = again.train.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = prep.train.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+}
