@@ -1005,6 +1005,31 @@ object RelationalQueries {
         .limit(20)
     },
 
+    // Array higher-order functions (transform / filter / aggregate)
+    // over grouped lists — the lambda-expression surface. NB these are
+    // CodegenFallback in Spark 4 (interpreted per element): fine on
+    // per-group arrays like here, but hot full-corpus loops belong in
+    // kernels or native expressions (see TextKernels / dot_long).
+    QueryDef(
+      "q46_array_hof",
+      """SELECT okey, CAST(len(q) AS INT) AS n_items,
+        |       CAST(list_reduce(list_transform(q, x -> x*x), (a,b) -> a+b)
+        |            AS BIGINT) AS sumsq,
+        |       CAST(len(list_filter(q, x -> x > 25)) AS INT) AS n_big
+        |FROM (SELECT l_orderkey AS okey,
+        |        list_sort(list(CAST(l_quantity AS BIGINT))) AS q
+        |      FROM lineitem GROUP BY 1)
+        |ORDER BY okey""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("okey"))
+        .agg(sort_array(collect_list(col("l_quantity").cast("bigint"))).as("q"))
+        .select(col("okey"), size(col("q")).as("n_items"),
+          aggregate(transform(col("q"), x => x * x), lit(0L),
+            (a, b) => a + b).as("sumsq"),
+          size(filter(col("q"), _ > 25)).as("n_big"))
+        .orderBy("okey")
+    },
+
     // R7 (read_db.py:38 schema introspection): expose a table's schema
     // as rows — metadata-only, no scan of table data.
     QueryDef(
