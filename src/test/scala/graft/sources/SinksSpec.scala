@@ -49,4 +49,33 @@ class SinksSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters: [isnotnull(part"), scan)
     assert(pruned.count() === docs.filter(col("part") === 1).count())
   }
+
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dpp")
+    // date-partitioned fact (the warehouse layout at scale)
+    Tables.lineitem(spark, sf)
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .write.partitionBy("ship_month").mode("overwrite").parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val months = fact.select("ship_month").distinct()
+      .as[String].collect().sorted
+    // independent dim carrying the selective predicate — the partition
+    // filter on the fact is only knowable at RUNTIME from the dim
+    // rows. Parquet-backed on purpose: a local relation would be
+    // constant-folded at optimization time, erasing the Filter node
+    // the PartitionPruning rule looks for.
+    months.zipWithIndex
+      .map { case (m, i) => (m, if (i < 2) "target" else "other") }
+      .toSeq.toDF("ship_month", "tag")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val joined = fact.join(dim, "ship_month")
+      .where(col("tag") === "target")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic pruning subquery on the fact scan:\n$plan")
+    val expected = fact.filter(col("ship_month").isin(months.take(2): _*)).count()
+    assert(joined.count() === expected)
+  }
 }
