@@ -33,6 +33,23 @@ class AsOfJoinSpec extends AnyFunSuite {
       "t3" -> None, "t4" -> None))
   }
 
+  test("composite keys: both key columns must match") {
+    import spark.implicits._
+    val trades = Seq(("A", 1L, 10L, "t1"), ("A", 2L, 10L, "t2"),
+      ("B", 1L, 10L, "t3"))
+      .toDF("sym", "ex", "t_us", "trade")
+    val quotes = Seq(("A", 1L, 5L, 1.0), ("A", 2L, 7L, 2.0),
+      ("B", 2L, 3L, 9.0))
+      .toDF("q_sym", "q_ex", "q_us", "px")
+    val got = AsOfJoin.asofJoin(spark, trades, quotes,
+        Seq("sym", "ex"), Seq("q_sym", "q_ex"), "t_us", "q_us")
+      .select("trade", "px").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // (B,1) must NOT match the (B,2) quote — composite equality
+    assert(got === Map("t1" -> Some(1.0), "t2" -> Some(2.0), "t3" -> None))
+  }
+
   test("plans through AsOfJoinExec with co-partitioned sorted children") {
     val e = Tables.events(spark, sf)
     val p = e.filter(col("event_type") === "purchase")
