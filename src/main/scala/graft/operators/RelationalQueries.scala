@@ -1005,6 +1005,36 @@ object RelationalQueries {
         .limit(20)
     },
 
+    // INNER as-of with a tolerance bound (pandas merge_asof's other
+    // half) through the custom exec: purchases attributed to a signup
+    // only when one exists within the preceding 7 days. The DuckDB
+    // oracle is inner ASOF + a post-filter — equivalent because the
+    // as-of match is the LATEST candidate, so if it misses the window
+    // every earlier one does too.
+    QueryDef(
+      "q47_asof_tolerance",
+      """SELECT p.event_id, p.user_id, p.p_us, s.signup_us
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS p_us
+        |      FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT user_id AS s_user, epoch_us(ts) AS signup_us
+        |           FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.s_user AND s.signup_us <= p.p_us
+        |WHERE p.p_us - s.signup_us <= 604800000000
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"),
+          unix_micros(col("ts")).as("signup_us"))
+      graft.plans.AsOfJoin.asofJoin(s, purchases, signups,
+          Seq("user_id"), Seq("s_user"), "p_us", "signup_us",
+          joinType = "inner", toleranceUs = 604800000000L)
+        .select("event_id", "user_id", "p_us", "signup_us")
+        .orderBy("event_id")
+    },
+
     // Array higher-order functions (transform / filter / aggregate)
     // over grouped lists — the lambda-expression surface. NB these are
     // CodegenFallback in Spark 4 (interpreted per element): fine on

@@ -33,9 +33,12 @@ import org.apache.spark.sql.graft.GraftSqlShims
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
-    leftTs: Attribute, rightTs: Attribute) extends BinaryNode {
+    leftTs: Attribute, rightTs: Attribute,
+    isInner: Boolean = false,
+    toleranceUs: Long = -1L) extends BinaryNode {
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    if (isInner) left.output ++ right.output
+    else left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -44,8 +47,9 @@ case class AsOfJoinPlan(
 /** Planner strategy: AsOfJoinPlan → AsOfJoinExec. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts) =>
-      AsOfJoinExec(lk, rk, lts, rts, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, inner, tol) =>
+      AsOfJoinExec(lk, rk, lts, rts, inner, tol,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -80,10 +84,12 @@ object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper 
 case class AsOfJoinExec(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute,
+    isInner: Boolean, toleranceUs: Long,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    if (isInner) left.output ++ right.output
+    else left.output ++ right.output.map(_.withNullability(true))
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
@@ -102,6 +108,8 @@ case class AsOfJoinExec(
     val rTsExpr = rightTs
     val keyTypes = leftKeys.map(_.dataType)
     val outAttrs = output
+    val inner = isInner
+    val tol = toleranceUs
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKey = UnsafeProjection.create(lKeyExprs, leftOut)
       val rKey = UnsafeProjection.create(rKeyExprs, rightOut)
@@ -116,7 +124,8 @@ case class AsOfJoinExec(
       // current left timestamp, and the key it belongs to
       var matchKey: UnsafeRow = null
       var lastMatch: InternalRow = null
-      lIter.map { lrow =>
+      var lastMatchTs = 0L
+      lIter.flatMap { lrow =>
         val lk = lKey(lrow)
         val lt = lTs.eval(lrow).asInstanceOf[Long]
         var advancing = true
@@ -128,13 +137,19 @@ case class AsOfJoinExec(
             if (c == 0) {
               // copies: projections and iterators reuse row buffers
               lastMatch = rrow.copy()
+              lastMatchTs = rTs.eval(lastMatch).asInstanceOf[Long]
               if (matchKey == null || keyOrd.compare(matchKey, lk) != 0)
                 matchKey = lk.copy()
             }
           } else advancing = false
         }
-        val matched = matchKey != null && keyOrd.compare(matchKey, lk) == 0
-        resultProj(joined(lrow, if (matched) lastMatch else nullRight))
+        // the latest at-or-before right row matches unless it is older
+        // than the tolerance window (any earlier row is older still)
+        val matched = matchKey != null && keyOrd.compare(matchKey, lk) == 0 &&
+          (tol < 0 || lt - lastMatchTs <= tol)
+        if (matched) Some(resultProj(joined(lrow, lastMatch)))
+        else if (inner) None
+        else Some(resultProj(joined(lrow, nullRight)))
       }
     }
   }
@@ -157,14 +172,20 @@ object AsOfJoin {
       exp.extraOptimizations = exp.extraOptimizations :+ PushFilterThroughAsOfJoin
   }
 
-  /** LEFT OUTER as-of join: every `left` row, plus the columns of the
-    * latest `right` row with the same key and `rightTsCol <=
-    * leftTsCol` (nulls when none). Timestamp columns must be LongType
-    * (epoch micros — the engine's canonical event-time encoding) and
-    * non-null; column names must not collide across sides. */
+  /** As-of join: every `left` row, plus the columns of the latest
+    * `right` row with the same key and `rightTsCol <= leftTsCol`.
+    * `joinType` "left" (default) null-extends unmatched left rows;
+    * "inner" drops them. `toleranceUs >= 0` additionally rejects a
+    * match older than `leftTs - toleranceUs` (pandas merge_asof's
+    * tolerance). Timestamp columns must be LongType (epoch micros —
+    * the engine's canonical event-time encoding) and non-null; column
+    * names must not collide across sides. */
   def asofJoin(spark: SparkSession, left: DataFrame, right: DataFrame,
       leftKeyCols: Seq[String], rightKeyCols: Seq[String],
-      leftTsCol: String, rightTsCol: String): DataFrame = {
+      leftTsCol: String, rightTsCol: String,
+      joinType: String = "left", toleranceUs: Long = -1L): DataFrame = {
+    require(joinType == "left" || joinType == "inner",
+      s"asofJoin supports left|inner, got $joinType")
     register(spark)
     val lp = GraftSqlShims.analyzedPlan(left)
     val rp = GraftSqlShims.analyzedPlan(right)
@@ -174,6 +195,7 @@ object AsOfJoin {
           s"column $name not found in ${p.output.map(_.name).mkString(", ")}"))
     GraftSqlShims.ofRows(spark, AsOfJoinPlan(lp, rp,
       leftKeyCols.map(attr(lp, _)), rightKeyCols.map(attr(rp, _)),
-      attr(lp, leftTsCol), attr(rp, rightTsCol)))
+      attr(lp, leftTsCol), attr(rp, rightTsCol),
+      isInner = joinType == "inner", toleranceUs = toleranceUs))
   }
 }

@@ -50,6 +50,33 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got === Map("t1" -> Some(1.0), "t2" -> Some(2.0), "t3" -> None))
   }
 
+  test("inner join type and tolerance window") {
+    import spark.implicits._
+    val trades = Seq((1L, 100L, "t1"), (1L, 200L, "t2"), (2L, 50L, "t3"))
+      .toDF("sym", "t_us", "trade")
+    val quotes = Seq((1L, 95L, 1.0), (1L, 120L, 2.0))
+      .toDF("q_sym", "q_us", "px")
+    // inner: unmatched left rows are dropped entirely
+    val inner = AsOfJoin.asofJoin(spark, trades, quotes,
+        Seq("sym"), Seq("q_sym"), "t_us", "q_us", joinType = "inner")
+      .select("trade", "px").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(inner.toSet === Set("t1" -> 1.0, "t2" -> 2.0))
+    // tolerance 10: t1 matches (100-95=5); t2's latest quote is 80
+    // away -> stale -> dropped under inner
+    val tol = AsOfJoin.asofJoin(spark, trades, quotes,
+        Seq("sym"), Seq("q_sym"), "t_us", "q_us",
+        joinType = "inner", toleranceUs = 10L)
+      .select("trade", "px").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(tol.toSet === Set("t1" -> 1.0))
+    // tolerance + left outer: stale match nulls out instead
+    val tolLeft = AsOfJoin.asofJoin(spark, trades, quotes,
+        Seq("sym"), Seq("q_sym"), "t_us", "q_us", toleranceUs = 10L)
+      .select("trade", "px").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(tolLeft === Map("t1" -> Some(1.0), "t2" -> None, "t3" -> None))
+  }
+
   test("plans through AsOfJoinExec with co-partitioned sorted children") {
     val e = Tables.events(spark, sf)
     val p = e.filter(col("event_type") === "purchase")
