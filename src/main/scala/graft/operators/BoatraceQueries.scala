@@ -93,13 +93,19 @@ object BoatraceQueries {
         .orderBy("レースID", "選手登番")
     },
 
-    // R5 on the partition-prunable layout: the reference's
-    // `レースID LIKE '2020-08-28%'` (read_db.py:19) expressed as a
-    // date-column filter.
+    // R5: the reference's `レースID LIKE '2020-08-28%'` (read_db.py:19)
+    // through the DSv2 connector — the prefix predicate reaches
+    // SupportsPushDownFilters and prunes FILES at planning time, so a
+    // one-date query decodes 2 of the 62 corpus files instead of
+    // parsing everything and filtering after (the file-granularity
+    // form of partition pruning; the warehouse layout's date
+    // partitions give the same property post-ETL).
     QueryDef.noOracle("boatrace_date_query") { (s, _) =>
-      val (env, result, _, schedule) = tables(s)
+      def t(name: String) = s.read.format("boatrace")
+        .option("table", name).load(txtDir)
+        .filter(col("レースID").startsWith("2020-08-28"))
       BoatracePipeline.typedRace(
-        BoatracePipeline.raceTable(env, result, schedule))
+        BoatracePipeline.raceTable(t("env"), t("result"), t("schedule")))
         .filter(col("date") === lit("2020-08-28").cast("date"))
         .select("レースID", "順位", "選手登番", "艇番", "展示")
         .orderBy("レースID", "順位")
