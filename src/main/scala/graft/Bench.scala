@@ -21,14 +21,34 @@ object Bench {
     // projections and eliminate the final sort, timing a different
     // query than the one declared.
     val errors = scala.collection.mutable.ListBuffer.empty[String]
+    // Shuffle accounting: bytes written to shuffle during each query's
+    // window (stage-completion listener). Shuffle volume is the number
+    // that predicts cost at 1000x better than local wall time does.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
     // A failed attempt contributes NO timing: mixing time-to-failure
     // into min/total would silently deflate the headline number while
     // the query sits in the errors list.
+    val shuffles = scala.collection.mutable.Map.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+      val times = (1 to 2).flatMap { i =>
         val t0 = System.nanoTime()
+        val s0 = shuffleBytes.get()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          if (i == 1) {
+            // listener events are async; give the bus a beat so the
+            // volume lands in this query's window (approximate by
+            // design — the signal is magnitude, not the last byte)
+            Thread.sleep(50)
+            shuffles(name) = (shuffleBytes.get() - s0) / 1e6
+          }
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           errors += name
@@ -45,7 +65,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val errJson = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val shJson = shuffles.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$shJson,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
