@@ -123,6 +123,39 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(viaExec === viaWindow)
   }
 
+  test("randomized differential: exec equals an in-memory reference model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(421)
+    for (trial <- 1 to 3) {
+      // clustered keys + small timestamp range force heavy key reuse,
+      // equal timestamps, and empty-key cases
+      val trades = Seq.tabulate(300)(i =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(40).toLong, i.toLong))
+      // px is a pure function of (sym, us): duplicate (key, ts) rows
+      // carry identical payloads, so the exec's unspecified tie order
+      // (distributed sorts are not stable) cannot affect the result
+      val quotes = Seq.tabulate(200) { _ =>
+        val sym = rnd.nextInt(15).toLong
+        val us = rnd.nextInt(40).toLong
+        (sym, us, sym * 1000.0 + us)
+      }
+      val tDf = trades.toDF("sym", "t_us", "tid")
+      val qDf = quotes.toDF("q_sym", "q_us", "px")
+      val got = AsOfJoin.asofJoin(spark, tDf.repartition(5), qDf.repartition(3),
+          Seq("sym"), Seq("q_sym"), "t_us", "q_us")
+        .select("tid", "px").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      // reference model: latest quote at-or-before the trade
+      val byKey = quotes.groupBy(_._1)
+      val expected = trades.map { case (sym, tUs, tid) =>
+        tid -> byKey.getOrElse(sym, Seq.empty)
+          .filter(_._2 <= tUs).sortBy(_._2).lastOption.map(_._3)
+      }.toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
   test("left outer: one output row per purchase, partition-invariant") {
     val e = Tables.events(spark, sf)
     val p = e.filter(col("event_type") === "purchase")
