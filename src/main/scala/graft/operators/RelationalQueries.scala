@@ -925,8 +925,13 @@ object RelationalQueries {
       val signups = e.filter(col("event_type") === "signup")
         .select(col("user_id").as("s_user"),
           unix_micros(col("ts")).as("signup_us"))
+      // strategy pinned to the distributed merge form so the oracle
+      // gate exercises it even at test scale, where stats-based auto
+      // would broadcast; q47 runs auto and takes the broadcast path —
+      // both physical forms stay oracle-checked
       graft.plans.AsOfJoin.asofJoin(s, purchases, signups,
-          Seq("user_id"), Seq("s_user"), "p_us", "signup_us")
+          Seq("user_id"), Seq("s_user"), "p_us", "signup_us",
+          strategy = "merge")
         .select("event_id", "user_id", "p_us", "signup_us")
         .orderBy("event_id")
     },

@@ -35,7 +35,8 @@ case class AsOfJoinPlan(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute,
     isInner: Boolean = false,
-    toleranceUs: Long = -1L) extends BinaryNode {
+    toleranceUs: Long = -1L,
+    hint: String = "auto") extends BinaryNode {
   override def output: Seq[Attribute] =
     if (isInner) left.output ++ right.output
     else left.output ++ right.output.map(_.withNullability(true))
@@ -44,12 +45,24 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner strategy: AsOfJoinPlan → AsOfJoinExec. */
+/** Planner strategy: picks the physical form by the right side's
+  * size, the same way Spark chooses broadcast-hash over sort-merge —
+  * a small right side broadcasts (no shuffle of the big left side at
+  * all); otherwise both sides co-partition and merge. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts, inner, tol) =>
-      AsOfJoinExec(lk, rk, lts, rts, inner, tol,
-        planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, inner, tol, hint) =>
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val broadcast = hint == "broadcast" || (hint == "auto" &&
+        threshold >= 0 && r.stats.sizeInBytes >= 0 &&
+        r.stats.sizeInBytes <= threshold)
+      if (broadcast)
+        BroadcastAsOfJoinExec(lk, rk, lts, rts, inner, tol,
+          planLater(l), planLater(r)) :: Nil
+      else
+        AsOfJoinExec(lk, rk, lts, rts, inner, tol,
+          planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -159,6 +172,86 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Broadcast physical form: the right side is collected, grouped by
+  * key into ts-sorted arrays, and broadcast; each left partition then
+  * binary-searches its matches — NO shuffle or sort of either side.
+  * The correct plan when the reference series is dim-sized (the
+  * "did I broadcast it?" question for as-of joins). */
+case class BroadcastAsOfJoinExec(
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTs: Attribute, rightTs: Attribute,
+    isInner: Boolean, toleranceUs: Long,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    if (isInner) left.output ++ right.output
+    else left.output ++ right.output.map(_.withNullability(true))
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val rightOut = right.output
+    val rKeyProj = UnsafeProjection.create(rightKeys, rightOut)
+    val rTsBound = BindReferences.bindReference(rightTs: Expression, rightOut)
+    // driver-side build: key -> (sorted ts array, rows in that order)
+    val grouped = new java.util.HashMap[UnsafeRow,
+      scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
+    right.executeCollect().foreach { row =>
+      val k = rKeyProj(row).copy()
+      val ts = rTsBound.eval(row).asInstanceOf[Long]
+      val buf = grouped.computeIfAbsent(k,
+        _ => scala.collection.mutable.ArrayBuffer.empty)
+      buf += ((ts, row.copy()))
+    }
+    val built = new java.util.HashMap[UnsafeRow, (Array[Long], Array[InternalRow])]()
+    grouped.forEach { (k, buf) =>
+      val sorted = buf.sortBy(_._1)
+      built.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+    }
+    val bc = session.sparkContext.broadcast(built)
+    val leftOut = left.output
+    val lKeyExprs = leftKeys
+    val lTsExpr = leftTs
+    val outAttrs = output
+    val nRight = rightOut.length
+    val inner = isInner
+    val tol = toleranceUs
+    left.execute().mapPartitions { lIter =>
+      val lKey = UnsafeProjection.create(lKeyExprs, leftOut)
+      val lTsB = BindReferences.bindReference(lTsExpr: Expression, leftOut)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(nRight)
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val map = bc.value
+      lIter.flatMap { lrow =>
+        val lt = lTsB.eval(lrow).asInstanceOf[Long]
+        val hit = map.get(lKey(lrow))
+        var matchRow: InternalRow = null
+        if (hit != null) {
+          val (tss, rows) = hit
+          // rightmost ts <= lt
+          var lo = 0
+          var hi = tss.length - 1
+          var idx = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (tss(mid) <= lt) { idx = mid; lo = mid + 1 } else hi = mid - 1
+          }
+          if (idx >= 0 && (tol < 0 || lt - tss(idx) <= tol))
+            matchRow = rows(idx)
+        }
+        if (matchRow != null) Some(resultProj(joined(lrow, matchRow)))
+        else if (inner) None
+        else Some(resultProj(joined(lrow, nullRight)))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
 /** User-facing API. */
 object AsOfJoin {
 
@@ -183,9 +276,12 @@ object AsOfJoin {
   def asofJoin(spark: SparkSession, left: DataFrame, right: DataFrame,
       leftKeyCols: Seq[String], rightKeyCols: Seq[String],
       leftTsCol: String, rightTsCol: String,
-      joinType: String = "left", toleranceUs: Long = -1L): DataFrame = {
+      joinType: String = "left", toleranceUs: Long = -1L,
+      strategy: String = "auto"): DataFrame = {
     require(joinType == "left" || joinType == "inner",
       s"asofJoin supports left|inner, got $joinType")
+    require(Set("auto", "merge", "broadcast")(strategy),
+      s"asofJoin strategy must be auto|merge|broadcast, got $strategy")
     register(spark)
     val lp = GraftSqlShims.analyzedPlan(left)
     val rp = GraftSqlShims.analyzedPlan(right)
@@ -196,6 +292,7 @@ object AsOfJoin {
     GraftSqlShims.ofRows(spark, AsOfJoinPlan(lp, rp,
       leftKeyCols.map(attr(lp, _)), rightKeyCols.map(attr(rp, _)),
       attr(lp, leftTsCol), attr(rp, rightTsCol),
-      isInner = joinType == "inner", toleranceUs = toleranceUs))
+      isInner = joinType == "inner", toleranceUs = toleranceUs,
+      hint = strategy))
   }
 }

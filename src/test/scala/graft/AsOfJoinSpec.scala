@@ -84,7 +84,8 @@ class AsOfJoinSpec extends AnyFunSuite {
     val s = e.filter(col("event_type") === "signup")
       .select(col("user_id").as("s_user"), unix_micros(col("ts")).as("signup_us"))
     val df = AsOfJoin.asofJoin(spark, p, s,
-      Seq("user_id"), Seq("s_user"), "p_us", "signup_us")
+      Seq("user_id"), Seq("s_user"), "p_us", "signup_us",
+      strategy = "merge")
     val plan = df.queryExecution.executedPlan.toString
     // SparkPlan.nodeName strips the Exec suffix in plan strings
     assert(plan.contains("AsOfJoin "), s"plan:\n$plan")
@@ -92,6 +93,26 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(plan.contains("Sort"), s"expected child sorts in:\n$plan")
     assert(plan.contains("Exchange hashpartitioning"),
       s"expected key co-partitioning in:\n$plan")
+  }
+
+  test("small right side auto-selects the broadcast form (no shuffle at all)") {
+    val e = Tables.events(spark, sf)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val s = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), unix_micros(col("ts")).as("signup_us"))
+    val auto = AsOfJoin.asofJoin(spark, p, s,
+      Seq("user_id"), Seq("s_user"), "p_us", "signup_us")
+    val plan = auto.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastAsOfJoin"), s"plan:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"broadcast form must not shuffle either side:\n$plan")
+    // and it computes exactly what the merge form computes
+    val merge = AsOfJoin.asofJoin(spark, p, s,
+      Seq("user_id"), Seq("s_user"), "p_us", "signup_us",
+      strategy = "merge")
+    assert(auto.orderBy("event_id").collect().map(_.toSeq).toSeq ===
+      merge.orderBy("event_id").collect().map(_.toSeq).toSeq)
   }
 
   test("left-only filters push through the custom node to the scan") {
