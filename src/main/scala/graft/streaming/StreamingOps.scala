@@ -88,6 +88,45 @@ object StreamingOps {
         unix_micros(col("ts")).as("first_us"),
         col("event_id").as("first_event_id"))
 
+  /** Streaming as-of attribution: for every LEFT event (kind=1),
+    * attach the timestamp of the latest RIGHT event (kind=0) of the
+    * same key at-or-before it — the streaming form of the batch
+    * asofJoin (plans/AsOfJoin.scala). State per key is ONE long (the
+    * latest right timestamp seen), the streaming analog of the merge
+    * exec's one-buffered-row state. Ordering contract like
+    * sessionizeStream: agrees with the batch as-of when each key's
+    * events arrive in event-time order across micro-batches (in-batch
+    * disorder is sorted away).
+    *
+    * Input columns: (key: long, us: long, kind: int, id: long).
+    * Output: (id, key, us, right_us: nullable).
+    */
+  final case class AsOfOut(id: Long, key: Long, us: Long,
+      right_us: Option[Long])
+
+  def asofStream(spark: SparkSession,
+      events: Dataset[(Long, Long, Int, Long)]): Dataset[AsOfOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, AsOfOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[Long]) =>
+          // sort the micro-batch like the batch form's (ts, kind, id)
+          // order: a simultaneous right event matches (<= semantics)
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3, r._4))
+          val out = Seq.newBuilder[AsOfOut]
+          var latest = state.getOption.getOrElse(Long.MinValue)
+          for ((_, us, kind, id) <- sorted) {
+            if (kind == 0) latest = math.max(latest, us)
+            else out += AsOfOut(id, key, us,
+              if (latest == Long.MinValue) None else Some(latest))
+          }
+          state.update(latest)
+          out.result().iterator
+      }
+  }
+
   // ---- Stateful sessionization ----------------------------------
 
   /** `us` = event time in epoch microseconds (exact; Timestamp's

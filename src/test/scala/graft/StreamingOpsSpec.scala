@@ -283,6 +283,46 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(written.count() === rows.length)
   }
 
+  test("streaming as-of attribution equals the batch custom as-of join") {
+    import spark.implicits._
+    // batch truth through the custom Catalyst operator
+    val e = Tables.events(spark, sf)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val s = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), unix_micros(col("ts")).as("signup_us"))
+    val batch = graft.plans.AsOfJoin.asofJoin(spark, p, s,
+        Seq("user_id"), Seq("s_user"), "p_us", "signup_us")
+      .select(col("event_id"), col("signup_us"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Int, Long)]
+    val q = StreamingOps.asofStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("asof_stream_test")
+      .outputMode("append").start()
+    try {
+      val rows = e.filter(col("event_type").isin("purchase", "signup"))
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          when(col("event_type") === "signup", 0).otherwise(1).as("kind"),
+          col("event_id"))
+        .as[(Long, Long, Int, Long)].collect()
+        .sortBy(r => (r._2, r._3, r._4))
+      rows.grouped(math.max(rows.length / 3, 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.table("asof_stream_test")
+      .select("id", "right_us").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(streamed === batch)
+  }
+
   test("watermarked stream-stream join matches the batch interval join") {
     import spark.implicits._
     // purchases joined to same-user signups within the preceding hour
