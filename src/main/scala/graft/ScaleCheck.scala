@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale check: build an N× copy of the sf0.1 corpus
+  * (key-shifted unions, so join cardinalities per copy are preserved
+  * and no artificial hot keys appear), run headline queries at 1× and
+  * N×, and report the wall-time ratio. A plan whose ratio tracks the
+  * data ratio is shuffle/scan-bound and scales linearly; a ratio far
+  * above it means something super-linear snuck in. Dims (region /
+  * nation) are NOT multiplied — at every real scale they stay tiny.
+  *
+  * Usage: runMain graft.ScaleCheck [factor]   (default 5)
+  */
+object ScaleCheck {
+
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"),
+    "region" -> Seq.empty,
+    "nation" -> Seq.empty)
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(5)
+    val base = "/root/testdata/sf0.1"
+    val out = s"/tmp/graft_scale_x$factor"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    val shift = 1000000000L
+    for ((t, keys) <- keyCols) {
+      val src = spark.read.parquet(s"$base/$t.parquet")
+      val scaled =
+        if (keys.isEmpty) src
+        else (0 until factor).map { i =>
+          keys.foldLeft(src)((df, k) => df.withColumn(k, col(k) + i * shift))
+        }.reduce(_ unionByName _)
+      scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+
+    val queries = Seq("q05_groupby_agg", "q07_multijoin_agg",
+      "q10_window_topk_per_group", "q44_star_join_q5", "d01_exact_dedup",
+      "t10_vocab_topk", "p01_hash_split", "q43_asof_custom_exec")
+    def time(name: String, dir: String): Double = {
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.min
+    }
+    // warm codegen on the small side first
+    queries.foreach(q => time(q, base))
+    println(f"${"query"}%-28s ${"1x"}%8s ${s"${factor}x"}%8s ratio (data x$factor)")
+    for (q <- queries) {
+      val t1 = time(q, base)
+      val tn = time(q, out)
+      println(f"$q%-28s $t1%8.2f $tn%8.2f ${tn / t1}%5.1fx")
+    }
+    spark.stop()
+  }
+}
