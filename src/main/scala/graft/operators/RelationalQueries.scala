@@ -622,8 +622,8 @@ object RelationalQueries {
       "q32_rolling_range_window",
       """SELECT event_id, user_id, us,
         |       CAST(count(*) OVER w AS BIGINT) AS n_1h,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2)
-        |         AS sum_1h
+        |       round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w
+        |                  AS DOUBLE) / 100.0, 2) AS sum_1h
         |FROM (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events) t
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -635,11 +635,12 @@ object RelationalQueries {
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("us"), col("value"))
         .withColumn("n_1h", count(lit(1)).over(w))
-        // decimal window sum: sliding-frame sums are order/structure-
-        // dependent in double (segment trees vs running sums)
+        // integer-cents window sum (see q05): sliding-frame double
+        // sums are order/structure-dependent (segment trees vs running
+        // sums); Long cents are exact and stay on the primitive path
         .withColumn("sum_1h",
-          round(sum(col("value").cast("decimal(18,2)")).over(w)
-            .cast("double"), 2))
+          round(sum(round(col("value") * 100, 0).cast("bigint")).over(w)
+            .cast("double") / 100.0, 2))
         .select("event_id", "user_id", "us", "n_1h", "sum_1h")
         .orderBy("event_id")
     },
