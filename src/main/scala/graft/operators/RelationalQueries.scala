@@ -1047,6 +1047,38 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // KMV distinct-count sketch (functions/KmvAggregator): a MERGEABLE
+    // approximate-distinct aggregate whose estimate is nonetheless
+    // bit-reproducible cross-engine (md5-derived hashes are
+    // deterministic), so — unlike HLL (q29) — the sketch itself is
+    // value-oracle-checked. The oracle states the same estimator
+    // relationally: k-th smallest distinct hash per group.
+    QueryDef(
+      "q48_kmv_distinct",
+      """WITH h AS (SELECT DISTINCT o_orderpriority AS g,
+        |        ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+        |          AS hv
+        |      FROM orders),
+        |r AS (SELECT g, hv,
+        |        row_number() OVER (PARTITION BY g ORDER BY hv) AS rn,
+        |        count(*) OVER (PARTITION BY g) AS nd
+        |      FROM h)
+        |SELECT g AS o_orderpriority,
+        |       round(CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+        |                  ELSE 63.0 * pow(2.0, 60.0) / CAST(hv AS DOUBLE)
+        |             END, 2) AS est_distinct
+        |FROM r WHERE rn = least(nd, 64)
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val kmv = udaf(new graft.functions.KmvAggregator(64))
+      val hv = conv(substring(md5(col("o_custkey").cast("string")), 1, 15),
+        16, 10).cast("long")
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), hv.as("hv"))
+        .groupBy("o_orderpriority")
+        .agg(round(kmv(col("hv")), 2).as("est_distinct"))
+        .orderBy("o_orderpriority")
+    },
+
     // Array higher-order functions (transform / filter / aggregate)
     // over grouped lists — the lambda-expression surface. NB these are
     // CodegenFallback in Spark 4 (interpreted per element): fine on

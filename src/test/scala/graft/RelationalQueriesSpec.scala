@@ -72,6 +72,25 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(plan.contains("partial_"), s"expected partial agg in:\n$plan")
   }
 
+  test("q48 KMV estimate lands near exact distinct with partial aggregation") {
+    val df = SparkEntry.queries("q48_kmv_distinct")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the sketch must combine map-side: k longs per group through the
+    // shuffle, not the raw keys
+    assert(plan.contains("partial_kmvaggregator"), s"plan:\n$plan")
+    val est = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = graft.sources.Tables.orders(spark, sf)
+      .groupBy("o_orderpriority")
+      .agg(org.apache.spark.sql.functions
+        .count_distinct(org.apache.spark.sql.functions.col("o_custkey")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((g, e) <- exact) {
+      val rel = math.abs(est(g) - e) / e
+      // KMV standard error ~ 1/sqrt(k-2) ≈ 13% at k=64; allow 3 sigma
+      assert(rel < 0.4, s"group $g: est ${est(g)} vs exact $e (rel $rel)")
+    }
+  }
+
   test("AQE re-plans shuffle reads at runtime (coalesced partitions)") {
     val df = SparkEntry.queries("q05_groupby_agg")(spark, sf)
     df.collect()
