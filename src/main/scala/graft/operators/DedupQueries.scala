@@ -88,6 +88,64 @@ object DedupQueries {
   private[operators] def cosine(dot: Column, nnA: Column, nnB: Column): Column =
     dot.cast("double") / sqrt(nnA.cast("double") * nnB.cast("double"))
 
+  /** d02's confirmed near-dup pairs (doc_a, doc_b, jacc >= 0.5) —
+    * shared by d02 and the cluster-formation step d08.
+    *
+    * Shingle + md5 + 8 universal hashes run in one primitive-loop
+    * pass (TextKernels — the expression form is interpreted per
+    * element); the signature subplan is persisted because it feeds
+    * both sides of the band self-join and the confirm joins. */
+  private def confirmedMinhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = graft.functions.TextKernels
+      .minhashSignatures(s, Tables.documents(s, d), 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sig
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(3))).as("b"), col("sig"))
+      .select(col("doc_id"), col("b"),
+        concat(element_at(col("sig"), col("b") * 2 + 1).cast("string"),
+          lit(":"),
+          element_at(col("sig"), col("b") * 2 + 2).cast("string")).as("key"))
+    val cand = bands.as("a")
+      .join(bands.as("c"),
+        col("a.key") === col("c.key") && col("a.b") === col("c.b")
+          && col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sa"), col("sb")).as("jacc"))
+      .filter(col("jacc") >= 0.5)
+  }
+
+  /** The d02 oracle's CTE chain up to confirmed pairs — ends in
+    * `pairs(doc_a, doc_b, jacc)`; shared by d02 and d08. */
+  private val pairsCteSql =
+    s"""w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      |           FROM documents),
+      |sh AS (SELECT doc_id, $shinglesSql AS s FROM w),
+      |hs AS (SELECT doc_id, s, list_transform(s,
+      |          x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hv
+      |       FROM sh),
+      |sig AS (SELECT doc_id, s, list_transform(generate_series(0, 7),
+      |          k -> list_min(list_transform(hv,
+      |                 h -> ((2*k+1)*h + 7919*k) % 4294967311))) AS sig
+      |        FROM hs),
+      |bands AS (SELECT doc_id, b,
+      |            CAST(sig[2*b+1] AS VARCHAR) || ':' ||
+      |            CAST(sig[2*b+2] AS VARCHAR) AS key
+      |          FROM sig, generate_series(0, 3) t(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      |         FROM bands a JOIN bands c
+      |           ON a.key = c.key AND a.b = c.b AND a.doc_id < c.doc_id),
+      |pairs AS (SELECT doc_a, doc_b,
+      |         len(list_intersect(x.s, y.s))::DOUBLE
+      |           / len(list_distinct(list_concat(x.s, y.s))) AS jacc
+      |  FROM cand JOIN sig x ON x.doc_id = cand.doc_a
+      |            JOIN sig y ON y.doc_id = cand.doc_b)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // Exact dedup = hash-groupBy on a normalized key (here: the
@@ -130,55 +188,10 @@ object DedupQueries {
     // joins, and Spark does not reuse unpersisted subplans.
     QueryDef(
       "d02_minhash_lsh",
-      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-        |           FROM documents),
-        |sh AS (SELECT doc_id, $shinglesSql AS s FROM w),
-        |hs AS (SELECT doc_id, s, list_transform(s,
-        |          x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hv
-        |       FROM sh),
-        |sig AS (SELECT doc_id, s, list_transform(generate_series(0, 7),
-        |          k -> list_min(list_transform(hv,
-        |                 h -> ((2*k+1)*h + 7919*k) % 4294967311))) AS sig
-        |        FROM hs),
-        |bands AS (SELECT doc_id, b,
-        |            CAST(sig[2*b+1] AS VARCHAR) || ':' ||
-        |            CAST(sig[2*b+2] AS VARCHAR) AS key
-        |          FROM sig, generate_series(0, 3) t(b)),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-        |         FROM bands a JOIN bands c
-        |           ON a.key = c.key AND a.b = c.b AND a.doc_id < c.doc_id)
-        |SELECT doc_a, doc_b, jacc FROM (
-        |  SELECT doc_a, doc_b,
-        |         len(list_intersect(x.s, y.s))::DOUBLE
-        |           / len(list_distinct(list_concat(x.s, y.s))) AS jacc
-        |  FROM cand JOIN sig x ON x.doc_id = cand.doc_a
-        |            JOIN sig y ON y.doc_id = cand.doc_b) j
+      s"""WITH $pairsCteSql
+        |SELECT doc_a, doc_b, jacc FROM pairs
         |WHERE jacc >= 0.5 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      // shingle + md5 + 8 universal hashes in one primitive-loop pass
-      // (TextKernels — the expression form is interpreted per element)
-      val sig = graft.functions.TextKernels
-        .minhashSignatures(s, Tables.documents(s, d), 8)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bands = sig
-        .select(col("doc_id"),
-          explode(sequence(lit(0), lit(3))).as("b"), col("sig"))
-        .select(col("doc_id"), col("b"),
-          concat(element_at(col("sig"), col("b") * 2 + 1).cast("string"),
-            lit(":"),
-            element_at(col("sig"), col("b") * 2 + 2).cast("string")).as("key"))
-      val cand = bands.as("a")
-        .join(bands.as("c"),
-          col("a.key") === col("c.key") && col("a.b") === col("c.b")
-            && col("a.doc_id") < col("c.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(sig.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-        .join(sig.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          jaccard(col("sa"), col("sb")).as("jacc"))
-        .filter(col("jacc") >= 0.5)
-        .orderBy("doc_a", "doc_b")
+      confirmedMinhashPairs(s, d).orderBy("doc_a", "doc_b")
     },
 
     // SimHash: 32-bit fingerprint from md5-derived token hashes
@@ -314,6 +327,58 @@ object DedupQueries {
           expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
         .filter(col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
+    },
+
+    // Duplicate-CLUSTER formation: connected components over the
+    // confirmed near-dup pair graph (d02) — pairwise matches are not
+    // enough to dedup a corpus (A~B, B~C must collapse into ONE group
+    // even when A~C was never scored). cluster_id = min doc_id of the
+    // component, so "keep one doc per cluster" = keep doc_id ==
+    // cluster_id. Spark side runs iterative min-label propagation:
+    // each round is one join + one min-aggregate (both on the id key),
+    // converging in O(cluster diameter) rounds — near-dup clusters
+    // are shallow, so 2-3 rounds; every round is a bulk shuffle, never
+    // a driver-side union-find. The oracle states the same fixpoint as
+    // a recursive transitive closure.
+    QueryDef(
+      "d08_dup_clusters",
+      s"""WITH RECURSIVE $pairsCteSql,
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jacc >= 0.5
+        |      UNION SELECT doc_b, doc_a FROM pairs WHERE jacc >= 0.5),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val pairs = confirmedMinhashPairs(s, d).select("doc_a", "doc_b")
+      val edges = pairs
+        .union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = edges.select(col("src").as("id"))
+        .distinct().withColumn("lbl", col("id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var changed = 1L
+      while (changed > 0) {
+        // propagate each node's label to its neighbors, keep the min
+        val next = edges
+          .join(labels.withColumnRenamed("id", "src")
+            .withColumnRenamed("lbl", "nlbl"), "src")
+          .select(col("dst").as("id"), col("nlbl").as("lbl"))
+          .union(labels)
+          .groupBy("id").agg(min("lbl").as("lbl"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        changed = next.as("n")
+          .join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.lbl") =!= col("o.lbl")).count()
+        labels.unpersist()
+        labels = next
+      }
+      val out = labels.select(col("id").as("doc_id"),
+        col("lbl").as("cluster_id")).orderBy("doc_id")
+      edges.unpersist()
+      out
     },
 
     // Test-set decontamination: find held-out (test-split) documents

@@ -156,6 +156,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d08 clusters are transitive closures of the d02 pair graph") {
+    val pairs = run("d02_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cluster = run("d08_dup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every matched pair landed in the same cluster
+    for ((a, b) <- pairs)
+      assert(cluster(a) === cluster(b), s"pair ($a,$b) split across clusters")
+    // cluster ids are canonical: the minimum member of the component
+    for ((id, c) <- cluster) assert(c <= id)
+    assert(cluster.values.toSet.subsetOf(cluster.keySet), "non-member cluster id")
+    // reference check: union-find over the same pairs gives identical
+    // components
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) parent(find(a)) = find(b)
+    val expected = cluster.keys.map(id => id -> {
+      val root = find(id)
+      cluster.keys.filter(find(_) == root).min
+    }).toMap
+    assert(cluster === expected)
+  }
+
   test("t11 redaction scrubs every planted email and phone") {
     val rows = run("t11_pii_redact").collect()
     assert(rows.nonEmpty)
