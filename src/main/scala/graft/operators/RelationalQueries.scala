@@ -1104,6 +1104,57 @@ object RelationalQueries {
         .orderBy("okey")
     },
 
+    // CROSS JOIN — the remaining join type: the full region × priority
+    // grid scaffolds a report (tiny × tiny; a deliberate cartesian is
+    // only ever sane when at least one side is bounded).
+    QueryDef(
+      "q49_cross_join",
+      """SELECT r_name, o_orderpriority AS priority
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+        |ORDER BY r_name, priority""".stripMargin) { (s, d) =>
+      Tables.region(s, d).select("r_name")
+        .crossJoin(Tables.orders(s, d).select("o_orderpriority").distinct())
+        .withColumnRenamed("o_orderpriority", "priority")
+        .orderBy("r_name", "priority")
+    },
+
+    // UNION (distinct) — versus q08's UNION ALL: nations appearing as
+    // customer or supplier homes, deduplicated by the set semantics.
+    QueryDef(
+      "q50_union_distinct",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey")))
+        .distinct()
+        .orderBy("nationkey")
+    },
+
+    // LATERAL correlated subquery (SQL:1999 lateral join; Spark >= 3.2
+    // plans it as a DomainJoin rewrite): each nation paired with its
+    // single richest customer — the per-row-subquery surface beyond
+    // EXISTS (q40) and scalar subqueries (q18).
+    QueryDef(
+      "q51_lateral_join",
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 1) t
+        |ORDER BY n.n_name""".stripMargin) { (s, d) =>
+      Tables.nation(s, d).createOrReplaceTempView("nation_lat")
+      Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+      s.sql(
+        """SELECT n.n_name, t.c_name, t.c_acctbal
+          |FROM nation_lat n,
+          |LATERAL (SELECT c_name, c_acctbal FROM customer_lat
+          |         WHERE c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_custkey LIMIT 1) t
+          |ORDER BY n.n_name""".stripMargin)
+    },
+
     // R7 (read_db.py:38 schema introspection): expose a table's schema
     // as rows — metadata-only, no scan of table data.
     QueryDef(
