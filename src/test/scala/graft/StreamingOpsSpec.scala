@@ -252,6 +252,32 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("Trigger.AvailableNow drains the backlog and stops on its own") {
+    val inDir = java.nio.file.Files.createTempDirectory("an_in")
+    val outDir = java.nio.file.Files.createTempDirectory("an_out")
+    val ckDir = java.nio.file.Files.createTempDirectory("an_ck")
+    val docs = Tables.documents(spark, sf)
+    val schema = docs.schema
+    docs.write.parquet(s"$inDir/chunk_0")
+    // the scheduled-backfill deployment form: process everything
+    // available, checkpoint, terminate — no long-running query
+    val q = spark.readStream.schema(schema).parquet(s"$inDir/*")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+      .writeStream.format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ckDir.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not terminate")
+    val streamed = spark.read.parquet(outDir.toString)
+      .orderBy("doc_id").collect()
+    val batch = docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+      .orderBy("doc_id").collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("foreachBatch sink: batchId-keyed writes stay idempotent under retry") {
     import spark.implicits._
     val outDir = java.nio.file.Files.createTempDirectory("fb_out")

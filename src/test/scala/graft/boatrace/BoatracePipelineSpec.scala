@@ -121,6 +121,30 @@ class BoatracePipelineSpec extends AnyFunSuite {
     assert(prunedFiles < allFiles,
       s"pruned scan should read fewer files ($prunedFiles vs $allFiles)")
   }
+
+  test("player-form features are leak-free (strictly-prior window)") {
+    val form = graft.SparkEntry.queries("boatrace_player_form")(spark, "")
+      .collect()
+      .map(r => (r.getString(r.fieldIndex("選手登番")),
+        r.getDate(r.fieldIndex("date")).toString,
+        r.getString(r.fieldIndex("レースID")),
+        r.getInt(r.fieldIndex("順位")),
+        r.getLong(r.fieldIndex("prior_starts")),
+        r.getLong(r.fieldIndex("prior_wins"))))
+    assert(form.nonEmpty)
+    // replay each player's races in window order and check the
+    // features equal the running tallies BEFORE each race
+    form.groupBy(_._1).foreach { case (player, rows) =>
+      var starts = 0L
+      var wins = 0L
+      for (r <- rows.sortBy(x => (x._2, x._3))) {
+        assert(r._5 === starts, s"player $player race ${r._3} prior_starts")
+        assert(r._6 === wins, s"player $player race ${r._3} prior_wins")
+        starts += 1
+        if (r._4 == 1) wins += 1
+      }
+    }
+  }
 }
 
 /** The lzh-source pipeline must produce exactly the rows of the
@@ -152,27 +176,4 @@ class LzhPipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("player-form features are leak-free (strictly-prior window)") {
-    val form = graft.SparkEntry.queries("boatrace_player_form")(spark, "")
-      .collect()
-      .map(r => (r.getString(r.fieldIndex("選手登番")),
-        r.getDate(r.fieldIndex("date")).toString,
-        r.getString(r.fieldIndex("レースID")),
-        r.getInt(r.fieldIndex("順位")),
-        r.getLong(r.fieldIndex("prior_starts")),
-        r.getLong(r.fieldIndex("prior_wins"))))
-    assert(form.nonEmpty)
-    // replay each player's races in window order and check the
-    // features equal the running tallies BEFORE each race
-    form.groupBy(_._1).foreach { case (player, rows) =>
-      var starts = 0L
-      var wins = 0L
-      for (r <- rows.sortBy(x => (x._2, x._3))) {
-        assert(r._5 === starts, s"player $player race ${r._3} prior_starts")
-        assert(r._6 === wins, s"player $player race ${r._3} prior_wins")
-        starts += 1
-        if (r._4 == 1) wins += 1
-      }
-    }
-  }
 }
