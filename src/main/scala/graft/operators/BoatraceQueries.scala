@@ -93,6 +93,40 @@ object BoatraceQueries {
         .orderBy("レースID", "選手登番")
     },
 
+    // The reference's downstream workload (README.md:23-44) is a
+    // betting simulation over the race table + odds — its model is
+    // LightGBM (out of scope), so this runs the strongest
+    // non-learned predictor instead: bet the boat with the best
+    // national win rate (全国勝率). Per-race argmax via row_number,
+    // then one broadcast join against the odds payouts; 単勝 (win-bet)
+    // accuracy and ROI come out as one metrics row. The reference's
+    // trained model reports 0.653 accuracy / 114% ROI — this
+    // feature-only baseline lands near 0.5 / <100%, the gap the model
+    // earns.
+    QueryDef.noOracle("boatrace_betting_sim") { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val (env, result, odds, schedule) = tables(s)
+      val race = BoatracePipeline.typedRace(
+        BoatracePipeline.raceTable(env, result, schedule))
+      val w = Window.partitionBy("レースID")
+        .orderBy(col("全国勝率").desc, col("艇番"))
+      val bets = race
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("レースID"), col("艇番").as("bet_boat"),
+          (col("順位") === 1).as("hit"))
+      bets
+        .join(broadcast(odds.select(col("レースID"),
+          col("単勝").cast("int").as("win_payout"))), Seq("レースID"))
+        // 不成立/void payouts are -1 sentinels (SURVEY §2.3): no payout
+        .agg(count(lit(1)).as("n_races"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"),
+          round(avg(when(col("hit"), 1.0).otherwise(0.0)), 4).as("accuracy"),
+          round(sum(when(col("hit") && col("win_payout") > 0,
+              col("win_payout").cast("long")).otherwise(0L))
+            .cast("double") / (count(lit(1)) * 100), 4).as("roi"))
+    },
+
     // R5: the reference's `レースID LIKE '2020-08-28%'` (read_db.py:19)
     // through the DSv2 connector — the prefix predicate reaches
     // SupportsPushDownFilters and prunes FILES at planning time, so a

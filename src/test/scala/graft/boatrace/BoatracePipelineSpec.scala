@@ -122,6 +122,23 @@ class BoatracePipelineSpec extends AnyFunSuite {
       s"pruned scan should read fewer files ($prunedFiles vs $allFiles)")
   }
 
+  test("betting simulation metrics are internally consistent") {
+    val r = graft.SparkEntry.queries("boatrace_betting_sim")(spark, "")
+      .collect().head
+    val nRaces = r.getAs[Long]("n_races")
+    val nHits = r.getAs[Long]("n_hits")
+    val acc = r.getAs[Double]("accuracy")
+    val roi = r.getAs[Double]("roi")
+    // every race with a result produced exactly one bet
+    assert(nRaces > 3000, s"expected the full August corpus, got $nRaces")
+    assert(math.abs(acc - nHits.toDouble / nRaces) < 1e-3)
+    // the best-win-rate boat wins far more than chance (1/6) but less
+    // than the reference's trained model (0.653, README.md:38)
+    assert(acc > 1.0 / 6 && acc < 0.653, s"accuracy $acc")
+    // favorites pay short odds: ROI must be positive and below break-even
+    assert(roi > 0.3 && roi < 1.1, s"roi $roi")
+  }
+
   test("player-form features are leak-free (strictly-prior window)") {
     val form = graft.SparkEntry.queries("boatrace_player_form")(spark, "")
       .collect()
