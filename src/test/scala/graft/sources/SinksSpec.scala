@@ -50,6 +50,27 @@ class SinksSpec extends AnyFunSuite {
     assert(pruned.count() === docs.filter(col("part") === 1).count())
   }
 
+  test("schema evolution: a column added in later partitions merges on read") {
+    val dir = java.nio.file.Files.createTempDirectory("evolve")
+    val docs = Tables.documents(spark, sf)
+    // day 1: original schema; day 2: pipeline starts writing a new
+    // quality-score column (the additive-evolution case a long-lived
+    // warehouse must absorb without rewriting history)
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.parquet(s"$dir/t/day=1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .withColumn("quality", length(col("text")).cast("double"))
+      .write.parquet(s"$dir/t/day=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.columns.contains("quality"))
+    assert(merged.count() === docs.count())
+    // old rows surface the new column as null; new rows carry it
+    assert(merged.filter(col("day") === 1 && col("quality").isNotNull)
+      .count() === 0)
+    assert(merged.filter(col("day") === 2 && col("quality").isNull)
+      .count() === 0)
+  }
+
   test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("dpp")
