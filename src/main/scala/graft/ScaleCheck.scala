@@ -48,9 +48,14 @@ object ScaleCheck {
       scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
 
+    // dedup/similarity ops are deliberately absent: key-shifted copies
+    // duplicate text verbatim, which changes what dedup MEANS rather
+    // than scaling it. q31 vs q43 compares the as-of composition
+    // against the custom exec under identical growth.
     val queries = Seq("q05_groupby_agg", "q07_multijoin_agg",
       "q10_window_topk_per_group", "q44_star_join_q5", "d01_exact_dedup",
-      "t10_vocab_topk", "p01_hash_split", "q43_asof_custom_exec")
+      "t10_vocab_topk", "p01_hash_split", "q31_asof_join",
+      "q43_asof_custom_exec")
     def time(name: String, dir: String): Double = {
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
