@@ -1155,6 +1155,34 @@ object RelationalQueries {
           |ORDER BY n.n_name""".stripMargin)
     },
 
+    // Sampled quantiles, deterministically: exact interpolated
+    // percentiles over the md5-bucket 10% sample — the third point in
+    // the quantile triangle (q35 exact, q29 engine-specific sketch,
+    // q52 approximate-but-REPRODUCIBLE: the sample is a pure function
+    // of the keys, so both engines compute identical values and reruns
+    // are diffable; sort cost drops 10× at any scale).
+    QueryDef(
+      "q52_sampled_quantile",
+      """SELECT o_orderpriority,
+        |       quantile_cont(o_totalprice, 0.5) AS p50_sampled,
+        |       quantile_cont(o_totalprice, 0.9) AS p90_sampled,
+        |       count(*) AS n_sampled
+        |FROM (SELECT o_orderpriority, o_totalprice FROM orders
+        |      WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+        |              % 100 < 10)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val b = conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      Tables.orders(s, d)
+        .filter(b < 10)
+        .groupBy("o_orderpriority")
+        .agg(
+          percentile(col("o_totalprice"), lit(0.5)).as("p50_sampled"),
+          percentile(col("o_totalprice"), lit(0.9)).as("p90_sampled"),
+          count(lit(1)).as("n_sampled"))
+        .orderBy("o_orderpriority")
+    },
+
     // R7 (read_db.py:38 schema introspection): expose a table's schema
     // as rows — metadata-only, no scan of table data.
     QueryDef(
