@@ -116,8 +116,10 @@ object BoatraceQueries {
         .select(col("レースID"), col("艇番").as("bet_boat"),
           (col("順位") === 1).as("hit"))
       bets
-        .join(broadcast(odds.select(col("レースID"),
-          col("単勝").cast("int").as("win_payout"))), Seq("レースID"))
+        // odds is race-cardinality (a fact, not a dim) — no broadcast
+        // hint; the join shuffles on レースID like the race table build
+        .join(odds.select(col("レースID"),
+          col("単勝").cast("int").as("win_payout")), Seq("レースID"))
         // 不成立/void payouts are -1 sentinels (SURVEY §2.3): no payout
         .agg(count(lit(1)).as("n_races"),
           sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"),

@@ -90,8 +90,8 @@ object SamplingQueries {
         |                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
         |      FROM t)
         |SELECT doc_id, n_tok,
-        |       shard * 1000000 + CAST(floor((cum - n_tok) / 2048.0) AS BIGINT)
-        |         AS pack_id
+        |       shard * 1000000000000 +
+        |       CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
       val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 16
@@ -102,8 +102,10 @@ object SamplingQueries {
           size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tok"),
           shard.as("shard"))
         .withColumn("cum", sum(col("n_tok")).over(w))
+        // 1e12 packs of headroom per shard: at 100 TB a shard can hold
+        // ~6e8 packs, so a 1e6 multiplier would collide across shards
         .select(col("doc_id"), col("n_tok"),
-          (col("shard") * 1000000 +
+          (col("shard") * 1000000000000L +
             floor((col("cum") - col("n_tok")) / 2048.0).cast("bigint"))
             .as("pack_id"))
         .orderBy("doc_id")

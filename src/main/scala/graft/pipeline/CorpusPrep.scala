@@ -79,7 +79,9 @@ object CorpusPrep {
       .withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("bigint"))
       .withColumn("shard", shard)
       .withColumn("__cum", sum(col("n_tok")).over(pw))
-      .withColumn("pack_id", col("shard") * 1000000 +
+      // 1e12 packs of per-shard headroom (1e6 would collide at corpus
+      // scale — ~6e8 packs per shard at 100 TB)
+      .withColumn("pack_id", col("shard") * 1000000000000L +
         floor((col("__cum") - col("n_tok")) / packBudget.toDouble).cast("bigint"))
       .select("doc_id", "text", "n_tok", "pack_id")
 
