@@ -91,4 +91,40 @@ object CorpusPrep {
       withSplit.filter(col("split") === "test").select("doc_id", "text"),
       gated.observation)
   }
+
+  /** Order-independent corpus checksum: sum of the docs' md5-derived
+    * 60-bit ids mod 2^61 — identical for any partitioning/ordering of
+    * the same document set, different for any insertion/removal. */
+  private def checksum(df: DataFrame): Long = {
+    val M = 2305843009213693951L // 2^61 - 1
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    // sum in decimal(38,0): Long sums of 2^61-sized terms overflow
+    df.agg((sum((h % M).cast("decimal(38,0)")) % M).cast("long"))
+      .head.getLong(0)
+  }
+
+  /** Persist the prepared corpus as partitioned parquet plus a
+    * manifest of row counts and content checksums — the artifact that
+    * makes two pipeline runs comparable without reading the data:
+    * deterministic prep + order-independent checksums means reruns of
+    * the same input produce the SAME manifest on any cluster. */
+  def save(prepared: Prepared, dir: String): Map[String, Long] = {
+    prepared.train.write.mode("overwrite").parquet(s"$dir/train")
+    prepared.valid.write.mode("overwrite").parquet(s"$dir/val")
+    prepared.test.write.mode("overwrite").parquet(s"$dir/test")
+    val manifest = Map(
+      "train_rows" -> prepared.train.count(),
+      "val_rows" -> prepared.valid.count(),
+      "test_rows" -> prepared.test.count(),
+      "train_checksum" -> checksum(prepared.train),
+      "val_checksum" -> checksum(prepared.valid),
+      "test_checksum" -> checksum(prepared.test))
+    val json = manifest.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/manifest.json"),
+      json.getBytes("UTF-8"))
+    manifest
+  }
 }

@@ -61,6 +61,21 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(byPack.values.exists(_.size > 1))
   }
 
+  test("save writes splits + a manifest that matches a reloaded checksum") {
+    val dir = java.nio.file.Files.createTempDirectory("prep_out")
+    val manifest = CorpusPrep.save(prep, dir.toString)
+    assert(manifest("train_rows") === train.length.toLong)
+    // manifest is reproducible from the saved artifact alone
+    val reloaded = CorpusPrep.prepare(spark,
+      Tables.documents(spark, sf).repartition(9))
+    val dir2 = java.nio.file.Files.createTempDirectory("prep_out2")
+    val manifest2 = CorpusPrep.save(reloaded, dir2.toString)
+    assert(manifest === manifest2, "manifests differ across identical reruns")
+    val onDisk = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/manifest.json")), "UTF-8")
+    assert(onDisk.contains(s""""train_checksum":${manifest("train_checksum")}"""))
+  }
+
   test("the pipeline is deterministic under repartitioning") {
     val again = CorpusPrep.prepare(spark, docs.repartition(7))
     val a = again.train.orderBy("doc_id").collect().map(_.toSeq).toSeq
