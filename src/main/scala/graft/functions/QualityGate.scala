@@ -18,14 +18,12 @@ object QualityGate {
 
   final case class Gated(df: DataFrame, observation: Observation)
 
-  /** Keep documents with >= minTokens tokens and < maxRepetition
-    * duplicate-5-gram ratio. Metrics reconcile exactly:
-    * n_total = n_kept + n_null + n_too_short + n_too_repetitive
-    * (buckets are mutually exclusive, checked in priority order). */
-  def filterDocuments(docs: DataFrame, minTokens: Int = 20,
-      maxRepetition: Double = 0.5): Gated = {
-    val obs = Observation()
-    val scored = docs
+  /** The scoring + bucket columns (no metrics, no filtering) — shared
+    * by the observed batch gate and the streaming gate (`observe()`
+    * rejects streaming Datasets, and streaming metrics flow through
+    * StreamingQueryProgress instead). */
+  private def scoreDocuments(docs: DataFrame, minTokens: Int,
+      maxRepetition: Double): DataFrame = docs
       .withColumn("__w", split(trim(col("text")), "\\s+"))
       .withColumn("__n_tokens", size(col("__w")))
       .withColumn("__gs", transform(
@@ -42,6 +40,18 @@ object QualityGate {
         && col("__rep") >= maxRepetition)
       .withColumn("__keep",
         !col("__null") && !col("__short") && !col("__repetitive"))
+
+  private val scratchCols = Seq("__w", "__n_tokens", "__gs", "__rep",
+    "__null", "__short", "__repetitive", "__keep")
+
+  /** Keep documents with >= minTokens tokens and < maxRepetition
+    * duplicate-5-gram ratio. Metrics reconcile exactly:
+    * n_total = n_kept + n_null + n_too_short + n_too_repetitive
+    * (buckets are mutually exclusive, checked in priority order). */
+  def filterDocuments(docs: DataFrame, minTokens: Int = 20,
+      maxRepetition: Double = 0.5): Gated = {
+    val obs = Observation()
+    val scored = scoreDocuments(docs, minTokens, maxRepetition)
     val observed = scored.observe(obs,
       count(lit(1)).as("n_total"),
       sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
@@ -49,9 +59,15 @@ object QualityGate {
       sum(when(col("__short"), 1L).otherwise(0L)).as("n_too_short"),
       sum(when(col("__repetitive"), 1L).otherwise(0L)).as("n_too_repetitive"))
     Gated(
-      observed.filter(col("__keep"))
-        .drop("__w", "__n_tokens", "__gs", "__rep",
-          "__null", "__short", "__repetitive", "__keep"),
+      observed.filter(col("__keep")).drop(scratchCols: _*),
       obs)
   }
+
+  /** Streaming-safe gate: identical keep/drop semantics, no
+    * Observation (unsupported on streams — use the query's progress
+    * metrics or a custom listener for streaming accounting). */
+  def filterStream(docs: DataFrame, minTokens: Int = 20,
+      maxRepetition: Double = 0.5): DataFrame =
+    scoreDocuments(docs, minTokens, maxRepetition)
+      .filter(col("__keep")).drop(scratchCols: _*)
 }

@@ -92,6 +92,22 @@ object CorpusPrep {
       gated.observation)
   }
 
+  /** Streaming form of the pipeline's front half — quality gate +
+    * exact content dedup — for continuous ingestion: the gate is
+    * stateless (same single-pass expressions), dedup keeps the first
+    * arrival per content hash via dropDuplicates state. The split /
+    * decontamination / packing stages are inherently global and stay
+    * batch (run them on the accumulated deduped store); at production
+    * rates bound the dedup state with
+    * `.withWatermark(...)` + dropDuplicatesWithinWatermark on an
+    * event-time column, trading cross-window dedup for bounded state.
+    */
+  def gateAndDedupStream(docs: DataFrame, minTokens: Int = 20): DataFrame =
+    QualityGate.filterStream(docs, minTokens)
+      .withColumn("__h", md5(col("text")))
+      .dropDuplicates("__h")
+      .drop("__h")
+
   /** Order-independent corpus checksum: sum of the docs' md5-derived
     * 60-bit ids mod 2^61 — identical for any partitioning/ordering of
     * the same document set, different for any insertion/removal. */

@@ -76,6 +76,28 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(onDisk.contains(s""""train_checksum":${manifest("train_checksum")}"""))
   }
 
+  test("streaming gate+dedup over a file source equals the batch front half") {
+    // batch truth: same gate, then keep ONE doc per content hash
+    val batchIds = graft.functions.QualityGate
+      .filterStream(docs).dropDuplicates("text")
+      .select("text").collect().map(_.getString(0)).toSet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Files.createTempDirectory("prep_stream")
+    docs.write.parquet(s"$dir/in/chunk0")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+    val q = CorpusPrep.gateAndDedupStream(stream)
+      .writeStream.format("memory").queryName("prep_stream_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamedTexts = spark.table("prep_stream_test")
+      .select("text").collect().map(_.getString(0)).toSet
+    // first-arrival dedup keeps a different REPRESENTATIVE than
+    // min-doc_id dedup may, but the surviving CONTENT set is identical
+    assert(streamedTexts === batchIds)
+  }
+
   test("the pipeline is deterministic under repartitioning") {
     val again = CorpusPrep.prepare(spark, docs.repartition(7))
     val a = again.train.orderBy("doc_id").collect().map(_.toSeq).toSeq
