@@ -148,8 +148,23 @@ object BoatraceScan {
 
 final class BoatraceScan(table: String, roots: Seq[String],
     required: StructType, datePrefixes: Array[String],
-    limit: Int = Int.MaxValue) extends Scan with Batch {
+    limit: Int = Int.MaxValue) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
+
+  /** POST-PRUNING size statistics: the planner's broadcast decision
+    * sees the 2 files a one-date query reads, not the 62-file corpus
+    * — so a pruned boatrace side becomes broadcast-eligible exactly
+    * when it really is small. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bytes = listKeptFiles().map(_.length()).sum
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
   override def toBatch: Batch = this
   override def description(): String =
     s"BoatraceScan(table=$table, columns=${required.fieldNames.mkString(",")}" +
@@ -163,7 +178,7 @@ final class BoatraceScan(table: String, roots: Seq[String],
     * an empty or missing root — a connector must never turn a bad
     * path into an empty result (an existing root pruned to zero files
     * by a filter IS a valid empty result). */
-  override def planInputPartitions(): Array[InputPartition] = {
+  private def listKeptFiles(): Array[java.io.File] = {
     val all: Array[java.io.File] = roots.flatMap { root =>
       val f = new java.io.File(root)
       require(f.exists(), s"boatrace source path does not exist: $root")
@@ -176,18 +191,19 @@ final class BoatraceScan(table: String, roots: Seq[String],
     }.toArray
     require(all.nonEmpty,
       s"boatrace source matched no .TXT/.lzh files under: ${roots.mkString(", ")}")
-    val kept =
-      if (datePrefixes.isEmpty) all
-      else all.filter { x =>
-        val date = scala.util.Try(
-          KbParser.dateFromFileName(x.getName)).toOption
-        // keep on ANY prefix match; unparseable names are kept (never
-        // prune on uncertainty)
-        date.forall(d => datePrefixes.exists(p => d.startsWith(p.take(10))))
-      }
-    kept.sortBy(_.getName).map(x =>
-      BoatraceFilePartition(x.getAbsolutePath): InputPartition).toArray
+    if (datePrefixes.isEmpty) all
+    else all.filter { x =>
+      val date = scala.util.Try(
+        KbParser.dateFromFileName(x.getName)).toOption
+      // keep on ANY prefix match; unparseable names are kept (never
+      // prune on uncertainty)
+      date.forall(d => datePrefixes.exists(p => d.startsWith(p.take(10))))
+    }
   }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    listKeptFiles().sortBy(_.getName).map(x =>
+      BoatraceFilePartition(x.getAbsolutePath): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BoatraceReaderFactory(table,

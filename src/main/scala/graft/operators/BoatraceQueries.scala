@@ -93,6 +93,23 @@ object BoatraceQueries {
         .orderBy("レースID", "選手登番")
     },
 
+    // The sport's best-known structural stat — lane (course) bias:
+    // win rate by starting lane. Lane 1 holds the inside line and wins
+    // a plurality of races; the spec pins that ordering, which also
+    // functions as an end-to-end sanity check that ranks/lanes
+    // survived parsing intact.
+    QueryDef.noOracle("boatrace_lane_bias") { (s, _) =>
+      val (env, result, _, schedule) = tables(s)
+      val race = BoatracePipeline.typedRace(
+        BoatracePipeline.raceTable(env, result, schedule))
+      race.groupBy("艇番")
+        .agg(count(lit(1)).as("starts"),
+          sum(when(col("順位") === 1, 1L).otherwise(0L)).as("wins"),
+          round(avg(when(col("順位") === 1, 1.0).otherwise(0.0)), 4)
+            .as("win_rate"))
+        .orderBy("艇番")
+    },
+
     // The reference's downstream workload (README.md:23-44) is a
     // betting simulation over the race table + odds — its model is
     // LightGBM (out of scope), so this runs the strongest

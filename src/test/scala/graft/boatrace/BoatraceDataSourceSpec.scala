@@ -80,4 +80,16 @@ class BoatraceDataSourceSpec extends AnyFunSuite {
       .load("/root/reference/txt")
     assert(df.rdd.getNumPartitions === 62)
   }
+
+  test("reported statistics shrink with file pruning (broadcast eligibility)") {
+    import org.apache.spark.sql.functions.col
+    val all = spark.read.format("boatrace").option("table", "result")
+      .load("/root/reference/txt")
+    val pruned = all.filter(col("レースID").startsWith("2020-08-28"))
+    val sAll = all.queryExecution.optimizedPlan.stats.sizeInBytes
+    val sPruned = pruned.queryExecution.optimizedPlan.stats.sizeInBytes
+    // SupportsReportStatistics reports POST-pruning bytes (2 of 62
+    // files), so the planner can see a pruned side is broadcastable
+    assert(sPruned * 10 < sAll, s"pruned=$sPruned all=$sAll")
+  }
 }

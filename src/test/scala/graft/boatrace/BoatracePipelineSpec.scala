@@ -122,6 +122,16 @@ class BoatracePipelineSpec extends AnyFunSuite {
       s"pruned scan should read fewer files ($prunedFiles vs $allFiles)")
   }
 
+  test("lane bias: the inside lane wins most, far outside least") {
+    val rates = graft.SparkEntry.queries("boatrace_lane_bias")(spark, "")
+      .collect().map(r => r.getAs[Int]("艇番") -> r.getAs[Double]("win_rate"))
+      .toMap
+    assert(rates.keySet === Set(1, 2, 3, 4, 5, 6))
+    // kyōtei's famous structural fact: lane 1 wins ~50% of races
+    assert(rates(1) > 0.4, s"lane-1 rate ${rates(1)}")
+    assert(rates(1) > rates(6) * 3, s"rates $rates")
+  }
+
   test("betting simulation metrics are internally consistent") {
     val r = graft.SparkEntry.queries("boatrace_betting_sim")(spark, "")
       .collect().head
