@@ -272,7 +272,9 @@ object AsOfJoin {
     * match older than `leftTs - toleranceUs` (pandas merge_asof's
     * tolerance). Timestamp columns must be LongType (epoch micros —
     * the engine's canonical event-time encoding) and non-null; column
-    * names must not collide across sides. */
+    * names must not collide across sides. NULL keys match EACH OTHER
+    * (binary row equality, like a group-by — not SQL join semantics);
+    * pre-filter them out when that is not wanted. */
   def asofJoin(spark: SparkSession, left: DataFrame, right: DataFrame,
       leftKeyCols: Seq[String], rightKeyCols: Seq[String],
       leftTsCol: String, rightTsCol: String,
