@@ -68,7 +68,10 @@ object Bench {
     val shJson = shuffles.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$shJson,"errors":$errJson,"sf":"$sfDir"}""")
+    // n_queries/mean: totals are only comparable across rounds at the
+    // same query count — the suite grows every round
+    val mean = if (results.nonEmpty) total / results.size else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"mean_per_query":$mean,"queries":$qs,"shuffle_mb":$shJson,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
