@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+import graft.warehouse.SnapshotTable
+
+/** Snapshot semantics of the versioned warehouse: append/overwrite
+  * atomicity, time travel, reader isolation, and compaction.
+  */
+class SnapshotTableSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshDir = java.nio.file.Files
+    .createTempDirectory("snap").toString
+
+  test("append versions accumulate; every old snapshot stays readable") {
+    val dir = freshDir
+    val docs = Tables.documents(spark, sf)
+    val (a, b) = (docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+    val v0 = SnapshotTable.append(spark, a, dir)
+    val v1 = SnapshotTable.append(spark, b, dir)
+    assert(v0 === 0 && v1 === 1)
+    assert(SnapshotTable.read(spark, dir).count() === docs.count())
+    // time travel: version 0 is exactly the first append
+    assert(SnapshotTable.read(spark, dir, 0).count() === a.count())
+  }
+
+  test("overwrite replaces the live set but keeps old snapshots") {
+    val dir = freshDir
+    val docs = Tables.documents(spark, sf)
+    SnapshotTable.append(spark, docs, dir)
+    SnapshotTable.overwrite(spark, docs.limit(10), dir)
+    assert(SnapshotTable.read(spark, dir).count() === 10)
+    assert(SnapshotTable.read(spark, dir, 0).count() === docs.count())
+    assert(SnapshotTable.versions(dir) === Seq(0, 1))
+  }
+
+  test("a reader's snapshot is isolated from a commit made after it") {
+    val dir = freshDir
+    val docs = Tables.documents(spark, sf)
+    SnapshotTable.append(spark, docs, dir)
+    val snapshot = SnapshotTable.read(spark, dir) // file list fixed NOW
+    SnapshotTable.overwrite(spark, docs.limit(1), dir)
+    // the pre-commit reader still sees its full version
+    assert(snapshot.count() === docs.count())
+    assert(SnapshotTable.read(spark, dir).count() === 1)
+  }
+
+  test("compaction rewrites many small files into one, row-identical") {
+    val dir = freshDir
+    val docs = Tables.documents(spark, sf)
+    // 5 small appends -> many files
+    docs.collect().grouped(100).zipWithIndex.foreach { case (chunk, _) =>
+      SnapshotTable.append(spark,
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(chunk.toIndexedSeq, 2), docs.schema),
+        dir)
+    }
+    val before = SnapshotTable.read(spark, dir)
+    val filesBefore = before.inputFiles.length
+    val rowsBefore = before.orderBy("doc_id").collect().toSeq
+    val v = SnapshotTable.compact(spark, dir)
+    val after = SnapshotTable.read(spark, dir)
+    assert(after.inputFiles.length === 1)
+    assert(after.inputFiles.length < filesBefore)
+    assert(after.orderBy("doc_id").collect().toSeq === rowsBefore)
+    // the pre-compaction snapshot still reads the small files
+    assert(SnapshotTable.read(spark, dir, v - 1).inputFiles.length === filesBefore)
+  }
+}
