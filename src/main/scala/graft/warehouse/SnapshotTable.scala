@@ -85,6 +85,22 @@ object SnapshotTable {
   def compact(spark: SparkSession, dir: String, numFiles: Int = 1): Int =
     commit(dir, writeData(read(spark, dir).coalesce(numFiles), dir))
 
+  /** Upsert (the MERGE INTO core): rows of `df` replace current rows
+    * with the same key; unmatched rows insert. One anti-join + one
+    * union + one atomic commit — the whole operation is a snapshot
+    * swap, so readers see either the old table or the fully-merged
+    * one, never a mix. (Rewrites the table; production formats avoid
+    * that with file-level pruning + delete vectors — same semantics,
+    * same commit protocol, finer write granularity.) */
+  def upsert(spark: SparkSession, df: DataFrame, dir: String,
+      keyCols: Seq[String]): Int = {
+    val merged = read(spark, dir)
+      .join(df.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
+        keyCols, "left_anti")
+      .unionByName(df)
+    overwrite(spark, merged, dir)
+  }
+
   /** Read a snapshot (default: CURRENT). The file list is fixed at
     * call time — later commits cannot change what this scan reads. */
   def read(spark: SparkSession, dir: String, version: Int = -1): DataFrame = {

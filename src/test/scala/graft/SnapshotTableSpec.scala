@@ -49,6 +49,48 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, dir).count() === 1)
   }
 
+  test("upsert replaces matched keys and inserts the rest atomically") {
+    import spark.implicits._
+    val dir = freshDir
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    SnapshotTable.append(spark, base, dir)
+    val changes = Seq((2L, "B2"), (4L, "d")).toDF("id", "v")
+    SnapshotTable.upsert(spark, changes, dir, Seq("id"))
+    val now = SnapshotTable.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now === Map(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d"))
+    // pre-merge snapshot unchanged
+    val before = SnapshotTable.read(spark, dir, 0).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before === Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
+  test("incremental per-date ingest equals a batch build (no rebuild)") {
+    // the reference deletes and rebuilds its whole DB every run
+    // (main.py:283-284); versioned appends make ingestion incremental
+    val dir = freshDir
+    val parsed = graft.boatrace.BoatracePipeline
+      .parseDir(spark, "/root/reference/txt")
+    val race = graft.boatrace.BoatracePipeline.typedRace(
+      graft.boatrace.BoatracePipeline.raceTable(
+        graft.boatrace.BoatracePipeline.envDf(spark, parsed),
+        graft.boatrace.BoatracePipeline.resultDf(spark, parsed),
+        graft.boatrace.BoatracePipeline.scheduleDf(spark, parsed)))
+      .filter(col("date").between("2020-08-01", "2020-08-03"))
+      .persist()
+    val dates = Seq("2020-08-01", "2020-08-02", "2020-08-03")
+    for (d <- dates)
+      SnapshotTable.append(spark, race.filter(col("date") === d), dir)
+    val incremental = SnapshotTable.read(spark, dir)
+      .orderBy("レースID", "艇番").collect()
+    val batch = race.orderBy("レースID", "艇番").collect()
+    assert(incremental.toSeq === batch.toSeq)
+    // and each day's snapshot holds exactly the days ingested so far
+    assert(SnapshotTable.read(spark, dir, 0).select("date").distinct()
+      .count() === 1)
+    race.unpersist()
+  }
+
   test("compaction rewrites many small files into one, row-identical") {
     val dir = freshDir
     val docs = Tables.documents(spark, sf)
