@@ -114,4 +114,29 @@ object SnapshotTable {
 
   def versions(dir: String): Seq[Int] =
     (0 to currentVersion(dir).getOrElse(-1)).toSeq
+
+  /** Retention sweep: keep the last `keepVersions` versions, delete
+    * every data file no retained manifest references, and drop the
+    * expired manifests. Run OUT-OF-BAND of readers of expired
+    * snapshots (like any format's vacuum, this is the one operation
+    * that invalidates old readers — the retention window is the
+    * contract). Returns the number of data files deleted. */
+  def vacuum(dir: String, keepVersions: Int = 1): Int = {
+    val cur = currentVersion(dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $dir"))
+    val keep = (math.max(0, cur - keepVersions + 1) to cur).toSeq
+    val live = keep.flatMap(manifestFiles(dir, _)).toSet
+    val dataDir = Paths.get(dir, "data")
+    var deleted = 0
+    if (Files.exists(dataDir)) {
+      Files.walk(dataDir).iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .filterNot(p => live.contains(p.toString))
+        .foreach { p => Files.delete(p); deleted += 1 }
+    }
+    (0 until keep.head).foreach { v =>
+      Files.deleteIfExists(versionsDir(dir).resolve(f"v$v%05d.manifest"))
+    }
+    deleted
+  }
 }

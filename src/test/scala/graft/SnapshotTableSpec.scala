@@ -91,6 +91,21 @@ class SnapshotTableSpec extends AnyFunSuite {
     race.unpersist()
   }
 
+  test("vacuum deletes files only expired snapshots reference") {
+    import spark.implicits._
+    val dir = freshDir
+    SnapshotTable.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    SnapshotTable.overwrite(spark, Seq((2L, "b")).toDF("id", "v"), dir)
+    val deleted = SnapshotTable.vacuum(dir, keepVersions = 1)
+    assert(deleted > 0, "v0's files should have been removed")
+    // current snapshot intact, expired one gone
+    assert(SnapshotTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((2L, "b")))
+    intercept[Exception] {
+      SnapshotTable.read(spark, dir, 0).collect()
+    }
+  }
+
   test("compaction rewrites many small files into one, row-identical") {
     val dir = freshDir
     val docs = Tables.documents(spark, sf)
