@@ -1183,6 +1183,31 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     },
 
+    // Aggregate FILTER clause (SQL:2003): several differently-filtered
+    // aggregates in ONE pass over the data — the idiomatic replacement
+    // for self-joining once per condition. Counts only; exact.
+    QueryDef(
+      "q53_filter_clause",
+      """SELECT o_orderpriority,
+        |       count(*) AS n,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |       count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |       count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |                          AND o_orderstatus = 'O') AS n_recent_open
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_fc")
+      s.sql(
+        """SELECT o_orderpriority,
+          |       count(*) AS n,
+          |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+          |       count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+          |       count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          |                          AND o_orderstatus = 'O') AS n_recent_open
+          |FROM orders_fc GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    },
+
     // R7 (read_db.py:38 schema introspection): expose a table's schema
     // as rows — metadata-only, no scan of table data.
     QueryDef(

@@ -183,5 +183,47 @@ object SimilarityQueries {
         .select("query_id", "label", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")
     },
+
+    // Z-score feature normalization — the embedding-preprocessing step
+    // before indexing/training. Per-dimension stats come from EXACT
+    // integer sums over the quantized values (order-independent;
+    // second moments fit Long comfortably at 1e4 quantization), the
+    // tiny per-dim stats table broadcasts back onto the explode, and
+    // the final (v - μ)/σ is the same IEEE expression tree on both
+    // engines — bit-identical z-scores. Shuffle volume: one partial
+    // agg on ~64 dimension keys, nothing else.
+    QueryDef(
+      "v04_znorm_embeddings",
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |             x -> CAST(round(CAST(x AS DOUBLE)*10000, 0) AS BIGINT))
+        |             AS r FROM embeddings),
+        |e AS (SELECT vec_id, CAST(gs AS INT) AS pos, r[CAST(gs AS INT)+1] AS v
+        |      FROM (SELECT vec_id, r,
+        |              unnest(range(0, CAST(len(r) AS BIGINT), 1)) AS gs
+        |            FROM q)),
+        |st AS (SELECT pos, CAST(sum(v) AS DOUBLE) AS s,
+        |              CAST(sum(v*v) AS DOUBLE) AS ss,
+        |              CAST(count(*) AS DOUBLE) AS n
+        |       FROM e GROUP BY pos)
+        |SELECT e.vec_id, e.pos,
+        |       round((v - s/n) / sqrt(ss/n - (s/n)*(s/n)), 6) AS z
+        |FROM e JOIN st USING (pos)
+        |ORDER BY vec_id, pos""".stripMargin) { (s, d) =>
+      val q = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 10000, 0).cast("long")).as("r"))
+      val e = q.select(col("vec_id"), posexplode(col("r")))
+        .withColumnRenamed("col", "v")
+      val st = e.groupBy("pos").agg(
+        sum(col("v")).cast("double").as("s"),
+        sum(col("v") * col("v")).cast("double").as("ss"),
+        count(lit(1)).cast("double").as("n"))
+      e.join(broadcast(st), "pos")
+        .select(col("vec_id"), col("pos"),
+          round((col("v") - col("s") / col("n")) /
+            sqrt(col("ss") / col("n") -
+              (col("s") / col("n")) * (col("s") / col("n"))), 6).as("z"))
+        .orderBy("vec_id", "pos")
+    },
   )
 }
