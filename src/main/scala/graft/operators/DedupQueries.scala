@@ -359,8 +359,15 @@ object DedupQueries {
       var labels = edges.select(col("src").as("id"))
         .distinct().withColumn("lbl", col("id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var changed = 1L
-      while (changed > 0) {
+      // convergence monitor: min-propagation only ever DECREASES
+      // labels, so the label sum is strictly decreasing until the
+      // fixpoint — one scalar aggregate per round instead of a
+      // join-and-compare pass
+      def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(sum("lbl")).head.getLong(0)
+      var curSum = labelSum(labels)
+      var converged = false
+      while (!converged) {
         // propagate each node's label to its neighbors, keep the min
         val next = edges
           .join(labels.withColumnRenamed("id", "src")
@@ -369,9 +376,9 @@ object DedupQueries {
           .union(labels)
           .groupBy("id").agg(min("lbl").as("lbl"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        changed = next.as("n")
-          .join(labels.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.lbl") =!= col("o.lbl")).count()
+        val nextSum = labelSum(next)
+        converged = nextSum == curSum
+        curSum = nextSum
         labels.unpersist()
         labels = next
       }
