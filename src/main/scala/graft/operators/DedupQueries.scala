@@ -364,7 +364,7 @@ object DedupQueries {
       // fixpoint — one scalar aggregate per round instead of a
       // join-and-compare pass
       def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-        df.agg(sum("lbl")).head.getLong(0)
+        df.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
       var curSum = labelSum(labels)
       var converged = false
       while (!converged) {
