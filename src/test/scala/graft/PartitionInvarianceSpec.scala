@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-invariance regression guard: results must be pure
+  * functions of the data, not of the parallelism. A representative
+  * query from every operator family runs under two different shuffle
+  * parallelism settings and must produce identical rows — the
+  * property that lets the same code give the same answer on 4 cores
+  * and 4,000, and the one that float summation order silently breaks
+  * (hence the engine's decimal / integer-cents sum recipes).
+  */
+class PartitionInvarianceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val representatives = Seq(
+    "q05_groupby_agg",        // integer-cents grouped aggregate
+    "q35_exact_percentiles",  // sort-based interpolation
+    "q41_stats_agg",          // decimal moment sums
+    "q43_asof_custom_exec",   // custom merge exec
+    "d02_minhash_lsh",        // kernel + band join
+    "d08_dup_clusters",       // iterative fixpoint
+    "t10_vocab_topk",         // partial-agg top-k with tie-break
+    "p03_pack_sequences",     // per-shard running-sum window
+    "v04_znorm_embeddings",   // broadcast-stat normalization
+    "s02_session_stats")      // window sessionization
+
+  test("representative queries are identical under different parallelism") {
+    val key = "spark.sql.shuffle.partitions"
+    val orig = spark.conf.get(key)
+    def runAll(parts: String): Map[String, Seq[Seq[Any]]] = {
+      spark.conf.set(key, parts)
+      representatives.map { n =>
+        n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSeq
+      }.toMap
+    }
+    try {
+      val a = runAll("3")
+      val b = runAll("17")
+      for (n <- representatives)
+        assert(a(n) === b(n), s"$n differs across parallelism settings")
+    } finally spark.conf.set(key, orig)
+  }
+}
