@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] means up to 32 concurrent tasks sharing this one heap:
+  // 8g starved the unified memory pool at sf0.1 (spilled sorts, GC),
+  // taxing exactly the queries a real cluster would run comfortably.
+  // The machine has 128 GiB; 28g leaves room for the test JVM, sbt,
+  // and the driver's DuckDB oracle.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

@@ -56,6 +56,10 @@ object Bench {
           None
         }
       }
+      // release persisted intermediates the query tracked — leaked
+      // cache blocks would tax every LATER query's storage pool,
+      // compounding across the suite
+      PersistRegistry.release()
       if (times.isEmpty) None else Some(name -> times.min)
     }.toMap
     if (errors.nonEmpty)

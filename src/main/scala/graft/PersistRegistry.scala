@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+
+/** Tracks persisted INTERMEDIATES (subplans that feed self-joins or
+  * iteration, e.g. the dedup signature/shingle sets) so harnesses can
+  * release them once the query's result is materialized.
+  *
+  * Why: `Dataset.persist` pins blocks in the executor storage pool
+  * until explicitly unpersisted. A query function cannot unpersist its
+  * own intermediates — they must stay alive until the CALLER consumes
+  * the result — so without a handoff every persisted subplan leaks for
+  * the life of the session. Across a 95-query bench run those leaked
+  * blocks accumulate into storage-pool pressure (evictions, GC) that
+  * taxes every later query; on a long-lived production session the
+  * same leak is an OOM. The contract: builders `track` what they
+  * persist, harnesses (Bench, Verify, long-lived apps) call
+  * `release()` after consuming each result.
+  */
+object PersistRegistry {
+  private val tracked =
+    new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+
+  /** Register a persisted intermediate; returns it unchanged. */
+  def track[T <: Dataset[_]](ds: T): T = { tracked.add(ds); ds }
+
+  /** Unpersist every tracked intermediate (non-blocking). Safe to call
+    * when nothing is tracked, and safe on already-unpersisted sets. */
+  def release(): Unit = {
+    var ds = tracked.poll()
+    while (ds != null) { ds.unpersist(false); ds = tracked.poll() }
+  }
+}

@@ -96,9 +96,9 @@ object DedupQueries {
     * element); the signature subplan is persisted because it feeds
     * both sides of the band self-join and the confirm joins. */
   private def confirmedMinhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = graft.functions.TextKernels
+    val sig = graft.PersistRegistry.track(graft.functions.TextKernels
       .minhashSignatures(s, Tables.documents(s, d), 8)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bands = sig
       .select(col("doc_id"),
         explode(sequence(lit(0), lit(3))).as("b"), col("sig"))
@@ -237,9 +237,9 @@ object DedupQueries {
       // persisted: feeds the inverted index twice (self-join), the
       // rare-shingle filter, and both confirm joins. Shingling runs in
       // the primitive-loop kernel (expression form is interpreted).
-      val sh = graft.functions.TextKernels
+      val sh = graft.PersistRegistry.track(graft.functions.TextKernels
         .shingled(s, Tables.documents(s, d))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val inv = sh.select(col("doc_id"), explode(col("s")).as("sg"))
       // Document-frequency FIRST (map-side-combined count — shuffles
       // one long per distinct shingle), then posting lists only for
@@ -309,9 +309,9 @@ object DedupQueries {
         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val sim = graft.functions.TextKernels
+      val sim = graft.PersistRegistry.track(graft.functions.TextKernels
         .simhash32(s, Tables.documents(s, d))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val bands = sim.select(col("doc_id"), col("simhash"),
           explode(sequence(lit(0), lit(3))).as("b"))
         .select(col("doc_id"), col("simhash"), col("b"),
@@ -385,6 +385,10 @@ object DedupQueries {
       val out = labels.select(col("id").as("doc_id"),
         col("lbl").as("cluster_id")).orderBy("doc_id")
       edges.unpersist()
+      // the final labels must stay persisted until the CALLER consumes
+      // `out` (unpersisting here would replay the whole fixpoint) —
+      // hand it to the registry for post-materialization release
+      graft.PersistRegistry.track(labels)
       out
     },
 

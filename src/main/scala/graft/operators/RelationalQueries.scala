@@ -1224,5 +1224,210 @@ object RelationalQueries {
         .toDF("column_name", "ordinal")
         .orderBy("ordinal")
     },
+
+    // UNPIVOT (wide→long melt; the inverse of q28's pivot). The Spark
+    // side is the Dataset.unpivot operator; the oracle reproduces it
+    // as the UNION ALL it is semantically equivalent to. Values pass
+    // through unchanged (same stored doubles both sides), so the
+    // comparison is exact with no rounding. Map-only — no shuffle
+    // before the deterministic ORDER BY.
+    QueryDef(
+      "q54_unpivot",
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'discount' AS measure,
+        |         l_discount AS value
+        |  FROM lineitem WHERE l_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'quantity', l_quantity
+        |  FROM lineitem WHERE l_orderkey % 97 = 0)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 97 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("quantity"),
+          col("l_extendedprice").as("extendedprice"),
+          col("l_discount").as("discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount")),
+          "measure", "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    },
+
+    // Extremum-by aggregates (argmax/argmin family) + boolean
+    // aggregates. max_by/min_by with TIES are nondeterministic in both
+    // engines, so the comparison value is a composite integer
+    // (cents · 10^7 + orderkey) that is unique by construction —
+    // deterministic argmax without assuming tie behavior. cents ≤
+    // 5·10^7 and orderkey < 10^7, so the composite stays well inside
+    // Long.
+    QueryDef(
+      "q55_extremum_by",
+      """SELECT o_orderpriority,
+        |       max_by(o_orderkey, CAST(round(o_totalprice*100, 0) AS BIGINT)
+        |                          * 10000000 + o_orderkey) AS top_order,
+        |       min_by(o_orderkey, CAST(round(o_totalprice*100, 0) AS BIGINT)
+        |                          * 10000000 + o_orderkey) AS bottom_order,
+        |       count(*) FILTER (WHERE o_totalprice > 400000) AS n_big,
+        |       bool_or(o_orderstatus = 'P') AS any_pending,
+        |       bool_and(o_totalprice > 0) AS all_positive
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val composite = round(col("o_totalprice") * 100, 0).cast("bigint") *
+        lit(10000000L) + col("o_orderkey")
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          max_by(col("o_orderkey"), composite).as("top_order"),
+          min_by(col("o_orderkey"), composite).as("bottom_order"),
+          count_if(col("o_totalprice") > 400000).as("n_big"),
+          bool_or(col("o_orderstatus") === "P").as("any_pending"),
+          bool_and(col("o_totalprice") > 0).as("all_positive"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Map-typed column surface: build a per-year status→count map
+    // (map_from_entries over a sorted entry list), read its
+    // cardinality (size) and explode it back to rows. The oracle never
+    // needs map types — the round trip must land exactly on the plain
+    // GROUP BY it encodes, which is the point of the test.
+    QueryDef(
+      "q56_map_functions",
+      """WITH g AS (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
+        |             AS order_year,
+        |           o_orderstatus AS status, count(*) AS n
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT order_year,
+        |       CAST(count(*) OVER (PARTITION BY order_year) AS INT)
+        |         AS n_statuses,
+        |       status, n
+        |FROM g ORDER BY order_year, status""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("order_year"),
+          col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("order_year")
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("status"), col("n")))))
+          .as("m"))
+        .select(col("order_year"), size(col("m")).as("n_statuses"),
+          explode(col("m")).as(Seq("status", "n")))
+        .orderBy("order_year", "status")
+    },
+
+    // Bloom-filter join pre-filter — the 100 TB decontamination/semi-
+    // join shape: build a compact Bloom filter over the small side's
+    // keys on the driver, broadcast it (a closure-captured ~1 MB
+    // bitset, not a shuffled table), and drop non-matching fact rows
+    // AT THE SCAN before any shuffle. Bloom filters have no false
+    // negatives, so prefilter + exact semi-join confirm ≡ the plain
+    // semi join — which is exactly what the oracle checks. False
+    // positives only cost confirm work (fpp 3%). This is the manual
+    // form of Spark's own runtime row-level filtering
+    // (spark.sql.optimizer.runtime.bloomFilter), usable where the
+    // optimizer can't see the opportunity (e.g. the small side comes
+    // from outside the query).
+    QueryDef(
+      "q57_bloom_prefilter",
+      """SELECT o_orderpriority, count(*) AS n,
+        |       round(CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT))
+        |             AS DOUBLE) / 100.0, 2) AS revenue
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, d) =>
+        val keys = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        // a bloom built over 0 rows has no bit buffer (construction or
+        // probe NPEs); 0 keys ⇒ the semi join is empty, so the
+        // prefilter degenerates to false — same identity, no crash
+        val bloom = scala.util.Try(
+            keys.stat.bloomFilter("c_custkey", 1 << 20, 0.03))
+          .toOption.filter(b => scala.util.Try(b.mightContain(0L)).isSuccess)
+        val prefilter = bloom
+          .map(b => udf((k: Long) => b.mightContain(k)).apply(col("o_custkey")))
+          .getOrElse(lit(false))
+        Tables.orders(s, d)
+          .filter(prefilter)
+          .join(keys, col("o_custkey") === col("c_custkey"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            round(sum(round(col("o_totalprice") * 100, 0).cast("bigint"))
+              .cast("double") / 100.0, 2).as("revenue"))
+          .orderBy("o_orderpriority")
+    },
+
+    // Equi-width histogram via width_bucket. DuckDB has no
+    // width_bucket, so the oracle uses the integer-division identity:
+    // on integer cents with lo=0, hi=5·10^7, 20 buckets (width
+    // 2.5·10^6 cents), width_bucket(c,lo,hi,n)-1 ≡ c // width — the
+    // double arithmetic inside width_bucket is exact on these values
+    // (cents < 2^53; quotients only land on integers when exact).
+    QueryDef(
+      "q58_histogram",
+      """SELECT CAST(cents // 2500000 AS INT) AS bucket, count(*) AS n,
+        |       round(CAST(min(cents) AS DOUBLE) / 100.0, 2) AS lo_price,
+        |       round(CAST(max(cents) AS DOUBLE) / 100.0, 2) AS hi_price
+        |FROM (SELECT CAST(round(o_totalprice*100, 0) AS BIGINT) AS cents
+        |      FROM orders)
+        |GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(round(col("o_totalprice") * 100, 0).cast("bigint").as("cents"))
+        .groupBy((width_bucket(col("cents"), lit(0d), lit(5e7), lit(20)) - 1)
+          .cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("cents")).cast("double") / 100.0, 2).as("lo_price"),
+          round(max(col("cents")).cast("double") / 100.0, 2).as("hi_price"))
+        .orderBy("bucket")
+    },
+
+    // Time-series gap fill: per-user daily date spine (sequence +
+    // explode — a generator, no shuffle) LEFT JOIN observed daily
+    // sums, then forward-fill with last(_, ignoreNulls) over the
+    // default running frame. The canonical feature-engineering shape
+    // for regular-grid training data from irregular events. Scale:
+    // one shuffle on user_id for the daily agg; the spine explode is
+    // map-side; the fill window rides the same user_id partitioning.
+    QueryDef(
+      "q59_gap_fill",
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         sum(CAST(round(value*100, 0) AS BIGINT)) AS cents
+        |  FROM events WHERE user_id % 7 = 0 GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id,
+        |         CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        |           AS day
+        |  FROM (SELECT user_id, min(day) AS lo, max(day) AS hi
+        |        FROM daily GROUP BY 1))
+        |SELECT s.user_id, s.day,
+        |       round(CAST(last_value(d.cents IGNORE NULLS) OVER (
+        |               PARTITION BY s.user_id ORDER BY s.day)
+        |             AS DOUBLE) / 100.0, 2) AS v
+        |FROM spine s LEFT JOIN daily d
+        |  ON s.user_id = d.user_id AND s.day = d.day
+        |ORDER BY s.user_id, s.day""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .filter(col("user_id") % 7 === 0)
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("cents"))
+      val spine = daily.groupBy("user_id")
+        .agg(min("day").as("lo"), max("day").as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 day"))).as("day"))
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("v",
+          round(last("cents", ignoreNulls = true)
+            .over(Window.partitionBy("user_id").orderBy("day"))
+            .cast("double") / 100.0, 2))
+        .select("user_id", "day", "v")
+        .orderBy("user_id", "day")
+    },
   )
 }

@@ -98,5 +98,39 @@ object StreamQueries {
       StreamingOps.dedupFirstBatch(Tables.events(s, d))
         .orderBy("user_id", "event_type")
     },
+
+    // Interval (time-bounded stream-stream) join: each click joins the
+    // views by the SAME user in the preceding hour — the attribution
+    // shape Structured Streaming runs as a watermarked stream-stream
+    // join with bounded state (StreamingOpsSpec proves the streaming
+    // twin equals this batch form). Scale: the equi-key (user_id)
+    // carries the shuffle; the time bound is applied post-join per
+    // key pair, and in streaming it is what lets the engine expire
+    // state — no unbounded buffering.
+    QueryDef(
+      "s05_interval_join",
+      """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+        |       epoch_us(c.ts) AS click_us, epoch_us(v.ts) AS view_us
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND v.ts <= c.ts AND c.ts < v.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, view_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+          col("ts").as("view_ts"))
+      clicks.join(views,
+          col("user_id") === col("v_user_id")
+            && col("view_ts") <= col("click_ts")
+            && col("click_ts") < col("view_ts") + expr("interval 1 hour"))
+        .select(col("click_id"), col("view_id"), col("user_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("view_ts")).as("view_us"))
+        .orderBy("click_id", "view_id")
+    },
   )
 }

@@ -303,5 +303,39 @@ object TextQueries {
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token")).limit(100)
     },
+
+    // Unicode NFC normalization via the engine's native nfc_norm
+    // expression (plans/NfcNormalize.scala — codegen, no UDF). The
+    // corpus is ASCII, so each doc gets deterministic DECOMPOSED text
+    // planted (e+U+0301, u+U+0308) on BOTH engines; normalization must
+    // compose it (é, ü), shrinking the codepoint count. md5 over the
+    // normalized string proves byte-identical output vs DuckDB's
+    // nfc_normalize. Map-only; the reference's corpus motivates this
+    // op (SURVEY §2.2: mixed-width text worked around, not
+    // normalized).
+    QueryDef(
+      "t12_nfc_normalize",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         substr(text, 1, 40) || ' cafe' || chr(769) || ' u' ||
+        |         chr(776) || 'ber' AS t
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(t) AS INT) AS raw_len,
+        |       CAST(length(nfc_normalize(t)) AS INT) AS norm_len,
+        |       nfc_normalize(t) <> t AS changed,
+        |       md5(nfc_normalize(t)) AS sig
+        |FROM aug ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.plans.GraftExtensions.register(s)
+      val planted = concat(substring(col("text"), 1, 40),
+        lit(" cafe\u0301 u\u0308ber"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), planted.as("t"))
+        .select(col("doc_id"),
+          length(col("t")).as("raw_len"),
+          expr("length(nfc_norm(t))").as("norm_len"),
+          expr("nfc_norm(t) <> t").as("changed"),
+          expr("md5(nfc_norm(t))").as("sig"))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -71,7 +71,7 @@ case class DotLong(left: Expression, right: Expression)
   * driver builds the session itself, so queries self-register). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.dotLongDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -80,11 +80,15 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DotLong].getName, "dot_long"),
     (children: Seq[Expression]) => DotLong(children(0), children(1)): Expression)
 
+  private[plans] def descriptors = Seq(
+    dotLongDescriptor, NfcNormalize.descriptor)
+
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(dotLongDescriptor._1))
-      registry.registerFunction(
-        dotLongDescriptor._1, dotLongDescriptor._2, dotLongDescriptor._3)
+    descriptors.foreach { d =>
+      if (!registry.functionExists(d._1))
+        registry.registerFunction(d._1, d._2, d._3)
+    }
   }
 }

@@ -30,8 +30,10 @@ class EmptyInputSpec extends AnyFunSuite {
     val failures = SparkEntry.defs
       .filterNot(q => skip.exists(q.name.startsWith))
       .flatMap { q =>
-        try { q.run(spark, emptyDir).count(); None }
+        val r = try { q.run(spark, emptyDir).count(); None }
         catch { case e: Throwable => Some(q.name -> e.toString.take(200)) }
+        PersistRegistry.release()
+        r
       }
     assert(failures.isEmpty,
       failures.map { case (n, e) => s"$n: $e" }.mkString("\n"))

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** Semantics specs for the round-3 operator batch (q54-q59, s05, t12)
+  * — each asserts the operator's defining identity, not just row
+  * counts (the oracle gate covers value parity; these cover the
+  * properties that make the operator correct by construction).
+  */
+class NewOperatorsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q54 unpivot: 3 rows per wide row, reassembles to the wide form") {
+    val long = SparkEntry.queries("q54_unpivot")(spark, sf)
+    val base = Tables.lineitem(spark, sf).filter(col("l_orderkey") % 97 === 0)
+    assert(long.count() === base.count() * 3)
+    // each measure's long slice is the exact multiset of the wide
+    // column ((l_orderkey, l_linenumber) is NOT unique in the
+    // synthetic data, so the check must be multiset equality, not a
+    // pivot-back join)
+    for ((m, c) <- Seq("quantity" -> "l_quantity",
+        "extendedprice" -> "l_extendedprice", "discount" -> "l_discount")) {
+      val slice = long.filter(col("measure") === m)
+        .select(col("l_orderkey"), col("l_linenumber"), col("value"))
+      val src = base.select(col("l_orderkey"), col("l_linenumber"),
+        col(c).as("value"))
+      assert(slice.exceptAll(src).count() === 0, s"extra rows for $m")
+      assert(src.exceptAll(slice).count() === 0, s"missing rows for $m")
+    }
+  }
+
+  test("q55 extremum-by: top_order really is the argmax of the composite") {
+    val got = SparkEntry.queries("q55_extremum_by")(spark, sf)
+      .select("o_orderpriority", "top_order").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val composite = round(col("o_totalprice") * 100, 0).cast("bigint") *
+      lit(10000000L) + col("o_orderkey")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority").orderBy(col("c").desc)
+    val want = Tables.orders(spark, sf)
+      .withColumn("c", composite)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("o_orderpriority", "o_orderkey").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("q56 map round trip equals the plain GROUP BY") {
+    val got = SparkEntry.queries("q56_map_functions")(spark, sf)
+    val plain = Tables.orders(spark, sf)
+      .groupBy(year(col("o_orderdate")).as("order_year"),
+        col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"))
+    assert(got.select("order_year", "status", "n").exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(got.select("order_year", "status", "n")).count() === 0)
+    // n_statuses = per-year map cardinality = distinct statuses
+    val card = got.select("order_year", "n_statuses").distinct().collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val want = plain.groupBy("order_year")
+      .agg(countDistinct("status").cast("int").as("k")).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(card === want)
+  }
+
+  test("q57 bloom prefilter ≡ plain semi join (no false negatives)") {
+    val got = SparkEntry.queries("q57_bloom_prefilter")(spark, sf)
+    val keys = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val plain = Tables.orders(spark, sf)
+      .join(keys, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("o_totalprice") * 100, 0).cast("bigint"))
+          .cast("double") / 100.0, 2).as("revenue"))
+      .orderBy("o_orderpriority")
+    assert(got.collect().toSeq === plain.collect().toSeq)
+  }
+
+  test("q58 histogram: buckets partition the data, extents inside bounds") {
+    val rows = SparkEntry.queries("q58_histogram")(spark, sf).collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total === Tables.orders(spark, sf).count())
+    rows.foreach { r =>
+      val (b, lo, hi) = (r.getInt(0), r.getDouble(2), r.getDouble(3))
+      assert(lo >= b * 25000.0 && hi < (b + 1) * 25000.0,
+        s"bucket $b extent [$lo,$hi] outside bounds")
+    }
+  }
+
+  test("q59 gap fill: spine is dense, observed days exact, fill carries") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q59_gap_fill")(spark, sf)
+      .select("user_id", "day", "v")
+      .as[(Long, java.sql.Date, Option[Double])].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2.getTime)).toMap
+    for ((_, days) <- out) {
+      // dense daily spine: consecutive days differ by exactly 86400 s
+      days.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (a, b) = (pair(0)._2, pair(1)._2)
+        assert(b.toLocalDate.toEpochDay - a.toLocalDate.toEpochDay === 1)
+      }
+      // first day is observed (spine starts at min observed day)
+      assert(days.head._3.nonEmpty)
+      // forward fill ⇒ no null after the first day
+      days.foreach { case (_, _, v) => assert(v.nonEmpty) }
+    }
+  }
+
+  test("s05 interval join: every pair inside the bound, none missed") {
+    import spark.implicits._
+    val got = SparkEntry.queries("s05_interval_join")(spark, sf)
+      .select("click_id", "view_id", "click_us", "view_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    got.foreach { case (_, _, cUs, vUs) =>
+      assert(vUs <= cUs && cUs - vUs < 3600L * 1000 * 1000)
+    }
+    // brute-force cross check on the driver
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, String, Long)].collect()
+    val clicks = ev.filter(_._3 == "click")
+    val views = ev.filter(_._3 == "view").groupBy(_._2)
+    val want = (for {
+      c <- clicks
+      v <- views.getOrElse(c._2, Array.empty[(Long, Long, String, Long)])
+      if v._4 <= c._4 && c._4 - v._4 < 3600L * 1000 * 1000
+    } yield (c._1, v._1, c._4, v._4)).toSet
+    assert(got === want)
+  }
+
+  test("t12: planted decomposed text always composes (len shrinks by 2)") {
+    val rows = SparkEntry.queries("t12_nfc_normalize")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) - r.getInt(2) === 2) // two combining marks fused
+      assert(r.getBoolean(3))                 // changed = true everywhere
+    }
+  }
+}

@@ -31,7 +31,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     def runAll(parts: String): Map[String, Seq[Seq[Any]]] = {
       spark.conf.set(key, parts)
       representatives.map { n =>
-        n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSeq
+        val rows = SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSeq
+        PersistRegistry.release()
+        n -> rows
       }.toMap
     }
     try {
