@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1428,6 +1428,54 @@ object RelationalQueries {
             .cast("double") / 100.0, 2))
         .select("user_id", "day", "v")
         .orderBy("user_id", "day")
+    },
+
+    // Count-Min Sketch frequency estimation (functions/CmsAggregator
+    // — the third sketch family after HLL q29 and KMV q48): one
+    // constant-size d×w count matrix summarizes the whole token
+    // stream (merge = elementwise sum, so partials combine map-side
+    // and the shuffle is O(d·w) per partition, not O(tokens)); the
+    // estimate for a probe item is min over hash rows of its bucket
+    // count — never below the true count. Buckets derive from md5, so
+    // DuckDB reproduces the identical sketch relationally and the
+    // approximate answer has an exact oracle. Probes: the exact
+    // top-10 tokens (deterministic tie-break).
+    QueryDef(
+      "q60_cms_freq",
+      """WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\s+'))
+        |                AS t FROM documents),
+        |probe AS (SELECT t, count(*) AS exact_n FROM toks
+        |          GROUP BY t ORDER BY exact_n DESC, t LIMIT 10),
+        |rows_ AS (SELECT unnest(generate_series(0, 3)) AS i),
+        |cells AS (SELECT i,
+        |            ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t), 1, 15))
+        |              ::BIGINT % 256 AS b,
+        |            count(*) AS c
+        |          FROM toks CROSS JOIN rows_ GROUP BY 1, 2)
+        |SELECT p.t AS token, p.exact_n, min(c.c) AS est_n
+        |FROM probe p JOIN cells c
+        |  ON c.b = ('0x' || substr(md5(CAST(c.i AS VARCHAR) || ':' || p.t),
+        |            1, 15))::BIGINT % 256
+        |GROUP BY p.t, p.exact_n
+        |ORDER BY token""".stripMargin) { (s, d) =>
+      val D = 4; val W = 256
+      def bucket(c: Column, i: Int): Column =
+        (conv(substring(md5(concat(lit(i.toString), lit(":"), c)), 1, 15),
+          16, 10).cast("long") % W).cast("int")
+      val toks = Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      val probe = toks.groupBy("t").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("t")).limit(10)
+      val cms = udaf(new graft.functions.CmsAggregator(D, W))
+      val sketch = toks
+        .select(array((0 until D).map(i => bucket(col("t"), i)): _*).as("bs"))
+        .agg(cms(col("bs")).as("sk"))
+      probe.crossJoin(broadcast(sketch))
+        .select(col("t").as("token"), col("exact_n"),
+          least((0 until D).map(i =>
+            element_at(col("sk"), (lit(i * W) + bucket(col("t"), i) + 1)
+              .cast("int"))): _*).as("est_n"))
+        .orderBy("token")
     },
   )
 }

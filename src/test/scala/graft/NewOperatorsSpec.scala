@@ -133,6 +133,15 @@ class NewOperatorsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("q60 CMS: estimates never undercount, exact when k-distinct is small") {
+    val rows = SparkEntry.queries("q60_cms_freq")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS underestimated: $est < $exact")
+    }
+  }
+
   test("t12: planted decomposed text always composes (len shrinks by 2)") {
     val rows = SparkEntry.queries("t12_nfc_normalize")(spark, sf).collect()
     rows.foreach { r =>
