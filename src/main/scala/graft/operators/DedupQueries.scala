@@ -290,6 +290,43 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Cell-blocked embedding near-dup — the SCALE PATH for d05's
+    // brute-force pair scan, oracle-checked in its own right: pairs
+    // are generated only WITHIN an IVF cell (the `label` coarse-
+    // quantizer column, as in v03), so the join shuffles once on the
+    // short cell id and the pair space is Σ cell² instead of N².
+    // Recall vs d05 is bounded by cell purity (near-dups straddling a
+    // cell boundary are missed — the standard IVF trade, mitigated in
+    // practice by multi-probe); the semantics DECLARED here (same-cell
+    // pairs ≥ threshold) are exact, which is what the oracle verifies.
+    // Same quantized-integer cosine as d05 → bit-identical doubles.
+    QueryDef(
+      "d09_ivf_neardup",
+      s"""WITH n AS ($quantizedSql)
+        |SELECT id_a, id_b, label, cos_sim FROM (
+        |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+        |         CAST(a.label AS INT) AS label,
+        |         CAST(list_sum(list_transform(generate_series(1, len(a.r)),
+        |                i -> a.r[i] * c.r[i])) AS DOUBLE)
+        |           / sqrt(CAST(a.nn AS DOUBLE) * CAST(c.nn AS DOUBLE)) AS cos_sim
+        |  FROM n a JOIN n c ON a.label = c.label AND a.vec_id < c.vec_id) t
+        |WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      graft.plans.GraftExtensions.register(s) // native dot_long
+      val n = quantized(s, d)
+      val a = n.select(col("vec_id").as("id_a"), col("label"),
+        col("r").as("ra"), col("nn").as("na"))
+      val c = n.select(col("vec_id").as("id_b"), col("label").as("lc"),
+        col("r").as("rb"), col("nn").as("nb"))
+      a.join(c, col("label") === col("lc") && col("id_a") < col("id_b"))
+        .withColumn("cos_sim", cosine(
+          call_function("dot_long", col("ra"), col("rb")),
+          col("na"), col("nb")))
+        .filter(col("cos_sim") >= 0.4)
+        .select(col("id_a"), col("id_b"),
+          col("label").cast("int").as("label"), col("cos_sim"))
+        .orderBy("id_a", "id_b")
+    },
+
     // SimHash NEAR-DUP PAIRS (d03 builds fingerprints; this finds the
     // duplicates): pairs within Hamming distance 3 of each other's
     // 32-bit simhash. Blocking: 4 bands of 8 bits — by pigeonhole, <=3

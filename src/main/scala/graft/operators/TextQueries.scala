@@ -337,5 +337,38 @@ object TextQueries {
           expr("md5(nfc_norm(t))").as("sig"))
         .orderBy("doc_id")
     },
+
+    // Corpus-frequency document scoring — the two-pass shape behind
+    // frequency-based quality filters (a doc of globally-rare tokens
+    // scores low; boilerplate of ultra-common tokens scores high):
+    // pass 1 builds the global term-frequency table (map-side partial
+    // agg, shuffle = O(distinct tokens)); pass 2 joins each token
+    // occurrence to its global count and aggregates per doc. The mean
+    // is emitted as an exact integer (freq_sum·10⁴ div n_tokens) —
+    // integer division agrees bit-for-bit across engines where a
+    // rounded double quotient can flip on ties.
+    QueryDef(
+      "t13_doc_token_freq",
+      """WITH toks AS (SELECT doc_id,
+        |         unnest(string_split_regex(trim(text), '\s+')) AS t
+        |       FROM documents),
+        |tf AS (SELECT t, count(*) AS f FROM toks GROUP BY t)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       sum(f) AS freq_sum, max(f) AS max_freq,
+        |       sum(f) * 10000 // count(*) AS mean_freq_e4
+        |FROM toks JOIN tf USING (t)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("t"))
+      val tf = toks.groupBy("t").agg(count(lit(1)).as("f"))
+      toks.join(tf, "t")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum("f").as("freq_sum"), max("f").as("max_freq"))
+        .withColumn("mean_freq_e4",
+          expr("freq_sum * 10000 div n_tokens"))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -142,6 +142,35 @@ class NewOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("d09 cell-blocked near-dup pairs ⊆ d05 brute-force pairs") {
+    import spark.implicits._
+    val blocked = SparkEntry.queries("d09_ivf_neardup")(spark, sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = SparkEntry.queries("d05_embedding_neardup")(spark, sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(blocked.subsetOf(brute),
+      s"cell blocking invented pairs: ${blocked.diff(brute).take(3)}")
+    // and blocking = exactly the brute pairs whose members share a cell
+    val cells = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    assert(blocked === brute.filter { case (a, b) => cells(a) == cells(b) })
+  }
+
+  test("t13: frequency sums are consistent with the token counts") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("t13_doc_token_freq")(spark, sf)
+      .select("doc_id", "n_tokens", "freq_sum", "max_freq", "mean_freq_e4")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length === nDocs)
+    val totalTokens = rows.map(_._2).sum
+    rows.foreach { case (_, n, fs, mf, mean) =>
+      assert(fs >= n)           // every token occurs at least once
+      assert(mf <= totalTokens) // no count above the corpus size
+      assert(mean === fs * 10000 / n)
+    }
+  }
+
   test("t12: planted decomposed text always composes (len shrinks by 2)") {
     val rows = SparkEntry.queries("t12_nfc_normalize")(spark, sf).collect()
     rows.foreach { r =>
