@@ -1477,5 +1477,40 @@ object RelationalQueries {
               .cast("int"))): _*).as("est_n"))
         .orderBy("token")
     },
+
+    // Value-window family (completes the window surface beside the
+    // ranking family q33 and frames q32): first/last/nth_value need an
+    // explicit whole-partition ROWS frame — the default
+    // RANGE-to-current frame would make last_value mean "current row",
+    // a classic window-semantics trap both engines share. All values
+    // are integers off a unique order key, so the comparison is exact;
+    // cume_dist is a ratio of identical integers rounded identically.
+    QueryDef(
+      "q61_value_windows",
+      """SELECT o_orderkey,
+        |       first_value(o_orderkey) OVER w AS first_k,
+        |       last_value(o_orderkey)  OVER (w ROWS BETWEEN UNBOUNDED
+        |         PRECEDING AND UNBOUNDED FOLLOWING) AS last_k,
+        |       nth_value(o_orderkey, 3) OVER (w ROWS BETWEEN UNBOUNDED
+        |         PRECEDING AND UNBOUNDED FOLLOWING) AS third_k,
+        |       lag(o_orderkey, 2)  OVER w AS lag2,
+        |       lead(o_orderkey, 2) OVER w AS lead2,
+        |       round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+      val wFull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          first("o_orderkey").over(w).as("first_k"),
+          last("o_orderkey").over(wFull).as("last_k"),
+          nth_value(col("o_orderkey"), 3).over(wFull).as("third_k"),
+          lag("o_orderkey", 2).over(w).as("lag2"),
+          lead("o_orderkey", 2).over(w).as("lead2"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("o_orderkey")
+    },
   )
 }
