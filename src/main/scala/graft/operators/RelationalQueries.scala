@@ -1512,5 +1512,27 @@ object RelationalQueries {
           round(cume_dist().over(w), 6).as("cd"))
         .orderBy("o_orderkey")
     },
+
+    // Ordered string aggregation (LISTAGG WITHIN GROUP ≡ DuckDB
+    // string_agg ORDER BY): without the WITHIN GROUP order the result
+    // is partitioning-dependent — the deterministic form is the only
+    // one a reproducible pipeline can use.
+    QueryDef(
+      "q62_listagg",
+      """SELECT o_orderpriority,
+        |       string_agg(DISTINCT o_orderstatus, ','
+        |                  ORDER BY o_orderstatus) AS statuses,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_la")
+      s.sql(
+        """SELECT o_orderpriority,
+          |       listagg(DISTINCT o_orderstatus, ',')
+          |         WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+          |       count(*) AS n
+          |FROM orders_la GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    },
   )
 }

@@ -171,6 +171,23 @@ class NewOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("v05 multi-probe dominates probe-1: top-3 cosines elementwise >=") {
+    import spark.implicits._
+    def top3(name: String): Map[(Long, Int), Double] =
+      SparkEntry.queries(name)(spark, sf)
+        .select("query_id", "rank", "cos_sim")
+        .as[(Long, Int, Double)].collect()
+        .map { case (q, r, c) => (q, r) -> c }.toMap
+    val p1 = top3("v03_ann_ivf_cell")
+    val p2 = top3("v05_ann_ivf_multiprobe")
+    // probe-2's candidate set is a superset, so at every rank its
+    // cosine is at least probe-1's
+    p1.foreach { case ((q, r), c1) =>
+      p2.get((q, r)).foreach(c2 => assert(c2 >= c1,
+        s"probe-2 regressed query $q rank $r: $c2 < $c1"))
+    }
+  }
+
   test("t12: planted decomposed text always composes (len shrinks by 2)") {
     val rows = SparkEntry.queries("t12_nfc_normalize")(spark, sf).collect()
     rows.foreach { r =>

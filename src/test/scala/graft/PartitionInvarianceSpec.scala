@@ -20,6 +20,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q43_asof_custom_exec",   // custom merge exec
     "d02_minhash_lsh",        // kernel + band join
     "d08_dup_clusters",       // iterative fixpoint
+    "q59_gap_fill",           // spine generate + join + fill window
     "q60_cms_freq",           // mergeable sketch: merge-order independence
     "t10_vocab_topk",         // partial-agg top-k with tie-break
     "p03_pack_sequences",     // per-shard running-sum window
