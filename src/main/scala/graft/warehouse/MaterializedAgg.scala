@@ -25,20 +25,30 @@ import org.apache.spark.sql.functions._
   * travel over aggregate history for free (read at a version).
   *
   * Streaming: `refresh` slots directly into `foreachBatch` (proven ≡
-  * the batch aggregate in MaterializedAggSpec). NB refresh is
-  * ADDITIVE, not idempotent — under foreachBatch's epoch-retry
-  * contract a production deployment must key refreshes by batchId
-  * (skip already-applied epochs, the ledger pattern of
-  * StreamingOpsSpec's idempotent sink) or a retried epoch
-  * double-counts.
+  * the batch aggregate in MaterializedAggSpec). refresh is ADDITIVE,
+  * so under foreachBatch's epoch-retry contract pass the batchId:
+  * the id commits INSIDE the same atomic pointer swap as the data
+  * (SnapshotTable commit metadata), so a retried epoch is detected
+  * and skipped with no crash window between "data committed" and
+  * "ledger updated" — the transactional-sink pattern production
+  * formats expose as txn/appId versioning.
   */
 object MaterializedAgg {
 
   /** Merge a new fact batch into the materialized per-key aggregate
     * at `dir`. `valueCol` is a <=2-decimal money column (quantized to
-    * integer cents internally). Returns the committed version. */
+    * integer cents internally). Returns the committed version.
+    *
+    * `batchId >= 0` makes the refresh EXACTLY-ONCE under retries: the
+    * id is committed atomically with the data, and a refresh whose id
+    * matches the last committed one is skipped (foreachBatch retries
+    * exactly the failed epoch, so one remembered id suffices). */
   def refresh(spark: SparkSession, dir: String, batch: DataFrame,
-      keys: Seq[String], valueCol: String): Int = {
+      keys: Seq[String], valueCol: String, batchId: Long = -1L): Int = {
+    val ledger = if (batchId >= 0) Some(s"batch=$batchId") else None
+    val applied = SnapshotTable.currentMeta(dir)
+    if (ledger.isDefined && applied == ledger)
+      return SnapshotTable.versions(dir).last // already applied: skip
     val partial = batch
       .groupBy(keys.map(col): _*)
       .agg(sum(round(col(valueCol) * 100, 0).cast("bigint")).as("sum_cents"),
@@ -56,8 +66,8 @@ object MaterializedAgg {
           .groupBy(keys.map(col): _*)
           .agg(sum("sum_cents").as("sum_cents"), sum("n").as("n"))
       }
-    if (!hasState) SnapshotTable.overwrite(spark, merged, dir)
-    else SnapshotTable.upsert(spark, merged, dir, keys)
+    if (!hasState) SnapshotTable.overwrite(spark, merged, dir, ledger)
+    else SnapshotTable.upsert(spark, merged, dir, keys, ledger)
   }
 
   /** The aggregate as of a committed version (-1 = CURRENT), with the

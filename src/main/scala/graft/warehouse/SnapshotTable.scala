@@ -32,12 +32,26 @@ object SnapshotTable {
 
   private def versionsDir(dir: String): Path = Paths.get(dir, "_versions")
 
-  private def currentVersion(dir: String): Option[Int] = {
+  private def currentLine(dir: String): Option[String] = {
     val cur = versionsDir(dir).resolve("CURRENT")
     if (Files.exists(cur))
-      Some(new String(Files.readAllBytes(cur), StandardCharsets.UTF_8).trim.toInt)
+      Some(new String(Files.readAllBytes(cur), StandardCharsets.UTF_8).trim)
     else None
   }
+
+  private def currentVersion(dir: String): Option[Int] =
+    currentLine(dir).map(_.split("\\s+").head.toInt)
+
+  /** Commit metadata riding the CURRENT pointer (e.g. the streaming
+    * ledger `batch=<id>`): swapped in the SAME atomic move as the
+    * version — a reader can never observe version and metadata out of
+    * sync, which is what makes the streaming skip-if-applied check
+    * exactly-once rather than merely idempotent-in-practice. */
+  def currentMeta(dir: String): Option[String] =
+    currentLine(dir).flatMap { l =>
+      val i = l.indexWhere(_.isWhitespace)
+      if (i < 0) None else Some(l.substring(i).trim)
+    }
 
   private def manifestFiles(dir: String, v: Int): Seq[String] =
     Files.readAllLines(versionsDir(dir).resolve(f"v$v%05d.manifest"))
@@ -55,14 +69,16 @@ object SnapshotTable {
   /** Manifest write + ATOMIC pointer swap: a crash before the move
     * leaves the table at the previous version with only orphaned data
     * files (garbage, not corruption). */
-  private def commit(dir: String, files: Seq[String]): Int = {
+  private def commit(dir: String, files: Seq[String],
+      meta: Option[String] = None): Int = {
     val vd = versionsDir(dir)
     Files.createDirectories(vd)
     val v = currentVersion(dir).map(_ + 1).getOrElse(0)
     Files.write(vd.resolve(f"v$v%05d.manifest"),
       files.mkString("\n").getBytes(StandardCharsets.UTF_8))
     val tmp = vd.resolve("CURRENT.tmp")
-    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    val line = v.toString + meta.map(" " + _).getOrElse("")
+    Files.write(tmp, line.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, vd.resolve("CURRENT"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     v
@@ -75,9 +91,11 @@ object SnapshotTable {
   }
 
   /** Overwrite: new version = only the new files (old files stay on
-    * disk serving old snapshots until a retention sweep). */
-  def overwrite(spark: SparkSession, df: DataFrame, dir: String): Int =
-    commit(dir, writeData(df, dir))
+    * disk serving old snapshots until a retention sweep). `meta`
+    * rides the atomic pointer swap (see currentMeta). */
+  def overwrite(spark: SparkSession, df: DataFrame, dir: String,
+      meta: Option[String] = None): Int =
+    commit(dir, writeData(df, dir), meta)
 
   /** Compaction: rewrite the CURRENT rows into `numFiles` files and
     * commit — row-identical by construction, and old snapshots keep
@@ -93,12 +111,12 @@ object SnapshotTable {
     * that with file-level pruning + delete vectors — same semantics,
     * same commit protocol, finer write granularity.) */
   def upsert(spark: SparkSession, df: DataFrame, dir: String,
-      keyCols: Seq[String]): Int = {
+      keyCols: Seq[String], meta: Option[String] = None): Int = {
     val merged = read(spark, dir)
       .join(df.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
         keyCols, "left_anti")
       .unionByName(df)
-    overwrite(spark, merged, dir)
+    overwrite(spark, merged, dir, meta)
   }
 
   /** Read a snapshot (default: CURRENT). The file list is fixed at

@@ -74,6 +74,30 @@ class MaterializedAggSpec extends AnyFunSuite {
     (before.keySet - "F").foreach(k => assert(after(k) === before(k)))
   }
 
+  test("a retried batchId is skipped; the ledger survives the commit atomically") {
+    val dir = freshDir
+    val orders = Tables.orders(spark, sf).limit(200)
+    val v0 = MaterializedAgg.refresh(spark, dir, orders,
+      Seq("o_orderstatus"), "o_totalprice", batchId = 7L)
+    val snap = MaterializedAgg.read(spark, dir)
+      .collect().map(r => r.getAs[String]("o_orderstatus") ->
+        r.getAs[Long]("n")).toMap
+    // retry of the SAME epoch: no new version, no double counting
+    val v1 = MaterializedAgg.refresh(spark, dir, orders,
+      Seq("o_orderstatus"), "o_totalprice", batchId = 7L)
+    assert(v1 === v0)
+    val after = MaterializedAgg.read(spark, dir)
+      .collect().map(r => r.getAs[String]("o_orderstatus") ->
+        r.getAs[Long]("n")).toMap
+    assert(after === snap)
+    // the NEXT epoch applies
+    val v2 = MaterializedAgg.refresh(spark, dir, orders,
+      Seq("o_orderstatus"), "o_totalprice", batchId = 8L)
+    assert(v2 === v0 + 1)
+    assert(MaterializedAgg.read(spark, dir)
+      .collect().map(_.getAs[Long]("n")).sum === 2 * orders.count())
+  }
+
   test("streaming ingest via foreachBatch refresh equals the batch aggregate") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
@@ -85,10 +109,16 @@ class MaterializedAggSpec extends AnyFunSuite {
     // the stream drains must equal one batch aggregate of everything
     val q = mem.toDF().toDF("o_orderstatus", "o_totalprice")
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        if (!batch.isEmpty)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
           MaterializedAgg.refresh(spark, dir, batch,
-            Seq("o_orderstatus"), "o_totalprice")
+            Seq("o_orderstatus"), "o_totalprice", batchId = id)
+          // simulate the epoch retry foreachBatch contracts for: the
+          // batchId ledger (committed atomically with the data) must
+          // make the second application a no-op
+          MaterializedAgg.refresh(spark, dir, batch,
+            Seq("o_orderstatus"), "o_totalprice", batchId = id)
+        }
         ()
       }
       .start()
