@@ -90,4 +90,46 @@ object MediaOps {
       }
       .toDF("doc_id", "format", "features", "decoder")
   }
+
+  /** STUB resize — deterministic fake of the image/audio resample
+    * step: box-average the payload's bytes into `width` buckets
+    * (bucket of byte i = i·width div len; floor of the bucket mean).
+    * Payloads shorter than `width` yield one bucket per byte —
+    * output length is min(len, width), never padding. A real
+    * implementation is the same shape with a codec resample in place
+    * of the byte average. */
+  private[multimodal] def resizeStub(
+      payloadOrNull: Array[Byte], width: Int): Array[Int] = {
+    val p = if (payloadOrNull == null) Array.emptyByteArray else payloadOrNull
+    if (p.isEmpty) return Array.empty
+    val sums = new Array[Long](width)
+    val counts = new Array[Long](width)
+    var i = 0
+    while (i < p.length) {
+      val j = ((i.toLong * width) / p.length).toInt
+      sums(j) += (p(i) & 0xff)
+      counts(j) += 1
+      i += 1
+    }
+    (0 until width).iterator.filter(counts(_) > 0)
+      .map(j => (sums(j) / counts(j)).toInt).toArray
+  }
+
+  /** Batched resize stage (same mapPartitions batch shape as
+    * extractFeatures). Output: (doc_id, out_len, resized array). */
+  def resize(spark: SparkSession, media: DataFrame,
+      width: Int = 64, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, payload) =>
+            val r = resizeStub(payload, width)
+            (id, r.length, r)
+          }
+        }
+      }
+      .toDF("doc_id", "out_len", "resized")
+  }
 }

@@ -75,5 +75,30 @@ object MediaQueries {
           col("decoder"))
         .orderBy("doc_id")
     },
+
+    // Batched stub resize (MediaOps.resize — box-average the payload
+    // bytes into 64 buckets; the resample shape for image thumbnails /
+    // audio downsampling). The bucket rule (i·W div L, floored mean)
+    // is pure integer arithmetic, so the oracle restates it over the
+    // ASCII text and the md5 of the resized signal matches exactly.
+    QueryDef(
+      "m04_media_resize",
+      """WITH pos AS (SELECT doc_id, text, length(text) AS L,
+        |                    unnest(generate_series(1, length(text))) AS i
+        |             FROM documents),
+        |bk AS (SELECT doc_id, CAST(((i-1) * 64) // L AS INT) AS j,
+        |              CAST(sum(ord(substr(text, CAST(i AS INT), 1)))
+        |                   // count(*) AS INT) AS bv
+        |       FROM pos GROUP BY doc_id, j)
+        |SELECT doc_id, CAST(count(*) AS INT) AS out_len,
+        |       md5(string_agg(bv, ',' ORDER BY j)) AS sig,
+        |       CAST(sum(bv) AS BIGINT) AS checksum
+        |FROM bk GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      MediaOps.resize(s, MediaOps.mediaTable(Tables.documents(s, d)))
+        .select(col("doc_id"), col("out_len"),
+          md5(concat_ws(",", col("resized"))).as("sig"),
+          expr("aggregate(resized, 0L, (a, v) -> a + v)").as("checksum"))
+        .orderBy("doc_id")
+    },
   )
 }

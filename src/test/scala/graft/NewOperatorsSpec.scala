@@ -188,6 +188,27 @@ class NewOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("m04 resize: output length is min(len, width); values are byte means") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "x" * 200),   // long: 64 buckets
+      (2L, "abc"),       // shorter than width: one bucket per byte
+      (3L, "")           // empty: no buckets
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), lit("blob/t").as("format"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(octet_length(col("text")).as("n_bytes"),
+          lit("en").as("lang")).as("meta"))
+    val out = graft.multimodal.MediaOps.resize(spark, media)
+      .select("doc_id", "out_len", "resized")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getSeq[Int](2))).toMap
+    assert(out(1L)._1 === 64)
+    assert(out(1L)._2.forall(_ === 'x'.toInt)) // uniform signal resizes flat
+    assert(out(2L) === ((3, Seq('a'.toInt, 'b'.toInt, 'c'.toInt))))
+    assert(out(3L)._1 === 0)
+  }
+
   test("t12: planted decomposed text always composes (len shrinks by 2)") {
     val rows = SparkEntry.queries("t12_nfc_normalize")(spark, sf).collect()
     rows.foreach { r =>
