@@ -65,7 +65,11 @@ object Bench {
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.distinct.size} queries failed: " +
         errors.distinct.mkString(", "))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Per-query seconds rounded to 4 decimals: keeps the final line
+    // compact so the driver's stdout-tail capture preserves it whole
+    // (r02/r03 lost the timings to mid-line truncation of one huge line).
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val errJson = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -75,7 +79,10 @@ object Bench {
     // n_queries/mean: totals are only comparable across rounds at the
     // same query count — the suite grows every round
     val mean = if (results.nonEmpty) total / results.size else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"mean_per_query":$mean,"queries":$qs,"shuffle_mb":$shJson,"errors":$errJson,"sf":"$sfDir"}""")
+    // Shuffle volumes go on their OWN earlier line (informational); the
+    // FINAL stdout line is the parseable artifact and must stay short.
+    println(s"""{"metric":"shuffle_mb_detail","shuffle_mb":$shJson}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"mean_per_query":$mean%.4f,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

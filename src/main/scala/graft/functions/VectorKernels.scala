@@ -95,16 +95,30 @@ object VectorKernels {
   /** All pairs (id_a < id_b) with cosine >= minCos over a quantized
     * vector table (vec_id: long, r: array<long>, nn: long self-dot).
     * Returns columns (id_a, id_b, cos_sim) — unsorted; caller orders.
+    *
+    * Bounded-set BASELINE: the comparison set is broadcast, so the
+    * input must be small (maxRows vectors ≈ 50 MB at 64 dims). The
+    * bound is ENFORCED, not advisory — the collect is capped at
+    * maxRows+1 rows (structurally bounded driver memory, one job) and
+    * overflow fails with a pointer to the scale path (d09 IVF-blocked
+    * near-dup), which shuffles on cell id instead of broadcasting.
     */
   def neardupPairs(spark: SparkSession, quantized: DataFrame,
-      minCos: Double): DataFrame = {
+      minCos: Double, maxRows: Int = 100000): DataFrame = {
     import spark.implicits._
     val vecs = quantized.select("vec_id", "r", "nn")
       .as[(Long, Array[Long], Long)]
-    // Bounded broadcast of the comparison set (one quantized vector
-    // per row); sorted so each partition's inner loop can stop early
-    // at id_a >= id_b.
-    val all = vecs.collect().sortBy(_._1)
+    // limit(maxRows+1) bounds what can ever reach the driver; when the
+    // input is within bound the limit is a no-op and this IS the full
+    // comparison set. Sorted so each partition's inner loop can stop
+    // early at id_a >= id_b.
+    val probed = vecs.limit(maxRows + 1).collect()
+    require(probed.length <= maxRows,
+      s"neardupPairs is a bounded-set baseline (max $maxRows vectors); " +
+        "input exceeds the bound. Use the IVF-blocked near-dup " +
+        "(DedupQueries d09 / ivfNeardupPairs) at scale — it shuffles " +
+        "on cell id instead of broadcasting the table.")
+    val all = probed.sortBy(_._1)
     val bc = spark.sparkContext.broadcast(all)
     vecs.mapPartitions { it =>
       val as = bc.value

@@ -1340,17 +1340,25 @@ object RelationalQueries {
         |                    WHERE c_mktsegment = 'BUILDING')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
       (s, d) =>
+        graft.plans.GraftExtensions.register(s)
         val keys = Tables.customer(s, d)
           .filter(col("c_mktsegment") === "BUILDING")
           .select("c_custkey")
-        // a bloom built over 0 rows has no bit buffer (construction or
-        // probe NPEs); 0 keys ⇒ the semi join is empty, so the
-        // prefilter degenerates to false — same identity, no crash
-        val bloom = scala.util.Try(
-            keys.stat.bloomFilter("c_custkey", 1 << 20, 0.03))
-          .toOption.filter(b => scala.util.Try(b.mightContain(0L)).isSuccess)
-        val prefilter = bloom
-          .map(b => udf((k: Long) => b.mightContain(k)).apply(col("o_custkey")))
+        // Build with Spark's own BloomFilterAggregate (distributed
+        // partial/merge agg — no driver-side key scan) over xxhash64'd
+        // keys, the same construction InjectRuntimeFilter plants. The
+        // serialized filter is one binary row; bloom_filter_agg over 0
+        // rows evals to null ⇒ the semi join is empty ⇒ prefilter
+        // degenerates to false — same identity, no crash.
+        val bloomBin = Option(
+          keys.agg(expr(
+            "bloom_filter_agg(xxhash64(c_custkey), 131072L, 1048576L)"))
+            .head.getAs[Array[Byte]](0))
+        // Probe via the codegen'd BloomFilterMightContain expression —
+        // stays inside whole-stage codegen, unlike a Scala UDF.
+        val prefilter = bloomBin
+          .map(b => call_function("might_contain", lit(b),
+            xxhash64(col("o_custkey"))))
           .getOrElse(lit(false))
         Tables.orders(s, d)
           .filter(prefilter)

@@ -354,8 +354,8 @@ object TextQueries {
         |       FROM documents),
         |tf AS (SELECT t, count(*) AS f FROM toks GROUP BY t)
         |SELECT doc_id, count(*) AS n_tokens,
-        |       sum(f) AS freq_sum, max(f) AS max_freq,
-        |       sum(f) * 10000 // count(*) AS mean_freq_e4
+        |       CAST(sum(f) AS BIGINT) AS freq_sum, max(f) AS max_freq,
+        |       CAST(sum(f) * 10000 // count(*) AS BIGINT) AS mean_freq_e4
         |FROM toks JOIN tf USING (t)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val toks = Tables.documents(s, d)

@@ -80,8 +80,38 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DotLong].getName, "dot_long"),
     (children: Seq[Expression]) => DotLong(children(0), children(1)): Expression)
 
+  // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+  // runtime row-level filtering but does not register them in any
+  // public function registry (the optimizer constructs them directly).
+  // Exposing them here keeps a hand-built bloom prefilter fully
+  // codegen'd — the probe is the same expression InjectRuntimeFilter
+  // would plant, instead of a per-row Scala UDF.
+  private[plans] val bloomAggDescriptor = (
+    FunctionIdentifier("bloom_filter_agg"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      "bloom_filter_agg"),
+    (children: Seq[Expression]) => (children match {
+      case Seq(c) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+      case Seq(c, est) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, est)
+      case Seq(c, est, bits) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, est, bits)
+    }): Expression)
+
+  private[plans] val mightContainDescriptor = (
+    FunctionIdentifier("might_contain"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "might_contain"),
+    (children: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        children(0), children(1)): Expression)
+
   private[plans] def descriptors = Seq(
-    dotLongDescriptor, NfcNormalize.descriptor)
+    dotLongDescriptor, NfcNormalize.descriptor,
+    bloomAggDescriptor, mightContainDescriptor)
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {

@@ -78,6 +78,11 @@ class NewOperatorsSpec extends AnyFunSuite {
           .cast("double") / 100.0, 2).as("revenue"))
       .orderBy("o_orderpriority")
     assert(got.collect().toSeq === plain.collect().toSeq)
+    // the probe must be the codegen'd BloomFilterMightContain
+    // expression, not a Scala UDF — pin the plan shape
+    val phys = got.queryExecution.executedPlan.toString
+    assert(phys.contains("might_contain"), "bloom probe missing from plan")
+    assert(!phys.contains("UDF"), "bloom probe fell back to a Scala UDF")
   }
 
   test("q58 histogram: buckets partition the data, extents inside bounds") {

@@ -174,6 +174,80 @@ class BoatracePipelineSpec extends AnyFunSuite {
   }
 }
 
+/** September-2020 golden differential, sourced from the raw LZH
+  * archives (the reference ships no extracted txt/ for September, but
+  * the goldens odds/2020-09-*.csv and table/2020-09-*.csv exist).
+  * This exercises the full distributed path — lh5 decode + CP932
+  * parse inside the executor flatMap — against 30 dates the parser
+  * has never seen, completing the 61/61 golden corpus (31 August via
+  * txt in KbParserGoldenSpec/BoatracePipelineSpec + 30 September
+  * here).
+  */
+class SeptemberGoldenSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val ref = "/root/reference"
+  private val septDates: Seq[String] = (1 to 30).map(d => f"2020-09-$d%02d")
+
+  private lazy val parsed = BoatracePipeline.parseLzhDir(
+    spark, s"$ref/lzh", "[KB]2020-09-*.lzh")
+  private lazy val files: Seq[BoatracePipeline.ParsedFile] =
+    parsed.collect().toSeq
+
+  private val doubleCols = Set("展示", "全国勝率", "全国2率", "当地勝率",
+    "当地2率", "モーター2率", "ボート2率")
+  private val intCols = Set("順位", "風速", "波高", "艇番", "年齢", "体重")
+  private def canon(colName: String, v: String): String =
+    if (doubleCols(colName)) v.toDouble.toString
+    else if (intCols(colName)) v.toDouble.toInt.toString
+    else v
+
+  test("September odds CSVs are byte-identical for all 30 dates") {
+    val kByDate = files.filter(_.schedules.isEmpty)
+      .groupBy(_.date).view.mapValues(_.flatMap(_.odds)).toMap
+    assert(kByDate.keySet === septDates.toSet, "one K archive per date")
+    septDates.foreach { date =>
+      val got = GoldenCsv.oddsCsv(kByDate(date))
+      val want = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$ref/odds/$date.csv"))
+      assert(got.sameElements(want), s"odds byte mismatch for $date")
+    }
+  }
+
+  test("September race table matches the goldens for all 30 dates") {
+    val race = BoatracePipeline.raceTable(
+      BoatracePipeline.envDf(spark, parsed),
+      BoatracePipeline.resultDf(spark, parsed),
+      BoatracePipeline.scheduleDf(spark, parsed))
+    val cols = race.columns
+    val byDate = race.collect().toSeq
+      .map { r =>
+        cols.zipWithIndex.map { case (c, i) => c -> canon(c, r.getString(i)) }.toMap
+      }
+      .groupBy(_("レースID").substring(0, 10))
+    septDates.foreach { date =>
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(s"$ref/table/$date.csv")).asScala.toSeq
+      val header = lines.head.split(",", -1)
+      val want = lines.tail.filter(_.nonEmpty).map { l =>
+        header.zip(l.split(",", -1)).map { case (h, v) => h -> canon(h, v) }.toMap
+      }
+      // September goldens predate the 会場 column (20-column header vs
+      // August's 21) — compare on the golden's own column set
+      val headerSet = header.toSet
+      val got = byDate.getOrElse(date, Seq.empty)
+        .map(_.view.filterKeys(headerSet).toMap)
+      assert(got.size === want.size, s"$date row count")
+      val gotSorted = got.map(_.toSeq.sortBy(_._1)).sortBy(_.toString)
+      val wantSorted = want.map(_.toSeq.sortBy(_._1)).sortBy(_.toString)
+      val extra = gotSorted.diff(wantSorted).take(2)
+      val missing = wantSorted.diff(gotSorted).take(2)
+      assert(extra.isEmpty && missing.isEmpty,
+        s"$date content: engine-only rows $extra; golden-only rows $missing")
+    }
+  }
+}
+
 /** The lzh-source pipeline must produce exactly the rows of the
   * txt-source pipeline (same dates), proving the in-flatMap lh5
   * decode + newline normalization is transparent to parsing. */
