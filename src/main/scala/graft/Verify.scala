@@ -15,6 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Base-table dump for the boatrace relational oracles: the DuckDB
+    // SQL recomputes the join/agg over these (parse layer itself is
+    // golden-verified; see BoatraceQueries).
+    try graft.operators.BoatraceQueries.dumpBaseTables(spark, outDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] boatrace base dump failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -35,8 +42,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // __VERIFY_OUT__ resolves to this run's outDir so DuckDB can read
+    // the base-table dump written above.
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(graft.operators.BoatraceQueries.OutDirToken, outDir))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

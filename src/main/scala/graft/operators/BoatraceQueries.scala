@@ -7,15 +7,25 @@ import graft.boatrace.BoatracePipeline
 
 /** Driver-visible entry points for the boatrace parity pipeline. These
   * ignore the testdata sfDir (they read the reference's own CP932
-  * corpus) and therefore carry no DuckDB oracle — their correctness
-  * gate is the golden differential suite (KbParserGoldenSpec /
-  * BoatracePipelineSpec: odds byte-identical and race table
-  * value-identical to the reference outputs for all 31 August-2020
-  * dates).
+  * corpus). The PARSE layer's correctness gate is the golden
+  * differential suite (KbParserGoldenSpec / BoatracePipelineSpec /
+  * SeptemberGoldenSpec: odds byte-identical and race table
+  * value-identical to the reference outputs for all 61 golden dates).
+  * The RELATIONAL layer on top (joins, aggregates, windows) is
+  * additionally DuckDB-oracle-checked: Verify dumps the string-typed
+  * parsed base tables as parquet under its outDir and the oracle SQL
+  * below recomputes the join/agg/window in DuckDB over that dump
+  * (`__VERIFY_OUT__` is substituted with the real outDir at dump
+  * time). The odds and date-query oracles are stronger still — they
+  * read the reference's own committed golden CSVs, an engine-
+  * independent source.
   */
 object BoatraceQueries {
 
   private val txtDir = "/root/reference/txt"
+
+  /** Placeholder in oracle SQL replaced by Verify with its outDir. */
+  val OutDirToken = "__VERIFY_OUT__"
 
   // Parse once per session (the parsed dataset is persisted; four
   // queries share it instead of each re-reading the corpus).
@@ -31,36 +41,107 @@ object BoatraceQueries {
       BoatracePipeline.scheduleDf(s, parsed))
   }
 
+  /** Write the string-typed parsed base tables for the DuckDB oracle
+    * to join/aggregate over (called by Verify; see class doc). The
+    * dump is the direct flatMap output — the joins/aggs under test are
+    * NOT applied here, so the oracle recomputation is independent. */
+  def dumpBaseTables(s: SparkSession, outDir: String): Unit = {
+    val (env, result, odds, schedule) = tables(s)
+    Seq("env" -> env, "result" -> result, "odds" -> odds,
+      "schedule" -> schedule).foreach { case (name, df) =>
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/boatrace_base/$name")
+    }
+  }
+
+  /** The DuckDB form of BoatracePipeline.raceTable + typedRace over
+    * the Verify base-table dump (shared by several oracles below). */
+  private val raceOracleCte =
+    s"""race AS (
+       |  SELECT e."レースID", e."天候", e."風向",
+       |    CAST(e."風速" AS INT) AS "風速", CAST(e."波高" AS INT) AS "波高",
+       |    e."会場", CAST(r."順位" AS INT) AS "順位", r."選手登番",
+       |    CAST(r."展示" AS DOUBLE) AS "展示",
+       |    CAST(s."艇番" AS INT) AS "艇番", s."名前",
+       |    CAST(s."年齢" AS INT) AS "年齢", s."支部",
+       |    CAST(s."体重" AS INT) AS "体重", s."階級",
+       |    CAST(s."全国勝率" AS DOUBLE) AS "全国勝率",
+       |    CAST(s."全国2率" AS DOUBLE) AS "全国2率",
+       |    CAST(s."当地勝率" AS DOUBLE) AS "当地勝率",
+       |    CAST(s."当地2率" AS DOUBLE) AS "当地2率",
+       |    CAST(s."モーター2率" AS DOUBLE) AS "モーター2率",
+       |    CAST(s."ボート2率" AS DOUBLE) AS "ボート2率",
+       |    CAST(substr(e."レースID", 1, 10) AS DATE) AS date,
+       |    CAST(regexp_extract(e."レースID", '(\\d+)R$$', 1) AS INT) AS race_no
+       |  FROM read_parquet('$OutDirToken/boatrace_base/env/*.parquet') e
+       |  JOIN read_parquet('$OutDirToken/boatrace_base/result/*.parquet') r
+       |    ON e."レースID" = r."レースID"
+       |  JOIN read_parquet('$OutDirToken/boatrace_base/schedule/*.parquet') s
+       |    ON r."レースID" = s."レースID" AND r."選手登番" = s."選手登番")""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // The reference's flagship artifact: the denormalized race table
     // (main.py:257-263), typed and decomposed for partition pruning.
-    QueryDef.noOracle("boatrace_race_table") { (s, _) =>
-      val (env, result, _, schedule) = tables(s)
-      BoatracePipeline.typedRace(
-        BoatracePipeline.raceTable(env, result, schedule))
-        .orderBy("レースID", "艇番")
+    QueryDef(
+      "boatrace_race_table",
+      s"""WITH $raceOracleCte
+         |SELECT * FROM race ORDER BY "レースID", "艇番"""".stripMargin) {
+      (s, _) =>
+        val (env, result, _, schedule) = tables(s)
+        BoatracePipeline.typedRace(
+          BoatracePipeline.raceTable(env, result, schedule))
+          .orderBy("レースID", "艇番")
     },
 
     // Odds payout table (main.py:107) with void sentinel semantics.
-    QueryDef.noOracle("boatrace_odds") { (s, _) =>
+    // Oracle = the reference's own committed golden CSVs (engine-
+    // independent): all 31 August dates, raw strings preserved.
+    QueryDef(
+      "boatrace_odds",
+      """SELECT * FROM read_csv('/root/reference/odds/2020-08-*.csv',
+        |  header=true, all_varchar=true)
+        |ORDER BY "レースID"""".stripMargin) { (s, _) =>
       tables(s)._3.orderBy("レースID")
     },
 
     // SURVEY §2.6: the per-player aggregates the reference's
     // downstream model needs (starts / wins / mean exhibition time) —
     // README.md:19's 出走回数 / 優勝回数 / 平均ST class of features.
-    QueryDef.noOracle("boatrace_player_stats") { (s, _) =>
-      val (env, result, _, schedule) = tables(s)
-      val race = BoatracePipeline.typedRace(
-        BoatracePipeline.raceTable(env, result, schedule))
-      race.groupBy("選手登番")
-        .agg(
-          count(lit(1)).as("starts"),
-          sum(when(col("順位") === 1, 1).otherwise(0)).as("wins"),
-          round(avg("展示"), 4).as("avg_exhibition"),
-          round(avg("全国勝率"), 4).as("avg_national_win_rate"))
-        .orderBy("選手登番")
+    QueryDef(
+      "boatrace_player_stats",
+      s"""WITH $raceOracleCte
+         |SELECT "選手登番", count(*) AS starts,
+         |  CAST(sum(CASE WHEN "順位" = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS wins,
+         |  (CAST(sum(CAST(round("展示" * 100, 0) AS BIGINT)) AS BIGINT)
+         |    * 100 // count(*)) / 10000.0 AS avg_exhibition,
+         |  (CAST(sum(CAST(round("全国勝率" * 100, 0) AS BIGINT)) AS BIGINT)
+         |    * 100 // count(*)) / 10000.0 AS avg_national_win_rate
+         |FROM race GROUP BY "選手登番" ORDER BY "選手登番"""".stripMargin) {
+      (s, _) =>
+        val (env, result, _, schedule) = tables(s)
+        val race = BoatracePipeline.typedRace(
+          BoatracePipeline.raceTable(env, result, schedule))
+        // The means are fixed-point to 4 decimals via exact integer
+        // arithmetic: sum integer cents (source values have 2
+        // decimals), floor-divide, then ONE division by 10⁴. A float
+        // avg() varies in the last ulp with summation order, and
+        // round() of a near-tie double disagrees across engines
+        // (decimal-string vs binary rounding) — the integer form is
+        // bit-identical everywhere by construction.
+        race.groupBy("選手登番")
+          .agg(
+            count(lit(1)).as("starts"),
+            sum(when(col("順位") === 1, 1).otherwise(0)).as("wins"),
+            sum(round(col("展示") * 100, 0).cast("long")).as("ex_cents"),
+            sum(round(col("全国勝率") * 100, 0).cast("long")).as("nw_cents"))
+          .select(col("選手登番"), col("starts"), col("wins"),
+            (expr("ex_cents * 100 div starts") / 10000.0)
+              .as("avg_exhibition"),
+            (expr("nw_cents * 100 div starts") / 10000.0)
+              .as("avg_national_win_rate"))
+          .orderBy("選手登番")
     },
 
     // Leak-free ML feature view: per (race, player), the player's form
@@ -71,7 +152,25 @@ object BoatraceQueries {
     // own outcome into its features; the `rowsBetween(unbounded, -1)`
     // frame cannot. One shuffle on 選手登番, then a single ordered
     // window pass per player.
-    QueryDef.noOracle("boatrace_player_form") { (s, _) =>
+    QueryDef(
+      "boatrace_player_form",
+      s"""WITH $raceOracleCte
+         |SELECT "レースID", date, "選手登番", "順位", "展示",
+         |  count(*) OVER w AS prior_starts,
+         |  CAST(coalesce(
+         |    sum(CASE WHEN "順位" = 1 THEN 1 ELSE 0 END) OVER w, 0)
+         |    AS BIGINT) AS prior_wins,
+         |  CASE WHEN count(*) OVER w > 0 THEN
+         |    CAST(coalesce(
+         |      sum(CASE WHEN "順位" = 1 THEN 1 ELSE 0 END) OVER w, 0)
+         |      AS DOUBLE) / (count(*) OVER w) END AS prior_win_rate,
+         |  (CAST(sum(CAST(round("展示" * 100, 0) AS BIGINT)) OVER w
+         |    AS BIGINT) * 100 // (count(*) OVER w)) / 10000.0
+         |    AS prior_avg_exhibition
+         |FROM race
+         |WINDOW w AS (PARTITION BY "選手登番" ORDER BY date, "レースID"
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |ORDER BY "レースID", "選手登番"""".stripMargin) { (s, _) =>
       import org.apache.spark.sql.expressions.Window
       val (env, result, _, schedule) = tables(s)
       val race = BoatracePipeline.typedRace(
@@ -89,7 +188,13 @@ object BoatraceQueries {
         .withColumn("prior_win_rate",
           when(col("prior_starts") > 0,
             col("prior_wins").cast("double") / col("prior_starts")))
-        .withColumn("prior_avg_exhibition", round(avg("展示").over(w), 4))
+        // exact integer fixed-point (see boatrace_player_stats note):
+        // bit-identical across engines, NULL on the empty first frame
+        .withColumn("prior_ex_cents",
+          sum(round(col("展示") * 100, 0).cast("long")).over(w))
+        .withColumn("prior_avg_exhibition",
+          expr("prior_ex_cents * 100 div prior_starts") / 10000.0)
+        .drop("prior_ex_cents")
         .orderBy("レースID", "選手登番")
     },
 
@@ -98,15 +203,23 @@ object BoatraceQueries {
     // a plurality of races; the spec pins that ordering, which also
     // functions as an end-to-end sanity check that ranks/lanes
     // survived parsing intact.
-    QueryDef.noOracle("boatrace_lane_bias") { (s, _) =>
+    QueryDef(
+      "boatrace_lane_bias",
+      s"""WITH $raceOracleCte
+         |SELECT "艇番", count(*) AS starts,
+         |  CAST(sum(CASE WHEN "順位" = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS wins,
+         |  (CAST(sum(CASE WHEN "順位" = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 10000 // count(*)) / 10000.0 AS win_rate
+         |FROM race GROUP BY "艇番" ORDER BY "艇番"""".stripMargin) { (s, _) =>
       val (env, result, _, schedule) = tables(s)
       val race = BoatracePipeline.typedRace(
         BoatracePipeline.raceTable(env, result, schedule))
+      // win_rate as exact integer fixed-point (see player_stats note)
       race.groupBy("艇番")
         .agg(count(lit(1)).as("starts"),
-          sum(when(col("順位") === 1, 1L).otherwise(0L)).as("wins"),
-          round(avg(when(col("順位") === 1, 1.0).otherwise(0.0)), 4)
-            .as("win_rate"))
+          sum(when(col("順位") === 1, 1L).otherwise(0L)).as("wins"))
+        .withColumn("win_rate", expr("wins * 10000 div starts") / 10000.0)
         .orderBy("艇番")
     },
 
@@ -153,7 +266,16 @@ object BoatraceQueries {
     // parsing everything and filtering after (the file-granularity
     // form of partition pruning; the warehouse layout's date
     // partitions give the same property post-ETL).
-    QueryDef.noOracle("boatrace_date_query") { (s, _) =>
+    // Oracle = the reference's committed golden table CSV for the
+    // queried date (engine-independent: that CSV IS the reference's
+    // own env⋈result⋈schedule join output for 2020-08-28).
+    QueryDef(
+      "boatrace_date_query",
+      """SELECT "レースID", CAST("順位" AS INT) AS "順位", "選手登番",
+        |  CAST("艇番" AS INT) AS "艇番", CAST("展示" AS DOUBLE) AS "展示"
+        |FROM read_csv('/root/reference/table/2020-08-28.csv',
+        |  header=true, all_varchar=true)
+        |ORDER BY "レースID", "順位"""".stripMargin) { (s, _) =>
       def t(name: String) = s.read.format("boatrace")
         .option("table", name).load(txtDir)
         .filter(col("レースID").startsWith("2020-08-28"))

@@ -28,13 +28,8 @@ object SimilarityQueries {
   private val Q = 20 // query set = vec_id < 20
   private val K = 5
 
-  val all: Seq[QueryDef] = Seq(
-
-    // Brute-force exact cosine top-k per query vector. The query side
-    // is broadcast (tiny); candidates stream through a single scan.
-    QueryDef(
-      "v01_ann_brute_topk",
-      s"""WITH n AS ($quantizedSql),
+  private val v01Sql =
+    s"""WITH n AS ($quantizedSql),
         |cs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |         CAST(list_sum(list_transform(generate_series(1, len(q.r)),
         |                i -> q.r[i] * c.r[i])) AS DOUBLE)
@@ -45,26 +40,10 @@ object SimilarityQueries {
         |         CAST(row_number() OVER (PARTITION BY query_id
         |             ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
         |  FROM cs) t
-        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-      // cosines via the primitive-loop kernel (higher-order array
-      // expressions are interpreted); ranking stays declarative.
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos_sim").desc, col("neighbor_id"))
-      graft.functions.VectorKernels.crossCosine(s, quantized(s, d), Q)
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-        .orderBy("query_id", "rank")
-    },
+        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
-    // Random-hyperplane LSH ANN: 8 pseudo-random hyperplanes derived
-    // from md5 (coefficients in [-1000, 1000], identical on both
-    // engines), sign-bit bucket per vector, candidates share the
-    // bucket. Exact cosine re-rank inside the bucket, top-3. Recall
-    // is approximate by design — the oracle runs the same algorithm.
-    QueryDef(
-      "v02_ann_lsh_bucket",
-      s"""WITH n AS ($quantizedSql),
+  private val v02Sql =
+    s"""WITH n AS ($quantizedSql),
         |dots AS (SELECT vec_id, p,
         |           CAST(list_sum(list_transform(generate_series(1, len(r)),
         |             j -> ((CAST(('0x' || substr(md5(p || ':' || j), 1, 8)) AS BIGINT)
@@ -86,7 +65,90 @@ object SimilarityQueries {
         |         CAST(row_number() OVER (PARTITION BY query_id
         |             ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
         |  FROM cs) t
-        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  private val v03Sql =
+    s"""WITH n AS ($quantizedSql),
+        |cen AS (SELECT label, j, CAST(sum(r[j]) AS BIGINT) AS cj
+        |        FROM n, generate_series(1, 64) t(j) GROUP BY label, j),
+        |cent AS (SELECT label, list(cj ORDER BY j) AS c,
+        |           CAST(list_sum(list_transform(list(cj ORDER BY j), x -> x*x))
+        |                AS DOUBLE) AS cn
+        |         FROM cen GROUP BY label),
+        |probe AS (SELECT query_id, label FROM (
+        |    SELECT q.vec_id AS query_id, cent.label,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             CAST(list_sum(list_transform(generate_series(1, 64),
+        |                    i -> q.r[i] * cent.c[i])) AS DOUBLE)
+        |               / sqrt(CAST(q.nn AS DOUBLE) * cn) DESC, cent.label) AS rn
+        |    FROM n q, cent WHERE q.vec_id < $Q) t WHERE rn = 1),
+        |cs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+        |         CAST(list_sum(list_transform(generate_series(1, len(q.r)),
+        |                i -> q.r[i] * c.r[i])) AS DOUBLE)
+        |           / sqrt(CAST(q.nn AS DOUBLE) * CAST(c.nn AS DOUBLE)) AS cos_sim
+        |       FROM n q JOIN probe ON probe.query_id = q.vec_id
+        |         JOIN n c ON c.label = probe.label AND c.vec_id <> q.vec_id)
+        |SELECT query_id, label, neighbor_id, cos_sim, rank FROM (
+        |  SELECT query_id, label, neighbor_id, cos_sim,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |             ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM cs) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  private val v05Sql =
+    s"""WITH n AS ($quantizedSql),
+        |cen AS (SELECT label, j, CAST(sum(r[j]) AS BIGINT) AS cj
+        |        FROM n, generate_series(1, 64) t(j) GROUP BY label, j),
+        |cent AS (SELECT label, list(cj ORDER BY j) AS c,
+        |           CAST(list_sum(list_transform(list(cj ORDER BY j), x -> x*x))
+        |                AS DOUBLE) AS cn
+        |         FROM cen GROUP BY label),
+        |probe AS (SELECT query_id, label FROM (
+        |    SELECT q.vec_id AS query_id, cent.label,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             CAST(list_sum(list_transform(generate_series(1, 64),
+        |                    i -> q.r[i] * cent.c[i])) AS DOUBLE)
+        |               / sqrt(CAST(q.nn AS DOUBLE) * cn) DESC, cent.label) AS rn
+        |    FROM n q, cent WHERE q.vec_id < $Q) t WHERE rn <= 2),
+        |cs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         CAST(list_sum(list_transform(generate_series(1, len(q.r)),
+        |                i -> q.r[i] * c.r[i])) AS DOUBLE)
+        |           / sqrt(CAST(q.nn AS DOUBLE) * CAST(c.nn AS DOUBLE)) AS cos_sim
+        |       FROM n q JOIN probe ON probe.query_id = q.vec_id
+        |         JOIN n c ON c.label = probe.label AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |             ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM cs) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Brute-force exact cosine top-k per query vector. The query side
+    // is broadcast (tiny); candidates stream through a single scan.
+    QueryDef(
+      "v01_ann_brute_topk",
+      v01Sql) { (s, d) =>
+      // cosines via the primitive-loop kernel (higher-order array
+      // expressions are interpreted); ranking stays declarative.
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      graft.functions.VectorKernels.crossCosine(s, quantized(s, d), Q)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    },
+
+    // Random-hyperplane LSH ANN: 8 pseudo-random hyperplanes derived
+    // from md5 (coefficients in [-1000, 1000], identical on both
+    // engines), sign-bit bucket per vector, candidates share the
+    // bucket. Exact cosine re-rank inside the bucket, top-3. Recall
+    // is approximate by design — the oracle runs the same algorithm.
+    QueryDef(
+      "v02_ann_lsh_bucket",
+      v02Sql) { (s, d) =>
       GraftExtensions.register(s) // native codegen dot_long (plans.DotLong)
       val n = quantized(s, d)
       // bucket assignment via the plane kernel (the plane matrix is a
@@ -120,32 +182,7 @@ object SimilarityQueries {
     // top-3 within the cell.
     QueryDef(
       "v03_ann_ivf_cell",
-      s"""WITH n AS ($quantizedSql),
-        |cen AS (SELECT label, j, CAST(sum(r[j]) AS BIGINT) AS cj
-        |        FROM n, generate_series(1, 64) t(j) GROUP BY label, j),
-        |cent AS (SELECT label, list(cj ORDER BY j) AS c,
-        |           CAST(list_sum(list_transform(list(cj ORDER BY j), x -> x*x))
-        |                AS DOUBLE) AS cn
-        |         FROM cen GROUP BY label),
-        |probe AS (SELECT query_id, label FROM (
-        |    SELECT q.vec_id AS query_id, cent.label,
-        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |             CAST(list_sum(list_transform(generate_series(1, 64),
-        |                    i -> q.r[i] * cent.c[i])) AS DOUBLE)
-        |               / sqrt(CAST(q.nn AS DOUBLE) * cn) DESC, cent.label) AS rn
-        |    FROM n q, cent WHERE q.vec_id < $Q) t WHERE rn = 1),
-        |cs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
-        |         CAST(list_sum(list_transform(generate_series(1, len(q.r)),
-        |                i -> q.r[i] * c.r[i])) AS DOUBLE)
-        |           / sqrt(CAST(q.nn AS DOUBLE) * CAST(c.nn AS DOUBLE)) AS cos_sim
-        |       FROM n q JOIN probe ON probe.query_id = q.vec_id
-        |         JOIN n c ON c.label = probe.label AND c.vec_id <> q.vec_id)
-        |SELECT query_id, label, neighbor_id, cos_sim, rank FROM (
-        |  SELECT query_id, label, neighbor_id, cos_sim,
-        |         CAST(row_number() OVER (PARTITION BY query_id
-        |             ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
-        |  FROM cs) t
-        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      v03Sql) { (s, d) =>
       GraftExtensions.register(s) // native codegen dot_long (plans.DotLong)
       val n = quantized(s, d)
       // integer centroid (component-wise sum) per cell, exact.
@@ -235,32 +272,7 @@ object SimilarityQueries {
     // cells are disjoint, so candidates need no dedup.
     QueryDef(
       "v05_ann_ivf_multiprobe",
-      s"""WITH n AS ($quantizedSql),
-        |cen AS (SELECT label, j, CAST(sum(r[j]) AS BIGINT) AS cj
-        |        FROM n, generate_series(1, 64) t(j) GROUP BY label, j),
-        |cent AS (SELECT label, list(cj ORDER BY j) AS c,
-        |           CAST(list_sum(list_transform(list(cj ORDER BY j), x -> x*x))
-        |                AS DOUBLE) AS cn
-        |         FROM cen GROUP BY label),
-        |probe AS (SELECT query_id, label FROM (
-        |    SELECT q.vec_id AS query_id, cent.label,
-        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |             CAST(list_sum(list_transform(generate_series(1, 64),
-        |                    i -> q.r[i] * cent.c[i])) AS DOUBLE)
-        |               / sqrt(CAST(q.nn AS DOUBLE) * cn) DESC, cent.label) AS rn
-        |    FROM n q, cent WHERE q.vec_id < $Q) t WHERE rn <= 2),
-        |cs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |         CAST(list_sum(list_transform(generate_series(1, len(q.r)),
-        |                i -> q.r[i] * c.r[i])) AS DOUBLE)
-        |           / sqrt(CAST(q.nn AS DOUBLE) * CAST(c.nn AS DOUBLE)) AS cos_sim
-        |       FROM n q JOIN probe ON probe.query_id = q.vec_id
-        |         JOIN n c ON c.label = probe.label AND c.vec_id <> q.vec_id)
-        |SELECT query_id, neighbor_id, cos_sim, rank FROM (
-        |  SELECT query_id, neighbor_id, cos_sim,
-        |         CAST(row_number() OVER (PARTITION BY query_id
-        |             ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
-        |  FROM cs) t
-        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      v05Sql) { (s, d) =>
       GraftExtensions.register(s)
       val n = quantized(s, d)
       val cen = n.select(col("label"), col("r"),
@@ -296,6 +308,57 @@ object SimilarityQueries {
         .filter(col("rank") <= 3)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")
+    },
+
+    // Recall measurement as a CHECKED query: recall@3 of each
+    // approximate method (v02 LSH, v03 IVF probe-1, v05 IVF probe-2)
+    // against v01's exact top-3 — the multi-probe "recall lever" claim
+    // becomes a measured, oracle-verified number instead of an
+    // assertion. recall is exact integer fixed-point (hits·10⁴ div
+    // truth), so the row hashes bit-identically across engines. At
+    // scale this is the standard offline index-quality job: one
+    // left join truth⋈method per index and a count — O(Q·k) rows,
+    // negligible next to the searches themselves.
+    QueryDef(
+      "v06_ann_recall",
+      s"""WITH ex AS (SELECT query_id, neighbor_id
+         |            FROM ($v01Sql) t WHERE rank <= 3),
+         |m2 AS (SELECT query_id, neighbor_id FROM ($v02Sql) t),
+         |m3 AS (SELECT query_id, neighbor_id FROM ($v03Sql) t),
+         |m5 AS (SELECT query_id, neighbor_id FROM ($v05Sql) t),
+         |r AS (
+         |  SELECT 'v02_lsh' AS method, CAST(count(m.query_id) AS BIGINT)
+         |      AS hits, CAST(count(*) AS BIGINT) AS total
+         |  FROM ex LEFT JOIN m2 m ON ex.query_id = m.query_id
+         |    AND ex.neighbor_id = m.neighbor_id
+         |  UNION ALL
+         |  SELECT 'v03_ivf_probe1', CAST(count(m.query_id) AS BIGINT),
+         |      CAST(count(*) AS BIGINT)
+         |  FROM ex LEFT JOIN m3 m ON ex.query_id = m.query_id
+         |    AND ex.neighbor_id = m.neighbor_id
+         |  UNION ALL
+         |  SELECT 'v05_ivf_probe2', CAST(count(m.query_id) AS BIGINT),
+         |      CAST(count(*) AS BIGINT)
+         |  FROM ex LEFT JOIN m5 m ON ex.query_id = m.query_id
+         |    AND ex.neighbor_id = m.neighbor_id)
+         |SELECT method, hits, total,
+         |       (hits * 10000 // total) / 10000.0 AS recall
+         |FROM r ORDER BY method""".stripMargin) { (s, d) =>
+      val ex = graft.SparkEntry.queries("v01_ann_brute_topk")(s, d)
+        .filter(col("rank") <= 3).select("query_id", "neighbor_id")
+      def recallOf(name: String, label: String) = {
+        val m = graft.SparkEntry.queries(name)(s, d)
+          .select(col("query_id").as("mq"), col("neighbor_id").as("mn"))
+        ex.join(m, col("query_id") === col("mq") &&
+            col("neighbor_id") === col("mn"), "left")
+          .agg(count(col("mq")).as("hits"), count(lit(1)).as("total"))
+          .select(lit(label).as("method"), col("hits"), col("total"))
+      }
+      recallOf("v02_ann_lsh_bucket", "v02_lsh")
+        .unionAll(recallOf("v03_ann_ivf_cell", "v03_ivf_probe1"))
+        .unionAll(recallOf("v05_ann_ivf_multiprobe", "v05_ivf_probe2"))
+        .withColumn("recall", expr("hits * 10000 div total") / 10000.0)
+        .orderBy("method")
     },
   )
 }

@@ -85,6 +85,16 @@ class NewOperatorsSpec extends AnyFunSuite {
     assert(!phys.contains("UDF"), "bloom probe fell back to a Scala UDF")
   }
 
+  test("v06 recall: multi-probe dominates probe-1, recalls within [0,1]") {
+    val rows = SparkEntry.queries("v06_ann_recall")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rows.keySet === Set("v02_lsh", "v03_ivf_probe1", "v05_ivf_probe2"))
+    rows.values.foreach(v => assert(v >= 0.0 && v <= 1.0, s"recall $v"))
+    // probe-2 searches a superset of probe-1's candidates — its
+    // recall can only be >= (the documented "recall lever")
+    assert(rows("v05_ivf_probe2") >= rows("v03_ivf_probe1"), rows.toString)
+  }
+
   test("q58 histogram: buckets partition the data, extents inside bounds") {
     val rows = SparkEntry.queries("q58_histogram")(spark, sf).collect()
     val total = rows.map(_.getLong(1)).sum
