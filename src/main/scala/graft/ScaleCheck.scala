@@ -43,19 +43,40 @@ object ScaleCheck {
       val scaled =
         if (keys.isEmpty) src
         else (0 until factor).map { i =>
-          keys.foldLeft(src)((df, k) => df.withColumn(k, col(k) + i * shift))
+          val shifted =
+            keys.foldLeft(src)((df, k) => df.withColumn(k, col(k) + i * shift))
+          // Embedding copies must NOT be verbatim: identical vectors would
+          // turn every cross-copy twin into a near-dup pair and measure a
+          // different (quadratic-by-construction) problem. A per-copy
+          // deterministic sign-flip pattern keeps every WITHIN-copy dot
+          // product bit-identical ((±a)·(±b) = a·b when both vectors carry
+          // the same flip mask), so each copy contributes the original
+          // pair/cell structure, while cross-copy cosines scatter toward 0.
+          // Copy 0 is untouched, so the bounded query set (vec_id < 20)
+          // stays constant while the searched corpus grows N× — the actual
+          // production scaling shape for ANN.
+          if (t == "embeddings" && i > 0)
+            shifted.withColumn("embedding",
+              transform(col("embedding"), (x, d) =>
+                when(pmod(hash(lit(i), d), lit(2)) === 0, x).otherwise(-x)))
+          else shifted
         }.reduce(_ unionByName _)
       scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
 
-    // dedup/similarity ops are deliberately absent: key-shifted copies
-    // duplicate text verbatim, which changes what dedup MEANS rather
-    // than scaling it. q31 vs q43 compares the as-of composition
-    // against the custom exec under identical growth.
+    // TEXT dedup ops are deliberately absent: key-shifted copies duplicate
+    // text verbatim, which changes what dedup MEANS rather than scaling it
+    // (the embedding ops d09/v05 get honest copies via the sign-flip
+    // transform above). q31 vs q43 compares the as-of composition against
+    // the custom exec under identical growth.
     val queries = Seq("q05_groupby_agg", "q07_multijoin_agg",
       "q10_window_topk_per_group", "q44_star_join_q5", "d01_exact_dedup",
       "t10_vocab_topk", "p01_hash_split", "q31_asof_join",
-      "q43_asof_custom_exec")
+      "q43_asof_custom_exec",
+      // round-3 additions: blocked embedding near-dup, multi-probe ANN,
+      // CMS sketch agg, whole-partition value windows, batched media resize
+      "d09_ivf_neardup", "v05_ann_ivf_multiprobe", "q60_cms_freq",
+      "q61_value_windows", "m04_media_resize")
     def time(name: String, dir: String): Double = {
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()

@@ -120,8 +120,56 @@ object DedupQueries {
       .filter(col("jacc") >= 0.5)
   }
 
+  /** Connected components over the confirmed near-dup pair graph
+    * (d02): (doc_id, cluster_id = min doc_id of the component).
+    * Iterative min-label propagation — each round one join + one
+    * min-aggregate on the id key, O(cluster diameter) rounds, bulk
+    * shuffles only (no driver-side union-find). Shared by d08
+    * (cluster formation) and d10 (canonical-doc selection). */
+  private def dupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = confirmedMinhashPairs(s, d).select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id"))
+      .distinct().withColumn("lbl", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // convergence monitor: min-propagation only ever DECREASES
+    // labels, so the label sum is strictly decreasing until the
+    // fixpoint — one scalar aggregate per round instead of a
+    // join-and-compare pass
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
+    var curSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
+      // propagate each node's label to its neighbors, keep the min
+      val next = edges
+        .join(labels.withColumnRenamed("id", "src")
+          .withColumnRenamed("lbl", "nlbl"), "src")
+        .select(col("dst").as("id"), col("nlbl").as("lbl"))
+        .union(labels)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nextSum = labelSum(next)
+      converged = nextSum == curSum
+      curSum = nextSum
+      labels.unpersist()
+      labels = next
+    }
+    val out = labels.select(col("id").as("doc_id"),
+      col("lbl").as("cluster_id"))
+    edges.unpersist()
+    // the final labels must stay persisted until the CALLER consumes
+    // `out` (unpersisting here would replay the whole fixpoint) —
+    // hand it to the registry for post-materialization release
+    graft.PersistRegistry.track(labels)
+    out
+  }
+
   /** The d02 oracle's CTE chain up to confirmed pairs — ends in
-    * `pairs(doc_a, doc_b, jacc)`; shared by d02 and d08. */
+    * `pairs(doc_a, doc_b, jacc)`; shared by d02, d08, and d10. */
   private val pairsCteSql =
     s"""w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
       |           FROM documents),
@@ -388,45 +436,48 @@ object DedupQueries {
         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val pairs = confirmedMinhashPairs(s, d).select("doc_a", "doc_b")
-      val edges = pairs
-        .union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst").distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = edges.select(col("src").as("id"))
-        .distinct().withColumn("lbl", col("id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // convergence monitor: min-propagation only ever DECREASES
-      // labels, so the label sum is strictly decreasing until the
-      // fixpoint — one scalar aggregate per round instead of a
-      // join-and-compare pass
-      def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-        df.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
-      var curSum = labelSum(labels)
-      var converged = false
-      while (!converged) {
-        // propagate each node's label to its neighbors, keep the min
-        val next = edges
-          .join(labels.withColumnRenamed("id", "src")
-            .withColumnRenamed("lbl", "nlbl"), "src")
-          .select(col("dst").as("id"), col("nlbl").as("lbl"))
-          .union(labels)
-          .groupBy("id").agg(min("lbl").as("lbl"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nextSum = labelSum(next)
-        converged = nextSum == curSum
-        curSum = nextSum
-        labels.unpersist()
-        labels = next
-      }
-      val out = labels.select(col("id").as("doc_id"),
-        col("lbl").as("cluster_id")).orderBy("doc_id")
-      edges.unpersist()
-      // the final labels must stay persisted until the CALLER consumes
-      // `out` (unpersisting here would replay the whole fixpoint) —
-      // hand it to the registry for post-materialization release
-      graft.PersistRegistry.track(labels)
-      out
+      dupClusters(s, d).orderBy("doc_id")
+    },
+
+    // Canonical-representative selection per duplicate cluster — the
+    // step a real dedup pipeline runs AFTER cluster formation: of each
+    // cluster, keep the highest-quality member (longest text; doc_id
+    // breaks ties deterministically) and record the cluster size for
+    // the retention manifest. Composes d08's components with the
+    // documents table. Scale: clusters is O(duplicated docs) — one
+    // equi-join on doc_id to pick up the quality signal, then one
+    // aggregate on cluster_id; the argmax is max(struct(quality,
+    // -doc_id)) — a plain mergeable aggregate, no per-cluster window
+    // shuffle and no assumption about max_by tie behavior.
+    QueryDef(
+      "d10_canonical_docs",
+      s"""WITH RECURSIVE $pairsCteSql,
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jacc >= 0.5
+        |      UNION SELECT doc_b, doc_a FROM pairs WHERE jacc >= 0.5),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |       FROM reach GROUP BY a),
+        |j AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars
+        |      FROM cl JOIN documents d USING (doc_id))
+        |SELECT cluster_id, doc_id AS canonical_doc, n_members,
+        |       n_chars AS canonical_chars
+        |FROM (SELECT cluster_id, doc_id, n_chars,
+        |        count(*) OVER (PARTITION BY cluster_id) AS n_members,
+        |        row_number() OVER (PARTITION BY cluster_id
+        |            ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |      FROM j) t
+        |WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "n_chars")
+      dupClusters(s, d).join(docs, "doc_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("neg"))).as("best"))
+        .select(col("cluster_id"), (-col("best.neg")).as("canonical_doc"),
+          col("n_members"), col("best.n_chars").as("canonical_chars"))
+        .orderBy("cluster_id")
     },
 
     // Test-set decontamination: find held-out (test-split) documents
