@@ -65,9 +65,6 @@ object Bench {
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.distinct.size} queries failed: " +
         errors.distinct.mkString(", "))
-    // Per-query seconds rounded to 4 decimals: keeps the final line
-    // compact so the driver's stdout-tail capture preserves it whole
-    // (r02/r03 lost the timings to mid-line truncation of one huge line).
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
@@ -79,10 +76,21 @@ object Bench {
     // n_queries/mean: totals are only comparable across rounds at the
     // same query count — the suite grows every round
     val mean = if (results.nonEmpty) total / results.size else 0.0
-    // Shuffle volumes go on their OWN earlier line (informational); the
-    // FINAL stdout line is the parseable artifact and must stay short.
-    println(s"""{"metric":"shuffle_mb_detail","shuffle_mb":$shJson}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"mean_per_query":$mean%.4f,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // Per-query seconds + shuffle volumes go to their OWN FILE: at 112+
+    // queries the inline map is >3 KB and the driver's stdout tail window
+    // (~2 KB) cut it mid-JSON three rounds running. The FINAL stdout line
+    // is summary-only (~150 bytes) so it survives any tail capture; the
+    // detail file is committed at round end for the judge.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "bench_detail.json")
+    val detail =
+      f"""{"metric":"bench_detail","sf":"$sfDir","total_sec":$total%.3f,"n_queries":${results.size},"mean_per_query":$mean%.4f,"queries":$qs,"shuffle_mb":$shJson,"errors":$errJson}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(detailPath), detail + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"mean_per_query":$mean%.4f,"errors":$errJson,"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
   }
 }

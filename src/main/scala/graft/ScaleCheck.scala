@@ -52,37 +52,67 @@ object ScaleCheck {
           // product bit-identical ((±a)·(±b) = a·b when both vectors carry
           // the same flip mask), so each copy contributes the original
           // pair/cell structure, while cross-copy cosines scatter toward 0.
+          // The IVF coarse-cell `label` is ALSO shifted per copy: a bigger
+          // corpus gets more cells (nlist grows with N in any real IVF
+          // deployment), so copies occupy disjoint cells and d09's
+          // same-cell pair space is Σcell² over N× cells = linear in N —
+          // leaving labels shared across copies would grow every cell N×
+          // and measure a factor²-by-construction problem instead.
           // Copy 0 is untouched, so the bounded query set (vec_id < 20)
           // stays constant while the searched corpus grows N× — the actual
           // production scaling shape for ANN.
           if (t == "embeddings" && i > 0)
-            shifted.withColumn("embedding",
-              transform(col("embedding"), (x, d) =>
-                when(pmod(hash(lit(i), d), lit(2)) === 0, x).otherwise(-x)))
+            shifted
+              .withColumn("embedding",
+                transform(col("embedding"), (x, d) =>
+                  when(pmod(hash(lit(i), d), lit(2)) === 0, x).otherwise(-x)))
+              .withColumn("label", col("label") + i * 1000)
+          // Document copies get every TOKEN salted with the copy id (the
+          // text analog of the embedding sign-flip): within a copy the
+          // shingle-equality structure is exactly the original's (same
+          // docs share same shingles), while cross-copy shingle sets are
+          // disjoint — so MinHash/LSH dedup over N× data dedups N×
+          // independent corpora instead of finding N-1 verbatim twins of
+          // every doc (which would measure a quadratic-by-construction
+          // problem, not scaling).
+          else if (t == "documents" && i > 0)
+            shifted.withColumn("text",
+              regexp_replace(col("text"), "(\\S+)", "$1" + i))
           else shifted
         }.reduce(_ unionByName _)
       scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
 
-    // TEXT dedup ops are deliberately absent: key-shifted copies duplicate
-    // text verbatim, which changes what dedup MEANS rather than scaling it
-    // (the embedding ops d09/v05 get honest copies via the sign-flip
-    // transform above). q31 vs q43 compares the as-of composition against
-    // the custom exec under identical growth.
-    val queries = Seq("q05_groupby_agg", "q07_multijoin_agg",
+    // q31 vs q43 compares the as-of composition against the custom exec
+    // under identical growth. d02 runs over the token-salted copies (see
+    // above) so LSH dedup scales honestly. At factor >= 50 only the
+    // heaviest families run (fact-fact joins, LSH dedup, windows, blocked
+    // near-dup) — the light map-only queries were already flat at 25× and
+    // a 100× corpus makes the full suite needlessly slow to double-run.
+    val fullSuite = Seq("q05_groupby_agg", "q07_multijoin_agg",
       "q10_window_topk_per_group", "q44_star_join_q5", "d01_exact_dedup",
       "t10_vocab_topk", "p01_hash_split", "q31_asof_join",
       "q43_asof_custom_exec",
       // round-3 additions: blocked embedding near-dup, multi-probe ANN,
       // CMS sketch agg, whole-partition value windows, batched media resize
       "d09_ivf_neardup", "v05_ann_ivf_multiprobe", "q60_cms_freq",
-      "q61_value_windows", "m04_media_resize")
+      "q61_value_windows", "m04_media_resize",
+      // round-5: LSH dedup over salted copies
+      "d02_minhash_lsh")
+    val heavySuite = Seq("q07_multijoin_agg", "q44_star_join_q5",
+      "d02_minhash_lsh", "q33_ranking_functions",
+      "q10_window_topk_per_group", "d09_ivf_neardup")
+    val queries = if (factor >= 50) heavySuite else fullSuite
     def time(name: String, dir: String): Double = {
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release tracked persisted intermediates (d02's signature set
+        // at 100x is GBs — leaking it would tax every later timing)
+        PersistRegistry.release()
+        dt
       }
       times.min
     }

@@ -17,10 +17,18 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Base-table dump for the boatrace relational oracles: the DuckDB
     // SQL recomputes the join/agg over these (parse layer itself is
-    // golden-verified; see BoatraceQueries).
+    // golden-verified; see BoatraceQueries). A missing dump must ABORT:
+    // swallowing it would surface downstream as six cryptic DuckDB
+    // file-not-found rows instead of one self-explanatory failure.
     try graft.operators.BoatraceQueries.dumpBaseTables(spark, outDir)
     catch { case e: Throwable =>
-      System.err.println(s"[verify] boatrace base dump failed: ${e.getMessage}")
+      System.err.println(
+        s"[verify] FATAL: boatrace base dump failed — the boatrace_* " +
+        s"oracle rows cannot be checked: ${e.getMessage}")
+      Files.writeString(Paths.get(s"$outDir/DUMP_FAILED"),
+        s"boatrace base dump failed: ${e.getMessage}\n")
+      spark.stop()
+      sys.exit(1)
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -228,12 +228,41 @@ object BoatraceQueries {
     // LightGBM (out of scope), so this runs the strongest
     // non-learned predictor instead: bet the boat with the best
     // national win rate (全国勝率). Per-race argmax via row_number,
-    // then one broadcast join against the odds payouts; 単勝 (win-bet)
+    // then one join against the odds payouts; 単勝 (win-bet)
     // accuracy and ROI come out as one metrics row. The reference's
     // trained model reports 0.653 accuracy / 114% ROI — this
     // feature-only baseline lands near 0.5 / <100%, the gap the model
-    // earns.
-    QueryDef.noOracle("boatrace_betting_sim") { (s, _) =>
+    // earns (the comparison to those published metrics stays a spec
+    // bound; the relational core below is DuckDB-recomputed over the
+    // Verify base-table dump, same mechanism as player_stats).
+    // Metrics are exact integer fixed-point to 4 decimals (see the
+    // player_stats note) so the hashes are bit-identical by
+    // construction, not by rounding luck.
+    QueryDef(
+      "boatrace_betting_sim",
+      s"""WITH $raceOracleCte,
+         |bets AS (
+         |  SELECT "レースID", "艇番" AS bet_boat, ("順位" = 1) AS hit
+         |  FROM (SELECT "レースID", "艇番", "順位",
+         |          row_number() OVER (PARTITION BY "レースID"
+         |            ORDER BY "全国勝率" DESC, "艇番") AS rn
+         |        FROM race) t
+         |  WHERE rn = 1),
+         |j AS (
+         |  SELECT b.hit, CAST(o."単勝" AS INT) AS win_payout
+         |  FROM bets b
+         |  JOIN read_parquet('$OutDirToken/boatrace_base/odds/*.parquet') o
+         |    ON b."レースID" = o."レースID"),
+         |m AS (
+         |  SELECT count(*) AS n_races,
+         |    CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |    CAST(sum(CASE WHEN hit AND win_payout > 0
+         |          THEN win_payout ELSE 0 END) AS BIGINT) AS payout_sum
+         |  FROM j)
+         |SELECT n_races, n_hits,
+         |  (n_hits * 10000 // n_races) / 10000.0 AS accuracy,
+         |  (payout_sum * 100 // n_races) / 10000.0 AS roi
+         |FROM m""".stripMargin) { (s, _) =>
       import org.apache.spark.sql.expressions.Window
       val (env, result, odds, schedule) = tables(s)
       val race = BoatracePipeline.typedRace(
@@ -253,10 +282,13 @@ object BoatraceQueries {
         // 不成立/void payouts are -1 sentinels (SURVEY §2.3): no payout
         .agg(count(lit(1)).as("n_races"),
           sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"),
-          round(avg(when(col("hit"), 1.0).otherwise(0.0)), 4).as("accuracy"),
-          round(sum(when(col("hit") && col("win_payout") > 0,
-              col("win_payout").cast("long")).otherwise(0L))
-            .cast("double") / (count(lit(1)) * 100), 4).as("roi"))
+          sum(when(col("hit") && col("win_payout") > 0,
+            col("win_payout").cast("long")).otherwise(0L)).as("payout_sum"))
+        // ROI per 100-yen stake: payout_sum/(n_races*100), fixed-point
+        // to 4 decimals via one integer floor-div then ONE division
+        .select(col("n_races"), col("n_hits"),
+          (expr("n_hits * 10000 div n_races") / 10000.0).as("accuracy"),
+          (expr("payout_sum * 100 div n_races") / 10000.0).as("roi"))
     },
 
     // R5: the reference's `レースID LIKE '2020-08-28%'` (read_db.py:19)

@@ -84,10 +84,14 @@ object SnapshotTable {
     v
   }
 
-  /** Append: new version = previous live files + the new ones. */
-  def append(spark: SparkSession, df: DataFrame, dir: String): Int = {
+  /** Append: new version = previous live files + the new ones. `meta`
+    * rides the atomic pointer swap (see currentMeta) — that is what
+    * lets a streaming ingest make appends exactly-once (skip when the
+    * committed meta already names this batch id). */
+  def append(spark: SparkSession, df: DataFrame, dir: String,
+      meta: Option[String] = None): Int = {
     val prev = currentVersion(dir).map(manifestFiles(dir, _)).getOrElse(Seq.empty)
-    commit(dir, prev ++ writeData(df, dir))
+    commit(dir, prev ++ writeData(df, dir), meta)
   }
 
   /** Overwrite: new version = only the new files (old files stay on

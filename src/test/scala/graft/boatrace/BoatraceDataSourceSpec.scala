@@ -81,6 +81,16 @@ class BoatraceDataSourceSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions === 62)
   }
 
+  test("the oracle-gate date query runs through the DSv2 pruned scan") {
+    // boatrace_date_query is a hash-checked CORRECTNESS row; this pins
+    // that the row exercises the connector's planning-time file
+    // pruning, not the flatMap pipeline path
+    val df = graft.SparkEntry.queries("boatrace_date_query")(spark, "")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("prunedToDates=2020-08-28"), s"plan:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("reported statistics shrink with file pruning (broadcast eligibility)") {
     import org.apache.spark.sql.functions.col
     val all = spark.read.format("boatrace").option("table", "result")

@@ -1,0 +1,99 @@
+package graft.boatrace
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.warehouse.SnapshotTable
+
+/** Streaming LZH ingest (StreamingIngest): drop archives into a
+  * watched directory, the warehouse converges to what the batch build
+  * over the same archives produces — including the case the batch path
+  * never faces, a date's K and B files arriving in DIFFERENT epochs.
+  */
+class StreamingIngestSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val lzhSrc = "/root/reference/lzh"
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def drop(srcNames: Seq[String], dstDir: String): Unit =
+    srcNames.foreach { n =>
+      Files.copy(Paths.get(lzhSrc, n), Paths.get(dstDir, n),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val cols = df.columns.sorted
+    df.selectExpr(cols.map(c => s"`$c`"): _*)
+      .collect().map(_.toString).toSeq.sorted
+  }
+
+  test("streamed warehouse converges to the batch build, " +
+      "K/B split across epochs") {
+    val in = tmpDir("graft-stream-lzh-in-")
+    val wh = tmpDir("graft-stream-lzh-wh-")
+    val ckpt = tmpDir("graft-stream-lzh-ckpt-")
+    val dates = Seq("2020-08-01", "2020-08-02")
+
+    // epoch 1: only the K files (env/result/odds) — no race rows can
+    // form yet for lack of the B-side schedule table
+    drop(dates.map(d => s"K$d.lzh"), in)
+    val q = StreamingIngest.start(spark, in, wh, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(SnapshotTable.read(spark, s"$wh/env").count() > 0)
+      // race table exists but is EMPTY (inner join with an absent side)
+      val raceAfterK =
+        scala.util.Try(SnapshotTable.read(spark, s"$wh/race").count())
+      assert(raceAfterK.getOrElse(0L) === 0L,
+        s"race rows before schedules arrived: $raceAfterK")
+
+      // epoch 2: the B files arrive — the touched dates' race rows
+      // must now be completed from the earlier K data
+      drop(dates.map(d => s"B$d.lzh"), in)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = StreamingIngest.table(spark, wh, "race")
+
+    // batch reference build over the same four archives
+    val parsed = BoatracePipeline.parseLzhDir(spark, in)
+    val batch = BoatracePipeline.typedRace(BoatracePipeline.raceTable(
+      BoatracePipeline.envDf(spark, parsed),
+      BoatracePipeline.resultDf(spark, parsed),
+      BoatracePipeline.scheduleDf(spark, parsed)))
+    try {
+      assert(streamed.count() === batch.count())
+      assert(sortedRows(streamed) === sortedRows(batch))
+    } finally parsed.unpersist()
+
+    // base tables converged too (one spot check)
+    assert(SnapshotTable.read(spark, s"$wh/odds").count() ===
+      BoatracePipeline.oddsDf(spark,
+        BoatracePipeline.parseLzhDir(spark, in)).count())
+  }
+
+  test("a replayed epoch is skipped (exactly-once ledger)") {
+    val in = tmpDir("graft-replay-in-")
+    val wh = tmpDir("graft-replay-wh-")
+    drop(Seq("K2020-08-03.lzh", "B2020-08-03.lzh"), in)
+    val batchDf = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.lzh").load(in)
+      .select("path", "content")
+    StreamingIngest.ingestBatch(spark, batchDf, wh, batchId = 0L)
+    val v1 = SnapshotTable.versions(s"$wh/env").last
+    val rows1 = SnapshotTable.read(spark, s"$wh/env").count()
+    // foreachBatch retries the SAME epoch id after a failure; the
+    // ledger must make the re-run a no-op, not a duplicate append
+    StreamingIngest.ingestBatch(spark, batchDf, wh, batchId = 0L)
+    assert(SnapshotTable.versions(s"$wh/env").last === v1)
+    assert(SnapshotTable.read(spark, s"$wh/env").count() === rows1)
+    // a NEW epoch appends
+    StreamingIngest.ingestBatch(spark, batchDf, wh, batchId = 1L)
+    assert(SnapshotTable.read(spark, s"$wh/env").count() === rows1 * 2)
+  }
+}
