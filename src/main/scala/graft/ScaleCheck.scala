@@ -29,6 +29,9 @@ object ScaleCheck {
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(5)
+    // "reuse" second arg: skip the (expensive) corpus rebuild when the
+    // N× copy already exists — lets long runs resume timing-only
+    val reuse = args.lift(1).contains("reuse")
     val base = "/root/testdata/sf0.1"
     val out = s"/tmp/graft_scale_x$factor"
     val spark = SparkSession.builder().master("local[32]")
@@ -38,7 +41,8 @@ object ScaleCheck {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     val shift = 1000000000L
-    for ((t, keys) <- keyCols) {
+    for ((t, keys) <- keyCols
+         if !(reuse && new java.io.File(s"$out/$t.parquet").exists())) {
       val src = spark.read.parquet(s"$base/$t.parquet")
       val scaled =
         if (keys.isEmpty) src
@@ -102,7 +106,11 @@ object ScaleCheck {
     val heavySuite = Seq("q07_multijoin_agg", "q44_star_join_q5",
       "d02_minhash_lsh", "q33_ranking_functions",
       "q10_window_topk_per_group", "d09_ivf_neardup")
-    val queries = if (factor >= 50) heavySuite else fullSuite
+    // SPARK_GRAFT_SCALE_QUERIES=q07_...,d02_... overrides the suite —
+    // lets a big-factor run be split into time-bounded chunks
+    val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(if (factor >= 50) heavySuite else fullSuite)
     def time(name: String, dir: String): Double = {
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()

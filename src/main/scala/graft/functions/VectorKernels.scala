@@ -92,6 +92,45 @@ object VectorKernels {
       }.toDF("vec_id", "bucket")
   }
 
+  /** MAP-ONLY k-means cell assignment: for each (vec_id, y) row, the
+    * id of the centroid minimizing the exact integer squared L2
+    * distance Σ (y_i·scale − c_i)², ties to the smaller centroid id.
+    * `centroids` is a bounded (cellId, vector) list — k·dim longs, a
+    * constant-size broadcast exactly like MLlib's Lloyd's step — so
+    * the assignment is one scan with no shuffle at any corpus size.
+    * All arithmetic is Long and overflow-safe by the caller's
+    * fixed-point contract (|y·scale|, |c| ≤ ~2²¹ ⇒ Σ of 64 squared
+    * diffs ≤ ~2⁴⁸). Returns (vec_id, cell). */
+  def assignCells(spark: SparkSession, vectors: DataFrame,
+      centroids: Array[(Int, Array[Long])], scale: Long): DataFrame = {
+    import spark.implicits._
+    // sorted by cell id: the first strict minimum wins = smallest id
+    val cents = centroids.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cents)
+    vectors.select("vec_id", "y").as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, y) =>
+          var best = -1
+          var bestD = Long.MaxValue
+          var p = 0
+          while (p < cs.length) {
+            val c = cs(p)._2
+            var dist = 0L
+            var j = 0
+            while (j < c.length) {
+              val diff = y(j) * scale - c(j)
+              dist += diff * diff
+              j += 1
+            }
+            if (dist < bestD) { bestD = dist; best = cs(p)._1 }
+            p += 1
+          }
+          (id, best)
+        }
+      }.toDF("vec_id", "cell")
+  }
+
   /** All pairs (id_a < id_b) with cosine >= minCos over a quantized
     * vector table (vec_id: long, r: array<long>, nn: long self-dot).
     * Returns columns (id_a, id_b, cos_sim) — unsorted; caller orders.

@@ -210,9 +210,10 @@ object DedupQueries {
     s.read.parquet(path)
   }
 
-  /** The d02 oracle's CTE chain up to confirmed pairs — ends in
-    * `pairs(doc_a, doc_b, jacc)`; shared by d02, d08, and d10. */
-  private val pairsCteSql =
+  /** The d02 oracle's CTE prefix up to the MinHash signature table —
+    * ends in `sig(doc_id, s, sig)`; shared by the self-join pair chain
+    * below and the delta-vs-corpus chain (d11). */
+  private val sigCteSql =
     s"""w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
       |           FROM documents),
       |sh AS (SELECT doc_id, $shinglesSql AS s FROM w),
@@ -222,7 +223,12 @@ object DedupQueries {
       |sig AS (SELECT doc_id, s, list_transform(generate_series(0, 7),
       |          k -> list_min(list_transform(hv,
       |                 h -> ((2*k+1)*h + 7919*k) % 4294967311))) AS sig
-      |        FROM hs),
+      |        FROM hs)""".stripMargin
+
+  /** The d02 oracle's CTE chain up to confirmed pairs — ends in
+    * `pairs(doc_a, doc_b, jacc)`; shared by d02, d08, and d10. */
+  private val pairsCteSql =
+    s"""$sigCteSql,
       |bands AS (SELECT doc_id, b,
       |            CAST(sig[2*b+1] AS VARCHAR) || ':' ||
       |            CAST(sig[2*b+2] AS VARCHAR) AS key
@@ -564,6 +570,76 @@ object DedupQueries {
       test.join(train, Seq("g"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
         .orderBy("doc_id")
+    },
+
+    // INCREMENTAL dedup — the daily-ingest path: a new DELTA batch
+    // (docs in md5 bucket 7, the stand-in for today's crawl) is
+    // deduped against the EXISTING corpus (the other 9 buckets)
+    // without re-deduping corpus×corpus. Candidate generation is the
+    // d02 LSH band join restricted to delta→corpus: the shuffle key is
+    // still the short band key, but the pair space is |delta|·|bucket|
+    // instead of N² — per-day cost scales with the DELTA, not the
+    // corpus (the property that makes daily ingest O(day)). At true
+    // scale the delta side is small enough that AQE broadcasts it;
+    // the corpus side streams. Output: each new doc with every corpus
+    // doc it duplicates (jacc >= 0.5) — the rows an ingest pipeline
+    // uses to drop or link incoming docs.
+    QueryDef(
+      "d11_incremental_dedup",
+      s"""WITH $sigCteSql,
+        |sp AS (SELECT doc_id, s, sig,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |           % 10 AS bk
+        |       FROM sig),
+        |db AS (SELECT doc_id, b,
+        |         CAST(sig[2*b+1] AS VARCHAR) || ':' ||
+        |         CAST(sig[2*b+2] AS VARCHAR) AS key
+        |       FROM sp, generate_series(0, 3) t(b) WHERE bk = 7),
+        |cb AS (SELECT doc_id, b,
+        |         CAST(sig[2*b+1] AS VARCHAR) || ':' ||
+        |         CAST(sig[2*b+2] AS VARCHAR) AS key
+        |       FROM sp, generate_series(0, 3) t(b) WHERE bk <> 7),
+        |cand AS (SELECT DISTINCT d.doc_id AS new_doc, c.doc_id AS dup_of
+        |         FROM db d JOIN cb c ON d.b = c.b AND d.key = c.key),
+        |conf AS (SELECT new_doc, dup_of,
+        |           len(list_intersect(x.s, y.s))::DOUBLE
+        |             / len(list_distinct(list_concat(x.s, y.s))) AS jacc
+        |         FROM cand JOIN sig x ON x.doc_id = cand.new_doc
+        |                   JOIN sig y ON y.doc_id = cand.dup_of)
+        |SELECT new_doc, dup_of, jacc FROM conf
+        |WHERE jacc >= 0.5 ORDER BY new_doc, dup_of""".stripMargin) { (s, d) =>
+      val sig = graft.PersistRegistry.track(graft.functions.TextKernels
+        .minhashSignatures(s, Tables.documents(s, d), 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val sp = sig.withColumn("bk",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 10)
+      def bandsOf(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("b"),
+          col("sig"))
+        .select(col("doc_id"), col("b"),
+          concat(element_at(col("sig"), col("b") * 2 + 1).cast("string"),
+            lit(":"),
+            element_at(col("sig"), col("b") * 2 + 2).cast("string"))
+            .as("key"))
+      val db = bandsOf(sp.filter(col("bk") === 7))
+        .withColumnRenamed("doc_id", "new_doc")
+      val cb = bandsOf(sp.filter(col("bk") =!= 7))
+        .withColumnRenamed("doc_id", "dup_of")
+        .withColumnRenamed("b", "cb_b").withColumnRenamed("key", "cb_key")
+      val cand = db.join(cb,
+          col("b") === col("cb_b") && col("key") === col("cb_key"))
+        .select("new_doc", "dup_of").distinct()
+      cand
+        .join(sig.select(col("doc_id").as("new_doc"), col("s").as("sa")),
+          "new_doc")
+        .join(sig.select(col("doc_id").as("dup_of"), col("s").as("sb")),
+          "dup_of")
+        .select(col("new_doc"), col("dup_of"),
+          jaccard(col("sa"), col("sb")).as("jacc"))
+        .filter(col("jacc") >= 0.5)
+        .select("new_doc", "dup_of", "jacc")
+        .orderBy("new_doc", "dup_of")
     },
   )
 }

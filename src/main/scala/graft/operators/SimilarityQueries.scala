@@ -360,5 +360,84 @@ object SimilarityQueries {
         .withColumn("recall", expr("hits * 10000 div total") / 10000.0)
         .orderBy("method")
     },
+
+    // IVF INDEX BUILD — the step v03/v05/d09 take as given (their
+    // `label` coarse-quantizer column arrives precomputed): k-means
+    // over the corpus, here 2 Lloyd rounds at k=8 with every quantity
+    // integer so both engines compute the identical partition.
+    //   - vectors shift to non-negative y = r + 10⁴ (distances are
+    //     translation-invariant; non-negativity makes integer floor
+    //     division below engine-agnostic — Spark `div` truncates
+    //     toward zero, DuckDB `//` floors, equal only for ≥0);
+    //   - seeds = the k smallest vec_ids (deterministic init);
+    //   - round 1 assigns by exact integer Σ(y−c)², ties → smaller
+    //     cell id;
+    //   - the centroid update keeps 64× fixed-point integer means
+    //     q = (Σy·64) div n — the declared (and exactly reproducible)
+    //     quantization of the mean;
+    //   - round 2 assigns by Σ(64·y − q)². All sums fit well inside
+    //     Long (64 dims × (2²¹)² ≈ 2⁴⁸).
+    // Scale shape = MLlib's Lloyd's step: assignment is MAP-ONLY with
+    // the k·dim centroid matrix broadcast (VectorKernels.assignCells);
+    // the update is one posexplode → groupBy(cell, dim) with map-side
+    // partial sums (shuffle O(k·64·partitions), independent of N);
+    // the driver only ever holds k·64 longs. Rounds are a fixed
+    // constant — at 100 TB each round is one scan + one tiny shuffle.
+    QueryDef(
+      "v07_ivf_kmeans_build",
+      s"""WITH n AS ($quantizedSql),
+         |y AS (SELECT vec_id, list_transform(r, v -> v + 10000) AS y
+         |      FROM n),
+         |seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT)
+         |             - 1 AS p, y
+         |         FROM (SELECT vec_id, y FROM y ORDER BY vec_id LIMIT 8)),
+         |a1 AS (SELECT vec_id, p AS cell FROM (
+         |    SELECT v.vec_id, s.p,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             list_sum(list_transform(generate_series(1, 64),
+         |               i -> (v.y[i] - s.y[i]) * (v.y[i] - s.y[i]))), s.p)
+         |             AS rn
+         |    FROM y v, seed s) t WHERE rn = 1),
+         |su AS (SELECT cell, j, CAST(sum(y[j]) AS BIGINT) AS sj,
+         |              count(*) AS n_
+         |       FROM y JOIN a1 USING (vec_id), generate_series(1, 64) t(j)
+         |       GROUP BY cell, j),
+         |c2 AS (SELECT cell, list((sj * 64) // n_ ORDER BY j) AS q
+         |       FROM su GROUP BY cell),
+         |a2 AS (SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             list_sum(list_transform(generate_series(1, 64),
+         |               i -> (64 * v.y[i] - c.q[i]) * (64 * v.y[i] - c.q[i]))),
+         |             c.cell) AS rn
+         |    FROM y v, c2 c) t WHERE rn = 1)
+         |SELECT vec_id, CAST(cell AS INT) AS cell
+         |FROM a2 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val y = graft.PersistRegistry.track(
+        quantized(s, d)
+          .select(col("vec_id"), transform(col("r"), v => v + 10000L).as("y"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // k seeds: bounded collect by construction (k·dim longs)
+      val seeds = y.orderBy("vec_id").limit(8)
+        .select("y").as[Array[Long]].collect()
+        .zipWithIndex.map { case (v, p) => (p, v) }
+      val a1 = graft.functions.VectorKernels.assignCells(s, y, seeds, 1L)
+      // Lloyd update: per-(cell, dim) integer sums — map-side partial
+      // agg; k·64 groups regardless of corpus size
+      val cents2 = y.join(a1, "vec_id")
+        .select(col("cell"), posexplode(col("y")).as(Seq("j", "v")))
+        .groupBy("cell", "j")
+        .agg(sum("v").as("sj"), count(lit(1)).as("n_"))
+        .select(col("cell"), col("j"), expr("sj * 64 div n_").as("q"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          (cell, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray)
+        }.toArray
+      graft.functions.VectorKernels.assignCells(s, y, cents2, 64L)
+        .select(col("vec_id"), col("cell").cast("int").as("cell"))
+        .orderBy("vec_id")
+    },
   )
 }

@@ -95,6 +95,45 @@ class NewOperatorsSpec extends AnyFunSuite {
     assert(rows("v05_ivf_probe2") >= rows("v03_ivf_probe1"), rows.toString)
   }
 
+  test("v07 k-means build: total assignment, cells within seed range") {
+    val a = SparkEntry.queries("v07_ivf_kmeans_build")(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    // every vector lands in exactly one cell, ids within the seed range
+    assert(a.length.toLong === n)
+    val cells = a.map(_.getInt(1)).toSet
+    assert(cells.subsetOf((0 until 8).toSet), cells.toString)
+    assert(cells.size > 1, "degenerate single-cell clustering")
+    // each seed vector must sit in its own cell after round 1 by
+    // construction (distance 0 to itself); after round 2 the partition
+    // must still be non-trivial and cover >= 2 cells per 100 vectors
+    // — a weak but deterministic sanity floor for the fixed corpus
+    assert(cells.size >= math.min(8, (n / 250).toInt).max(2), cells.toString)
+  }
+
+  test("d11 incremental dedup ≡ the d02 pairs that cross the delta split") {
+    def bucket(id: Long): Long =
+      graft.functions.VectorKernels.md5Hex8(id.toString) % 10
+    val d11 = SparkEntry.queries("d11_incremental_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // delta side is bucket 7, corpus side is everything else — strictly
+    d11.foreach { case (nw, old) =>
+      assert(bucket(nw) === 7L, s"new_doc $nw not in the delta bucket")
+      assert(bucket(old) !== 7L, s"dup_of $old inside the delta bucket")
+    }
+    // the incremental result is exactly the full-corpus d02 pairs with
+    // one side in the delta: restricting candidate generation loses
+    // nothing (same bands) and invents nothing (same confirm)
+    val d02 = SparkEntry.queries("d02_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = d02.flatMap { case (a, b) =>
+      if (bucket(a) == 7L && bucket(b) != 7L) Some((a, b))
+      else if (bucket(b) == 7L && bucket(a) != 7L) Some((b, a))
+      else None
+    }.toSet
+    assert(d11 === expected)
+    assert(d11.nonEmpty, "split produced no cross pairs — widen the delta")
+  }
+
   test("q58 histogram: buckets partition the data, extents inside bounds") {
     val rows = SparkEntry.queries("q58_histogram")(spark, sf).collect()
     val total = rows.map(_.getLong(1)).sum
