@@ -101,8 +101,10 @@ object ScaleCheck {
       // CMS sketch agg, whole-partition value windows, batched media resize
       "d09_ivf_neardup", "v05_ann_ivf_multiprobe", "q60_cms_freq",
       "q61_value_windows", "m04_media_resize",
-      // round-5: LSH dedup over salted copies
-      "d02_minhash_lsh")
+      // round-5: LSH dedup over salted copies, k-means index build,
+      // delta-vs-corpus dedup, boilerplate strip
+      "d02_minhash_lsh", "v07_ivf_kmeans_build", "d11_incremental_dedup",
+      "d12_boilerplate_strip")
     val heavySuite = Seq("q07_multijoin_agg", "q44_star_join_q5",
       "d02_minhash_lsh", "q33_ranking_functions",
       "q10_window_topk_per_group", "d09_ivf_neardup")

@@ -641,5 +641,75 @@ object DedupQueries {
         .select("new_doc", "dup_of", "jacc")
         .orderBy("new_doc", "dup_of")
     },
+
+    // Boilerplate strip — the CCNet-style SUB-document dedup every
+    // web-scale pipeline runs besides whole-doc dedup: text repeated
+    // ACROSS documents (headers, footers, templates) is removed from
+    // every document while the unique content stays. Declared
+    // segmentation: aligned 8-token windows (this corpus has no
+    // newline paragraph boundaries; the planted duplicate groups share
+    // exactly such aligned prefixes); a segment is boilerplate when it
+    // appears in >= 2 distinct documents; clean_text = the surviving
+    // segments in original order (the sub-segment remainder tokens are
+    // out of scope by declaration). Shape: one map-only segment
+    // fan-out, one DF count shuffled on the segment key (map-side
+    // combined — the same inverted-index economics as d04), one
+    // equi-join back, one per-doc ordered reassembly. Linear in corpus
+    // size; the pair space never exists at all.
+    QueryDef(
+      "d12_boilerplate_strip",
+      """WITH t AS (SELECT doc_id,
+        |             string_split_regex(trim(text), '\s+') AS w
+        |           FROM documents),
+        |s AS (SELECT doc_id, CAST(i AS INT) AS idx,
+        |        array_to_string(w[(8*i+1):(8*i+8)], ' ') AS seg
+        |      FROM (SELECT doc_id, w, unnest(range(0, len(w)//8)) AS i
+        |            FROM t WHERE len(w) >= 8)),
+        |df AS (SELECT seg, count(DISTINCT doc_id) AS df
+        |       FROM s GROUP BY seg),
+        |keep AS (SELECT s.doc_id, s.idx, s.seg
+        |         FROM s JOIN df USING (seg) WHERE df.df < 2),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |          string_agg(seg, ' ' ORDER BY idx) AS clean_text
+        |        FROM keep GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments
+        |        FROM s GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_segments,
+        |       coalesce(a.n_kept, 0) AS n_kept,
+        |       t.n_segments - coalesce(a.n_kept, 0) AS n_dropped,
+        |       coalesce(a.clean_text, '') AS clean_text
+        |FROM tot t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+        .filter(size(col("w")) >= 8)
+      val segs = graft.PersistRegistry.track(t
+        .select(col("doc_id"),
+          explode(sequence(lit(0), (size(col("w")) / 8).cast("int") - 1))
+            .as("idx"),
+          col("w"))
+        .select(col("doc_id"), col("idx"),
+          array_join(slice(col("w"), col("idx") * 8 + 1, lit(8)), " ")
+            .as("seg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val dfreq = segs.groupBy("seg")
+        .agg(countDistinct("doc_id").as("df"))
+      val keep = segs.join(dfreq.filter(col("df") < 2).select("seg"), "seg")
+      val agg = keep.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          // order-preserving reassembly: sort the (idx, seg) structs
+          // (idx unique per doc ⇒ deterministic), then join
+          array_join(
+            transform(array_sort(collect_list(struct(col("idx"), col("seg")))),
+              x => x.getField("seg")), " ").as("clean_text"))
+      val tot = segs.groupBy("doc_id").agg(count(lit(1)).as("n_segments"))
+      tot.join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_segments"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_segments") - coalesce(col("n_kept"), lit(0L)))
+            .as("n_dropped"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy("doc_id")
+    },
   )
 }

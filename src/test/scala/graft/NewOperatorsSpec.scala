@@ -134,6 +134,32 @@ class NewOperatorsSpec extends AnyFunSuite {
     assert(d11.nonEmpty, "split produced no cross pairs — widen the delta")
   }
 
+  test("d12 boilerplate strip: counts reconcile, output ⊑ the original text") {
+    val rows = SparkEntry.queries("d12_boilerplate_strip")(spark, sf)
+      .collect()
+    val original = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (id, nSeg, nKept, nDrop, clean) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getString(4))
+      assert(nKept + nDrop === nSeg, s"doc $id counts")
+      val cleanToks = clean.split("\\s+").filter(_.nonEmpty)
+      assert(cleanToks.length === 8 * nKept, s"doc $id token count")
+      // every surviving token sequence is a SUBSEQUENCE of the doc's
+      // own tokens — stripping never invents or reorders content
+      val origToks = original(id).trim.split("\\s+")
+      var j = 0
+      cleanToks.foreach { tok =>
+        while (j < origToks.length && origToks(j) != tok) j += 1
+        assert(j < origToks.length, s"doc $id: '$tok' out of order")
+        j += 1
+      }
+    }
+    assert(rows.map(_.getLong(3)).sum > 0, "no boilerplate found at all")
+    assert(rows.exists(_.getLong(2) > 0), "everything stripped — degenerate")
+  }
+
   test("q58 histogram: buckets partition the data, extents inside bounds") {
     val rows = SparkEntry.queries("q58_histogram")(spark, sf).collect()
     val total = rows.map(_.getLong(1)).sum
