@@ -439,5 +439,53 @@ object SimilarityQueries {
         .select(col("vec_id"), col("cell").cast("int").as("cell"))
         .orderBy("vec_id")
     },
+
+    // INT8 storage quantization — the compression step an
+    // embedding-heavy corpus ships to disk (4× smaller than float32,
+    // the format every large vector store actually persists):
+    // per-vector symmetric scale = max|x|/127, code q_i =
+    // floor(x_i/scale + 0.5). floor — not round() — is the DECLARED
+    // rounding rule because it is a single exact IEEE operation on
+    // both engines, where decimal round() of a near-tie double is
+    // engine-dependent (Spark HALF_UP vs DuckDB half-away). No clamp
+    // needed: |x| <= max|x| bounds every code to [-127, 127]. The
+    // oracle surface is the exact per-vector integer checksums
+    // (Σq, Σq²) plus the scale — a full value check of the code
+    // vector without shipping it. Map-only at any corpus size; the
+    // reconstruction-error bound |q·scale − x| <= scale/2 is pinned
+    // in a spec.
+    QueryDef(
+      "v08_int8_quantize",
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, mx / 127 AS scale,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) / (mx / 127) + 0.5)
+        |                AS BIGINT)) AS qv
+        |  FROM m WHERE mx > 0)
+        |SELECT vec_id, scale,
+        |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |       CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT)
+        |         AS q_nn
+        |FROM q ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val m = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          array_max(transform(col("embedding"),
+            x => abs(x.cast("double")))).as("mx"))
+        .filter(col("mx") > 0)
+      m.select(col("vec_id"), (col("mx") / 127).as("scale"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") / (col("mx") / 127) + 0.5))
+            .as("qv"))
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("qv"), lit(0L), (a, v) => a + v).as("q_sum"),
+          aggregate(transform(col("qv"), v => v * v), lit(0L),
+            (a, v) => a + v).as("q_nn"))
+        .orderBy("vec_id")
+    },
   )
 }

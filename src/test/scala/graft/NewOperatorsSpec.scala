@@ -160,6 +160,28 @@ class NewOperatorsSpec extends AnyFunSuite {
     assert(rows.exists(_.getLong(2) > 0), "everything stripped — degenerate")
   }
 
+  test("v08 int8: codes in [-127,127], reconstruction within scale/2") {
+    // recompute the declared quantization row-by-row and check the
+    // properties the checksum oracle cannot see directly
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+    val out = SparkEntry.queries("v08_int8_quantize")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size === rows.length)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val xs = r.getSeq[Float](1).map(_.toDouble)
+      val scale = out(id)
+      assert(math.abs(scale - xs.map(math.abs).max / 127) < 1e-15)
+      xs.foreach { x =>
+        val q = math.floor(x / scale + 0.5)
+        assert(q >= -127 && q <= 127, s"vec $id code $q out of range")
+        assert(math.abs(q * scale - x) <= scale / 2 + 1e-12,
+          s"vec $id reconstruction error above the half-step bound")
+      }
+    }
+  }
+
   test("q58 histogram: buckets partition the data, extents inside bounds") {
     val rows = SparkEntry.queries("q58_histogram")(spark, sf).collect()
     val total = rows.map(_.getLong(1)).sum
