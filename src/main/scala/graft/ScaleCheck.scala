@@ -113,26 +113,48 @@ object ScaleCheck {
     val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(if (factor >= 50) heavySuite else fullSuite)
-    def time(name: String, dir: String): Double = {
-      val times = (1 to 2).map { _ =>
+    // Shuffle-volume accounting alongside wall time: wall clock in a
+    // shared JVM carries GC/JIT/page-cache noise (observed up to ±2×
+    // between sessions at multi-GB working sets); shuffle bytes are a
+    // STRUCTURAL property of the plan + data and reproduce exactly.
+    // A family whose shuffle volume scales ≈ data ratio while wall
+    // time scales below it is parallelism absorbing the growth — the
+    // healthy signature. Shuffle volume growing ABOVE the data ratio
+    // is the true super-linearity alarm, immune to timing noise.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+    def run(name: String, dir: String): (Double, Double) = {
+      var shMb = 0.0
+      val times = (1 to 2).map { i =>
         val t0 = System.nanoTime()
+        val s0 = shuffleBytes.get()
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
+        if (i == 1) { Thread.sleep(50); shMb = (shuffleBytes.get() - s0) / 1e6 }
         // release tracked persisted intermediates (d02's signature set
         // at 100x is GBs — leaking it would tax every later timing)
         PersistRegistry.release()
         dt
       }
-      times.min
+      (times.min, shMb)
     }
     // warm codegen on the small side first
-    queries.foreach(q => time(q, base))
-    println(f"${"query"}%-28s ${"1x"}%8s ${s"${factor}x"}%8s ratio (data x$factor)")
+    queries.foreach(q => run(q, base))
+    println(f"${"query"}%-28s ${"1x"}%7s ${s"${factor}x"}%8s ${"ratio"}%6s " +
+      f"${"sh1MB"}%9s ${s"sh${factor}MB"}%9s ${"shRatio"}%7s (data x$factor)")
     for (q <- queries) {
-      val t1 = time(q, base)
-      val tn = time(q, out)
-      println(f"$q%-28s $t1%8.2f $tn%8.2f ${tn / t1}%5.1fx")
+      val (t1, sh1) = run(q, base)
+      val (tn, shn) = run(q, out)
+      val shRatio = if (sh1 > 0.01) f"${shn / sh1}%6.1fx" else "     -"
+      println(f"$q%-28s $t1%7.2f $tn%8.2f ${tn / t1}%5.1fx " +
+        f"$sh1%9.2f $shn%9.2f $shRatio")
     }
     spark.stop()
   }
