@@ -45,8 +45,10 @@ object Bench {
           if (i == 1) {
             // listener events are async; give the bus a beat so the
             // volume lands in this query's window (approximate by
-            // design — the signal is magnitude, not the last byte)
-            Thread.sleep(50)
+            // design — the signal is magnitude, not the last byte).
+            // 300 ms: stage-completed events were observed lagging
+            // >50 ms behind multi-stage jobs. Outside the timed window.
+            Thread.sleep(300)
             shuffles(name) = (shuffleBytes.get() - s0) / 1e6
           }
           Some((System.nanoTime() - t0) / 1e9)

@@ -137,7 +137,11 @@ object ScaleCheck {
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        if (i == 1) { Thread.sleep(50); shMb = (shuffleBytes.get() - s0) / 1e6 }
+        // listener events lag behind job completion — a multi-stage
+        // query at 100x can deliver stage-completed events hundreds of
+        // ms late; settle properly before reading (outside the timed
+        // window, so wall numbers are unaffected)
+        if (i == 1) { Thread.sleep(1000); shMb = (shuffleBytes.get() - s0) / 1e6 }
         // release tracked persisted intermediates (d02's signature set
         // at 100x is GBs — leaking it would tax every later timing)
         PersistRegistry.release()

@@ -25,7 +25,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "t10_vocab_topk",         // partial-agg top-k with tie-break
     "p03_pack_sequences",     // per-shard running-sum window
     "v04_znorm_embeddings",   // broadcast-stat normalization
-    "s02_session_stats")      // window sessionization
+    "s02_session_stats",      // window sessionization
+    "v07_ivf_kmeans_build",   // iterative centroids: partial sums merge
+    "d12_boilerplate_strip")  // DF count + order-preserving reassembly
 
   test("representative queries are identical under different parallelism") {
     val key = "spark.sql.shuffle.partitions"
