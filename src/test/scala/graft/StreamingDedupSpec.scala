@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+import graft.streaming.StreamingDedup
+import graft.warehouse.SnapshotTable
+
+/** Streaming dedup-at-the-gate: documents arrive in waves; at every
+  * point the accepted corpus must be free of confirmed near-dup pairs,
+  * every drop must be justified by a real near-dup relation, and
+  * epoch re-delivery must be a no-op.
+  */
+class StreamingDedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(p: String): String =
+    Files.createTempDirectory(p).toString
+
+  /** Confirmed near-dup pairs (d02 semantics) over a sig table. */
+  private def confirmedPairs(sigs: DataFrame): DataFrame = {
+    val bands = sigs
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(3))).as("b"), col("sig"))
+      .select(col("doc_id"), col("b"),
+        concat(element_at(col("sig"), col("b") * 2 + 1).cast("string"),
+          lit(":"),
+          element_at(col("sig"), col("b") * 2 + 2).cast("string")).as("key"))
+    val a = bands.select(col("b").as("ab"), col("key").as("ak"),
+      col("doc_id").as("doc_a"))
+    val c = bands.select(col("b").as("cb"), col("key").as("ck"),
+      col("doc_id").as("doc_b"))
+    a.join(c, col("ab") === col("cb") && col("ak") === col("ck") &&
+        col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .join(sigs.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .filter(size(array_intersect(col("sa"), col("sb"))).cast("double")
+        / size(array_union(col("sa"), col("sb"))) >= 0.5)
+      .select("doc_a", "doc_b")
+  }
+
+  test("gate ingest over 3 waves: corpus near-dup-free, drops justified") {
+    val in = tmp("graft-sdedup-in-")
+    val corpusDir = tmp("graft-sdedup-state-")
+    val ckpt = tmp("graft-sdedup-ckpt-")
+    val stage = tmp("graft-sdedup-stage-")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val total = docs.count()
+
+    val q = StreamingDedup.start(spark, in, corpusDir, ckpt)
+    try {
+      (0 until 3).foreach { wave =>
+        // stage the wave then MOVE the part files into the watched dir
+        // (writing in place would race the stream against the committer)
+        val sdir = s"$stage/w$wave"
+        docs.filter(col("doc_id") % 3 === wave)
+          .coalesce(1).write.mode("overwrite").parquet(sdir)
+        Files.list(Paths.get(sdir)).iterator()
+          .forEachRemaining { f =>
+            if (f.getFileName.toString.endsWith(".parquet"))
+              Files.move(f, Paths.get(in, s"w$wave.parquet"))
+          }
+        q.processAllAvailable()
+        // the invariant holds at EVERY commit, not only at the end
+        val sigsNow = SnapshotTable.read(spark, s"$corpusDir/sigs")
+        assert(confirmedPairs(sigsNow).count() === 0L,
+          s"near-dup pair inside the accepted corpus after wave $wave")
+      }
+    } finally q.stop()
+
+    val corpus = StreamingDedup.corpus(spark, corpusDir)
+    val keptIds = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.subsetOf(allIds))
+    val dropped = allIds -- keptIds
+    assert(dropped.nonEmpty, "nothing was deduped — planted dups missed")
+    // every drop is justified: the dropped doc appears in the FULL
+    // corpus's confirmed near-dup pair relation (same deterministic
+    // LSH + confirm pipeline as the batch d02 operator)
+    val pairEndpoints = SparkEntry.queries("d02_minhash_lsh")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    PersistRegistry.release()
+    assert(dropped.subsetOf(pairEndpoints),
+      s"unjustified drops: ${(dropped -- pairEndpoints).take(5)}")
+    // and no confirmed pair survived with both endpoints accepted
+    SparkEntry.queries("d02_minhash_lsh")(spark, sf)
+      .select("doc_a", "doc_b").collect().foreach { r =>
+        assert(!(keptIds(r.getLong(0)) && keptIds(r.getLong(1))),
+          s"pair (${r.getLong(0)}, ${r.getLong(1)}) fully accepted")
+      }
+    PersistRegistry.release()
+  }
+
+  test("replayed gate epoch is a no-op; new epoch appends") {
+    val corpusDir = tmp("graft-sdedup-replay-")
+    val batch = Tables.documents(spark, sf)
+      .select("doc_id", "text").limit(40)
+    StreamingDedup.ingestBatch(spark, batch, corpusDir, batchId = 0L)
+    val rows1 = StreamingDedup.corpus(spark, corpusDir).count()
+    val v1 = SnapshotTable.versions(s"$corpusDir/corpus").last
+    StreamingDedup.ingestBatch(spark, batch, corpusDir, batchId = 0L)
+    assert(StreamingDedup.corpus(spark, corpusDir).count() === rows1)
+    assert(SnapshotTable.versions(s"$corpusDir/corpus").last === v1)
+    // the same docs arriving as a NEW epoch are all duplicates of the
+    // corpus now — the gate drops every one of them
+    StreamingDedup.ingestBatch(spark, batch, corpusDir, batchId = 1L)
+    assert(StreamingDedup.corpus(spark, corpusDir).count() === rows1)
+  }
+}
