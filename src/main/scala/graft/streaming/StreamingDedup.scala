@@ -140,4 +140,24 @@ object StreamingDedup {
   /** The accepted corpus as of CURRENT. */
   def corpus(spark: SparkSession, corpusDir: String): DataFrame =
     SnapshotTable.read(spark, s"$corpusDir/corpus")
+
+  /** Out-of-band maintenance: compact each state table's CURRENT rows
+    * into one file and vacuum expired versions — the small-file
+    * problem is THE operational cost of a streaming table (every
+    * epoch appends its own files; after thousands of epochs each read
+    * pays per-file open overhead). Row-identical by construction, and
+    * the epoch ledger is PRESERVED through the compaction commit so a
+    * concurrently-retried epoch still recognizes itself as applied.
+    * Run between epochs (any snapshot reader keeps its version; only
+    * vacuum invalidates readers older than `keepVersions`). */
+  def maintain(spark: SparkSession, corpusDir: String,
+      keepVersions: Int = 2): Unit =
+    Seq("corpus", "sigs").foreach { t =>
+      val dir = s"$corpusDir/$t"
+      if (scala.util.Try(SnapshotTable.read(spark, dir)).isSuccess) {
+        SnapshotTable.compact(spark, dir,
+          meta = SnapshotTable.currentMeta(dir))
+        SnapshotTable.vacuum(dir, keepVersions)
+      }
+    }
 }

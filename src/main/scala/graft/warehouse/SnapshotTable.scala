@@ -103,9 +103,13 @@ object SnapshotTable {
 
   /** Compaction: rewrite the CURRENT rows into `numFiles` files and
     * commit — row-identical by construction, and old snapshots keep
-    * reading the old small files. */
-  def compact(spark: SparkSession, dir: String, numFiles: Int = 1): Int =
-    commit(dir, writeData(read(spark, dir).coalesce(numFiles), dir))
+    * reading the old small files. `meta` lets a maintenance pass
+    * PRESERVE the streaming ledger (compacting with meta =
+    * currentMeta keeps a retried epoch recognizable as already
+    * applied — dropping it would reopen the double-append window). */
+  def compact(spark: SparkSession, dir: String, numFiles: Int = 1,
+      meta: Option[String] = None): Int =
+    commit(dir, writeData(read(spark, dir).coalesce(numFiles), dir), meta)
 
   /** Upsert (the MERGE INTO core): rows of `df` replace current rows
     * with the same key; unmatched rows insert. One anti-join + one

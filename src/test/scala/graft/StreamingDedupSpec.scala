@@ -97,6 +97,39 @@ class StreamingDedupSpec extends AnyFunSuite {
     PersistRegistry.release()
   }
 
+  test("maintenance compaction: rows identical, one file, ledger kept") {
+    val corpusDir = tmp("graft-sdedup-compact-")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    // two epochs of disjoint docs → each table holds >= 2 data files
+    StreamingDedup.ingestBatch(spark,
+      docs.filter(col("doc_id") % 2 === 0).limit(30), corpusDir, 0L)
+    StreamingDedup.ingestBatch(spark,
+      docs.filter(col("doc_id") % 2 === 1).limit(30), corpusDir, 1L)
+    def manifestFiles(tab: String): Seq[String] = {
+      val vd = Paths.get(s"$corpusDir/$tab", "_versions")
+      val cur = new String(Files.readAllBytes(vd.resolve("CURRENT")))
+        .trim.split("\\s+").head.toInt
+      Files.readAllLines(vd.resolve(f"v$cur%05d.manifest"))
+        .toArray.map(_.toString).toSeq.filter(_.nonEmpty)
+    }
+    assert(manifestFiles("corpus").size >= 2, "setup: expected >=2 files")
+    val before = StreamingDedup.corpus(spark, corpusDir)
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    val ledgerBefore = SnapshotTable.currentMeta(s"$corpusDir/corpus")
+    assert(ledgerBefore === Some("batch=1"))
+    StreamingDedup.maintain(spark, corpusDir)
+    val after = StreamingDedup.corpus(spark, corpusDir)
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    assert(after === before, "compaction changed rows")
+    assert(manifestFiles("corpus").size === 1, "not compacted to one file")
+    // the ledger survives compaction — a retried epoch 1 is STILL a no-op
+    assert(SnapshotTable.currentMeta(s"$corpusDir/corpus") === ledgerBefore)
+    StreamingDedup.ingestBatch(spark,
+      docs.filter(col("doc_id") % 2 === 1).limit(30), corpusDir, 1L)
+    assert(StreamingDedup.corpus(spark, corpusDir).count() ===
+      before.size.toLong)
+  }
+
   test("replayed gate epoch is a no-op; new epoch appends") {
     val corpusDir = tmp("graft-sdedup-replay-")
     val batch = Tables.documents(spark, sf)
