@@ -204,7 +204,17 @@ object DedupQueries {
     val dir = java.nio.file.Files
       .createTempDirectory(s"graft-$what-").toString
     build.write.mode("overwrite").parquet(dir)
-    snapshots.put(snapKey(s, d, what), dir)
+    val prev = snapshots.put(snapKey(s, d, what), dir)
+    // reclaim the superseded snapshot (best-of-N harness reruns would
+    // otherwise orphan a temp dir per rerun for the JVM's life).
+    // Contract: snapshot consumers materialize within their own query
+    // turn — nothing holds a lazy plan over an old path across turns.
+    if (prev != null && prev != dir) {
+      val root = java.nio.file.Paths.get(prev)
+      scala.util.Try(java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p)))
+    }
     dir
   }
 
