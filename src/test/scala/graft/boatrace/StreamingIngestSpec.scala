@@ -77,6 +77,39 @@ class StreamingIngestSpec extends AnyFunSuite {
         BoatracePipeline.parseLzhDir(spark, in)).count())
   }
 
+  test("restart from checkpoint: earlier archives are not re-ingested") {
+    val in = tmpDir("graft-restart-in-")
+    val wh = tmpDir("graft-restart-wh-")
+    val ckpt = tmpDir("graft-restart-ckpt-")
+    // session 1 ingests date 1, then STOPS (simulating shutdown)
+    drop(Seq("K2020-08-04.lzh", "B2020-08-04.lzh"), in)
+    val q1 = StreamingIngest.start(spark, in, wh, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    val envAfter1 = SnapshotTable.read(spark, s"$wh/env").count()
+    val versionsAfter1 = SnapshotTable.versions(s"$wh/env").size
+    // session 2: NEW query, SAME checkpoint — date 2 arrives
+    drop(Seq("K2020-08-05.lzh", "B2020-08-05.lzh"), in)
+    val q2 = StreamingIngest.start(spark, in, wh, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    // date-1 archives were in the watched dir the whole time; the
+    // checkpoint must prevent their re-parse/re-append
+    val env = SnapshotTable.read(spark, s"$wh/env")
+    assert(SnapshotTable.versions(s"$wh/env").size === versionsAfter1 + 1,
+      "restart re-committed already-ingested archives")
+    assert(env.filter(org.apache.spark.sql.functions.col("date") ===
+      java.sql.Date.valueOf("2020-08-04")).count() === envAfter1)
+    // and the final warehouse equals the batch build over both dates
+    val parsed = BoatracePipeline.parseLzhDir(spark, in)
+    try {
+      val batch = BoatracePipeline.typedRace(BoatracePipeline.raceTable(
+        BoatracePipeline.envDf(spark, parsed),
+        BoatracePipeline.resultDf(spark, parsed),
+        BoatracePipeline.scheduleDf(spark, parsed)))
+      assert(sortedRows(StreamingIngest.table(spark, wh, "race"))
+        === sortedRows(batch))
+    } finally parsed.unpersist()
+  }
+
   test("a replayed epoch is skipped (exactly-once ledger)") {
     val in = tmpDir("graft-replay-in-")
     val wh = tmpDir("graft-replay-wh-")
