@@ -132,13 +132,17 @@ object SimilarityQueries {
       v01Sql) { (s, d) =>
       // cosines via the primitive-loop kernel (higher-order array
       // expressions are interpreted); ranking stays declarative.
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos_sim").desc, col("neighbor_id"))
-      graft.functions.VectorKernels.crossCosine(s, quantized(s, d), Q)
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-        .orderBy("query_id", "rank")
+      // DEFINES its result snapshot: the recall job (v06) consumes
+      // the materialized search results instead of re-running the
+      // search (StageSnapshots contract).
+      StageSnapshots.define(s, d, "v01_ann_brute_topk") {
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))
+        graft.functions.VectorKernels.crossCosine(s, quantized(s, d), Q)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+          .select("query_id", "neighbor_id", "cos_sim", "rank")
+      }.orderBy("query_id", "rank")
     },
 
     // Random-hyperplane LSH ANN: 8 pseudo-random hyperplanes derived
@@ -150,29 +154,31 @@ object SimilarityQueries {
       "v02_ann_lsh_bucket",
       v02Sql) { (s, d) =>
       GraftExtensions.register(s) // native codegen dot_long (plans.DotLong)
-      val n = quantized(s, d)
-      // bucket assignment via the plane kernel (the plane matrix is a
-      // constant — one materialization per partition instead of an
-      // interpreted expression per row×plane×dim); candidate
-      // generation stays a declarative equi-join on the bucket.
-      val buck = graft.functions.VectorKernels.lshBuckets(s, n, 8)
-      val nb = n.join(buck, "vec_id")
-      val q = nb.filter(col("vec_id") < Q)
-        .select(col("vec_id").as("query_id"), col("r").as("rq"),
-          col("nn").as("nnq"), col("bucket"))
-      val c = nb.select(col("vec_id").as("neighbor_id"), col("r").as("rc"),
-        col("nn").as("nnc"), col("bucket"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos_sim").desc, col("neighbor_id"))
-      q.join(c, Seq("bucket"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          cosine(call_function("dot_long", col("rq"), col("rc")),
-            col("nnq"), col("nnc")).as("cos_sim"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-        .orderBy("query_id", "rank")
+      // DEFINES its result snapshot for the recall job (v06)
+      StageSnapshots.define(s, d, "v02_ann_lsh_bucket") {
+        val n = quantized(s, d)
+        // bucket assignment via the plane kernel (the plane matrix is a
+        // constant — one materialization per partition instead of an
+        // interpreted expression per row×plane×dim); candidate
+        // generation stays a declarative equi-join on the bucket.
+        val buck = graft.functions.VectorKernels.lshBuckets(s, n, 8)
+        val nb = n.join(buck, "vec_id")
+        val q = nb.filter(col("vec_id") < Q)
+          .select(col("vec_id").as("query_id"), col("r").as("rq"),
+            col("nn").as("nnq"), col("bucket"))
+        val c = nb.select(col("vec_id").as("neighbor_id"), col("r").as("rc"),
+          col("nn").as("nnc"), col("bucket"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))
+        q.join(c, Seq("bucket"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            cosine(call_function("dot_long", col("rq"), col("rc")),
+              col("nnq"), col("nnc")).as("cos_sim"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("query_id", "neighbor_id", "cos_sim", "rank")
+      }.orderBy("query_id", "rank")
     },
 
     // IVF-style coarse search: `label` is the coarse cell; the cell
@@ -184,41 +190,44 @@ object SimilarityQueries {
       "v03_ann_ivf_cell",
       v03Sql) { (s, d) =>
       GraftExtensions.register(s) // native codegen dot_long (plans.DotLong)
-      val n = quantized(s, d)
-      // integer centroid (component-wise sum) per cell, exact.
-      val cen = n.select(col("label"), col("r"),
-          explode(sequence(lit(1), lit(64))).as("j"))
-        .select(col("label"), col("j"), element_at(col("r"), col("j")).as("rj"))
-        .groupBy("label", "j").agg(sum("rj").as("cj"))
-      val cent = cen.groupBy("label")
-        .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
-          x => x.getField("cj")).as("c"))
-        .withColumn("cn",
-          aggregate(transform(col("c"), x => x * x), lit(0L),
-            (acc, v) => acc + v).cast("double"))
-      val q = n.filter(col("vec_id") < Q)
-        .select(col("vec_id").as("query_id"), col("r").as("rq"),
-          col("nn").as("nnq"))
-      val wProbe = Window.partitionBy("query_id").orderBy(
-        (call_function("dot_long", col("rq"), col("c")).cast("double") /
-          sqrt(col("nnq").cast("double") * col("cn"))).desc, col("label"))
-      val probe = broadcast(q).crossJoin(broadcast(cent))
-        .withColumn("rn", row_number().over(wProbe))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("rq"), col("nnq"), col("label"))
-      val c = n.select(col("vec_id").as("neighbor_id"), col("r").as("rc"),
-        col("nn").as("nnc"), col("label"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos_sim").desc, col("neighbor_id"))
-      broadcast(probe).join(c, Seq("label"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("label"), col("neighbor_id"),
-          cosine(call_function("dot_long", col("rq"), col("rc")),
-            col("nnq"), col("nnc")).as("cos_sim"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select("query_id", "label", "neighbor_id", "cos_sim", "rank")
-        .orderBy("query_id", "rank")
+      // DEFINES its result snapshot for the recall job (v06)
+      StageSnapshots.define(s, d, "v03_ann_ivf_cell") {
+        val n = quantized(s, d)
+        // integer centroid (component-wise sum) per cell, exact.
+        val cen = n.select(col("label"), col("r"),
+            explode(sequence(lit(1), lit(64))).as("j"))
+          .select(col("label"), col("j"),
+            element_at(col("r"), col("j")).as("rj"))
+          .groupBy("label", "j").agg(sum("rj").as("cj"))
+        val cent = cen.groupBy("label")
+          .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
+            x => x.getField("cj")).as("c"))
+          .withColumn("cn",
+            aggregate(transform(col("c"), x => x * x), lit(0L),
+              (acc, v) => acc + v).cast("double"))
+        val q = n.filter(col("vec_id") < Q)
+          .select(col("vec_id").as("query_id"), col("r").as("rq"),
+            col("nn").as("nnq"))
+        val wProbe = Window.partitionBy("query_id").orderBy(
+          (call_function("dot_long", col("rq"), col("c")).cast("double") /
+            sqrt(col("nnq").cast("double") * col("cn"))).desc, col("label"))
+        val probe = broadcast(q).crossJoin(broadcast(cent))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), col("rq"), col("nnq"), col("label"))
+        val c = n.select(col("vec_id").as("neighbor_id"), col("r").as("rc"),
+          col("nn").as("nnc"), col("label"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))
+        broadcast(probe).join(c, Seq("label"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("label"), col("neighbor_id"),
+            cosine(call_function("dot_long", col("rq"), col("rc")),
+              col("nnq"), col("nnc")).as("cos_sim"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("query_id", "label", "neighbor_id", "cos_sim", "rank")
+      }.orderBy("query_id", "rank")
     },
 
     // Z-score feature normalization — the embedding-preprocessing step
@@ -274,40 +283,43 @@ object SimilarityQueries {
       "v05_ann_ivf_multiprobe",
       v05Sql) { (s, d) =>
       GraftExtensions.register(s)
-      val n = quantized(s, d)
-      val cen = n.select(col("label"), col("r"),
-          explode(sequence(lit(1), lit(64))).as("j"))
-        .select(col("label"), col("j"), element_at(col("r"), col("j")).as("rj"))
-        .groupBy("label", "j").agg(sum("rj").as("cj"))
-      val cent = cen.groupBy("label")
-        .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
-          x => x.getField("cj")).as("c"))
-        .withColumn("cn",
-          aggregate(transform(col("c"), x => x * x), lit(0L),
-            (acc, v) => acc + v).cast("double"))
-      val q = n.filter(col("vec_id") < Q)
-        .select(col("vec_id").as("query_id"), col("r").as("rq"),
-          col("nn").as("nnq"))
-      val wProbe = Window.partitionBy("query_id").orderBy(
-        (call_function("dot_long", col("rq"), col("c")).cast("double") /
-          sqrt(col("nnq").cast("double") * col("cn"))).desc, col("label"))
-      val probe = broadcast(q).crossJoin(broadcast(cent))
-        .withColumn("rn", row_number().over(wProbe))
-        .filter(col("rn") <= 2)
-        .select(col("query_id"), col("rq"), col("nnq"), col("label"))
-      val c = n.select(col("vec_id").as("neighbor_id"), col("r").as("rc"),
-        col("nn").as("nnc"), col("label"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos_sim").desc, col("neighbor_id"))
-      broadcast(probe).join(c, Seq("label"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          cosine(call_function("dot_long", col("rq"), col("rc")),
-            col("nnq"), col("nnc")).as("cos_sim"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-        .orderBy("query_id", "rank")
+      // DEFINES its result snapshot for the recall job (v06)
+      StageSnapshots.define(s, d, "v05_ann_ivf_multiprobe") {
+        val n = quantized(s, d)
+        val cen = n.select(col("label"), col("r"),
+            explode(sequence(lit(1), lit(64))).as("j"))
+          .select(col("label"), col("j"),
+            element_at(col("r"), col("j")).as("rj"))
+          .groupBy("label", "j").agg(sum("rj").as("cj"))
+        val cent = cen.groupBy("label")
+          .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
+            x => x.getField("cj")).as("c"))
+          .withColumn("cn",
+            aggregate(transform(col("c"), x => x * x), lit(0L),
+              (acc, v) => acc + v).cast("double"))
+        val q = n.filter(col("vec_id") < Q)
+          .select(col("vec_id").as("query_id"), col("r").as("rq"),
+            col("nn").as("nnq"))
+        val wProbe = Window.partitionBy("query_id").orderBy(
+          (call_function("dot_long", col("rq"), col("c")).cast("double") /
+            sqrt(col("nnq").cast("double") * col("cn"))).desc, col("label"))
+        val probe = broadcast(q).crossJoin(broadcast(cent))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= 2)
+          .select(col("query_id"), col("rq"), col("nnq"), col("label"))
+        val c = n.select(col("vec_id").as("neighbor_id"), col("r").as("rc"),
+          col("nn").as("nnc"), col("label"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))
+        broadcast(probe).join(c, Seq("label"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            cosine(call_function("dot_long", col("rq"), col("rc")),
+              col("nnq"), col("nnc")).as("cos_sim"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("query_id", "neighbor_id", "cos_sim", "rank")
+      }.orderBy("query_id", "rank")
     },
 
     // Recall measurement as a CHECKED query: recall@3 of each
@@ -344,10 +356,17 @@ object SimilarityQueries {
          |SELECT method, hits, total,
          |       (hits * 10000 // total) / 10000.0 AS recall
          |FROM r ORDER BY method""".stripMargin) { (s, d) =>
-      val ex = graft.SparkEntry.queries("v01_ann_brute_topk")(s, d)
+      // CONSUMES the searches' result snapshots (StageSnapshots): an
+      // offline index-quality job reads the materialized search
+      // results, it does not re-run four searches — compute-if-absent
+      // keeps a standalone v06 run self-sufficient.
+      def results(name: String) =
+        StageSnapshots.snapshot(s, d, name)(
+          graft.SparkEntry.queries(name)(s, d))
+      val ex = results("v01_ann_brute_topk")
         .filter(col("rank") <= 3).select("query_id", "neighbor_id")
       def recallOf(name: String, label: String) = {
-        val m = graft.SparkEntry.queries(name)(s, d)
+        val m = results(name)
           .select(col("query_id").as("mq"), col("neighbor_id").as("mn"))
         ex.join(m, col("query_id") === col("mq") &&
             col("neighbor_id") === col("mn"), "left")
