@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print ONE machine-parsed JSON line. sbt's
+// default LoggedOutput prefixes every forked-process line with
+// "[info] " and appends its own "[success] Total time" footer — four
+// rounds running that left the driver's bench artifact unparseable
+// (the JSON line never starts with '{' and is never last). Route the
+// forked process's stdout/stderr straight through, and drop sbt's
+// success/timing footer so the program's own output is the tail.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
+// outputStrategy is consumed by the forked-run config, not sbt's linter
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -92,7 +92,9 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"mean_per_query":$mean%.4f,"errors":$errJson,"sf":"$sfDir","detail":"$detailPath"}""")
+    // stop BEFORE the summary line: shutdown logging must not print
+    // after it — the driver parses the tail of the run's output
     spark.stop()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"mean_per_query":$mean%.4f,"errors":$errJson,"sf":"$sfDir","detail":"$detailPath"}""")
   }
 }

@@ -41,8 +41,12 @@ object ScaleCheck {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     val shift = 1000000000L
+    // reuse requires the _SUCCESS marker, not mere directory existence:
+    // a crashed prior build leaves a partial directory that would be
+    // silently timed against, producing wrong scale ratios
     for ((t, keys) <- keyCols
-         if !(reuse && new java.io.File(s"$out/$t.parquet").exists())) {
+         if !(reuse &&
+           new java.io.File(s"$out/$t.parquet/_SUCCESS").exists())) {
       val src = spark.read.parquet(s"$base/$t.parquet")
       val scaled =
         if (keys.isEmpty) src

@@ -144,11 +144,20 @@ object StreamingIngest {
     sides.foreach { case (env, result, sched) =>
       val race = BoatracePipeline.typedRace(
         BoatracePipeline.raceTable(env, result, sched))
+      // All three sides committed, but the JOIN can still be empty for
+      // the touched dates (e.g. the schedule table exists from earlier
+      // dates yet has no rows for THIS batch's dates). Committing an
+      // empty frame as the table's FIRST version would write a
+      // zero-file manifest that SnapshotTable.read rejects for every
+      // reader until a later non-empty rebuild — mirror the base-table
+      // !isEmpty guard: skipping a no-op loses nothing under retry.
       val hasState =
         scala.util.Try(SnapshotTable.read(spark, raceDir)).isSuccess
-      if (!hasState) SnapshotTable.overwrite(spark, race, raceDir, ledger)
-      else SnapshotTable.upsert(spark, race, raceDir,
-        Seq("レースID", "選手登番"), ledger)
+      if (!race.isEmpty) {
+        if (!hasState) SnapshotTable.overwrite(spark, race, raceDir, ledger)
+        else SnapshotTable.upsert(spark, race, raceDir,
+          Seq("レースID", "選手登番"), ledger)
+      }
     }
   }
 

@@ -40,18 +40,29 @@ private[operators] object StageSnapshots {
       .createTempDirectory(s"graft-$what-").toString
     build.write.mode("overwrite").parquet(dir)
     val prev = snapshots.put(snapKey(s, d, what), dir)
-    // reclaim the superseded snapshot (best-of-N harness reruns would
-    // otherwise orphan a temp dir per rerun for the JVM's life).
-    // Contract: snapshot consumers materialize within their own query
-    // turn — nothing holds a lazy plan over an old path across turns.
-    if (prev != null && prev != dir) {
-      val root = java.nio.file.Paths.get(prev)
+    // DEFER reclaim of the superseded snapshot to JVM exit: deleting
+    // here would race a concurrent snapshot() caller that read the old
+    // path from the map a moment ago and still holds a lazy plan over
+    // it — its scan would hit FileNotFoundException, turning the
+    // "lost race costs one duplicate materialization" guarantee into
+    // wrongness. Orphans are bounded: one dir per (key, rerun) for the
+    // JVM's life, each a small result table, swept at exit.
+    if (prev != null && prev != dir) deferDelete(prev)
+    dir
+  }
+
+  private val deferred = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    deferred.forEach { d =>
+      val root = java.nio.file.Paths.get(d)
       scala.util.Try(java.nio.file.Files.walk(root)
         .sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.deleteIfExists(p)))
-    }
-    dir
-  }
+      ()
+    }))
+
+  private def deferDelete(dir: String): Unit = { deferred.add(dir); () }
 
   /** Read-back of a fresh materialization — for DEFINING queries. */
   def define(s: SparkSession, d: String, what: String)(

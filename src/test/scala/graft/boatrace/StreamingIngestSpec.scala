@@ -110,6 +110,41 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally parsed.unpersist()
   }
 
+  test("an empty race join is never committed as the table's first " +
+      "version (schedule exists, but not for the batch's dates)") {
+    val in = tmpDir("graft-emptyrace-in-")
+    val wh = tmpDir("graft-emptyrace-wh-")
+    def ingest(names: Seq[String], id: Long): Unit = {
+      val dir = tmpDir(s"graft-emptyrace-b$id-")
+      drop(names, dir)
+      StreamingIngest.ingestBatch(spark,
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.lzh")
+          .load(dir).select("path", "content"), wh, id)
+    }
+    // epoch 0: only the B file of date 1 — the schedule table commits
+    ingest(Seq("B2020-08-01.lzh"), 0L)
+    assert(SnapshotTable.read(spark, s"$wh/schedule").count() > 0)
+    // epoch 1: only the K file of date 2 — schedule EXISTS but has no
+    // rows for this batch's date, so the rebuilt race join is empty.
+    // Committing it would write a zero-file first version that breaks
+    // every subsequent read; the guard must skip instead (table simply
+    // not created yet).
+    ingest(Seq("K2020-08-02.lzh"), 1L)
+    val raceRead =
+      scala.util.Try(SnapshotTable.read(spark, s"$wh/race").count())
+    assert(raceRead.getOrElse(0L) === 0L,
+      s"race rows from an incompletable date: $raceRead")
+    // epoch 2: date 2's B file lands — its race rows must now form
+    // normally (a broken zero-file version 0 would make this throw)
+    ingest(Seq("B2020-08-02.lzh"), 2L)
+    val race = StreamingIngest.table(spark, wh, "race")
+    assert(race.count() > 0)
+    assert(race.filter(org.apache.spark.sql.functions
+      .to_date(org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.col("レースID"), 1, 10)) ===
+      java.sql.Date.valueOf("2020-08-02")).count() === race.count())
+  }
+
   test("a replayed epoch is skipped (exactly-once ledger)") {
     val in = tmpDir("graft-replay-in-")
     val wh = tmpDir("graft-replay-wh-")

@@ -35,17 +35,25 @@ PATTERNS = {
     "api-key": re.compile(
         r"\b(?:AKIA[0-9A-Z]{16}|sk-[A-Za-z0-9]{20,}|ghp_[A-Za-z0-9]{30,}"
         r"|xox[baprs]-[A-Za-z0-9-]+)\b"),
+    # covers the apply form AND the .get / .getOrElse accessor forms —
+    # the old apply-only pattern let a get()-read of e.g. an AWS secret
+    # variable pass silently. Scanned over code files only (see loop):
+    # a variable NAME in prose cannot read an environment.
     "suspicious-env": re.compile(
-        r"sys\.env[.(]\s*\"?(?!SPARK_GRAFT_)[A-Z][A-Z0-9_]*"),
+        r'sys\.env(?:\.get(?:OrElse)?)?\s*\(\s*"'
+        r'(?!SPARK_GRAFT_|SPARK_DRIVER_MEM")[A-Z][A-Z0-9_]*'),
 }
 
 SCAN_GLOBS = ["src/**/*.scala", "build.sbt", "project/*.sbt",
               "project/*.scala", "tools/*.py", "*.md"]
 
 
-def git(*args):
+def git(root, *args):
+    # cwd=root, not the process CWD: `python3 tools/leakcheck.py /path`
+    # invoked from elsewhere must stamp THAT repo's commit/dirty flag,
+    # or the artifact's "re-run at the named commit" verifiability lies
     return subprocess.run(["git", *args], capture_output=True,
-                          text=True).stdout.strip()
+                          text=True, cwd=root).stdout.strip()
 
 
 def main(root):
@@ -68,11 +76,13 @@ def main(root):
                     hits["internal-import"].append(
                         f"{rel}:{i}: {line.strip()[:120]}")
             for k, pat in PATTERNS.items():
+                if k == "suspicious-env" and rel.endswith(".md"):
+                    continue
                 if pat.search(line):
                     hits[k].append(f"{rel}:{i}: {line.strip()[:120]}")
     artifact = {
-        "commit": git("rev-parse", "HEAD"),
-        "dirty": bool(git("status", "--porcelain")),
+        "commit": git(root, "rev-parse", "HEAD"),
+        "dirty": bool(git(root, "status", "--porcelain")),
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "files_scanned": len(files),
         "n_hits": sum(len(v) for v in hits.values()),
