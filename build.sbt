@@ -21,8 +21,10 @@ run / fork := true
 run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
 Global / showTiming := false
-// outputStrategy is consumed by the forked-run config, not sbt's linter
-Global / excludeLintKeys += run / outputStrategy
+// these keys are consumed by commands/forked-run config, not settings —
+// sbt's unused-key linter cannot see that
+Global / excludeLintKeys ++= Set(run / outputStrategy,
+  Global / showSuccess, Global / showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

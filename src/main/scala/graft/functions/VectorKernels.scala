@@ -131,6 +131,97 @@ object VectorKernels {
       }.toDF("vec_id", "cell")
   }
 
+  /** MAP-ONLY product-quantization encode: for each (vec_id, y) row
+    * and each of the `m` contiguous subspaces of `subDim` dims, the
+    * code of the sub-codebook entry minimizing the exact integer
+    * squared L2 distance Σ_j (y(sub·subDim+j)·scale − c(j))², ties to
+    * the smaller code id. `codebooks` is the bounded (sub, code,
+    * subvector) list — m·k·subDim longs, a constant-size broadcast —
+    * so encoding is one scan with no shuffle at any corpus size
+    * (FAISS's encode step, re-expressed as a Spark map). A (sub, code)
+    * pair absent from `codebooks` (a code that captured no vectors in
+    * training) simply never wins. Returns (vec_id, codes: array<int>,
+    * one code per subspace). */
+  def pqEncode(spark: SparkSession, vectors: DataFrame,
+      codebooks: Array[(Int, Int, Array[Long])], m: Int, subDim: Int,
+      scale: Long): DataFrame = {
+    import spark.implicits._
+    // group per subspace, sorted by code id: first strict min wins
+    val bySub: Array[Array[(Int, Array[Long])]] =
+      Array.tabulate(m) { sub =>
+        codebooks.filter(_._1 == sub).map(c => (c._2, c._3)).sortBy(_._1)
+      }
+    val bc = spark.sparkContext.broadcast(bySub)
+    vectors.select("vec_id", "y").as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val cbs = bc.value
+        it.map { case (id, y) =>
+          val codes = new Array[Int](m)
+          var sub = 0
+          while (sub < m) {
+            val cands = cbs(sub)
+            var best = -1
+            var bestD = Long.MaxValue
+            var p = 0
+            while (p < cands.length) {
+              val c = cands(p)._2
+              var dist = 0L
+              var j = 0
+              while (j < subDim) {
+                val diff = y(sub * subDim + j) * scale - c(j)
+                dist += diff * diff
+                j += 1
+              }
+              if (dist < bestD) { bestD = dist; best = cands(p)._1 }
+              p += 1
+            }
+            codes(sub) = best
+            sub += 1
+          }
+          (id, codes)
+        }
+      }.toDF("vec_id", "codes")
+  }
+
+  /** MAP-ONLY asymmetric-distance (ADC) scan: for each encoded corpus
+    * row (vec_id, codes) and each query, the PQ distance
+    * Σ_sub table(query)(sub)(code) — 8 array lookups per (row, query),
+    * the exact economics that make PQ search fast: the corpus is
+    * touched once, compressed, and the per-query work is O(m) integer
+    * adds. `tables` is the bounded per-query lookup table
+    * (Q·m·k longs, broadcast); rows equal to the query id are skipped.
+    * Returns (query_id, neighbor_id, adc_dist) — unsorted; caller
+    * ranks. */
+  def adcScan(spark: SparkSession, encoded: DataFrame,
+      tables: Array[(Long, Array[Array[Long]])]): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(tables)
+    encoded.select("vec_id", "codes").as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (id, codes) =>
+          val out = new Array[(Long, Long, Long)](qs.length)
+          var n = 0
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, table) = qs(qi)
+            if (qid != id) {
+              var dist = 0L
+              var sub = 0
+              while (sub < codes.length) {
+                dist += table(sub)(codes(sub))
+                sub += 1
+              }
+              out(n) = (qid, id, dist)
+              n += 1
+            }
+            qi += 1
+          }
+          out.take(n)
+        }
+      }.toDF("query_id", "neighbor_id", "adc_dist")
+  }
+
   /** All pairs (id_a < id_b) with cosine >= minCos over a quantized
     * vector table (vec_id: long, r: array<long>, nn: long self-dot).
     * Returns columns (id_a, id_b, cos_sim) — unsorted; caller orders.

@@ -165,5 +165,136 @@ object SamplingQueries {
         .withColumn("pos_in_shard", row_number().over(w).cast("bigint"))
         .orderBy("doc_id")
     },
+
+    // Token-budget mixture plan — the sizing arithmetic behind every
+    // LLM data recipe: given tier weights (hi 50 / mid 30 / tail 20 —
+    // p05's tiers) and a 10M-token budget, how many target tokens each
+    // source contributes (its tier's share split evenly across the
+    // tier's sources) and how many EPOCHS of the source that implies
+    // (>1000‰ = the source must repeat; ≪1000‰ = it is subsampled).
+    // Everything integer (div of non-negatives) so both engines agree
+    // exactly. Shape: one scan with a map-side-combined groupBy on
+    // source (~#sources groups), then a broadcast join against the
+    // 3-row tier-count aggregate — the plan output is O(#sources)
+    // regardless of corpus size.
+    QueryDef(
+      "p06_token_budget_plan",
+      """WITH t AS (SELECT source,
+        |        CASE WHEN source IN ('src0','src1','src2','src3') THEN 'hi'
+        |             WHEN source IN ('src4','src5','src6','src7') THEN 'mid'
+        |             ELSE 'tail' END AS tier,
+        |        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |          AS n_tok
+        |      FROM documents),
+        |s AS (SELECT source, tier, count(*) AS n_docs,
+        |             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |      FROM t GROUP BY source, tier),
+        |c AS (SELECT tier, count(*) AS n_sources FROM s GROUP BY tier),
+        |p AS (SELECT source, s.tier, n_docs, n_tokens,
+        |        CAST((10000000 * CASE s.tier WHEN 'hi' THEN 50
+        |                                     WHEN 'mid' THEN 30
+        |                                     ELSE 20 END)
+        |             // (100 * c.n_sources) AS BIGINT) AS target_tokens
+        |      FROM s JOIN c ON s.tier = c.tier)
+        |SELECT source, tier, n_docs, n_tokens, target_tokens,
+        |       CAST((target_tokens * 1000) // n_tokens AS BIGINT)
+        |         AS epochs_x1000
+        |FROM p ORDER BY source""".stripMargin) { (s, d) =>
+      val tier = when(col("source").isin("src0", "src1", "src2", "src3"), "hi")
+        .when(col("source").isin("src4", "src5", "src6", "src7"), "mid")
+        .otherwise("tail")
+      val perSource = Tables.documents(s, d)
+        .select(col("source"), tier.as("tier"),
+          size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tok"))
+        .groupBy("source", "tier")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").cast("bigint").as("n_tokens"))
+      val tierCounts = perSource.groupBy("tier")
+        .agg(count(lit(1)).as("n_sources"))
+      perSource.join(broadcast(tierCounts), "tier")
+        .selectExpr("source", "tier", "n_docs", "n_tokens",
+          """CAST((10000000 * CASE tier WHEN 'hi' THEN 50
+            |                           WHEN 'mid' THEN 30
+            |                           ELSE 20 END)
+            |     div (100 * n_sources) AS BIGINT) AS target_tokens"""
+            .stripMargin)
+        .selectExpr("source", "tier", "n_docs", "n_tokens", "target_tokens",
+          "CAST((target_tokens * 1000) div n_tokens AS BIGINT) AS epochs_x1000")
+        .orderBy("source")
+    },
+
+    // Filter-funnel audit — the per-stage survival report every
+    // production pipeline publishes with a corpus release: how many
+    // documents enter and leave each cleaning stage (language keep →
+    // length band → mean-token-length quality band → exact-prefix
+    // dedup keeping the smallest doc_id per d01 key). ONE scan
+    // computes all stage flags as running conjunctions (a doc's fate
+    // at stage k is a pure function of its row + the dedup window);
+    // the only shuffle is the dedup stage's window on the d01 prefix
+    // key — the same key d01 groups on, so the funnel costs one
+    // hash-partition pass at any corpus size. The integer quality band
+    // uses div (non-negative) so both engines agree exactly.
+    QueryDef(
+      "p07_filter_funnel",
+      """WITH b AS (SELECT doc_id, lang, n_chars,
+        |        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |          AS n_tok,
+        |        md5(array_to_string(
+        |          (string_split_regex(trim(text), '\s+'))[1:8], ' '))
+        |          AS key_hash
+        |      FROM documents),
+        |f AS (SELECT doc_id, key_hash,
+        |        (lang IN ('en','de','es','fr')) AS f1,
+        |        (lang IN ('en','de','es','fr')
+        |         AND n_chars BETWEEN 100 AND 500) AS f2,
+        |        (lang IN ('en','de','es','fr')
+        |         AND n_chars BETWEEN 100 AND 500
+        |         AND (n_chars * 100) // n_tok BETWEEN 400 AND 800) AS f3
+        |      FROM b),
+        |g AS (SELECT f1, f2, f3,
+        |        (f3 AND doc_id = min(CASE WHEN f3 THEN doc_id END)
+        |           OVER (PARTITION BY key_hash)) AS f4
+        |      FROM f),
+        |a AS (SELECT count(*) AS n0,
+        |        CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |        CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |        CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |        CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+        |      FROM g)
+        |SELECT stage, n_in, n_out FROM (
+        |  SELECT '1_lang' AS stage, n0 AS n_in, n1 AS n_out FROM a
+        |  UNION ALL SELECT '2_length', n1, n2 FROM a
+        |  UNION ALL SELECT '3_quality', n2, n3 FROM a
+        |  UNION ALL SELECT '4_dedup', n3, n4 FROM a) u
+        |ORDER BY stage""".stripMargin) { (s, d) =>
+      val ws = split(trim(col("text")), "\\s+")
+      val b = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(ws).cast("bigint").as("n_tok"),
+          md5(concat_ws(" ", slice(ws, 1, 8))).as("key_hash"))
+      val f1 = col("lang").isin("en", "de", "es", "fr")
+      val f2 = f1 && col("n_chars").between(100, 500)
+      val f3 = f2 && expr("(n_chars * 100) div n_tok").between(400, 800)
+      val wK = Window.partitionBy("key_hash")
+      val g = b
+        .select(col("doc_id"), col("key_hash"),
+          f1.as("f1"), f2.as("f2"), f3.as("f3"))
+        .withColumn("f4", col("f3") &&
+          col("doc_id") === min(when(col("f3"), col("doc_id"))).over(wK))
+      g.agg(count(lit(1)).as("n0"),
+          sum(when(col("f1"), 1).otherwise(0)).cast("bigint").as("n1"),
+          sum(when(col("f2"), 1).otherwise(0)).cast("bigint").as("n2"),
+          sum(when(col("f3"), 1).otherwise(0)).cast("bigint").as("n3"),
+          sum(when(col("f4"), 1).otherwise(0)).cast("bigint").as("n4"))
+        .selectExpr("""explode(array(
+          |  named_struct('stage', '1_lang',    'n_in', n0, 'n_out', n1),
+          |  named_struct('stage', '2_length',  'n_in', n1, 'n_out', n2),
+          |  named_struct('stage', '3_quality', 'n_in', n2, 'n_out', n3),
+          |  named_struct('stage', '4_dedup',   'n_in', n3, 'n_out', n4)))
+          |  AS st""".stripMargin)
+        .select(col("st.stage").as("stage"), col("st.n_in").as("n_in"),
+          col("st.n_out").as("n_out"))
+        .orderBy("stage")
+    },
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import DedupQueries.{cosine, quantized, quantizedSql}
+import DedupQueries.{cosine, dotL, quantized, quantizedSql}
 import graft.plans.GraftExtensions
 
 /** Similarity search over the `embeddings` table (64-dim float
@@ -27,6 +27,97 @@ object SimilarityQueries {
 
   private val Q = 20 // query set = vec_id < 20
   private val K = 5
+
+  // Product quantization (v09/v10): m subspaces × subDim dims, k codes
+  private val PQM = 8
+  private val PQD = 8
+  private val PQK = 4
+
+  /** Non-negative shifted integer vectors (v07's +10⁴ trick: integer
+    * floor-division below becomes engine-agnostic). */
+  private def pqY(s: org.apache.spark.sql.SparkSession, d: String) =
+    quantized(s, d).select(col("vec_id"),
+      transform(col("r"), v => v + 10000L).as("y"))
+
+  /** Train the per-subspace PQ codebooks — v07's deterministic integer
+    * k-means recipe applied independently to each of the PQM
+    * subspaces: seeds = the PQK smallest vec_ids' subvectors, round-1
+    * assignment by exact integer L2 (ties → smaller code), centroid
+    * update as 64× fixed-point integer means q = (Σy·64) div n, which
+    * both engines reproduce bit-exactly. Output (sub, code,
+    * q: array<long>) — m·k rows, the whole codebook is O(m·k·subDim)
+    * longs regardless of corpus size. The update shuffle is a
+    * groupBy(sub, code, dim) = 256 groups with map-side partial sums —
+    * O(groups·partitions) bytes, independent of N. */
+  private def buildPqCodebook(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val y = graft.PersistRegistry.track(
+      pqY(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // PQK seeds: bounded collect by construction (k·64 longs)
+    val seeds = y.orderBy("vec_id").limit(PQK)
+      .select("y").as[Array[Long]].collect()
+    val cb1 = for {
+      (yv, p) <- seeds.zipWithIndex.toArray
+      sub <- 0 until PQM
+    } yield (sub, p, yv.slice(sub * PQD, (sub + 1) * PQD))
+    val a1 = graft.functions.VectorKernels.pqEncode(s, y, cb1, PQM, PQD, 1L)
+    y.join(a1, "vec_id")
+      .select(col("codes"), posexplode(col("y")).as(Seq("j0", "v")))
+      .selectExpr(s"CAST(j0 div $PQD AS INT) AS sub",
+        s"codes[CAST(j0 div $PQD AS INT)] AS code",
+        s"CAST(pmod(j0, $PQD) AS INT) AS dim", "v")
+      .groupBy("sub", "code", "dim")
+      .agg(sum("v").as("sj"), count(lit(1)).as("n_"))
+      .selectExpr("sub", "code", "dim", "sj * 64 div n_ AS q")
+      .groupBy("sub", "code")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("q")))),
+        x => x.getField("q")).as("q"))
+  }
+
+  private def collectCodebook(df: org.apache.spark.sql.DataFrame)
+      : Array[(Int, Int, Array[Long])] =
+    df.select("sub", "code", "q").collect().map { r =>
+      (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray)
+    }
+
+  private def buildPqEnc(s: org.apache.spark.sql.SparkSession, d: String,
+      cb: Array[(Int, Int, Array[Long])]): org.apache.spark.sql.DataFrame =
+    graft.functions.VectorKernels.pqEncode(s, pqY(s, d), cb, PQM, PQD, 64L)
+
+  /** The PQ pipeline as oracle CTEs: quantize → shift → seed → assign
+    * (round 1) → integer-mean update → assign (round 2). Ends in
+    * a2(vec_id, sub, code) with c2(sub, code, q) in scope. */
+  private val pqCteSql =
+    s"""n AS ($quantizedSql),
+       |y AS (SELECT vec_id, list_transform(r, v -> v + 10000) AS y FROM n),
+       |seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1
+       |             AS p, y
+       |         FROM (SELECT vec_id, y FROM y ORDER BY vec_id LIMIT $PQK)),
+       |a1 AS (SELECT vec_id, sub, p AS code FROM (
+       |    SELECT v.vec_id, t.sub, s.p,
+       |           row_number() OVER (PARTITION BY v.vec_id, t.sub ORDER BY
+       |             list_sum(list_transform(generate_series(1, $PQD),
+       |               i -> (v.y[t.sub*$PQD + i] - s.y[t.sub*$PQD + i])
+       |                  * (v.y[t.sub*$PQD + i] - s.y[t.sub*$PQD + i]))),
+       |             s.p) AS rn
+       |    FROM y v, generate_series(0, ${PQM - 1}) t(sub), seed s) z
+       |    WHERE rn = 1),
+       |su AS (SELECT a1.sub, a1.code, j,
+       |              CAST(sum(y.y[a1.sub*$PQD + j]) AS BIGINT) AS sj,
+       |              count(*) AS n_
+       |       FROM y JOIN a1 USING (vec_id), generate_series(1, $PQD) t(j)
+       |       GROUP BY a1.sub, a1.code, j),
+       |c2 AS (SELECT sub, code, list((sj * 64) // n_ ORDER BY j) AS q
+       |       FROM su GROUP BY sub, code),
+       |a2 AS (SELECT vec_id, sub, code FROM (
+       |    SELECT v.vec_id, c.sub, c.code,
+       |           row_number() OVER (PARTITION BY v.vec_id, c.sub ORDER BY
+       |             list_sum(list_transform(generate_series(1, $PQD),
+       |               i -> (64 * v.y[c.sub*$PQD + i] - c.q[i])
+       |                  * (64 * v.y[c.sub*$PQD + i] - c.q[i]))),
+       |             c.code) AS rn
+       |    FROM y v, c2 c) z WHERE rn = 1)""".stripMargin
 
   private val v01Sql =
     s"""WITH n AS ($quantizedSql),
@@ -505,6 +596,136 @@ object SimilarityQueries {
           aggregate(transform(col("qv"), v => v * v), lit(0L),
             (a, v) => a + v).as("q_nn"))
         .orderBy("vec_id")
+    },
+
+    // PRODUCT QUANTIZATION encode — the compression that makes
+    // billion-vector ANN serve from RAM (FAISS's PQ): each 64-dim
+    // vector becomes PQM=8 sub-codes (2 bits each at PQK=4 → a 16-bit
+    // code replacing 256 bytes of float32). Training is v07's
+    // deterministic integer k-means run independently per subspace;
+    // every quantity is integer so both engines compute the identical
+    // codebooks and codes. pq_code packs the 8 codes little-endian
+    // (code_s << 2s) — a full-value check of the code vector in one
+    // BIGINT. Scale shape: training = one scan + a 256-group shuffle
+    // (independent of N); encoding = MAP-ONLY with the m·k·subDim-long
+    // codebook broadcast. The codebook and encoded table are
+    // stage-snapshots: v10's ADC search consumes them without
+    // re-training (the d08→d10 defining-stage-writes contract).
+    QueryDef(
+      "v09_pq_encode",
+      s"""WITH $pqCteSql
+         |SELECT vec_id,
+         |       CAST(sum(code * (CAST(1 AS BIGINT) << (2 * sub))) AS BIGINT)
+         |         AS pq_code
+         |FROM a2 GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val cbDf = StageSnapshots.define(s, d, "pq_codebook")(
+        buildPqCodebook(s, d))
+      val cb = collectCodebook(cbDf)
+      val enc = StageSnapshots.define(s, d, "pq_enc")(buildPqEnc(s, d, cb))
+      enc.selectExpr("vec_id",
+        s"""aggregate(zip_with(codes, sequence(0, ${PQM - 1}),
+           |  (c, i) -> CAST(c AS BIGINT) * shiftleft(CAST(1 AS BIGINT), 2 * i)),
+           |  CAST(0 AS BIGINT), (a, x) -> a + x) AS pq_code""".stripMargin)
+        .orderBy("vec_id")
+    },
+
+    // PQ ASYMMETRIC-DISTANCE search with exact re-rank — the serving
+    // path v09's codes exist for: per query a PQM×PQK integer
+    // distance TABLE (query subvector ↔ trained sub-centroids), the
+    // compressed corpus is scanned once with O(m) table lookups per
+    // row (VectorKernels.adcScan, map-only, corpus never decompressed),
+    // the top-20 ADC candidates per query are then re-ranked by EXACT
+    // cosine — the standard two-stage shape (coarse PQ prune → exact
+    // re-rank) of every production PQ deployment. Query side bounded
+    // (Q=20) + broadcast by the same contract as v01; the candidate
+    // cut is a window over Q groups (Q bounded — at unbounded Q the
+    // cut becomes q37's mergeable top-k aggregator). Codebook + codes
+    // arrive via stage-snapshot from v09 (compute-if-absent).
+    QueryDef(
+      "v10_pq_adc_topk",
+      s"""WITH $pqCteSql,
+         |qt AS (SELECT vec_id AS query_id, y FROM y WHERE vec_id < $Q),
+         |tab AS (SELECT q.query_id, c.sub, c.code,
+         |          CAST(list_sum(list_transform(generate_series(1, $PQD),
+         |            i -> (64 * q.y[c.sub*$PQD + i] - c.q[i])
+         |               * (64 * q.y[c.sub*$PQD + i] - c.q[i]))) AS BIGINT)
+         |            AS dist
+         |        FROM qt q, c2 c),
+         |adc AS (SELECT t.query_id, e.vec_id AS neighbor_id,
+         |          CAST(sum(t.dist) AS BIGINT) AS adc_dist
+         |        FROM a2 e JOIN tab t ON t.sub = e.sub AND t.code = e.code
+         |        WHERE e.vec_id <> t.query_id
+         |        GROUP BY t.query_id, e.vec_id),
+         |cand AS (SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY adc_dist, neighbor_id) AS arn
+         |         FROM adc),
+         |rr AS (SELECT c.query_id, c.neighbor_id,
+         |         CAST(list_sum(list_transform(generate_series(1, 64),
+         |           i -> q.r[i] * x.r[i])) AS DOUBLE)
+         |           / sqrt(CAST(q.nn AS DOUBLE) * CAST(x.nn AS DOUBLE))
+         |             AS cos_sim
+         |       FROM cand c JOIN n q ON q.vec_id = c.query_id
+         |         JOIN n x ON x.vec_id = c.neighbor_id
+         |       WHERE c.arn <= 20)
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+         |  FROM rr) t
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val cbDf = StageSnapshots.snapshot(s, d, "pq_codebook")(
+        buildPqCodebook(s, d))
+      val cb = collectCodebook(cbDf)
+      val enc = StageSnapshots.snapshot(s, d, "pq_enc")(buildPqEnc(s, d, cb))
+      // bounded query side (Q vectors) — same broadcast contract as v01
+      val qys = pqY(s, d).filter(col("vec_id") < Q)
+        .select("vec_id", "y").as[(Long, Array[Long])].collect().sortBy(_._1)
+      val bySubCode = cb.map { case (sub, code, q) => ((sub, code), q) }.toMap
+      val tables = qys.map { case (qid, y) =>
+        val t = Array.tabulate(PQM) { sub =>
+          Array.tabulate(PQK) { code =>
+            bySubCode.get((sub, code)) match {
+              case Some(q) =>
+                var dist = 0L
+                var j = 0
+                while (j < PQD) {
+                  val diff = 64L * y(sub * PQD + j) - q(j)
+                  dist += diff * diff
+                  j += 1
+                }
+                dist
+              // a code no training vector claimed: never emitted by
+              // encode, so the entry is unreachable — poison it
+              case None => Long.MaxValue / PQM
+            }
+          }
+        }
+        (qid, t)
+      }
+      val adc = graft.functions.VectorKernels.adcScan(s, enc, tables)
+      val wAdc = Window.partitionBy("query_id")
+        .orderBy(col("adc_dist"), col("neighbor_id"))
+      val cand = adc.withColumn("arn", row_number().over(wAdc))
+        .filter(col("arn") <= 20)
+      val n = quantized(s, d)
+      val qSide = n.filter(col("vec_id") < Q)
+        .select(col("vec_id").as("query_id"), col("r").as("qr"),
+          col("nn").as("qnn"))
+      val rr = cand
+        .join(n.select(col("vec_id").as("neighbor_id"), col("r").as("cr"),
+          col("nn").as("cnn")), "neighbor_id")
+        .join(broadcast(qSide), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(dotL(col("qr"), col("cr")), col("qnn"), col("cnn"))
+            .as("cos_sim"))
+      val wCos = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      rr.withColumn("rank", row_number().over(wCos).cast("int"))
+        .filter(col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
     },
   )
 }

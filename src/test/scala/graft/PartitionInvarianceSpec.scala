@@ -27,7 +27,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "v04_znorm_embeddings",   // broadcast-stat normalization
     "s02_session_stats",      // window sessionization
     "v07_ivf_kmeans_build",   // iterative centroids: partial sums merge
-    "d12_boilerplate_strip")  // DF count + order-preserving reassembly
+    "d12_boilerplate_strip",  // DF count + order-preserving reassembly
+    "v09_pq_encode",          // per-subspace codebook partial sums
+    "p07_filter_funnel")      // flag conjunctions + dedup-key window
 
   test("representative queries are identical under different parallelism") {
     val key = "spark.sql.shuffle.partitions"

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** Semantics specs for the round-6 operator batch (v09/v10 product
+  * quantization, p06 token-budget plan, p07 filter funnel) — each
+  * asserts the operator's defining identity; the oracle gate covers
+  * value parity.
+  */
+class Round6OperatorsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("v09 PQ encode: total coverage, 16-bit codes, non-degenerate") {
+    val enc = SparkEntry.queries("v09_pq_encode")(spark, sf)
+      .select("vec_id", "pq_code").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    PersistRegistry.release()
+    val n = Tables.embeddings(spark, sf).count()
+    // every corpus vector gets exactly one code
+    assert(enc.size.toLong === n)
+    // 8 subspaces × 2 bits = a 16-bit code: [0, 65536)
+    assert(enc.values.forall(c => c >= 0 && c < 65536))
+    // the quantizer actually discriminates (not all vectors in one
+    // cell) yet compresses (fewer distinct codes than vectors would
+    // only fail if every vector were unique across all 8 subspaces —
+    // the planted near-dup structure guarantees collisions)
+    val distinct = enc.values.toSet.size
+    assert(distinct > 1, "degenerate codebook: all vectors same code")
+    assert(distinct < enc.size, "no compression: all codes unique")
+  }
+
+  test("v10 ADC search: exact re-rank cosines, brute-force dominance") {
+    val v10 = SparkEntry.queries("v10_pq_adc_topk")(spark, sf).collect()
+    PersistRegistry.release()
+    val v01 = SparkEntry.queries("v01_ann_brute_topk")(spark, sf)
+      .filter(col("rank") <= 3).collect()
+    PersistRegistry.release()
+    // exactly 3 ranked rows per query, ranks 1..3, cosines descending
+    val byQuery = v10.groupBy(_.getLong(0))
+    assert(byQuery.values.forall(_.length === 3))
+    for ((_, rows) <- byQuery) {
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq === Seq(1, 2, 3))
+      val cs = sorted.map(_.getDouble(2)).toSeq
+      assert(cs === cs.sorted.reverse, "re-rank cosines not descending")
+    }
+    // the reported cos_sim IS the true cosine of the pair (re-rank is
+    // exact, not the ADC approximation): recompute independently
+    val truth = {
+      val q = v10.map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ids = q.flatMap(p => Seq(p._1, p._2))
+      val vecs = Tables.embeddings(spark, sf)
+        .filter(col("vec_id").isInCollection(ids))
+        .select(col("vec_id"), transform(col("embedding"),
+          x => round(x.cast("double") * 10000).cast("long")).as("r"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      (a: Long, b: Long) => {
+        val (ra, rb) = (vecs(a), vecs(b))
+        val dot = ra.zip(rb).map { case (x, y) => x * y }.sum
+        dot.toDouble / math.sqrt(
+          ra.map(x => x * x).sum.toDouble * rb.map(x => x * x).sum.toDouble)
+      }
+    }
+    for (r <- v10)
+      assert(r.getDouble(2) === truth(r.getLong(0), r.getLong(1)),
+        s"cos_sim for (${r.getLong(0)}, ${r.getLong(1)}) is not exact")
+    // brute force is optimal: at every rank the exhaustive top-3
+    // cosine is >= the PQ-pruned one
+    val b = v01.map(r => (r.getLong(0), r.getInt(3)) -> r.getDouble(2)).toMap
+    for (r <- v10) {
+      val key = (r.getLong(0), r.getInt(3))
+      assert(b(key) >= r.getDouble(2) - 1e-12,
+        s"PQ beat brute force at $key — impossible")
+    }
+  }
+
+  test("p06 token budget plan: budget conserved, tiers partition sources") {
+    val plan = SparkEntry.queries("p06_token_budget_plan")(spark, sf).collect()
+    PersistRegistry.release()
+    val budget = 10000000L
+    // every source planned exactly once, doc counts total the corpus
+    assert(plan.map(_.getString(plan.head.fieldIndex("source"))).distinct
+      .length === plan.length)
+    assert(plan.map(_.getLong(plan.head.fieldIndex("n_docs"))).sum ===
+      Tables.documents(spark, sf).count())
+    // target tokens sum back to the budget up to per-source floor loss
+    val target = plan.map(_.getLong(plan.head.fieldIndex("target_tokens"))).sum
+    assert(target <= budget)
+    assert(target > budget - 100L * plan.length, s"floor loss too big: $target")
+    // epochs identity: epochs_x1000 = target*1000 div n_tokens
+    for (r <- plan) {
+      val i = (name: String) => r.getLong(r.fieldIndex(name))
+      assert(i("epochs_x1000") === i("target_tokens") * 1000 / i("n_tokens"))
+    }
+  }
+
+  test("p07 filter funnel: stages chain, survival is monotone") {
+    val f = SparkEntry.queries("p07_filter_funnel")(spark, sf)
+      .collect().sortBy(_.getString(0))
+    PersistRegistry.release()
+    assert(f.map(_.getString(0)).toSeq ===
+      Seq("1_lang", "2_length", "3_quality", "4_dedup"))
+    // stage k's input is stage k-1's output; output never exceeds input
+    assert(f(0).getLong(1) === Tables.documents(spark, sf).count())
+    for (i <- f.indices) {
+      assert(f(i).getLong(2) <= f(i).getLong(1),
+        s"stage ${f(i).getString(0)} grew the corpus")
+      if (i > 0) assert(f(i).getLong(1) === f(i - 1).getLong(2),
+        s"funnel broken between stages ${i - 1} and $i")
+    }
+    // stage 1 count independently recomputed
+    assert(f(0).getLong(2) === Tables.documents(spark, sf)
+      .filter(col("lang").isin("en", "de", "es", "fr")).count())
+  }
+}
