@@ -29,9 +29,13 @@ object SimilarityQueries {
   private val K = 5
 
   // Product quantization (v09/v10): m subspaces × subDim dims, k codes
+  // (4 bits per subspace → a 32-bit code, 8× smaller than float32;
+  // k=4 / 2-bit codes measured recall@3 of only 0.25–0.30 — the extra
+  // 2 bits per subspace are the cheap recall lever)
   private val PQM = 8
   private val PQD = 8
-  private val PQK = 4
+  private val PQK = 16
+  private val PQCAND = 50 // ADC shortlist size before exact re-rank
 
   /** Non-negative shifted integer vectors (v07's +10⁴ trick: integer
     * floor-division below becomes engine-agnostic). */
@@ -47,8 +51,9 @@ object SimilarityQueries {
     * both engines reproduce bit-exactly. Output (sub, code,
     * q: array<long>) — m·k rows, the whole codebook is O(m·k·subDim)
     * longs regardless of corpus size. The update shuffle is a
-    * groupBy(sub, code, dim) = 256 groups with map-side partial sums —
-    * O(groups·partitions) bytes, independent of N. */
+    * groupBy(sub, code, dim) = m·k·subDim (1024) groups over
+    * per-partition partials — O(groups·partitions) bytes, independent
+    * of N. */
   private def buildPqCodebook(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
@@ -61,14 +66,13 @@ object SimilarityQueries {
       (yv, p) <- seeds.zipWithIndex.toArray
       sub <- 0 until PQM
     } yield (sub, p, yv.slice(sub * PQD, (sub + 1) * PQD))
-    val a1 = graft.functions.VectorKernels.pqEncode(s, y, cb1, PQM, PQD, 1L)
-    y.join(a1, "vec_id")
-      .select(col("codes"), posexplode(col("y")).as(Seq("j0", "v")))
-      .selectExpr(s"CAST(j0 div $PQD AS INT) AS sub",
-        s"codes[CAST(j0 div $PQD AS INT)] AS code",
-        s"CAST(pmod(j0, $PQD) AS INT) AS dim", "v")
+    // round-1 assignment + value sums in ONE map-only pass emitting
+    // per-partition partials — never a vectors⋈assignments join (which
+    // AQE broadcasts at toy scale but sort-merge-shuffles the whole
+    // vector table at real scale; see VectorKernels.pqUpdateStats)
+    graft.functions.VectorKernels.pqUpdateStats(s, y, cb1, PQM, PQD, 1L)
       .groupBy("sub", "code", "dim")
-      .agg(sum("v").as("sj"), count(lit(1)).as("n_"))
+      .agg(sum("sj").as("sj"), sum("n_").as("n_"))
       .selectExpr("sub", "code", "dim", "sj * 64 div n_ AS q")
       .groupBy("sub", "code")
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("q")))),
@@ -600,13 +604,13 @@ object SimilarityQueries {
 
     // PRODUCT QUANTIZATION encode — the compression that makes
     // billion-vector ANN serve from RAM (FAISS's PQ): each 64-dim
-    // vector becomes PQM=8 sub-codes (2 bits each at PQK=4 → a 16-bit
-    // code replacing 256 bytes of float32). Training is v07's
+    // vector becomes PQM=8 sub-codes (4 bits each at PQK=16 → a
+    // 32-bit code replacing 256 bytes of float32). Training is v07's
     // deterministic integer k-means run independently per subspace;
     // every quantity is integer so both engines compute the identical
     // codebooks and codes. pq_code packs the 8 codes little-endian
-    // (code_s << 2s) — a full-value check of the code vector in one
-    // BIGINT. Scale shape: training = one scan + a 256-group shuffle
+    // (code_s << 4s) — a full-value check of the code vector in one
+    // BIGINT. Scale shape: training = one scan + a 1024-group shuffle
     // (independent of N); encoding = MAP-ONLY with the m·k·subDim-long
     // codebook broadcast. The codebook and encoded table are
     // stage-snapshots: v10's ADC search consumes them without
@@ -615,7 +619,7 @@ object SimilarityQueries {
       "v09_pq_encode",
       s"""WITH $pqCteSql
          |SELECT vec_id,
-         |       CAST(sum(code * (CAST(1 AS BIGINT) << (2 * sub))) AS BIGINT)
+         |       CAST(sum(code * (CAST(1 AS BIGINT) << (4 * sub))) AS BIGINT)
          |         AS pq_code
          |FROM a2 GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, d) =>
       val cbDf = StageSnapshots.define(s, d, "pq_codebook")(
@@ -624,7 +628,7 @@ object SimilarityQueries {
       val enc = StageSnapshots.define(s, d, "pq_enc")(buildPqEnc(s, d, cb))
       enc.selectExpr("vec_id",
         s"""aggregate(zip_with(codes, sequence(0, ${PQM - 1}),
-           |  (c, i) -> CAST(c AS BIGINT) * shiftleft(CAST(1 AS BIGINT), 2 * i)),
+           |  (c, i) -> CAST(c AS BIGINT) * shiftleft(CAST(1 AS BIGINT), 4 * i)),
            |  CAST(0 AS BIGINT), (a, x) -> a + x) AS pq_code""".stripMargin)
         .orderBy("vec_id")
     },
@@ -634,9 +638,11 @@ object SimilarityQueries {
     // distance TABLE (query subvector ↔ trained sub-centroids), the
     // compressed corpus is scanned once with O(m) table lookups per
     // row (VectorKernels.adcScan, map-only, corpus never decompressed),
-    // the top-20 ADC candidates per query are then re-ranked by EXACT
-    // cosine — the standard two-stage shape (coarse PQ prune → exact
-    // re-rank) of every production PQ deployment. Query side bounded
+    // the top-PQCAND ADC candidates per query are then re-ranked by
+    // EXACT cosine — the standard two-stage shape (coarse PQ prune →
+    // exact re-rank) of every production PQ deployment; measured
+    // recall@3 vs the exhaustive v01: 0.82 at sf0.001, 0.73 at sf0.01
+    // (floor pinned in Round6OperatorsSpec). Query side bounded
     // (Q=20) + broadcast by the same contract as v01; the candidate
     // cut is a window over Q groups (Q bounded — at unbounded Q the
     // cut becomes q37's mergeable top-k aggregator). Codebook + codes
@@ -667,7 +673,7 @@ object SimilarityQueries {
          |             AS cos_sim
          |       FROM cand c JOIN n q ON q.vec_id = c.query_id
          |         JOIN n x ON x.vec_id = c.neighbor_id
-         |       WHERE c.arn <= 20)
+         |       WHERE c.arn <= $PQCAND)
          |SELECT query_id, neighbor_id, cos_sim, rank FROM (
          |  SELECT query_id, neighbor_id, cos_sim,
          |         CAST(row_number() OVER (PARTITION BY query_id
@@ -708,7 +714,7 @@ object SimilarityQueries {
       val wAdc = Window.partitionBy("query_id")
         .orderBy(col("adc_dist"), col("neighbor_id"))
       val cand = adc.withColumn("arn", row_number().over(wAdc))
-        .filter(col("arn") <= 20)
+        .filter(col("arn") <= PQCAND)
       val n = quantized(s, d)
       val qSide = n.filter(col("vec_id") < Q)
         .select(col("vec_id").as("query_id"), col("r").as("qr"),
