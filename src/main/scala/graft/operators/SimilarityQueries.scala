@@ -54,7 +54,8 @@ object SimilarityQueries {
     * groupBy(sub, code, dim) = m·k·subDim (1024) groups over
     * per-partition partials — O(groups·partitions) bytes, independent
     * of N. */
-  private def buildPqCodebook(s: org.apache.spark.sql.SparkSession,
+  // private[graft] so the plan spec can pin the no-join training shape
+  private[graft] def buildPqCodebook(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val y = graft.PersistRegistry.track(

@@ -86,6 +86,28 @@ class Round6OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"PQ recall@3 $recall below the usability floor")
   }
 
+  test("PQ plan shapes: join-free training, group-limited candidate cut") {
+    // Lloyd-update statistics must NEVER join assignments back to the
+    // vectors — that formulation AQE-broadcasts at toy scale and
+    // silently sort-merge-shuffles the whole vector table at real
+    // scale (measured 57.7 MB vs 2.8 MB shuffled at 100×)
+    val cb = graft.operators.SimilarityQueries.buildPqCodebook(spark, sf)
+    cb.collect()
+    val cbPlan = cb.queryExecution.executedPlan.toString
+    assert(!cbPlan.contains("Join"),
+      s"PQ training regressed to a vectors-to-assignments join:\n$cbPlan")
+    PersistRegistry.release()
+    // the ADC candidate cut must stay a WindowGroupLimit (the top-k
+    // pushed below the exchange — k rows per query per partition
+    // shuffle, not the full Q·N candidate set)
+    val v10 = SparkEntry.queries("v10_pq_adc_topk")(spark, sf)
+    v10.collect()
+    val plan = v10.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"ADC candidate cut lost its group-limit pushdown:\n$plan")
+    PersistRegistry.release()
+  }
+
   test("p06 token budget plan: budget conserved, tiers partition sources") {
     val plan = SparkEntry.queries("p06_token_budget_plan")(spark, sf).collect()
     PersistRegistry.release()
