@@ -109,9 +109,9 @@ object ScaleCheck {
       // delta-vs-corpus dedup, boilerplate strip
       "d02_minhash_lsh", "v07_ivf_kmeans_build", "d11_incremental_dedup",
       "d12_boilerplate_strip",
-      // round-6: PQ encode + ADC search, funnel audit, budget plan
-      "v09_pq_encode", "v10_pq_adc_topk", "p06_token_budget_plan",
-      "p07_filter_funnel")
+      // round-6: PQ encode + ADC search, IVFPQ, funnel audit, budget plan
+      "v09_pq_encode", "v10_pq_adc_topk", "v11_ivfpq_search",
+      "p06_token_budget_plan", "p07_filter_funnel")
     val heavySuite = Seq("q07_multijoin_agg", "q44_star_join_q5",
       "d02_minhash_lsh", "q33_ranking_functions",
       "q10_window_topk_per_group", "d09_ivf_neardup")

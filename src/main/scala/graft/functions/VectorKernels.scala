@@ -183,6 +183,88 @@ object VectorKernels {
       }.toDF("vec_id", "codes")
   }
 
+  /** pqEncode with the coarse-quantizer cell carried through — the
+    * IVFPQ storage layout (FAISS IVF_PQ): each vector's inverted-list
+    * cell AND its PQ codes in one row, produced in the same map-only
+    * pass. Input (vec_id, cell, y); output (vec_id, cell, codes). */
+  def pqEncodeCell(spark: SparkSession, vectors: DataFrame,
+      codebooks: Array[(Int, Int, Array[Long])], m: Int, subDim: Int,
+      scale: Long): DataFrame = {
+    import spark.implicits._
+    val bySub: Array[Array[(Int, Array[Long])]] =
+      Array.tabulate(m) { sub =>
+        codebooks.filter(_._1 == sub).map(c => (c._2, c._3)).sortBy(_._1)
+      }
+    val bc = spark.sparkContext.broadcast(bySub)
+    vectors.select("vec_id", "cell", "y").as[(Long, Int, Array[Long])]
+      .mapPartitions { it =>
+        val cbs = bc.value
+        it.map { case (id, cell, y) =>
+          val codes = new Array[Int](m)
+          var sub = 0
+          while (sub < m) {
+            val cands = cbs(sub)
+            var best = -1
+            var bestD = Long.MaxValue
+            var p = 0
+            while (p < cands.length) {
+              val c = cands(p)._2
+              var dist = 0L
+              var j = 0
+              while (j < subDim) {
+                val diff = y(sub * subDim + j) * scale - c(j)
+                dist += diff * diff
+                j += 1
+              }
+              if (dist < bestD) { bestD = dist; best = cands(p)._1 }
+              p += 1
+            }
+            codes(sub) = best
+            sub += 1
+          }
+          (id, cell, codes)
+        }
+      }.toDF("vec_id", "cell", "codes")
+  }
+
+  /** Cell-restricted ADC scan — the IVFPQ serving kernel: each query
+    * carries its PROBED cell alongside its distance table, and a
+    * corpus row is scored only for queries probing its cell. The
+    * inverted-list restriction is evaluated inline (one int compare)
+    * during the same single compressed-corpus pass — at real scale the
+    * encoded table is additionally partition-pruned by cell, making
+    * the scan O(probed lists), not O(corpus). Returns (query_id,
+    * neighbor_id, adc_dist). */
+  def adcScanCells(spark: SparkSession, encoded: DataFrame,
+      queries: Array[(Long, Int, Array[Array[Long]])]): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(queries)
+    encoded.select("vec_id", "cell", "codes").as[(Long, Int, Array[Int])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (id, cell, codes) =>
+          val out = new Array[(Long, Long, Long)](qs.length)
+          var n = 0
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, probed, table) = qs(qi)
+            if (qid != id && probed == cell) {
+              var dist = 0L
+              var sub = 0
+              while (sub < codes.length) {
+                dist += table(sub)(codes(sub))
+                sub += 1
+              }
+              out(n) = (qid, id, dist)
+              n += 1
+            }
+            qi += 1
+          }
+          out.take(n)
+        }
+      }.toDF("query_id", "neighbor_id", "adc_dist")
+  }
+
   /** PQ Lloyd-update statistics WITHOUT materializing assignments:
     * one pass over (vec_id, y) that assigns each subvector inline
     * (same rule as pqEncode) and accumulates the per-(sub, code, dim)

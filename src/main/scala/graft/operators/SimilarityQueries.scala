@@ -90,6 +90,68 @@ object SimilarityQueries {
       cb: Array[(Int, Int, Array[Long])]): org.apache.spark.sql.DataFrame =
     graft.functions.VectorKernels.pqEncode(s, pqY(s, d), cb, PQM, PQD, 64L)
 
+  /** Per-query PQM×PQK integer ADC distance tables over the trained
+    * codebook — bounded (Q·m·k longs), built driver-side from the
+    * bounded query set (v01's broadcast contract), shared by v10
+    * (flat PQ) and v11 (IVFPQ). */
+  private def pqDistTables(s: org.apache.spark.sql.SparkSession, d: String,
+      cb: Array[(Int, Int, Array[Long])])
+      : Array[(Long, Array[Array[Long]])] = {
+    import s.implicits._
+    val qys = pqY(s, d).filter(col("vec_id") < Q)
+      .select("vec_id", "y").as[(Long, Array[Long])].collect().sortBy(_._1)
+    val bySubCode = cb.map { case (sub, code, q) => ((sub, code), q) }.toMap
+    qys.map { case (qid, y) =>
+      val t = Array.tabulate(PQM) { sub =>
+        Array.tabulate(PQK) { code =>
+          bySubCode.get((sub, code)) match {
+            case Some(q) =>
+              var dist = 0L
+              var j = 0
+              while (j < PQD) {
+                val diff = 64L * y(sub * PQD + j) - q(j)
+                dist += diff * diff
+                j += 1
+              }
+              dist
+            // a code no training vector claimed: never emitted by
+            // encode, so the entry is unreachable — poison it
+            case None => Long.MaxValue / PQM
+          }
+        }
+      }
+      (qid, t)
+    }
+  }
+
+  /** The shared PQ tail: cut the ADC stream to the top-PQCAND
+    * shortlist per query (Spark pushes the limit below the exchange
+    * as WindowGroupLimit) and re-rank by EXACT cosine, top-3. */
+  private def adcRerank(s: org.apache.spark.sql.SparkSession, d: String,
+      adc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    val cand = adc.withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= PQCAND)
+    val n = quantized(s, d)
+    val qSide = n.filter(col("vec_id") < Q)
+      .select(col("vec_id").as("query_id"), col("r").as("qr"),
+        col("nn").as("qnn"))
+    val rr = cand
+      .join(n.select(col("vec_id").as("neighbor_id"), col("r").as("cr"),
+        col("nn").as("cnn")), "neighbor_id")
+      .join(broadcast(qSide), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(dotL(col("qr"), col("cr")), col("qnn"), col("cnn"))
+          .as("cos_sim"))
+    val wCos = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    rr.withColumn("rank", row_number().over(wCos).cast("int"))
+      .filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** The PQ pipeline as oracle CTEs: quantize → shift → seed → assign
     * (round 1) → integer-mean update → assign (round 2). Ends in
     * a2(vec_id, sub, code) with c2(sub, code, q) in scope. */
@@ -681,58 +743,119 @@ object SimilarityQueries {
          |             ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
          |  FROM rr) t
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-      import s.implicits._
       val cbDf = StageSnapshots.snapshot(s, d, "pq_codebook")(
         buildPqCodebook(s, d))
       val cb = collectCodebook(cbDf)
       val enc = StageSnapshots.snapshot(s, d, "pq_enc")(buildPqEnc(s, d, cb))
-      // bounded query side (Q vectors) — same broadcast contract as v01
-      val qys = pqY(s, d).filter(col("vec_id") < Q)
-        .select("vec_id", "y").as[(Long, Array[Long])].collect().sortBy(_._1)
-      val bySubCode = cb.map { case (sub, code, q) => ((sub, code), q) }.toMap
-      val tables = qys.map { case (qid, y) =>
-        val t = Array.tabulate(PQM) { sub =>
-          Array.tabulate(PQK) { code =>
-            bySubCode.get((sub, code)) match {
-              case Some(q) =>
-                var dist = 0L
-                var j = 0
-                while (j < PQD) {
-                  val diff = 64L * y(sub * PQD + j) - q(j)
-                  dist += diff * diff
-                  j += 1
-                }
-                dist
-              // a code no training vector claimed: never emitted by
-              // encode, so the entry is unreachable — poison it
-              case None => Long.MaxValue / PQM
-            }
-          }
-        }
-        (qid, t)
-      }
-      val adc = graft.functions.VectorKernels.adcScan(s, enc, tables)
-      val wAdc = Window.partitionBy("query_id")
-        .orderBy(col("adc_dist"), col("neighbor_id"))
-      val cand = adc.withColumn("arn", row_number().over(wAdc))
-        .filter(col("arn") <= PQCAND)
+      val adc = graft.functions.VectorKernels.adcScan(s, enc,
+        pqDistTables(s, d, cb))
+      adcRerank(s, d, adc)
+    },
+
+    // IVF+PQ — the capstone composing the engine's two ANN halves into
+    // FAISS's IVFPQ, the index layout actually deployed at
+    // billion-vector scale: the coarse quantizer (v03's integer
+    // cell-centroid probe) picks each query's inverted list, the PQ
+    // codes (v09's codebooks) compress the list entries, and serving
+    // is a cell-restricted ADC scan (VectorKernels.adcScanCells — one
+    // int compare + O(m) table lookups per row) followed by the exact
+    // re-rank tail shared with v10. Storage is the real IVFPQ layout:
+    // cell + codes in one row, produced by one map-only encode pass
+    // (pqEncodeCell). At scale the encoded table partitions by cell,
+    // so the scan touches O(probed lists), not O(corpus) — the probe
+    // is what makes PQ search sub-linear rather than a faster linear.
+    QueryDef(
+      "v11_ivfpq_search",
+      s"""WITH $pqCteSql,
+         |cen AS (SELECT label, j, CAST(sum(r[j]) AS BIGINT) AS cj
+         |        FROM n, generate_series(1, 64) t(j) GROUP BY label, j),
+         |cent AS (SELECT label, list(cj ORDER BY j) AS c,
+         |           CAST(list_sum(list_transform(list(cj ORDER BY j),
+         |                x -> x*x)) AS DOUBLE) AS cn
+         |         FROM cen GROUP BY label),
+         |probe AS (SELECT query_id, label FROM (
+         |    SELECT q.vec_id AS query_id, cent.label,
+         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |             CAST(list_sum(list_transform(generate_series(1, 64),
+         |                    i -> q.r[i] * cent.c[i])) AS DOUBLE)
+         |               / sqrt(CAST(q.nn AS DOUBLE) * cn) DESC, cent.label)
+         |             AS rn
+         |    FROM n q, cent WHERE q.vec_id < $Q) t WHERE rn = 1),
+         |qt AS (SELECT vec_id AS query_id, y FROM y WHERE vec_id < $Q),
+         |tab AS (SELECT q.query_id, c.sub, c.code,
+         |          CAST(list_sum(list_transform(generate_series(1, $PQD),
+         |            i -> (64 * q.y[c.sub*$PQD + i] - c.q[i])
+         |               * (64 * q.y[c.sub*$PQD + i] - c.q[i]))) AS BIGINT)
+         |            AS dist
+         |        FROM qt q, c2 c),
+         |adc AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+         |          CAST(sum(t.dist) AS BIGINT) AS adc_dist
+         |        FROM a2 e
+         |          JOIN n cl ON cl.vec_id = e.vec_id
+         |          JOIN probe p ON p.label = cl.label
+         |          JOIN tab t ON t.query_id = p.query_id
+         |            AND t.sub = e.sub AND t.code = e.code
+         |        WHERE e.vec_id <> p.query_id
+         |        GROUP BY p.query_id, e.vec_id),
+         |cand AS (SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY adc_dist, neighbor_id) AS arn
+         |         FROM adc),
+         |rr AS (SELECT c.query_id, c.neighbor_id,
+         |         CAST(list_sum(list_transform(generate_series(1, 64),
+         |           i -> q.r[i] * x.r[i])) AS DOUBLE)
+         |           / sqrt(CAST(q.nn AS DOUBLE) * CAST(x.nn AS DOUBLE))
+         |             AS cos_sim
+         |       FROM cand c JOIN n q ON q.vec_id = c.query_id
+         |         JOIN n x ON x.vec_id = c.neighbor_id
+         |       WHERE c.arn <= $PQCAND)
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+         |  FROM rr) t
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      GraftExtensions.register(s) // native codegen dot_long for the probe
+      import s.implicits._
+      val cbDf = StageSnapshots.snapshot(s, d, "pq_codebook")(
+        buildPqCodebook(s, d))
+      val cb = collectCodebook(cbDf)
       val n = quantized(s, d)
-      val qSide = n.filter(col("vec_id") < Q)
-        .select(col("vec_id").as("query_id"), col("r").as("qr"),
-          col("nn").as("qnn"))
-      val rr = cand
-        .join(n.select(col("vec_id").as("neighbor_id"), col("r").as("cr"),
-          col("nn").as("cnn")), "neighbor_id")
-        .join(broadcast(qSide), "query_id")
-        .select(col("query_id"), col("neighbor_id"),
-          cosine(dotL(col("qr"), col("cr")), col("qnn"), col("cnn"))
-            .as("cos_sim"))
-      val wCos = Window.partitionBy("query_id")
-        .orderBy(col("cos_sim").desc, col("neighbor_id"))
-      rr.withColumn("rank", row_number().over(wCos).cast("int"))
-        .filter(col("rank") <= 3)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-        .orderBy("query_id", "rank")
+      // coarse probe — v03's rule verbatim: cell "centroid" = exact
+      // integer component-wise sum (direction of the mean), best cell
+      // by cosine, ties to the smaller label
+      val cen = n.select(col("label"), col("r"),
+          explode(sequence(lit(1), lit(64))).as("j"))
+        .select(col("label"), col("j"),
+          element_at(col("r"), col("j")).as("rj"))
+        .groupBy("label", "j").agg(sum("rj").as("cj"))
+      val cent = cen.groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
+          x => x.getField("cj")).as("c"))
+        .withColumn("cn",
+          aggregate(transform(col("c"), x => x * x), lit(0L),
+            (acc, v) => acc + v).cast("double"))
+      val wProbe = Window.partitionBy("query_id").orderBy(
+        (call_function("dot_long", col("rq"), col("c")).cast("double") /
+          sqrt(col("nnq").cast("double") * col("cn"))).desc, col("label"))
+      val probe = broadcast(n.filter(col("vec_id") < Q)
+          .select(col("vec_id").as("query_id"), col("r").as("rq"),
+            col("nn").as("nnq")))
+        .crossJoin(broadcast(cent))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("label"))
+      val probed = probe.as[(Long, Int)].collect().toMap
+      // IVFPQ storage layout: cell + codes in one map-only encode pass
+      val encCell = StageSnapshots.snapshot(s, d, "pq_enc_cell")(
+        graft.functions.VectorKernels.pqEncodeCell(s,
+          quantized(s, d).select(col("vec_id"), col("label").as("cell"),
+            transform(col("r"), v => v + 10000L).as("y")),
+          cb, PQM, PQD, 64L))
+      val tables = pqDistTables(s, d, cb)
+        .map { case (qid, t) => (qid, probed(qid), t) }
+      val adc = graft.functions.VectorKernels.adcScanCells(s, encCell, tables)
+      adcRerank(s, d, adc)
     },
   )
 }

@@ -108,6 +108,39 @@ class Round6OperatorsSpec extends AnyFunSuite {
     PersistRegistry.release()
   }
 
+  test("v11 IVFPQ: neighbors come from the probed cell, exact-in-cell " +
+      "search dominates, compression loses nothing here") {
+    val v11 = SparkEntry.queries("v11_ivfpq_search")(spark, sf).collect()
+    PersistRegistry.release()
+    val v03 = SparkEntry.queries("v03_ann_ivf_cell")(spark, sf).collect()
+    PersistRegistry.release()
+    // v03 probes with the same rule and searches the SAME cell
+    // exhaustively with exact cosine — it must dominate v11 at every
+    // rank (v11's candidates are a subset of the cell)
+    val d3 = v03.map(r => (r.getLong(0), r.getInt(4)) -> r.getDouble(3)).toMap
+    for (r <- v11) {
+      val key = (r.getLong(0), r.getInt(3))
+      assert(d3(key) >= r.getDouble(2) - 1e-12,
+        s"IVFPQ beat exhaustive in-cell search at $key — impossible")
+    }
+    // every reported neighbor lives in its query's probed cell (the
+    // cell v03 reports for that query)
+    val cellOf = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probedCell = v03.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (r <- v11)
+      assert(cellOf(r.getLong(1)) === probedCell(r.getLong(0)),
+        s"neighbor ${r.getLong(1)} outside query ${r.getLong(0)}'s probed cell")
+    // at this scale the 50-candidate shortlist covers whole cells, so
+    // PQ + re-rank must recover exactly the exhaustive in-cell top-3
+    // (the compression step costs nothing; the probe is the only
+    // recall limiter — the property IVFPQ exists to deliver)
+    val a = v11.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c = v03.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(a === c, "PQ shortlist lost in-cell neighbors despite covering the cell")
+  }
+
   test("p06 token budget plan: budget conserved, tiers partition sources") {
     val plan = SparkEntry.queries("p06_token_budget_plan")(spark, sf).collect()
     PersistRegistry.release()
