@@ -124,6 +124,20 @@ object SimilarityQueries {
     }
   }
 
+  /** v10's search pipeline (codebook → encode → ADC scan → shortlist →
+    * exact re-rank) WITHOUT the result-snapshot wrapper — private[graft]
+    * so the plan spec can pin the WindowGroupLimit candidate cut on
+    * the live plan (the QueryDef's returned frame is a snapshot read). */
+  private[graft] def buildV10(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val cbDf = StageSnapshots.snapshot(s, d, "pq_codebook")(
+      buildPqCodebook(s, d))
+    val cb = collectCodebook(cbDf)
+    val enc = StageSnapshots.snapshot(s, d, "pq_enc")(buildPqEnc(s, d, cb))
+    adcRerank(s, d,
+      graft.functions.VectorKernels.adcScan(s, enc, pqDistTables(s, d, cb)))
+  }
+
   /** The shared PQ tail: cut the ADC stream to the top-PQCAND
     * shortlist per query (Spark pushes the limit below the exchange
     * as WindowGroupLimit) and re-rank by EXACT cosine, top-3. */
@@ -185,6 +199,76 @@ object SimilarityQueries {
        |                  * (64 * v.y[c.sub*$PQD + i] - c.q[i]))),
        |             c.code) AS rn
        |    FROM y v, c2 c) z WHERE rn = 1)""".stripMargin
+
+  /** The shared oracle tail: per-query ADC distance tables (`tab`),
+    * candidate ranking and exact-cosine re-rank — v10 and v11 differ
+    * only in how `adc` restricts the scanned corpus. */
+  private val pqTabCteSql =
+    s"""qt AS (SELECT vec_id AS query_id, y FROM y WHERE vec_id < $Q),
+       |tab AS (SELECT q.query_id, c.sub, c.code,
+       |          CAST(list_sum(list_transform(generate_series(1, $PQD),
+       |            i -> (64 * q.y[c.sub*$PQD + i] - c.q[i])
+       |               * (64 * q.y[c.sub*$PQD + i] - c.q[i]))) AS BIGINT)
+       |            AS dist
+       |        FROM qt q, c2 c)""".stripMargin
+
+  private val pqRerankSql =
+    s"""cand AS (SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY adc_dist, neighbor_id) AS arn
+       |         FROM adc),
+       |rr AS (SELECT c.query_id, c.neighbor_id,
+       |         CAST(list_sum(list_transform(generate_series(1, 64),
+       |           i -> q.r[i] * x.r[i])) AS DOUBLE)
+       |           / sqrt(CAST(q.nn AS DOUBLE) * CAST(x.nn AS DOUBLE))
+       |             AS cos_sim
+       |       FROM cand c JOIN n q ON q.vec_id = c.query_id
+       |         JOIN n x ON x.vec_id = c.neighbor_id
+       |       WHERE c.arn <= $PQCAND)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |             ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM rr) t
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  private val v10Sql =
+    s"""WITH $pqCteSql,
+       |$pqTabCteSql,
+       |adc AS (SELECT t.query_id, e.vec_id AS neighbor_id,
+       |          CAST(sum(t.dist) AS BIGINT) AS adc_dist
+       |        FROM a2 e JOIN tab t ON t.sub = e.sub AND t.code = e.code
+       |        WHERE e.vec_id <> t.query_id
+       |        GROUP BY t.query_id, e.vec_id),
+       |$pqRerankSql""".stripMargin
+
+  private val v11Sql =
+    s"""WITH $pqCteSql,
+       |cen AS (SELECT label, j, CAST(sum(r[j]) AS BIGINT) AS cj
+       |        FROM n, generate_series(1, 64) t(j) GROUP BY label, j),
+       |cent AS (SELECT label, list(cj ORDER BY j) AS c,
+       |           CAST(list_sum(list_transform(list(cj ORDER BY j),
+       |                x -> x*x)) AS DOUBLE) AS cn
+       |         FROM cen GROUP BY label),
+       |probe AS (SELECT query_id, label FROM (
+       |    SELECT q.vec_id AS query_id, cent.label,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             CAST(list_sum(list_transform(generate_series(1, 64),
+       |                    i -> q.r[i] * cent.c[i])) AS DOUBLE)
+       |               / sqrt(CAST(q.nn AS DOUBLE) * cn) DESC, cent.label)
+       |             AS rn
+       |    FROM n q, cent WHERE q.vec_id < $Q) t WHERE rn = 1),
+       |$pqTabCteSql,
+       |adc AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+       |          CAST(sum(t.dist) AS BIGINT) AS adc_dist
+       |        FROM a2 e
+       |          JOIN n cl ON cl.vec_id = e.vec_id
+       |          JOIN probe p ON p.label = cl.label
+       |          JOIN tab t ON t.query_id = p.query_id
+       |            AND t.sub = e.sub AND t.code = e.code
+       |        WHERE e.vec_id <> p.query_id
+       |        GROUP BY p.query_id, e.vec_id),
+       |$pqRerankSql""".stripMargin
 
   private val v01Sql =
     s"""WITH n AS ($quantizedSql),
@@ -481,14 +565,15 @@ object SimilarityQueries {
     },
 
     // Recall measurement as a CHECKED query: recall@3 of each
-    // approximate method (v02 LSH, v03 IVF probe-1, v05 IVF probe-2)
-    // against v01's exact top-3 — the multi-probe "recall lever" claim
-    // becomes a measured, oracle-verified number instead of an
-    // assertion. recall is exact integer fixed-point (hits·10⁴ div
-    // truth), so the row hashes bit-identically across engines. At
-    // scale this is the standard offline index-quality job: one
-    // left join truth⋈method per index and a count — O(Q·k) rows,
-    // negligible next to the searches themselves.
+    // approximate method (v02 LSH, v03 IVF probe-1, v05 IVF probe-2,
+    // v10 flat PQ, v11 IVFPQ) against v01's exact top-3 — the
+    // "multi-probe/PQ-shortlist is the recall lever" claims become
+    // measured, oracle-verified numbers instead of assertions. recall
+    // is exact integer fixed-point (hits·10⁴ div truth), so the row
+    // hashes bit-identically across engines. At scale this is the
+    // standard offline index-quality job: one left join truth⋈method
+    // per index and a count — O(Q·k) rows, negligible next to the
+    // searches themselves.
     QueryDef(
       "v06_ann_recall",
       s"""WITH ex AS (SELECT query_id, neighbor_id
@@ -496,6 +581,8 @@ object SimilarityQueries {
          |m2 AS (SELECT query_id, neighbor_id FROM ($v02Sql) t),
          |m3 AS (SELECT query_id, neighbor_id FROM ($v03Sql) t),
          |m5 AS (SELECT query_id, neighbor_id FROM ($v05Sql) t),
+         |m10 AS (SELECT query_id, neighbor_id FROM ($v10Sql) t),
+         |m11 AS (SELECT query_id, neighbor_id FROM ($v11Sql) t),
          |r AS (
          |  SELECT 'v02_lsh' AS method, CAST(count(m.query_id) AS BIGINT)
          |      AS hits, CAST(count(*) AS BIGINT) AS total
@@ -510,6 +597,16 @@ object SimilarityQueries {
          |  SELECT 'v05_ivf_probe2', CAST(count(m.query_id) AS BIGINT),
          |      CAST(count(*) AS BIGINT)
          |  FROM ex LEFT JOIN m5 m ON ex.query_id = m.query_id
+         |    AND ex.neighbor_id = m.neighbor_id
+         |  UNION ALL
+         |  SELECT 'v10_pq_flat', CAST(count(m.query_id) AS BIGINT),
+         |      CAST(count(*) AS BIGINT)
+         |  FROM ex LEFT JOIN m10 m ON ex.query_id = m.query_id
+         |    AND ex.neighbor_id = m.neighbor_id
+         |  UNION ALL
+         |  SELECT 'v11_ivfpq', CAST(count(m.query_id) AS BIGINT),
+         |      CAST(count(*) AS BIGINT)
+         |  FROM ex LEFT JOIN m11 m ON ex.query_id = m.query_id
          |    AND ex.neighbor_id = m.neighbor_id)
          |SELECT method, hits, total,
          |       (hits * 10000 // total) / 10000.0 AS recall
@@ -534,6 +631,8 @@ object SimilarityQueries {
       recallOf("v02_ann_lsh_bucket", "v02_lsh")
         .unionAll(recallOf("v03_ann_ivf_cell", "v03_ivf_probe1"))
         .unionAll(recallOf("v05_ann_ivf_multiprobe", "v05_ivf_probe2"))
+        .unionAll(recallOf("v10_pq_adc_topk", "v10_pq_flat"))
+        .unionAll(recallOf("v11_ivfpq_search", "v11_ivfpq"))
         .withColumn("recall", expr("hits * 10000 div total") / 10000.0)
         .orderBy("method")
     },
@@ -712,44 +811,10 @@ object SimilarityQueries {
     // arrive via stage-snapshot from v09 (compute-if-absent).
     QueryDef(
       "v10_pq_adc_topk",
-      s"""WITH $pqCteSql,
-         |qt AS (SELECT vec_id AS query_id, y FROM y WHERE vec_id < $Q),
-         |tab AS (SELECT q.query_id, c.sub, c.code,
-         |          CAST(list_sum(list_transform(generate_series(1, $PQD),
-         |            i -> (64 * q.y[c.sub*$PQD + i] - c.q[i])
-         |               * (64 * q.y[c.sub*$PQD + i] - c.q[i]))) AS BIGINT)
-         |            AS dist
-         |        FROM qt q, c2 c),
-         |adc AS (SELECT t.query_id, e.vec_id AS neighbor_id,
-         |          CAST(sum(t.dist) AS BIGINT) AS adc_dist
-         |        FROM a2 e JOIN tab t ON t.sub = e.sub AND t.code = e.code
-         |        WHERE e.vec_id <> t.query_id
-         |        GROUP BY t.query_id, e.vec_id),
-         |cand AS (SELECT query_id, neighbor_id,
-         |           row_number() OVER (PARTITION BY query_id
-         |             ORDER BY adc_dist, neighbor_id) AS arn
-         |         FROM adc),
-         |rr AS (SELECT c.query_id, c.neighbor_id,
-         |         CAST(list_sum(list_transform(generate_series(1, 64),
-         |           i -> q.r[i] * x.r[i])) AS DOUBLE)
-         |           / sqrt(CAST(q.nn AS DOUBLE) * CAST(x.nn AS DOUBLE))
-         |             AS cos_sim
-         |       FROM cand c JOIN n q ON q.vec_id = c.query_id
-         |         JOIN n x ON x.vec_id = c.neighbor_id
-         |       WHERE c.arn <= $PQCAND)
-         |SELECT query_id, neighbor_id, cos_sim, rank FROM (
-         |  SELECT query_id, neighbor_id, cos_sim,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |             ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
-         |  FROM rr) t
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-      val cbDf = StageSnapshots.snapshot(s, d, "pq_codebook")(
-        buildPqCodebook(s, d))
-      val cb = collectCodebook(cbDf)
-      val enc = StageSnapshots.snapshot(s, d, "pq_enc")(buildPqEnc(s, d, cb))
-      val adc = graft.functions.VectorKernels.adcScan(s, enc,
-        pqDistTables(s, d, cb))
-      adcRerank(s, d, adc)
+      v10Sql) { (s, d) =>
+      // DEFINES its result snapshot for the recall job (v06)
+      StageSnapshots.define(s, d, "v10_pq_adc_topk")(buildV10(s, d))
+        .orderBy("query_id", "rank")
     },
 
     // IVF+PQ — the capstone composing the engine's two ANN halves into
@@ -766,57 +831,11 @@ object SimilarityQueries {
     // is what makes PQ search sub-linear rather than a faster linear.
     QueryDef(
       "v11_ivfpq_search",
-      s"""WITH $pqCteSql,
-         |cen AS (SELECT label, j, CAST(sum(r[j]) AS BIGINT) AS cj
-         |        FROM n, generate_series(1, 64) t(j) GROUP BY label, j),
-         |cent AS (SELECT label, list(cj ORDER BY j) AS c,
-         |           CAST(list_sum(list_transform(list(cj ORDER BY j),
-         |                x -> x*x)) AS DOUBLE) AS cn
-         |         FROM cen GROUP BY label),
-         |probe AS (SELECT query_id, label FROM (
-         |    SELECT q.vec_id AS query_id, cent.label,
-         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |             CAST(list_sum(list_transform(generate_series(1, 64),
-         |                    i -> q.r[i] * cent.c[i])) AS DOUBLE)
-         |               / sqrt(CAST(q.nn AS DOUBLE) * cn) DESC, cent.label)
-         |             AS rn
-         |    FROM n q, cent WHERE q.vec_id < $Q) t WHERE rn = 1),
-         |qt AS (SELECT vec_id AS query_id, y FROM y WHERE vec_id < $Q),
-         |tab AS (SELECT q.query_id, c.sub, c.code,
-         |          CAST(list_sum(list_transform(generate_series(1, $PQD),
-         |            i -> (64 * q.y[c.sub*$PQD + i] - c.q[i])
-         |               * (64 * q.y[c.sub*$PQD + i] - c.q[i]))) AS BIGINT)
-         |            AS dist
-         |        FROM qt q, c2 c),
-         |adc AS (SELECT p.query_id, e.vec_id AS neighbor_id,
-         |          CAST(sum(t.dist) AS BIGINT) AS adc_dist
-         |        FROM a2 e
-         |          JOIN n cl ON cl.vec_id = e.vec_id
-         |          JOIN probe p ON p.label = cl.label
-         |          JOIN tab t ON t.query_id = p.query_id
-         |            AND t.sub = e.sub AND t.code = e.code
-         |        WHERE e.vec_id <> p.query_id
-         |        GROUP BY p.query_id, e.vec_id),
-         |cand AS (SELECT query_id, neighbor_id,
-         |           row_number() OVER (PARTITION BY query_id
-         |             ORDER BY adc_dist, neighbor_id) AS arn
-         |         FROM adc),
-         |rr AS (SELECT c.query_id, c.neighbor_id,
-         |         CAST(list_sum(list_transform(generate_series(1, 64),
-         |           i -> q.r[i] * x.r[i])) AS DOUBLE)
-         |           / sqrt(CAST(q.nn AS DOUBLE) * CAST(x.nn AS DOUBLE))
-         |             AS cos_sim
-         |       FROM cand c JOIN n q ON q.vec_id = c.query_id
-         |         JOIN n x ON x.vec_id = c.neighbor_id
-         |       WHERE c.arn <= $PQCAND)
-         |SELECT query_id, neighbor_id, cos_sim, rank FROM (
-         |  SELECT query_id, neighbor_id, cos_sim,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |             ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
-         |  FROM rr) t
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      v11Sql) { (s, d) =>
       GraftExtensions.register(s) // native codegen dot_long for the probe
       import s.implicits._
+      // DEFINES its result snapshot for the recall job (v06)
+      StageSnapshots.define(s, d, "v11_ivfpq_search") {
       val cbDf = StageSnapshots.snapshot(s, d, "pq_codebook")(
         buildPqCodebook(s, d))
       val cb = collectCodebook(cbDf)
@@ -856,6 +875,7 @@ object SimilarityQueries {
         .map { case (qid, t) => (qid, probed(qid), t) }
       val adc = graft.functions.VectorKernels.adcScanCells(s, encCell, tables)
       adcRerank(s, d, adc)
+      }.orderBy("query_id", "rank")
     },
   )
 }

@@ -88,11 +88,15 @@ class NewOperatorsSpec extends AnyFunSuite {
   test("v06 recall: multi-probe dominates probe-1, recalls within [0,1]") {
     val rows = SparkEntry.queries("v06_ann_recall")(spark, sf).collect()
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
-    assert(rows.keySet === Set("v02_lsh", "v03_ivf_probe1", "v05_ivf_probe2"))
+    assert(rows.keySet === Set("v02_lsh", "v03_ivf_probe1",
+      "v05_ivf_probe2", "v10_pq_flat", "v11_ivfpq"))
     rows.values.foreach(v => assert(v >= 0.0 && v <= 1.0, s"recall $v"))
     // probe-2 searches a superset of probe-1's candidates — its
     // recall can only be >= (the documented "recall lever")
     assert(rows("v05_ivf_probe2") >= rows("v03_ivf_probe1"), rows.toString)
+    // IVFPQ's candidates are a subset of the probe-1 cell — its recall
+    // cannot exceed exhaustive in-cell search
+    assert(rows("v11_ivfpq") <= rows("v03_ivf_probe1"), rows.toString)
   }
 
   test("v07 k-means build: total assignment, cells within seed range") {

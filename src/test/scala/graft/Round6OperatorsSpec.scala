@@ -99,8 +99,9 @@ class Round6OperatorsSpec extends AnyFunSuite {
     PersistRegistry.release()
     // the ADC candidate cut must stay a WindowGroupLimit (the top-k
     // pushed below the exchange — k rows per query per partition
-    // shuffle, not the full Q·N candidate set)
-    val v10 = SparkEntry.queries("v10_pq_adc_topk")(spark, sf)
+    // shuffle, not the full Q·N candidate set). buildV10 is the live
+    // search pipeline; the QueryDef's own frame is a snapshot read.
+    val v10 = graft.operators.SimilarityQueries.buildV10(spark, sf)
     v10.collect()
     val plan = v10.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"),
