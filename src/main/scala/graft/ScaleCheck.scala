@@ -111,7 +111,12 @@ object ScaleCheck {
       "d12_boilerplate_strip",
       // round-6: PQ encode + ADC search, IVFPQ, funnel audit, budget plan
       "v09_pq_encode", "v10_pq_adc_topk", "v11_ivfpq_search",
-      "p06_token_budget_plan", "p07_filter_funnel")
+      "p06_token_budget_plan", "p07_filter_funnel",
+      // round-6 extensions: unigram-LM scoring (two-pass token join),
+      // serpentine shard rank (range-repartition + offsets), method-
+      // agreement audit (3 detectors + pair-key joins), filtered ANN
+      "t14_lm_quality", "p08_balanced_shards", "d13_dedup_audit",
+      "v12_filtered_ann")
     val heavySuite = Seq("q07_multijoin_agg", "q44_star_join_q5",
       "d02_minhash_lsh", "q33_ranking_functions",
       "q10_window_topk_per_group", "d09_ivf_neardup")

@@ -126,6 +126,66 @@ object DedupQueries {
       .filter(col("jacc") >= 0.5)
   }
 
+  /** d04's confirmed pairs (doc_a, doc_b, jacc >= 0.5) via the
+    * rare-shingle inverted index — shared by d04 and the method-
+    * agreement audit d13. Shingle table persisted: it feeds the
+    * inverted index twice (self-join), the rare-shingle filter, and
+    * both confirm joins. Shingling runs in the primitive-loop kernel
+    * (the expression form is interpreted). */
+  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = graft.PersistRegistry.track(graft.functions.TextKernels
+      .shingled(s, Tables.documents(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val inv = sh.select(col("doc_id"), explode(col("s")).as("sg"))
+    // Document-frequency FIRST (map-side-combined count — shuffles
+    // one long per distinct shingle), then posting lists only for
+    // the rare shingles: collecting sets for every shingle and
+    // filtering afterwards builds (and ships) thousand-element sets
+    // for frequent shingles just to throw them away. AQE broadcasts
+    // the rare set when it is small; at corpus scale the join
+    // degrades gracefully to a shuffle on sg.
+    val rare = inv.groupBy("sg").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 5)).select("sg")
+    val cand = inv.join(rare, "sg")
+      .groupBy("sg").agg(collect_set("doc_id").as("ids"))
+      .filter(size(col("ids")).between(2, 5))
+      .select(explode(expr(
+        """flatten(transform(ids,
+          |  x -> transform(filter(ids, y -> y > x),
+          |         y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sa"), col("sb")).as("jacc"))
+      .filter(col("jacc") >= 0.5)
+  }
+
+  /** d07's near-dup pairs (doc_a, doc_b, hamming <= 3) via 4×8-bit
+    * SimHash band blocking — shared by d07 and the audit d13. */
+  private def simhashNeardupPairs(s: SparkSession, d: String): DataFrame = {
+    val sim = graft.PersistRegistry.track(graft.functions.TextKernels
+      .simhash32(s, Tables.documents(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bands = sim.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b"),
+        expr("shiftright(simhash, b * 8) & CAST(255 AS BIGINT)").as("bv"))
+    val a = bands.select(col("b").as("ab"), col("bv").as("abv"),
+      col("doc_id").as("doc_a"), col("simhash").as("ha"))
+    val c = bands.select(col("b").as("cb"), col("bv").as("cbv"),
+      col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    a.join(c, col("ab") === col("cb") && col("abv") === col("cbv")
+        && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ha", "hb").distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
+
   /** Connected components over the confirmed near-dup pair graph
     * (d02): (doc_id, cluster_id = min doc_id of the component).
     * Iterative min-label propagation — each round one join + one
@@ -302,39 +362,7 @@ object DedupQueries {
         |  FROM cand JOIN sh x ON x.doc_id = cand.doc_a
         |            JOIN sh y ON y.doc_id = cand.doc_b) j
         |WHERE jacc >= 0.5 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      // persisted: feeds the inverted index twice (self-join), the
-      // rare-shingle filter, and both confirm joins. Shingling runs in
-      // the primitive-loop kernel (expression form is interpreted).
-      val sh = graft.PersistRegistry.track(graft.functions.TextKernels
-        .shingled(s, Tables.documents(s, d))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val inv = sh.select(col("doc_id"), explode(col("s")).as("sg"))
-      // Document-frequency FIRST (map-side-combined count — shuffles
-      // one long per distinct shingle), then posting lists only for
-      // the rare shingles: collecting sets for every shingle and
-      // filtering afterwards builds (and ships) thousand-element sets
-      // for frequent shingles just to throw them away. AQE broadcasts
-      // the rare set when it is small; at corpus scale the join
-      // degrades gracefully to a shuffle on sg.
-      val rare = inv.groupBy("sg").agg(count(lit(1)).as("df"))
-        .filter(col("df").between(2, 5)).select("sg")
-      val cand = inv.join(rare, "sg")
-        .groupBy("sg").agg(collect_set("doc_id").as("ids"))
-        .filter(size(col("ids")).between(2, 5))
-        .select(explode(expr(
-          """flatten(transform(ids,
-            |  x -> transform(filter(ids, y -> y > x),
-            |         y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
-          .as("p"))
-        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-        .distinct()
-      cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          jaccard(col("sa"), col("sb")).as("jacc"))
-        .filter(col("jacc") >= 0.5)
-        .orderBy("doc_a", "doc_b")
+      ngramJaccardPairs(s, d).orderBy("doc_a", "doc_b")
     },
 
     // Embedding-cosine near-dup, brute-force pair scan (correctness
@@ -414,24 +442,7 @@ object DedupQueries {
         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val sim = graft.PersistRegistry.track(graft.functions.TextKernels
-        .simhash32(s, Tables.documents(s, d))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val bands = sim.select(col("doc_id"), col("simhash"),
-          explode(sequence(lit(0), lit(3))).as("b"))
-        .select(col("doc_id"), col("simhash"), col("b"),
-          expr("shiftright(simhash, b * 8) & CAST(255 AS BIGINT)").as("bv"))
-      val a = bands.select(col("b").as("ab"), col("bv").as("abv"),
-        col("doc_id").as("doc_a"), col("simhash").as("ha"))
-      val c = bands.select(col("b").as("cb"), col("bv").as("cbv"),
-        col("doc_id").as("doc_b"), col("simhash").as("hb"))
-      a.join(c, col("ab") === col("cb") && col("abv") === col("cbv")
-          && col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "ha", "hb").distinct()
-        .select(col("doc_a"), col("doc_b"),
-          expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
-        .filter(col("hamming") <= 3)
-        .orderBy("doc_a", "doc_b")
+      simhashNeardupPairs(s, d).orderBy("doc_a", "doc_b")
     },
 
     // Duplicate-CLUSTER formation: connected components over the
@@ -683,6 +694,79 @@ object DedupQueries {
             .as("n_dropped"),
           coalesce(col("clean_text"), lit("")).as("clean_text"))
         .orderBy("doc_id")
+    },
+
+    // Dedup-method AGREEMENT audit — the governance report a pipeline
+    // publishes when it runs several near-dup detectors: for every
+    // pair flagged by at least one method, which of MinHash+LSH (d02),
+    // rare-shingle n-gram Jaccard (d04) and SimHash banding (d07)
+    // found it, aggregated to one row per method combination. Pairs
+    // only one method finds are exactly where the detectors' blind
+    // spots differ — the number a data curator watches before trusting
+    // a single cheap method at 100 TB. Shape: each pair set comes from
+    // its own linear-blocking generator (never the N² space); the
+    // audit itself is two full-outer equi-joins on the pair key plus a
+    // tiny 8-group aggregate — O(flagged pairs), negligible next to
+    // the detectors. d02's pairs come from the shared stage snapshot
+    // (StageSnapshots), so a session that already ran d02 pays zero to
+    // re-audit it.
+    QueryDef(
+      "d13_dedup_audit",
+      s"""WITH $pairsCteSql,
+        |m2 AS (SELECT doc_a, doc_b FROM pairs WHERE jacc >= 0.5),
+        |inv4 AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+        |rare4 AS (SELECT sg FROM inv4 GROUP BY sg HAVING count(*) <= 5),
+        |cand4 AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |          FROM inv4 a JOIN inv4 c ON a.sg = c.sg AND a.doc_id < c.doc_id
+        |          WHERE a.sg IN (SELECT sg FROM rare4)),
+        |m4 AS (SELECT doc_a, doc_b FROM (
+        |         SELECT doc_a, doc_b,
+        |                len(list_intersect(x.s, y.s))::DOUBLE
+        |                  / len(list_distinct(list_concat(x.s, y.s))) AS jacc
+        |         FROM cand4 JOIN sh x ON x.doc_id = cand4.doc_a
+        |                   JOIN sh y ON y.doc_id = cand4.doc_b) j
+        |       WHERE jacc >= 0.5),
+        |$simhashCteSql,
+        |bands7 AS (SELECT doc_id, simhash, b, (simhash >> (b*8)) & 255 AS bv
+        |           FROM sim, generate_series(0, 3) t(b)),
+        |cand7 AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        |                 a.simhash AS ha, c.simhash AS hb
+        |          FROM bands7 a JOIN bands7 c
+        |            ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id),
+        |m7 AS (SELECT doc_a, doc_b FROM cand7
+        |       WHERE bit_count(xor(ha, hb)) <= 3),
+        |u AS (SELECT doc_a, doc_b FROM m2
+        |      UNION SELECT doc_a, doc_b FROM m4
+        |      UNION SELECT doc_a, doc_b FROM m7),
+        |f AS (SELECT
+        |        EXISTS(SELECT 1 FROM m2
+        |               WHERE m2.doc_a = u.doc_a AND m2.doc_b = u.doc_b)
+        |          AS in_minhash,
+        |        EXISTS(SELECT 1 FROM m4
+        |               WHERE m4.doc_a = u.doc_a AND m4.doc_b = u.doc_b)
+        |          AS in_ngram,
+        |        EXISTS(SELECT 1 FROM m7
+        |               WHERE m7.doc_a = u.doc_a AND m7.doc_b = u.doc_b)
+        |          AS in_simhash
+        |      FROM u)
+        |SELECT in_minhash, in_ngram, in_simhash, count(*) AS n_pairs
+        |FROM f GROUP BY in_minhash, in_ngram, in_simhash
+        |ORDER BY in_minhash, in_ngram, in_simhash""".stripMargin) { (s, d) =>
+      val m2 = snapshot(s, d, "dup-pairs")(confirmedMinhashPairs(s, d))
+        .select(col("doc_a"), col("doc_b"), lit(true).as("in_minhash"))
+      val m4 = ngramJaccardPairs(s, d)
+        .select(col("doc_a"), col("doc_b"), lit(true).as("in_ngram"))
+      val m7 = simhashNeardupPairs(s, d)
+        .select(col("doc_a"), col("doc_b"), lit(true).as("in_simhash"))
+      m2.join(m4, Seq("doc_a", "doc_b"), "full_outer")
+        .join(m7, Seq("doc_a", "doc_b"), "full_outer")
+        .select(
+          coalesce(col("in_minhash"), lit(false)).as("in_minhash"),
+          coalesce(col("in_ngram"), lit(false)).as("in_ngram"),
+          coalesce(col("in_simhash"), lit(false)).as("in_simhash"))
+        .groupBy("in_minhash", "in_ngram", "in_simhash")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("in_minhash", "in_ngram", "in_simhash")
     },
   )
 }

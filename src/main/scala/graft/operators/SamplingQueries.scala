@@ -296,5 +296,56 @@ object SamplingQueries {
           col("st.n_out").as("n_out"))
         .orderBy("stage")
     },
+
+    // Token-BALANCED sharding (serpentine / boustrophedon greedy):
+    // docs sorted by token count descending are dealt across 8 shards
+    // back-and-forth (pass 0: shards 0..7, pass 1: 7..0, ...), which
+    // bounds the heaviest-minus-lightest shard gap by one document —
+    // the data-loader balance a plain hash shard cannot give when doc
+    // lengths are skewed. The global rank that drives the deal is
+    // computed the SCALABLE way, not with a single-partition window:
+    // range-repartition on the sort key (persisted — the range
+    // boundaries are sampled per job, so the pid column must be
+    // pinned once), per-partition row_number, plus a broadcast
+    // cumulative offset from the tiny per-partition counts — the only
+    // global window runs over ≤32 count rows. rank = offset + local
+    // row_number is partition-assignment-invariant because the sort
+    // key is total (doc_id tiebreak), so the declared semantics below
+    // (the oracle's plain row_number) are reproduced exactly.
+    QueryDef(
+      "p08_balanced_shards",
+      """WITH t AS (SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |           AS n_tok
+        |       FROM documents),
+        |r AS (SELECT doc_id, n_tok,
+        |        CAST(row_number() OVER (ORDER BY n_tok DESC, doc_id)
+        |             AS BIGINT) - 1 AS rn0
+        |      FROM t)
+        |SELECT doc_id, n_tok,
+        |       CAST(CASE WHEN (rn0 // 8) % 2 = 0 THEN rn0 % 8
+        |                 ELSE 7 - (rn0 % 8) END AS INT) AS shard
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tok"))
+      val parts = graft.PersistRegistry.track(
+        t.repartitionByRange(32, col("n_tok").desc, col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val wOff = Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = parts.groupBy("pid").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum("cnt").over(wOff), lit(0L)))
+        .select("pid", "off")
+      val wLocal = Window.partitionBy("pid")
+        .orderBy(col("n_tok").desc, col("doc_id"))
+      parts.join(broadcast(offsets), "pid")
+        .withColumn("rn0", col("off") + row_number().over(wLocal) - 1)
+        .select(col("doc_id"), col("n_tok"),
+          when(expr("(rn0 div 8) % 2") === 0, col("rn0") % 8)
+            .otherwise(lit(7) - col("rn0") % 8).cast("int").as("shard"))
+        .orderBy("doc_id")
+    },
   )
 }

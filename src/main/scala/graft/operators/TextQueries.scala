@@ -370,5 +370,41 @@ object TextQueries {
           expr("freq_sum * 10000 div n_tokens"))
         .orderBy("doc_id")
     },
+
+    // LM-perplexity quality scoring, CCNet-style: train a unigram LM
+    // on the corpus itself (token counts / total), score every doc by
+    // its cross-entropy under that LM — low = typical corpus language
+    // (the "head" a perplexity filter keeps), high = rare-token noise.
+    // Two-pass shape like t13: pass 1 is a map-side-combined token
+    // count (shuffle = O(distinct tokens)); pass 2 rejoins occurrences
+    // to their counts ON THE SAME KEY — the count table comes out of
+    // the shuffle already hash-partitioned by token, so the join
+    // reuses that exchange — then one per-doc aggregate. The corpus
+    // total is a 1-row broadcast. round(·,2) absorbs float-summation
+    // ulp per the engine's float-aggregate parity rule; everything
+    // else is integer. At 100 TB the count table is vocab-sized —
+    // still join-able on the token key; nothing is ever collected.
+    QueryDef(
+      "t14_lm_quality",
+      """WITH toks AS (SELECT doc_id,
+        |         unnest(string_split_regex(trim(text), '\s+')) AS w
+        |       FROM documents),
+        |cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       round(-avg(log2(CAST(c AS DOUBLE) / n)), 2) AS xent
+        |FROM toks JOIN cnt USING (w), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("w"))
+      val cnt = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      val tot = toks.agg(count(lit(1)).cast("double").as("n"))
+      toks.join(cnt, "w").crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(-avg(log2(col("c").cast("double") / col("n"))), 2).as("xent"))
+        .orderBy("doc_id")
+    },
   )
 }

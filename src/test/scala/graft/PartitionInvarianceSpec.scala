@@ -29,7 +29,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "v07_ivf_kmeans_build",   // iterative centroids: partial sums merge
     "d12_boilerplate_strip",  // DF count + order-preserving reassembly
     "v09_pq_encode",          // per-subspace codebook partial sums
-    "p07_filter_funnel")      // flag conjunctions + dedup-key window
+    "p07_filter_funnel",      // flag conjunctions + dedup-key window
+    "p08_balanced_shards",    // range-repartition + offset global rank
+    "t14_lm_quality")         // float avg under round(,2) + token join
 
   test("representative queries are identical under different parallelism") {
     val key = "spark.sql.shuffle.partitions"

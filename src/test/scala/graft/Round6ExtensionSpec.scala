@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** Semantics specs for the round-6 extension batch: t14 LM-perplexity
+  * quality, p08 token-balanced serpentine sharding, d13 dedup-method
+  * agreement audit, v12 filtered ANN. Each test asserts the
+  * operator's defining identity; value parity is the oracle gate's
+  * job.
+  */
+class Round6ExtensionSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("t14 LM quality: per-doc cross-entropy bounded, token counts exact") {
+    val rows = SparkEntry.queries("t14_lm_quality")(spark, sf).collect()
+    PersistRegistry.release()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === nDocs)
+    val totalTokens = rows.map(_.getLong(1)).sum
+    val maxXent = math.log(totalTokens.toDouble) / math.log(2.0)
+    for (r <- rows) {
+      val xent = r.getDouble(2)
+      // -avg log2(c/N): every c >= 1 bounds each term by log2 N; a
+      // doc of singleton tokens attains it, a doc of the corpus's
+      // commonest tokens sits near the bottom — but never <= 0
+      assert(xent > 0.0 && xent <= maxXent + 0.01,
+        s"doc ${r.getLong(0)} xent $xent outside (0, log2 N]")
+    }
+    // n_tokens agrees with t01's tokenizer
+    val t01 = SparkEntry.queries("t01_token_count")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    PersistRegistry.release()
+    for (r <- rows)
+      assert(r.getLong(1) === t01(r.getLong(0)))
+  }
+
+  test("p08 serpentine shards: matches naive global rank, balanced") {
+    val rows = SparkEntry.queries("p08_balanced_shards")(spark, sf).collect()
+    PersistRegistry.release()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // naive reference: one global sort, serpentine deal — the
+    // partition-offset rank in the operator must reproduce it exactly
+    val naive = got.map { case (id, tok, _) => (id, tok) }
+      .sortBy { case (id, tok) => (-tok, id) }
+      .zipWithIndex.map { case ((id, tok), rn0) =>
+        val pos = rn0 % 8
+        val shard = if ((rn0 / 8) % 2 == 0) pos else 7 - pos
+        (id, tok, shard)
+      }.sortBy(_._1)
+    assert(got.sortBy(_._1).toSeq === naive.toSeq)
+    // the serpentine guarantee: with docs dealt in descending size
+    // order, shard token totals differ by at most one max-size doc
+    val totals = got.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    assert(totals.keySet === (0 until 8).toSet)
+    val spread = totals.values.max - totals.values.min
+    val maxDoc = got.map(_._2).max
+    assert(spread <= maxDoc,
+      s"shard spread $spread exceeds max doc size $maxDoc")
+  }
+
+  test("d13 audit: per-method totals equal each detector's pair count") {
+    val audit = SparkEntry.queries("d13_dedup_audit")(spark, sf).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) ->
+        r.getLong(3)).toMap
+    PersistRegistry.release()
+    def methodTotal(i: Int): Long =
+      audit.collect { case (k, n) if Seq(k._1, k._2, k._3)(i) => n }.sum
+    val d02 = SparkEntry.queries("d02_minhash_lsh")(spark, sf).count()
+    PersistRegistry.release()
+    val d04 = SparkEntry.queries("d04_ngram_jaccard")(spark, sf).count()
+    PersistRegistry.release()
+    val d07 = SparkEntry.queries("d07_simhash_neardup")(spark, sf).count()
+    PersistRegistry.release()
+    assert(methodTotal(0) === d02, "in_minhash total != d02 pairs")
+    assert(methodTotal(1) === d04, "in_ngram total != d04 pairs")
+    assert(methodTotal(2) === d07, "in_simhash total != d07 pairs")
+    // no phantom combination: every audited pair is in >= 1 method
+    assert(!audit.contains((false, false, false)))
+  }
+
+  test("v12 filtered ANN: predicate respected, usable recall vs exact") {
+    val v12 = SparkEntry.queries("v12_filtered_ann")(spark, sf).collect()
+    PersistRegistry.release()
+    val byQuery = v12.groupBy(_.getLong(0))
+    for ((q, rows) <- byQuery) {
+      assert(rows.length <= 3)
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq === (1 to rows.length))
+      for (r <- sorted) {
+        assert(r.getLong(1) % 3 === 0,
+          s"neighbor ${r.getLong(1)} violates the metadata predicate")
+        assert(r.getLong(1) !== q)
+      }
+    }
+    // exact FILTERED brute-force truth (quantized-integer cosine, the
+    // engine's own scheme) — the probe-2 search must recover at least
+    // half of the true filtered top-3 overall
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => round(x.cast("double") * 10000).cast("long")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def cos(a: Long, b: Long): Double = {
+      val (ra, rb) = (vecs(a), vecs(b))
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < ra.length) {
+        dot += ra(i) * rb(i); na += ra(i) * ra(i); nb += rb(i) * rb(i)
+        i += 1
+      }
+      dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+    }
+    val queries = vecs.keys.filter(_ < 20).toSeq
+    var hits = 0; var postHits = 0; var total = 0
+    for (q <- queries) {
+      val truth = vecs.keys
+        .filter(c => c % 3 == 0 && c != q).toSeq
+        .map(c => (c, cos(q, c)))
+        .sortBy { case (c, s) => (-s, c) }.take(3).map(_._1).toSet
+      val found = byQuery.getOrElse(q, Array.empty)
+        .map(_.getLong(1)).toSet
+      hits += truth.intersect(found).size
+      total += truth.size
+      // the strategy comparison: POST-filtering even the EXACT
+      // unfiltered top-3 must not beat the pre-filtered probe search
+      val postFiltered = vecs.keys
+        .filter(_ != q).toSeq
+        .map(c => (c, cos(q, c)))
+        .sortBy { case (c, s) => (-s, c) }.take(3).map(_._1)
+        .filter(_ % 3 == 0).toSet
+      postHits += truth.intersect(postFiltered).size
+    }
+    assert(hits * 2 >= total,
+      s"filtered recall@3 $hits/$total below 0.5 — index unusable")
+    assert(hits > postHits,
+      s"pre-filter ($hits) must dominate exact-then-post-filter ($postHits)")
+  }
+}
