@@ -116,7 +116,13 @@ object ScaleCheck {
       // serpentine shard rank (range-repartition + offsets), method-
       // agreement audit (3 detectors + pair-key joins), filtered ANN
       "t14_lm_quality", "p08_balanced_shards", "d13_dedup_audit",
-      "v12_filtered_ann")
+      "v12_filtered_ann",
+      // d14: d07's wide-band scale fix — the shuffle ratio vs d13's
+      // embedded-d07 98.5× is the measured claim; t15 vocab-level BPE
+      // fan-out; p09 broadcast-stat importance weights
+      "d14_simhash_scale", "t15_bpe_pair_counts", "p09_dsir_weights",
+      // t16 map-only repetition kernel; p10 pre-pruned per-domain cap
+      "t16_repetition_signals", "p10_domain_cap")
     val heavySuite = Seq("q07_multijoin_agg", "q44_star_join_q5",
       "d02_minhash_lsh", "q33_ranking_functions",
       "q10_window_topk_per_group", "d09_ivf_neardup")

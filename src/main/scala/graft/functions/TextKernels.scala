@@ -81,6 +81,81 @@ object TextKernels {
       .toDF("doc_id", "simhash")
   }
 
+  /** 60-bit TF-weighted SimHash (d07's fingerprint widened for corpus
+    * scale — see d14): same construction as simhash32 over the first
+    * 15 md5 hex chars. 60 bits keeps the BIGINT non-negative so both
+    * engines' shifts agree; the wider fingerprint is what lets the
+    * banding use 15-bit band values (32768-way keyspace) without
+    * losing the Hamming<=3 pigeonhole guarantee. */
+  def simhash60(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.selectExpr("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val counts = new java.util.HashMap[String, Long]()
+        tokenize(text).foreach(w => counts.merge(w, 1L, _ + _))
+        val contrib = new Array[Long](60)
+        counts.forEach { (w, cnt) =>
+          val h = VectorKernels.md5Hex15(w)
+          var b = 0
+          while (b < 60) {
+            if (((h >>> b) & 1L) == 1L) contrib(b) += cnt
+            else contrib(b) -= cnt
+            b += 1
+          }
+        }
+        var fp = 0L
+        var b = 0
+        while (b < 60) {
+          if (contrib(b) > 0) fp |= (1L << b)
+          b += 1
+        }
+        (id, fp)
+      }
+      .toDF("doc_id", "simhash")
+  }
+
+  /** Per-doc n-gram repetition signals (the Gopher-family quality
+    * rules re-expressed as exact integers): for n∈{2,3}, the
+    * occurrence count of the doc's most frequent n-gram and the total
+    * occurrences of n-grams appearing more than once. All state is
+    * per-document — a map-only kernel, zero shuffle at any corpus
+    * size. The published filters threshold on these counts over
+    * n_tokens (e.g. "top 2-gram fraction > 0.20 → drop"); keeping the
+    * integers makes the row engine-exact and leaves the threshold to
+    * the caller. */
+  def repetitionSignals(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.selectExpr("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val w = tokenize(text)
+        def sig(n: Int): (Long, Long) =
+          if (w.length < n) (0L, 0L)
+          else {
+            val m = new java.util.HashMap[String, Long]()
+            var i = 0
+            while (i <= w.length - n) {
+              val sb = new java.lang.StringBuilder(w(i))
+              var j = 1
+              while (j < n) { sb.append(' ').append(w(i + j)); j += 1 }
+              m.merge(sb.toString, 1L, _ + _)
+              i += 1
+            }
+            var top = 0L
+            var dup = 0L
+            m.forEach { (_, c) =>
+              if (c > top) top = c
+              if (c > 1) dup += c
+            }
+            (top, dup)
+          }
+        val (t2, d2) = sig(2)
+        val (t3, d3) = sig(3)
+        (id, w.length.toLong, t2, d2, t3, d3)
+      }
+      .toDF("doc_id", "n_tokens", "top_bigram_n", "dup_bigram_n",
+        "top_trigram_n", "dup_trigram_n")
+  }
+
   /** docs(doc_id, text) → (doc_id, s, sig: k minhashes). */
   def minhashSignatures(spark: SparkSession, docs: DataFrame,
       k: Int): DataFrame = {

@@ -34,6 +34,19 @@ object VectorKernels {
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** md5(s), first 15 hex chars as an unsigned 60-bit value —
+    * identical to `CAST(('0x'||substr(md5(s),1,15)) AS BIGINT)`.
+    * 60 bits (not 64) keeps the value non-negative in a BIGINT on
+    * both engines, so shifts/masks agree without unsigned casts. */
+  private[graft] def md5Hex15(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
   /** All (query, candidate) cosines for a bounded query set
     * (vec_id < maxQueryId), skipping self-pairs. Returns
     * (query_id, neighbor_id, cos_sim); the caller ranks/filters

@@ -768,5 +768,70 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("in_minhash", "in_ngram", "in_simhash")
     },
+
+    // SimHash near-dup at CORPUS scale — d07's band-keyspace fix.
+    // Same-band-value candidate sets grow as N²/keyspace per band, so
+    // d07's 8-bit bands (256 values) go quadratic almost immediately:
+    // ScaleCheck measured the d13 audit (which embeds d07) at 98.5×
+    // shuffle under 25× data. The deployment rule is the same one the
+    // IVF ops state for nlist: the band keyspace must grow with N
+    // (bits_per_band ≈ log2 N keeps per-value sets O(1); bands =
+    // hamming_threshold + 1 preserves pigeonhole recall; fingerprint
+    // = bands · bits — at 1B docs that is 4×30-bit bands over a
+    // 120-bit fingerprint stored as two BIGINTs). This op instantiates
+    // the rule at the next size up: 60-bit TF-weighted SimHash
+    // (15 md5 hex chars — non-negative BIGINT on both engines),
+    // 4 bands × 15 bits = 32768-way keyspace (128× d07's), identical
+    // Hamming<=3 pigeonhole guarantee. Measured at 25×: 58.9× shuffle
+    // where d07's shape gave 98.5× — the keyspace factor at work (the
+    // residual over 25× is the N²/32768 term that the NEXT widening
+    // step removes). Precision also jumps: random pairs concentrate
+    // at E[hamming]≈30 of 60 bits, so <=3 returns near-verbatim
+    // duplicates only — 13 rows at sf0.01 vs d07's 725, which carry
+    // 8-bit collision noise.
+    QueryDef(
+      "d14_simhash_scale",
+      """WITH tok AS (SELECT doc_id, w, count(*)::BIGINT AS cnt FROM
+        |    (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |     FROM documents) t GROUP BY doc_id, w),
+        |h AS (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS hv, cnt
+        |      FROM tok),
+        |bits AS (SELECT doc_id, b,
+        |           sum(CASE WHEN (hv >> b) & 1 = 1 THEN cnt ELSE -cnt END)
+        |             AS contrib
+        |         FROM h, generate_series(0, 59) t(b) GROUP BY doc_id, b),
+        |sim AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN contrib > 0 THEN (1::BIGINT << b)
+        |                        ELSE 0 END) AS BIGINT) AS simhash
+        |        FROM bits GROUP BY doc_id),
+        |bands AS (SELECT doc_id, simhash, b, (simhash >> (b*15)) & 32767 AS bv
+        |          FROM sim, generate_series(0, 3) t(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        |                a.simhash AS ha, c.simhash AS hb
+        |         FROM bands a JOIN bands c
+        |           ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val sim = graft.PersistRegistry.track(graft.functions.TextKernels
+        .simhash60(s, Tables.documents(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val bands = sim.select(col("doc_id"), col("simhash"),
+          explode(sequence(lit(0), lit(3))).as("b"))
+        .select(col("doc_id"), col("simhash"), col("b"),
+          expr("shiftright(simhash, b * 15) & CAST(32767 AS BIGINT)").as("bv"))
+      val a = bands.select(col("b").as("ab"), col("bv").as("abv"),
+        col("doc_id").as("doc_a"), col("simhash").as("ha"))
+      val c = bands.select(col("b").as("cb"), col("bv").as("cbv"),
+        col("doc_id").as("doc_b"), col("simhash").as("hb"))
+      a.join(c, col("ab") === col("cb") && col("abv") === col("cbv")
+          && col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb").distinct()
+        .select(col("doc_a"), col("doc_b"),
+          expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    },
   )
 }

@@ -347,5 +347,116 @@ object SamplingQueries {
             .otherwise(lit(7) - col("rn0") % 8).cast("int").as("shard"))
         .orderBy("doc_id")
     },
+
+    // DSIR-style importance weights (Data Selection via Importance
+    // Resampling): score every raw-corpus document by how much it
+    // looks like the TARGET distribution (the hi-tier sources,
+    // standing in for "curated quality data") under hashed unigram
+    // features — md5-bucketed tokens into 64 bins, Laplace-smoothed
+    // log-likelihood ratio log2(p_target(b)/p_raw(b)) averaged over
+    // the doc's tokens. The resampling step then keeps docs by weight
+    // (p05's bucket trick applies); the weight itself is this op.
+    // Scale: both feature histograms are 64-row aggregates (map-side
+    // combined), broadcast back onto the token stream — the stats
+    // NEVER scale with the corpus, and the only data-sized shuffles
+    // are the two count aggregations and the final per-doc agg.
+    QueryDef(
+      "p09_dsir_weights",
+      """WITH tok AS (SELECT doc_id, source,
+        |        ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS b
+        |      FROM (SELECT doc_id, source,
+        |              unnest(string_split_regex(trim(text), '\s+')) AS w
+        |            FROM documents) t),
+        |rc AS (SELECT b, count(*) AS rc FROM tok GROUP BY b),
+        |tc AS (SELECT b, count(*) AS tc FROM tok
+        |       WHERE source IN ('src0','src1','src2','src3') GROUP BY b),
+        |tots AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM tok) AS r_tot,
+        |                (SELECT CAST(count(*) AS DOUBLE) FROM tok
+        |                 WHERE source IN ('src0','src1','src2','src3'))
+        |                  AS t_tot),
+        |lr AS (SELECT rc.b,
+        |         log2((coalesce(tc.tc, 0) + 1) / (t_tot + 64))
+        |           - log2((rc.rc + 1) / (r_tot + 64)) AS lr
+        |       FROM rc LEFT JOIN tc ON rc.b = tc.b, tots)
+        |SELECT doc_id, count(*) AS n_tokens, round(avg(lr.lr), 2) AS dsir_lr
+        |FROM tok JOIN lr USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val hi = col("source").isin("src0", "src1", "src2", "src3")
+      val tok = graft.PersistRegistry.track(Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("w"))
+        .select(col("doc_id"), col("source"),
+          (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % 64)
+            .as("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val rc = tok.groupBy("b").agg(count(lit(1)).as("rc"))
+      val tc = tok.filter(hi).groupBy("b").agg(count(lit(1)).as("tc"))
+      val tots = tok.agg(count(lit(1)).cast("double").as("r_tot"),
+        sum(when(hi, 1L).otherwise(0L)).cast("double").as("t_tot"))
+      val lr = rc.join(tc, Seq("b"), "left")
+        .crossJoin(broadcast(tots))
+        .select(col("b"),
+          (log2((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
+              (col("t_tot") + 64)) -
+            log2((col("rc") + 1).cast("double") / (col("r_tot") + 64)))
+            .as("lr"))
+      tok.join(broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(col("lr")), 2).as("dsir_lr"))
+        .orderBy("doc_id")
+    },
+
+    // Per-domain document cap (CommonCrawl-style "at most K docs per
+    // domain", K=10 here, `source` standing in for the domain):
+    // deterministic — keep the K docs with the smallest 60-bit
+    // md5(doc_id), a uniform hash rank, so membership is a pure
+    // function of the corpus, not of partitioning. The scale problem
+    // is the rank: a bare row_number over PARTITION BY domain sorts
+    // EVERY doc of every domain — a billion-row sort for a domain
+    // that keeps 10. The fix is a hash-threshold PRE-PRUNE: per-domain
+    // counts (a broadcast-sized agg) give threshold 4K/cnt on the
+    // uniform hv/2^60, cutting the expected window input to ~4K rows
+    // per domain REGARDLESS of domain size; the exact rank then runs
+    // on survivors only. P(a true top-K row exceeds 4× the expected
+    // K-th quantile) is Chernoff-negligible, and a miss is DETECTABLE
+    // (a domain with cnt ≥ K returning < K rows → re-run that domain
+    // unpruned). Both engines compute the identical prune + rank, so
+    // the row set is engine-exact; at sf0.01 every domain has 25 docs
+    // (threshold 40/25 → 1.0, prune inactive) — the capped output is
+    // exactly the unpruned truth, which the spec pins.
+    QueryDef(
+      "p10_domain_cap",
+      """WITH hv AS (SELECT source, doc_id,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |          AS hv
+        |      FROM documents),
+        |cnt AS (SELECT source, count(*) AS cnt FROM hv GROUP BY source),
+        |pruned AS (SELECT hv.source, doc_id, hv.hv
+        |           FROM hv JOIN cnt USING (source)
+        |           WHERE CAST(hv.hv AS DOUBLE) / 1152921504606846976.0
+        |                 < least(1.0, 40.0 / cnt)),
+        |ranked AS (SELECT source, doc_id,
+        |             row_number() OVER (PARTITION BY source
+        |                                ORDER BY hv, doc_id) AS rk
+        |           FROM pruned)
+        |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+        |FROM ranked WHERE rk <= 10 ORDER BY source, rk""".stripMargin) {
+      (s, d) =>
+      val hv = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("hv"))
+      val cnt = hv.groupBy("source").agg(count(lit(1)).as("cnt"))
+      val pruned = hv.join(broadcast(cnt), "source")
+        .filter(col("hv").cast("double") / lit(1152921504606846976.0) <
+          least(lit(1.0), lit(40.0) / col("cnt")))
+      pruned
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("hv"), col("doc_id"))))
+        .filter(col("rk") <= 10)
+        .select(col("source"), col("doc_id"), col("rk").cast("long").as("rk"))
+        .orderBy("source", "rk")
+    },
   )
 }

@@ -406,5 +406,80 @@ object TextQueries {
           round(-avg(log2(col("c").cast("double") / col("n"))), 2).as("xent"))
         .orderBy("doc_id")
     },
+
+    // BPE tokenizer training, the inner loop: count adjacent symbol
+    // pairs (character bigrams here — iteration 1 of BPE) weighted by
+    // word frequency, report the top merge candidates. The critical
+    // scale property is WHERE the pair fan-out runs: first collapse
+    // the corpus to its word-frequency table (one map-side-combined
+    // shuffle — the working set every real BPE trainer iterates on),
+    // THEN explode bigrams over the vocab only — O(vocab · word_len)
+    // rows instead of O(corpus tokens · word_len). A 100 TB corpus
+    // with a 10M-word vocab fans out 10M rows, not 10T. Counts are
+    // pure integers; the top-20 cut is tie-broken on the pair.
+    QueryDef(
+      "t15_bpe_pair_counts",
+      """WITH wf AS (SELECT w, count(*) AS f FROM
+        |        (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |         FROM documents) t GROUP BY w),
+        |pr AS (SELECT f, unnest(list_transform(generate_series(1, length(w)-1),
+        |              i -> substr(w, CAST(i AS INT), 2))) AS pair
+        |       FROM wf WHERE length(w) >= 2)
+        |SELECT pair, CAST(sum(f) AS BIGINT) AS n
+        |FROM pr GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin) {
+      (s, d) =>
+      val wf = Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      wf.filter(length(col("w")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, length(w)-1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("f").as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(20)
+    },
+
+    // Gopher-family repetition filters: per-doc top-n-gram and
+    // duplicated-n-gram occurrence counts (n = 2, 3) as exact
+    // integers — the quality pipeline thresholds their ratio over
+    // n_tokens ("top 2-gram fraction > 0.2 → drop" etc.). The Spark
+    // side is a MAP-ONLY kernel (TextKernels.repetitionSignals): all
+    // repetition state is per-document, so the op costs one scan and
+    // zero shuffle at any corpus size. The SQL oracle computes the
+    // identical integers the relational way — doc-keyed n-gram
+    // explode + two groupBys — which is exactly the shuffle the
+    // kernel avoids.
+    QueryDef(
+      "t16_repetition_signals",
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+')
+        |          AS ws FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(
+        |           generate_series(1, len(ws)-1), i -> ws[i] || ' ' ||
+        |           ws[i+1])) AS g
+        |       FROM toks WHERE len(ws) >= 2),
+        |bga AS (SELECT doc_id, max(c) AS top_bigram_n,
+        |          sum(c) FILTER (WHERE c > 1) AS dup_bigram_n
+        |        FROM (SELECT doc_id, g, count(*) AS c FROM bg
+        |              GROUP BY doc_id, g) GROUP BY doc_id),
+        |tg AS (SELECT doc_id, unnest(list_transform(
+        |           generate_series(1, len(ws)-2), i -> ws[i] || ' ' ||
+        |           ws[i+1] || ' ' || ws[i+2])) AS g
+        |       FROM toks WHERE len(ws) >= 3),
+        |tga AS (SELECT doc_id, max(c) AS top_trigram_n,
+        |          sum(c) FILTER (WHERE c > 1) AS dup_trigram_n
+        |        FROM (SELECT doc_id, g, count(*) AS c FROM tg
+        |              GROUP BY doc_id, g) GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+        |       CAST(coalesce(dup_bigram_n, 0) AS BIGINT) AS dup_bigram_n,
+        |       CAST(coalesce(top_trigram_n, 0) AS BIGINT) AS top_trigram_n,
+        |       CAST(coalesce(dup_trigram_n, 0) AS BIGINT) AS dup_trigram_n
+        |FROM toks t LEFT JOIN bga USING (doc_id)
+        |LEFT JOIN tga USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.functions.TextKernels
+        .repetitionSignals(s, Tables.documents(s, d))
+        .orderBy("doc_id")
+    },
   )
 }

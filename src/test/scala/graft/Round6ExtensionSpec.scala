@@ -136,4 +136,111 @@ class Round6ExtensionSpec extends AnyFunSuite {
     assert(hits > postHits,
       s"pre-filter ($hits) must dominate exact-then-post-filter ($postHits)")
   }
+
+  test("t15 BPE pairs: vocab-level counting is lossless vs raw corpus") {
+    val got = SparkEntry.queries("t15_bpe_pair_counts")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    PersistRegistry.release()
+    // naive reference: count char bigrams over EVERY token occurrence
+    // (the formulation the vocab-weighted fan-out must reproduce)
+    val counts = scala.collection.mutable.HashMap
+      .empty[String, Long].withDefaultValue(0L)
+    for (r <- Tables.documents(spark, sf).select("text").collect();
+         w <- r.getString(0).trim.split("\\s+") if w.length >= 2;
+         i <- 0 until (w.length - 1))
+      counts(w.substring(i, i + 2)) += 1L
+    val naive = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got.toSeq === naive)
+  }
+
+  test("p09 DSIR weights: target-tier docs score above the rest") {
+    val lr = SparkEntry.queries("p09_dsir_weights")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    PersistRegistry.release()
+    val tiers = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect()
+      .map(r => r.getLong(0) ->
+        Set("src0", "src1", "src2", "src3").contains(r.getString(1)))
+      .toMap
+    def mean(xs: Iterable[Double]): Double = xs.sum / xs.size
+    val hi = mean(lr.collect { case (id, v) if tiers(id) => v })
+    val rest = mean(lr.collect { case (id, v) if !tiers(id) => v })
+    // the whole point of importance weighting: docs drawn from the
+    // target distribution average a higher log-likelihood ratio
+    assert(hi > rest, s"hi-tier mean $hi not above rest mean $rest")
+  }
+
+  test("d14 wide SimHash: banding recall is TOTAL at Hamming<=3") {
+    val got = SparkEntry.queries("d14_simhash_scale")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    PersistRegistry.release()
+    // brute-force truth over all fingerprint pairs — the pigeonhole
+    // claim (<=3 flipped bits leave one 15-bit band intact) means the
+    // band join may MISS NOTHING at the threshold
+    val fps = graft.functions.TextKernels
+      .simhash60(spark, Tables.documents(spark, sf)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val truth = (for {
+      i <- fps.indices.iterator
+      j <- (i + 1) until fps.length
+      h = java.lang.Long.bitCount(fps(i)._2 ^ fps(j)._2)
+      if h <= 3
+    } yield (fps(i)._1, fps(j)._1, h)).toSet
+    assert(got === truth)
+    // and the wide fingerprint separates: random pairs concentrate
+    // near 30 of 60 bits, so the threshold cut is a tiny fraction of
+    // the pair space (precision — d07's 8-bit collision noise gone)
+    assert(truth.size < fps.length,
+      "hamming<=3 pairs should be rarer than docs at 60 bits")
+  }
+
+  test("t16 repetition signals: map-only kernel matches naive recount") {
+    val got = SparkEntry.queries("t16_repetition_signals")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    PersistRegistry.release()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+    assert(got.size === docs.length)
+    for (r <- docs) {
+      val w = r.getString(1).trim.split("\\s+")
+      def sig(n: Int): (Long, Long) = {
+        val grams = w.sliding(n).filter(_.length == n).map(_.mkString(" "))
+          .toSeq.groupBy(identity).map(_._2.size.toLong)
+        if (grams.isEmpty) (0L, 0L)
+        else (grams.max, grams.filter(_ > 1).sum)
+      }
+      val (t2, d2) = sig(2)
+      val (t3, d3) = sig(3)
+      assert(got(r.getLong(0)) === ((w.length.toLong, t2, d2, t3, d3)),
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("p10 domain cap: pruned rank equals unpruned truth, cap holds") {
+    val got = SparkEntry.queries("p10_domain_cap")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    PersistRegistry.release()
+    // the prune must be LOSSLESS: result equals the plain top-10 by
+    // (hv, doc_id) per source computed without any threshold
+    def hv(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val docs = Tables.documents(spark, sf).select("source", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val truth = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      rows.map { case (_, id) => (hv(id), id) }.sorted.take(10).zipWithIndex
+        .map { case ((_, id), i) => (src, id, (i + 1).toLong) }
+    }.sortBy(t => (t._1, t._3))
+    assert(got.toSeq === truth)
+    // cap semantics: never more than 10 per source, exactly 10 when
+    // the source has >= 10 docs
+    val perSrc = got.groupBy(_._1).map { case (s2, g) => s2 -> g.length }
+    val sizes = docs.groupBy(_._1).map { case (s2, g) => s2 -> g.length }
+    for ((src, n) <- perSrc)
+      assert(n === math.min(10, sizes(src)), s"source $src")
+  }
 }
