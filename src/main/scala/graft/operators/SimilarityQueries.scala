@@ -965,5 +965,52 @@ object SimilarityQueries {
       adcRerank(s, d, adc)
       }.orderBy("query_id", "rank")
     },
+
+    // k-NN GRAPH BUILD — every vector's top-3 in-cell neighbors, the
+    // substrate of SemDeDup-style semantic curation and graph-based
+    // filtering (v01-v12 answer "nearest to a QUERY"; this answers
+    // "nearest to EVERYONE"). Candidates come from the IVF cell
+    // (label), so the joined space is Σ|cell|², never N²: at 1B
+    // vectors the knob is nlist (v07's build) — cells of ~1-10k keep
+    // Σ|cell|² linear-ish in N, and v11's PQ codes compress the
+    // in-cell distance pass 8× when even that is too hot. Two
+    // shuffles, both data-proportional: the cell equi-join and the
+    // per-vector top-k window over CANDIDATES (N·|cell| rows, not
+    // pairs of the whole corpus). Cosines are the quantized-integer
+    // scheme — bit-identical across engines, codegen'd dot_long on
+    // the hot path.
+    QueryDef(
+      "v13_knn_graph",
+      s"""WITH n AS ($quantizedSql),
+         |cs AS (SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
+         |         CAST(list_sum(list_transform(generate_series(1, len(a.r)),
+         |                i -> a.r[i] * c.r[i])) AS DOUBLE)
+         |           / sqrt(CAST(a.nn AS DOUBLE) * CAST(c.nn AS DOUBLE))
+         |           AS cos_sim
+         |       FROM n a JOIN n c ON c.label = a.label
+         |         AND c.vec_id <> a.vec_id)
+         |SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+         |  SELECT vec_id, neighbor_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+         |  FROM cs) t
+         |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+      GraftExtensions.register(s) // native codegen dot_long
+      val n = quantized(s, d)
+      val a = n.select(col("vec_id"), col("r").as("ra"),
+        col("nn").as("nna"), col("label"))
+      val c = n.select(col("vec_id").as("neighbor_id"), col("r").as("rc"),
+        col("nn").as("nnc"), col("label").as("labelc"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      a.join(c, col("label") === col("labelc") &&
+          col("neighbor_id") =!= col("vec_id"))
+        .select(col("vec_id"), col("neighbor_id"),
+          cosine(call_function("dot_long", col("ra"), col("rc")),
+            col("nna"), col("nnc")).as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy("vec_id", "rank")
+    },
   )
 }

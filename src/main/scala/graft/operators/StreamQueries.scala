@@ -132,5 +132,22 @@ object StreamQueries {
           unix_micros(col("view_ts")).as("view_us"))
         .orderBy("click_id", "view_id")
     },
+
+    // Per-window distinct users — streaming-wise this is the chained
+    // dedup→agg pattern (two stateful operators); the batch form here
+    // is one distinct + one count, both shuffling on the same
+    // (bucket, user) key family. StreamingOpsSpec proves the
+    // streaming twin (windowDistinctUsersStream) emits the identical
+    // finalized windows under append mode.
+    QueryDef(
+      "s06_window_distinct_users",
+      """SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000)
+        |         AS bucket_start,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY bucket_start""".stripMargin) {
+      (s, d) =>
+      StreamingOps.windowDistinctUsersBatch(Tables.events(s, d), "15 minutes")
+        .orderBy("bucket_start")
+    },
   )
 }

@@ -88,6 +88,35 @@ object StreamingOps {
         unix_micros(col("ts")).as("first_us"),
         col("event_id").as("first_event_id"))
 
+  /** Per-window distinct-user count — the ingestion-dashboard staple
+    * whose streaming form needs TWO chained stateful operators
+    * (supported since Spark 3.4): event-time dedup of (window, user)
+    * feeding a windowed count. Including the window in the dedup key
+    * is what bounds state: the watermark evicts a window's dedup set
+    * once it passes, so state is O(active windows × users per
+    * window), not O(users ever seen). The batch twin is the
+    * oracle-checked entry (s06). */
+  def windowDistinctUsersBatch(events: DataFrame,
+      width: String = "15 minutes"): DataFrame =
+    events
+      .select(window(col("ts"), width).getField("start").as("bucket_start"),
+        col("user_id"))
+      .distinct()
+      .groupBy("bucket_start")
+      .agg(count(lit(1)).as("n_users"))
+
+  def windowDistinctUsersStream(events: DataFrame,
+      width: String = "15 minutes",
+      watermarkDelay: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("win", window(col("ts"), width))
+      .dropDuplicates("win", "user_id")
+      .groupBy("win")
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("win").getField("start").as("bucket_start"),
+        col("n_users"))
+
   /** Streaming as-of attribution: for every LEFT event (kind=1),
     * attach the timestamp of the latest RIGHT event (kind=0) of the
     * same key at-or-before it — the streaming form of the batch

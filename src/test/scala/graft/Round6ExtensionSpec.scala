@@ -243,4 +243,24 @@ class Round6ExtensionSpec extends AnyFunSuite {
     for ((src, n) <- perSrc)
       assert(n === math.min(10, sizes(src)), s"source $src")
   }
+
+  test("v13 kNN graph: per-vector in-cell top-3 equals naive truth") {
+    val got = SparkEntry.queries("v13_knn_graph")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getInt(3)), r.getLong(1))).toMap
+    PersistRegistry.release()
+    val n = graft.operators.DedupQueries.quantized(spark, sf)
+      .select("vec_id", "label", "r", "nn").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray,
+        r.getLong(3)))
+    val truth = n.groupBy(_._2).values.toSeq.flatMap { cell =>
+      cell.toSeq.flatMap { case (id, _, ra, nna) =>
+        cell.toSeq.filter(_._1 != id).map { case (cid, _, rc, nnc) =>
+          val dot = ra.zip(rc).map { case (x, y) => x * y }.sum
+          (cid, dot.toDouble / math.sqrt(nna.toDouble * nnc.toDouble))
+        }.sortBy { case (cid, cs) => (-cs, cid) }.take(3).zipWithIndex
+          .map { case ((cid, _), k) => ((id, k + 1), cid) }
+      }
+    }.toMap
+    assert(got === truth)
+  }
 }

@@ -487,4 +487,42 @@ class StreamingOpsSpec extends AnyFunSuite {
     val (tomb2, out2) = onIdleTimeout(7L, tomb)
     assert(out2.isEmpty && tomb2.closed === 3)
   }
+
+  test("window distinct-users: chained dedup→agg stream equals batch") {
+    import spark.implicits._
+    val batch = StreamingOps
+      .windowDistinctUsersBatch(Tables.events(spark, sf))
+      .orderBy("bucket_start").collect()
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = StreamingOps.windowDistinctUsersStream(
+        mem.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("wdu_test")
+      .outputMode("append").start()
+    val rows = Tables.events(spark, sf).select("ts", "user_id")
+      .as[(java.sql.Timestamp, Long)].collect().sortBy(_._1.getTime)
+    val maxTs = rows.last._1.getTime
+    try {
+      rows.grouped(math.max(rows.length / 3, 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // append mode emits a window only once the watermark passes its
+      // end, and the watermark used by batch N comes from batch N-1 —
+      // two far-future sentinel batches force every real window to
+      // finalize regardless of whether a no-data micro-batch runs
+      for (off <- Seq(3600L * 1000, 7200L * 1000)) {
+        mem.addData(Seq((new java.sql.Timestamp(maxTs + off), -1L)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // compare only real windows (sentinel buckets start after maxTs)
+    val streamed = spark.table("wdu_test")
+      .filter(col("bucket_start") <= new java.sql.Timestamp(maxTs))
+      .orderBy("bucket_start").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
 }
