@@ -195,10 +195,21 @@ object DedupQueries {
   private def dupClusters(s: SparkSession, d: String): DataFrame = {
     // consume the pairs TABLE (d02's output) — computed here only if
     // d02 has not materialized it yet this session
-    val pairs = snapshot(s, d, "dup-pairs")(confirmedMinhashPairs(s, d))
-      .select("doc_a", "doc_b")
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
+    componentsOf(s, snapshot(s, d, "dup-pairs")(confirmedMinhashPairs(s, d))
+      .select("doc_a", "doc_b"))
+  }
+
+  /** Bulk-synchronous min-label connected components over undirected
+    * edges given as two-column pairs (each pair listed once). Shared
+    * by d08/d10 (Jaccard edges) and d15 (cosine edges). O(diameter)
+    * rounds, each one join + one min-agg shuffle on the node id —
+    * never a driver-side union-find. Returns (doc_id, cluster_id)
+    * for nodes that HAVE an edge. */
+  private def componentsOf(s: SparkSession, pairs: DataFrame): DataFrame = {
+    val pc = pairs.columns
+    val p = pairs.select(col(pc(0)).as("pa"), col(pc(1)).as("pb"))
+    val edges = p
+      .union(p.select(col("pb"), col("pa")))
       .toDF("src", "dst").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id"))
@@ -237,6 +248,25 @@ object DedupQueries {
     out
   }
 
+
+  /** d09's in-cell embedding near-dup pairs (id_a, id_b, label,
+    * cos_sim ≥ 0.4), unordered — shared by d09 and the semantic-dedup
+    * composition (d15). */
+  private def ivfNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s) // native dot_long
+    val n = quantized(s, d)
+    val a = n.select(col("vec_id").as("id_a"), col("label"),
+      col("r").as("ra"), col("nn").as("na"))
+    val c = n.select(col("vec_id").as("id_b"), col("label").as("lc"),
+      col("r").as("rb"), col("nn").as("nb"))
+    a.join(c, col("label") === col("lc") && col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(
+        call_function("dot_long", col("ra"), col("rb")),
+        col("na"), col("nb")))
+      .filter(col("cos_sim") >= 0.4)
+      .select(col("id_a"), col("id_b"),
+        col("label").cast("int").as("label"), col("cos_sim"))
+  }
 
   /** The d02 oracle's CTE prefix up to the MinHash signature table —
     * ends in `sig(doc_id, s, sig)`; shared by the self-join pair chain
@@ -407,20 +437,7 @@ object DedupQueries {
         |           / sqrt(CAST(a.nn AS DOUBLE) * CAST(c.nn AS DOUBLE)) AS cos_sim
         |  FROM n a JOIN n c ON a.label = c.label AND a.vec_id < c.vec_id) t
         |WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      graft.plans.GraftExtensions.register(s) // native dot_long
-      val n = quantized(s, d)
-      val a = n.select(col("vec_id").as("id_a"), col("label"),
-        col("r").as("ra"), col("nn").as("na"))
-      val c = n.select(col("vec_id").as("id_b"), col("label").as("lc"),
-        col("r").as("rb"), col("nn").as("nb"))
-      a.join(c, col("label") === col("lc") && col("id_a") < col("id_b"))
-        .withColumn("cos_sim", cosine(
-          call_function("dot_long", col("ra"), col("rb")),
-          col("na"), col("nb")))
-        .filter(col("cos_sim") >= 0.4)
-        .select(col("id_a"), col("id_b"),
-          col("label").cast("int").as("label"), col("cos_sim"))
-        .orderBy("id_a", "id_b")
+      ivfNearDupPairs(s, d).orderBy("id_a", "id_b")
     },
 
     // SimHash NEAR-DUP PAIRS (d03 builds fingerprints; this finds the
@@ -832,6 +849,57 @@ object DedupQueries {
           expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
         .filter(col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
+    },
+
+    // SEMANTIC DEDUP end-to-end (the SemDeDup shape): embedding
+    // near-dup edges (d09's in-cell pairs ≥ 0.4, reused) → connected
+    // components (the same bulk min-label machinery as d08, reused) →
+    // keep ONE representative per semantic cluster — largest norm as
+    // the centrality proxy, vec_id tiebreak — with the retention
+    // manifest (members / dropped) a trainer audits. This is the
+    // composed pipeline, not a new primitive: each stage is an
+    // already-verified op with its own stated 100 TB shape (Σcell²
+    // candidate join, O(diameter) label rounds, one mergeable argmax
+    // agg), so the composition adds no new scale risk.
+    QueryDef(
+      "d15_semantic_dedup",
+      s"""WITH RECURSIVE n AS ($quantizedSql),
+        |pairs AS (SELECT id_a, id_b FROM (
+        |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+        |         CAST(list_sum(list_transform(generate_series(1, len(a.r)),
+        |                i -> a.r[i] * c.r[i])) AS DOUBLE)
+        |           / sqrt(CAST(a.nn AS DOUBLE) * CAST(c.nn AS DOUBLE))
+        |           AS cos_sim
+        |  FROM n a JOIN n c ON a.label = c.label AND a.vec_id < c.vec_id) t
+        | WHERE cos_sim >= 0.4),
+        |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |      UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |cl AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+        |       FROM reach GROUP BY a),
+        |j AS (SELECT cl.cluster_id, cl.vec_id, n.nn
+        |      FROM cl JOIN n USING (vec_id))
+        |SELECT cluster_id, vec_id AS kept_vec, n_members,
+        |       CAST(n_members - 1 AS BIGINT) AS n_dropped
+        |FROM (SELECT cluster_id, vec_id,
+        |        count(*) OVER (PARTITION BY cluster_id) AS n_members,
+        |        row_number() OVER (PARTITION BY cluster_id
+        |            ORDER BY nn DESC, vec_id ASC) AS rn
+        |      FROM j) t
+        |WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      val cl = componentsOf(s, ivfNearDupPairs(s, d).select("id_a", "id_b"))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      val nn = quantized(s, d).select("vec_id", "nn")
+      cl.join(nn, "vec_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("nn"), (-col("vec_id")).as("neg"))).as("best"))
+        .select(col("cluster_id"), (-col("best.neg")).as("kept_vec"),
+          col("n_members"), (col("n_members") - 1).cast("long").as("n_dropped"))
+        .orderBy("cluster_id")
     },
   )
 }

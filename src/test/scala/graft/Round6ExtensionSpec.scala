@@ -263,4 +263,32 @@ class Round6ExtensionSpec extends AnyFunSuite {
     }.toMap
     assert(got === truth)
   }
+
+  test("d15 semantic dedup: clusters + canonical match naive union-find") {
+    val got = SparkEntry.queries("d15_semantic_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    PersistRegistry.release()
+    val pairs = SparkEntry.queries("d09_ivf_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    PersistRegistry.release()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nn = graft.operators.DedupQueries.quantized(spark, sf)
+      .select("vec_id", "nn").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(find).toSeq.map { case (root, ms) =>
+        // canonical: largest norm, vec_id tiebreak
+        val kept = ms.map(m => (-nn(m), m)).min._2
+        (root, kept, ms.length.toLong, ms.length.toLong - 1)
+      }.sortBy(_._1)
+    assert(got.toSeq === truth)
+  }
 }
