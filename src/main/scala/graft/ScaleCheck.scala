@@ -125,7 +125,9 @@ object ScaleCheck {
       "t16_repetition_signals", "p10_domain_cap",
       // v13 in-cell kNN graph (Σcell² candidate space); s06 chained
       // distinct→count window family; d15 SemDeDup composition
-      "v13_knn_graph", "s06_window_distinct_users", "d15_semantic_dedup")
+      "v13_knn_graph", "s06_window_distinct_users", "d15_semantic_dedup",
+      // v14 probe sweep is Q-bounded — its scale row should stay flat
+      "v14_recall_curve")
     val heavySuite = Seq("q07_multijoin_agg", "q44_star_join_q5",
       "d02_minhash_lsh", "q33_ranking_functions",
       "q10_window_topk_per_group", "d09_ivf_neardup")

@@ -80,6 +80,13 @@ object SimilarityQueries {
         x => x.getField("q")).as("q"))
   }
 
+  /** The nprobe sweep levels for v14 — long to match DuckDB's
+    * generate_series element type. */
+  private def probeLevels(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    Seq(1L, 2L, 3L, 4L).toDF("p")
+  }
+
   private def collectCodebook(df: org.apache.spark.sql.DataFrame)
       : Array[(Int, Int, Array[Long])] =
     df.select("sub", "code", "q").collect().map { r =>
@@ -1011,6 +1018,120 @@ object SimilarityQueries {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .orderBy("vec_id", "rank")
+    },
+
+    // RECALL / COST CURVE over the nprobe knob — the tuning artifact
+    // an IVF deployment is actually sized from: for nprobe ∈ 1..4,
+    // recall@3 vs the brute truth AND the candidate count paid for
+    // it, in ONE pass. The candidate set is computed once at the
+    // widest probe depth with each candidate tagged by the rank of
+    // its cell (the minimum nprobe that reaches it); each curve
+    // point is then a filter + re-rank of that same set — no
+    // 4× re-search. O(Q · nprobe · |cell|) rows throughout, bounded
+    // by the query set; at 100 TB this is the standard offline
+    // index-quality job run on a sample of queries.
+    QueryDef(
+      "v14_recall_curve",
+      s"""WITH n AS ($quantizedSql),
+         |cen AS (SELECT label, j, CAST(sum(r[j]) AS BIGINT) AS cj
+         |        FROM n, generate_series(1, 64) t(j) GROUP BY label, j),
+         |cent AS (SELECT label, list(cj ORDER BY j) AS c,
+         |           CAST(list_sum(list_transform(list(cj ORDER BY j),
+         |                x -> x*x)) AS DOUBLE) AS cn
+         |         FROM cen GROUP BY label),
+         |pr AS (SELECT query_id, label, rn FROM (
+         |    SELECT q.vec_id AS query_id, cent.label,
+         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |             CAST(list_sum(list_transform(generate_series(1, 64),
+         |                    i -> q.r[i] * cent.c[i])) AS DOUBLE)
+         |               / sqrt(CAST(q.nn AS DOUBLE) * cn) DESC, cent.label)
+         |             AS rn
+         |    FROM n q, cent WHERE q.vec_id < $Q) t WHERE rn <= 4),
+         |cs AS (SELECT p.query_id, c.vec_id AS neighbor_id, p.rn,
+         |         CAST(list_sum(list_transform(generate_series(1, len(q.r)),
+         |                i -> q.r[i] * c.r[i])) AS DOUBLE)
+         |           / sqrt(CAST(q.nn AS DOUBLE) * CAST(c.nn AS DOUBLE))
+         |           AS cos_sim
+         |       FROM pr p JOIN n q ON p.query_id = q.vec_id
+         |         JOIN n c ON c.label = p.label AND c.vec_id <> q.vec_id),
+         |lev AS (SELECT t.p, cs.query_id, cs.neighbor_id, cs.cos_sim
+         |        FROM cs, generate_series(1, 4) t(p) WHERE cs.rn <= t.p),
+         |top AS (SELECT p, query_id, neighbor_id FROM (
+         |    SELECT p, query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id, p
+         |               ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |    FROM lev) t WHERE rank <= 3),
+         |ex AS (SELECT query_id, neighbor_id FROM ($v01Sql) t
+         |       WHERE rank <= 3),
+         |exp AS (SELECT t.p, ex.query_id, ex.neighbor_id
+         |        FROM ex, generate_series(1, 4) t(p)),
+         |h AS (SELECT exp.p, CAST(count(top.query_id) AS BIGINT) AS hits,
+         |        CAST(count(*) AS BIGINT) AS total
+         |      FROM exp LEFT JOIN top ON top.p = exp.p
+         |        AND top.query_id = exp.query_id
+         |        AND top.neighbor_id = exp.neighbor_id
+         |      GROUP BY exp.p),
+         |cnd AS (SELECT p, CAST(count(*) AS BIGINT) AS n_candidates
+         |        FROM lev GROUP BY p)
+         |SELECT CAST(h.p AS INT) AS nprobe, n_candidates, hits, total,
+         |       (hits * 10000 // total) / 10000.0 AS recall
+         |FROM h JOIN cnd USING (p) ORDER BY nprobe""".stripMargin) { (s, d) =>
+      GraftExtensions.register(s)
+      val n = quantized(s, d)
+      val cen = n.select(col("label"), col("r"),
+          explode(sequence(lit(1), lit(64))).as("j"))
+        .select(col("label"), col("j"),
+          element_at(col("r"), col("j")).as("rj"))
+        .groupBy("label", "j").agg(sum("rj").as("cj"))
+      val cent = cen.groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
+          x => x.getField("cj")).as("c"))
+        .withColumn("cn",
+          aggregate(transform(col("c"), x => x * x), lit(0L),
+            (acc, v) => acc + v).cast("double"))
+      val q = n.filter(col("vec_id") < Q)
+        .select(col("vec_id").as("query_id"), col("r").as("rq"),
+          col("nn").as("nnq"))
+      val wProbe = Window.partitionBy("query_id").orderBy(
+        (call_function("dot_long", col("rq"), col("c")).cast("double") /
+          sqrt(col("nnq").cast("double") * col("cn"))).desc, col("label"))
+      val probe = broadcast(q).crossJoin(broadcast(cent))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 4)
+        .select(col("query_id"), col("rq"), col("nnq"), col("label"),
+          col("rn"))
+      val c = n.select(col("vec_id").as("neighbor_id"), col("r").as("rc"),
+        col("nn").as("nnc"), col("label"))
+      val cand = broadcast(probe).join(c, Seq("label"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), col("rn"),
+          cosine(call_function("dot_long", col("rq"), col("rc")),
+            col("nnq"), col("nnc")).as("cos_sim"))
+      val lev = cand
+        .join(broadcast(probeLevels(s)), col("rn") <= col("p"))
+        .select(col("p"), col("query_id"), col("neighbor_id"),
+          col("cos_sim"))
+      val wTop = Window.partitionBy("query_id", "p")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      val top = lev.withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 3)
+        .select(col("p").as("tp"), col("query_id").as("tq"),
+          col("neighbor_id").as("tn"))
+      val ex = StageSnapshots.snapshot(s, d, "v01_ann_brute_topk")(
+          graft.SparkEntry.queries("v01_ann_brute_topk")(s, d))
+        .filter(col("rank") <= 3).select("query_id", "neighbor_id")
+      val exp = ex.crossJoin(broadcast(probeLevels(s)))
+      val h = exp.join(top, col("tp") === col("p") &&
+          col("tq") === col("query_id") && col("tn") === col("neighbor_id"),
+          "left")
+        .groupBy("p")
+        .agg(count(col("tq")).as("hits"), count(lit(1)).as("total"))
+      val cnd = lev.groupBy("p").agg(count(lit(1)).as("n_candidates"))
+      h.join(cnd, "p")
+        .select(col("p").cast("int").as("nprobe"), col("n_candidates"),
+          col("hits"), col("total"),
+          (expr("hits * 10000 div total") / 10000.0).as("recall"))
+        .orderBy("nprobe")
     },
   )
 }

@@ -291,4 +291,25 @@ class Round6ExtensionSpec extends AnyFunSuite {
       }.sortBy(_._1)
     assert(got.toSeq === truth)
   }
+
+  test("v14 recall curve: monotone recall, growing cost, agrees with v06") {
+    val rows = SparkEntry.queries("v14_recall_curve")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    PersistRegistry.release()
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 3, 4))
+    // widening the probe can only add candidates, so recall is
+    // monotone and the paid candidate count strictly grows
+    val rec = rows.map(_._5)
+    assert(rec.zip(rec.tail).forall { case (a, b) => b >= a }, rec.toSeq)
+    val cands = rows.map(_._2)
+    assert(cands.zip(cands.tail).forall { case (a, b) => b > a },
+      cands.toSeq)
+    // the nprobe=2 curve point IS v06's measured v05 row — the two
+    // artifacts must tell one story
+    val v06 = SparkEntry.queries("v06_ann_recall")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    PersistRegistry.release()
+    assert((rows(1)._3, rows(1)._4) === v06("v05_ivf_probe2"))
+  }
 }
