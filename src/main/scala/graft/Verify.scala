@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: sfDir outDir [comma-separated query subset — dev spot-checks]
+    val (sfDir, outDir) = (args(0), args(1))
+    val subset: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,7 +23,8 @@ object Verify {
     // golden-verified; see BoatraceQueries). A missing dump must ABORT:
     // swallowing it would surface downstream as six cryptic DuckDB
     // file-not-found rows instead of one self-explanatory failure.
-    try graft.operators.BoatraceQueries.dumpBaseTables(spark, outDir)
+    try if (subset.isEmpty)
+      graft.operators.BoatraceQueries.dumpBaseTables(spark, outDir)
     catch { case e: Throwable =>
       System.err.println(
         s"[verify] FATAL: boatrace base dump failed — the boatrace_* " +
@@ -30,7 +34,9 @@ object Verify {
       spark.stop()
       sys.exit(1)
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => subset.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -53,6 +59,7 @@ object Verify {
     // __VERIFY_OUT__ resolves to this run's outDir so DuckDB can read
     // the base-table dump written above.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => subset.forall(_.contains(k)) }
       .map { case (k, v) =>
         s"${q(k)}: ${q(v.replace(graft.operators.BoatraceQueries.OutDirToken, outDir))}"
       }.mkString("{", ",", "}")

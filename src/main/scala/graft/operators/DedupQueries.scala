@@ -901,5 +901,59 @@ object DedupQueries {
           col("n_members"), (col("n_members") - 1).cast("long").as("n_dropped"))
         .orderBy("cluster_id")
     },
+
+    // Exact substring dedup (the "Deduplicating Training Data Makes
+    // Language Models Better" per-doc signal): slide an 8-token
+    // window at stride 1 over every doc, mark a window DUPLICATED if
+    // the identical token span occurs in >= 2 distinct docs, and
+    // report each doc's duplicated-window fraction — the number the
+    // pipeline thresholds to drop or trim boilerplate-heavy docs.
+    // Complements d04 (pairwise Jaccard) and d06 (cross-corpus
+    // contamination): this is a per-doc corpus-wide signal with no
+    // pair space at all. Scale shape: one shuffle groups the grams
+    // (map-side-combined distinct-doc count), the duplicated-gram set
+    // comes back as a LEFT SEMI probe on the same exchange, and the
+    // per-doc totals are computed map-only (size(w)-7) — the whole op
+    // is linear in corpus tokens. At 100 TB the gram key would be a
+    // 64-bit fingerprint (xxhash64) to cut shuffle width ~5×; the
+    // string key here keeps the oracle bit-exact.
+    QueryDef(
+      "d16_substring_dedup",
+      """WITH t8 AS (SELECT doc_id, w FROM
+        |        (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |         FROM documents) t WHERE len(w) >= 8),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-7),
+        |          i -> array_to_string(w[i:i+7], ' '))) AS gram FROM t8),
+        |dup AS (SELECT gram FROM g GROUP BY gram
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |dpd AS (SELECT doc_id, count(*) AS n_dup
+        |        FROM g JOIN dup USING (gram) GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(len(w) - 7 AS BIGINT) AS n_grams FROM t8)
+        |SELECT tot.doc_id AS doc_id, n_grams,
+        |       CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup,
+        |       round(CAST(coalesce(n_dup, 0) AS DOUBLE) / n_grams, 4)
+        |         AS dup_ratio
+        |FROM tot LEFT JOIN dpd ON tot.doc_id = dpd.doc_id
+        |ORDER BY tot.doc_id""".stripMargin) { (s, d) =>
+      val t8 = Tables.documents(s, d)
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .filter(size(col("w")) >= 8)
+      val g = t8.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - 7),
+          i => array_join(slice(col("w"), i, lit(8)), " "))).as("gram"))
+      val dup = g.groupBy("gram")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("gram")
+      val dpd = g.join(dup, Seq("gram"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      val tot = t8.select(col("doc_id"),
+        (size(col("w")) - 7).cast("long").as("n_grams"))
+      tot.join(dpd, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_dup"), lit(0L)).cast("long").as("n_dup"),
+          round(coalesce(col("n_dup"), lit(0L)).cast("double") /
+            col("n_grams"), 4).as("dup_ratio"))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -1542,5 +1542,37 @@ object RelationalQueries {
           |FROM orders_la GROUP BY o_orderpriority
           |ORDER BY o_orderpriority""".stripMargin)
     },
+
+    // Cohort retention — the product-analytics staple: bucket every
+    // user by first-seen day, then count distinct active users (and
+    // raw events) at each day offset from that cohort day. Scale
+    // shape: the per-user min is one map-side-combined shuffle on
+    // user_id; the fact-to-cohort join shuffles on the SAME key, so
+    // AQE reuses the exchange; the final (cohort_day, day_offset)
+    // grid is tiny (days × days) however large the fact table — the
+    // distinct-user expand is the only cost that grows, and it is
+    // linear in events.
+    QueryDef(
+      "q63_cohort_retention",
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |first AS (SELECT user_id, min(day) AS cohort_day
+        |          FROM ev GROUP BY user_id)
+        |SELECT f.cohort_day,
+        |       datediff('day', f.cohort_day, e.day) AS day_offset,
+        |       count(DISTINCT e.user_id) AS n_users,
+        |       count(*) AS n_events
+        |FROM ev e JOIN first f ON e.user_id = f.user_id
+        |GROUP BY f.cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(first, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("cohort_day", "day_offset")
+    },
   )
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,6 +28,43 @@ object SimilarityQueries {
 
   private val Q = 20 // query set = vec_id < 20
   private val K = 5
+
+  // Fixed keyword query for the lexical retrieval ops (v15/v16);
+  // terms chosen from the corpus vocabulary.
+  private val BmTerms = Seq("spark", "join", "window")
+
+  /** Okapi BM25 (k1=1.2, b=0.75, Lucene idf) for the fixed query over
+    * `documents` → (doc_id, bm25 rounded to 4). Corpus stats (N, Σdl,
+    * per-term df) are ONE aggregated row crossJoin-broadcast back;
+    * tf/dl are per-row expressions — two linear scans, no data-sized
+    * shuffle. Every float op is sequenced identically to the DuckDB
+    * oracle SQL so the doubles match bit-for-bit (the single libm ln
+    * is rounded to 4 decimals on both engines before comparison/
+    * ordering). */
+  private[graft] def bm25Scored(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .withColumn("dl", size(col("w")))
+    val withTf = BmTerms.zipWithIndex.foldLeft(base) { case (df0, (t, i)) =>
+      df0.withColumn(s"tf$i", size(filter(col("w"), x => x === lit(t))))
+    }.drop("w")
+    val statCols = count(lit(1)).cast("double").as("n") +:
+      sum(col("dl")).cast("double").as("sumdl") +:
+      BmTerms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i"))
+    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+    def termScore(i: Int): Column = {
+      val tf = col(s"tf$i").cast("double")
+      val dfT = col(s"df$i")
+      val idf = log(lit(1.0) + (col("n") - dfT + 0.5) / (dfT + 0.5))
+      idf * (tf * 2.2) / (tf + lit(1.2) * (lit(0.25) +
+        lit(0.75) * (col("dl").cast("double") / (col("sumdl") / col("n")))))
+    }
+    withTf.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(termScore(0) + termScore(1) + termScore(2), 4).as("bm25"))
+  }
 
   // Product quantization (v09/v10): m subspaces × subDim dims, k codes
   // (4 bits per subspace → a 32-bit code, 8× smaller than float32;
@@ -1132,6 +1170,123 @@ object SimilarityQueries {
           col("hits"), col("total"),
           (expr("hits * 10000 div total") / 10000.0).as("recall"))
         .orderBy("nprobe")
+    },
+
+    // BM25 keyword retrieval (Okapi, Lucene's idf variant) — the
+    // lexical half of a RAG retrieval stack, complementing the vector
+    // paths above. Corpus stats (N, Σdl, per-term df) reduce to ONE
+    // broadcast row; tf and dl are computed map-only per doc; the
+    // global top-20 is a TakeOrdered cut, not a full sort. The only
+    // data-sized cost is the stats scan — the op is two linear passes
+    // at any corpus size. Ties at the cut break on the ROUNDED score
+    // then doc_id, so the result set is stable under ulp noise.
+    QueryDef(
+      "v15_bm25_topk",
+      """WITH dtf AS (SELECT doc_id, len(w) AS dl,
+        |         len(list_filter(w, x -> x = 'spark'))  AS tf0,
+        |         len(list_filter(w, x -> x = 'join'))   AS tf1,
+        |         len(list_filter(w, x -> x = 'window')) AS tf2
+        |       FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |             FROM documents) t),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |              CAST(sum(dl) AS DOUBLE) AS sumdl,
+        |              CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |              CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |              CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |       FROM dtf)
+        |SELECT doc_id, round(
+        |    ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)
+        |      / (tf0 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (sumdl / n))))
+        |  + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)
+        |      / (tf1 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (sumdl / n))))
+        |  + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2)
+        |      / (tf2 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (sumdl / n))))
+        |  , 4) AS bm25
+        |FROM dtf, st
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      bm25Scored(s, d).orderBy(col("bm25").desc, col("doc_id")).limit(20)
+    },
+
+    // Reciprocal-rank fusion of the two retrieval signals: BM25
+    // (v15's scorer) and whole-vocab lexical cosine. RRF's scale
+    // contract: each ranker is cut to its top-50 FIRST (TakeOrdered —
+    // bounded however large the corpus), so the rank windows and the
+    // full-outer fusion join run over ≤50-row sets; the only
+    // corpus-sized work is the two scoring scans. The cosine side is
+    // exact integer arithmetic (tf sums, Σtf²) until the final
+    // sqrt/divide, so both engines rank identically.
+    QueryDef(
+      "v16_rrf_hybrid",
+      """WITH dtf AS (SELECT doc_id, len(w) AS dl,
+        |         len(list_filter(w, x -> x = 'spark'))  AS tf0,
+        |         len(list_filter(w, x -> x = 'join'))   AS tf1,
+        |         len(list_filter(w, x -> x = 'window')) AS tf2
+        |       FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |             FROM documents) t),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |              CAST(sum(dl) AS DOUBLE) AS sumdl,
+        |              CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |              CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |              CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |       FROM dtf),
+        |bm AS (SELECT doc_id, round(
+        |    ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)
+        |      / (tf0 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (sumdl / n))))
+        |  + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)
+        |      / (tf1 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (sumdl / n))))
+        |  + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2)
+        |      / (tf2 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (sumdl / n))))
+        |  , 4) AS bm25
+        |  FROM dtf, st ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |bmr AS (SELECT doc_id,
+        |          row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rb FROM bm),
+        |tfs AS (SELECT doc_id, w AS term, count(*)::BIGINT AS tf FROM
+        |        (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |         FROM documents) t GROUP BY doc_id, term),
+        |nrm AS (SELECT doc_id, sum(tf * tf) AS nn2 FROM tfs GROUP BY doc_id),
+        |qd AS (SELECT doc_id, sum(tf) AS qdot FROM tfs
+        |       WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id),
+        |cs AS (SELECT qd.doc_id, round(CAST(qdot AS DOUBLE)
+        |           / (sqrt(3.0) * sqrt(CAST(nn2 AS DOUBLE))), 6) AS lexcos
+        |       FROM qd JOIN nrm ON qd.doc_id = nrm.doc_id
+        |       ORDER BY lexcos DESC, qd.doc_id LIMIT 50),
+        |csr AS (SELECT doc_id,
+        |          row_number() OVER (ORDER BY lexcos DESC, doc_id) AS rc FROM cs)
+        |SELECT coalesce(bmr.doc_id, csr.doc_id) AS doc_id,
+        |       CAST(bmr.rb AS INT) AS bm25_rank,
+        |       CAST(csr.rc AS INT) AS cos_rank,
+        |       round(coalesce(1.0 / (60 + bmr.rb), 0)
+        |           + coalesce(1.0 / (60 + csr.rc), 0), 6) AS rrf
+        |FROM bmr FULL OUTER JOIN csr ON bmr.doc_id = csr.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      // both rank windows run over ≤50 rows (post-TakeOrdered), so the
+      // single-partition global window is a constant-sized step
+      val wB = Window.orderBy(col("bm25").desc, col("doc_id"))
+      val bmr = bm25Scored(s, d)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+        .withColumn("rb", row_number().over(wB)).select("doc_id", "rb")
+      val tfs = graft.sources.Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val nrm = tfs.groupBy("doc_id")
+        .agg(sum(col("tf") * col("tf")).as("nn2"))
+      val qd = tfs.filter(col("term").isin(BmTerms: _*))
+        .groupBy("doc_id").agg(sum("tf").as("qdot"))
+      val cs = qd.join(nrm, "doc_id")
+        .select(col("doc_id"), round(col("qdot").cast("double") /
+          (sqrt(lit(3.0)) * sqrt(col("nn2").cast("double"))), 6).as("lexcos"))
+        .orderBy(col("lexcos").desc, col("doc_id")).limit(50)
+      val wC = Window.orderBy(col("lexcos").desc, col("doc_id"))
+      val csr = cs.withColumn("rc", row_number().over(wC))
+        .select(col("doc_id").as("c_doc_id"), col("rc"))
+      bmr.join(csr, col("doc_id") === col("c_doc_id"), "full_outer")
+        .select(coalesce(col("doc_id"), col("c_doc_id")).as("doc_id"),
+          col("rb").cast("int").as("bm25_rank"),
+          col("rc").cast("int").as("cos_rank"),
+          round(coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rc")), lit(0.0)), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
     },
   )
 }

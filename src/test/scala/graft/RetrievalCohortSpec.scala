@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** Defining-identity specs for the retrieval + cohort batch: q63
+  * cohort retention, d16 substring dedup, v15 BM25 top-k, v16 RRF
+  * hybrid fusion. Value parity vs DuckDB is the oracle gate's job;
+  * these pin the semantics against naive in-memory recomputations.
+  */
+class RetrievalCohortSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tokens(t: String): Array[String] = t.trim.split("\\s+")
+
+  test("q63 cohort retention: day-0 row covers every cohort user; events conserved") {
+    val rows = SparkEntry.queries("q63_cohort_retention")(spark, sf).collect()
+    PersistRegistry.release()
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    // every event lands in exactly one (cohort_day, offset) bucket
+    assert(rows.map(_.getLong(3)).sum === ev.length.toLong)
+    // at offset 0 each cohort counts exactly its first-day users
+    val firstDay = ev.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).min }
+    val expectedDay0 = firstDay.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val gotDay0 = rows.filter(_.getLong(1) == 0L)
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(2)).toMap
+    assert(gotDay0 === expectedDay0)
+    // retention can never exceed cohort size
+    for (r <- rows) {
+      val cohort = r.getDate(0).toLocalDate
+      assert(r.getLong(2) <= expectedDay0(cohort),
+        s"cohort $cohort offset ${r.getLong(1)} exceeds cohort size")
+    }
+  }
+
+  test("d16 substring dedup: matches naive cross-doc 8-gram recount") {
+    val rows = SparkEntry.queries("d16_substring_dedup")(spark, sf).collect()
+    PersistRegistry.release()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> tokens(r.getString(1)))
+      .filter(_._2.length >= 8)
+    val grams = docs.map { case (id, w) =>
+      id -> w.sliding(8).map(_.mkString(" ")).toArray
+    }
+    val docsPerGram = grams.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    val expected = grams.map { case (id, gs) =>
+      val nDup = gs.count(g => docsPerGram(g) >= 2)
+      (id, gs.length.toLong, nDup.toLong)
+    }.sortBy(_._1)
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === expected.toSeq)
+    for (r <- rows)
+      assert(math.abs(r.getDouble(3) -
+        (math.round(r.getLong(2).toDouble / r.getLong(1) * 10000) / 10000.0)) < 1e-12)
+  }
+
+  test("v15 BM25: matches naive in-memory Okapi scoring, top-20 stable") {
+    val rows = SparkEntry.queries("v15_bm25_topk")(spark, sf).collect()
+    PersistRegistry.release()
+    assert(rows.length === 20)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> tokens(r.getString(1)))
+    val terms = Seq("spark", "join", "window")
+    val n = docs.length.toDouble
+    val sumdl = docs.map(_._2.length.toLong).sum.toDouble
+    val dfs = terms.map(t => docs.count(_._2.contains(t)).toDouble)
+    def score(w: Array[String]): Double = {
+      val dl = w.length.toDouble
+      terms.zip(dfs).map { case (t, df) =>
+        val tf = w.count(_ == t).toDouble
+        val idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / (sumdl / n))))
+      }.sum
+    }
+    val naive = docs
+      .map { case (id, w) =>
+        id -> BigDecimal(score(w)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble }
+      .sortBy { case (id, s1) => (-s1, id) }.take(20)
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq === naive.toSeq)
+    // the fixed query has matches in the corpus: top scores are positive
+    assert(rows.head.getDouble(1) > 0.0)
+  }
+
+  test("v16 RRF: fusion score is exactly the rank formula; ordering holds") {
+    val rows = SparkEntry.queries("v16_rrf_hybrid")(spark, sf).collect()
+    PersistRegistry.release()
+    assert(rows.length === 10)
+    var prev = Double.MaxValue
+    for (r <- rows) {
+      val rb = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val rc = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      assert(rb.nonEmpty || rc.nonEmpty, "doc in neither ranker's top-50")
+      val expect = rb.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rc.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      val expectR =
+        BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - expectR) < 1e-12)
+      assert(r.getDouble(3) <= prev + 1e-12)
+      prev = r.getDouble(3)
+    }
+    // ranks are 1-based and within each ranker's 50-cut
+    for (r <- rows; i <- 1 to 2 if !r.isNullAt(i))
+      assert(r.getInt(i) >= 1 && r.getInt(i) <= 50)
+  }
+}
