@@ -127,7 +127,13 @@ object ScaleCheck {
       // distinct→count window family; d15 SemDeDup composition
       "v13_knn_graph", "s06_window_distinct_users", "d15_semantic_dedup",
       // v14 probe sweep is Q-bounded — its scale row should stay flat
-      "v14_recall_curve")
+      "v14_recall_curve",
+      // retrieval + cohort batch: d16's gram shuffle is the one
+      // data-sized exchange; v15/v16 reduce to broadcast stats +
+      // TakeOrdered cuts and should scale near-linearly in scan cost;
+      // q63's grid output is constant-sized
+      "d16_substring_dedup", "v15_bm25_topk", "v16_rrf_hybrid",
+      "q63_cohort_retention")
     val heavySuite = Seq("q07_multijoin_agg", "q44_star_join_q5",
       "d02_minhash_lsh", "q33_ranking_functions",
       "q10_window_topk_per_group", "d09_ivf_neardup")

@@ -938,9 +938,14 @@ object DedupQueries {
       val t8 = Tables.documents(s, d)
         .select(col("doc_id"), words(col("text")).as("w"))
         .filter(size(col("w")) >= 8)
-      val g = t8.select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("w")) - 7),
-          i => array_join(slice(col("w"), i, lit(8)), " "))).as("gram"))
+      // the gram table feeds BOTH the distinct-doc count and the semi
+      // probe; Spark does not reuse unpersisted subplans, so persist it
+      // once instead of exploding the corpus twice
+      val g = graft.PersistRegistry.track(
+        t8.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("w")) - 7),
+            i => array_join(slice(col("w"), i, lit(8)), " "))).as("gram"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val dup = g.groupBy("gram")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2).select("gram")

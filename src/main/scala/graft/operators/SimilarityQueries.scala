@@ -1265,10 +1265,13 @@ object SimilarityQueries {
       val bmr = bm25Scored(s, d)
         .orderBy(col("bm25").desc, col("doc_id")).limit(50)
         .withColumn("rb", row_number().over(wB)).select("doc_id", "rb")
-      val tfs = graft.sources.Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(split(trim(col("text")), "\\s+")).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // the tf table feeds both the norm and the query-dot aggregates
+      val tfs = graft.PersistRegistry.track(
+        graft.sources.Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), "\\s+")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val nrm = tfs.groupBy("doc_id")
         .agg(sum(col("tf") * col("tf")).as("nn2"))
       val qd = tfs.filter(col("term").isin(BmTerms: _*))
