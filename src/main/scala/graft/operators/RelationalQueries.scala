@@ -1574,5 +1574,39 @@ object RelationalQueries {
           count(lit(1)).as("n_events"))
         .orderBy("cohort_day", "day_offset")
     },
+
+    // Recency-weighted user value: every event decays by half per week of
+    // age relative to the corpus's newest day (the deterministic
+    // anchor), summed per user — the "decayed LTV" / recency score a
+    // ranking pipeline feeds from the events fact. Scale shape: the
+    // anchor is ONE broadcast row off a map-side-combined max; the
+    // weighted sum is a single user_id-keyed partial agg — one linear
+    // shuffle, identical to any grouped sum. round(·,2) absorbs
+    // float-summation order ulp (the parity rule used by every float
+    // aggregate here); weights come from pow(0.5, days/7), identical
+    // libm-rounded doubles on both engines.
+    QueryDef(
+      "q64_decayed_agg",
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value
+        |            FROM events),
+        |mx AS (SELECT max(day) AS anchor FROM ev)
+        |SELECT user_id,
+        |       round(sum(value * pow(0.5,
+        |         CAST(datediff('day', day, anchor) AS DOUBLE) / 7.0)), 2)
+        |         AS decayed_value,
+        |       count(*) AS n_events
+        |FROM ev, mx GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      val mx = ev.agg(max("day").as("anchor"))
+      ev.crossJoin(broadcast(mx))
+        .groupBy("user_id")
+        .agg(round(sum(col("value") * pow(lit(0.5),
+            datediff(col("anchor"), col("day")).cast("double") / 7.0)), 2)
+          .as("decayed_value"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
   )
 }

@@ -33,6 +33,55 @@ object SimilarityQueries {
   // terms chosen from the corpus vocabulary.
   private val BmTerms = Seq("spark", "join", "window")
 
+  /** DuckDB CTE chain ending in `cand(doc_id, bm25)` = v15's top-20
+    * (the BM25 stats + scoring SQL, shared by the v17 oracle). */
+  private val mmrCandSql: String =
+    """dtf AS (SELECT doc_id, len(w) AS dl,
+      |         len(list_filter(w, x -> x = 'spark'))  AS tf0,
+      |         len(list_filter(w, x -> x = 'join'))   AS tf1,
+      |         len(list_filter(w, x -> x = 'window')) AS tf2
+      |       FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |             FROM documents) t),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |              CAST(sum(dl) AS DOUBLE) AS sumdl,
+      |              CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+      |              CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+      |              CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+      |       FROM dtf),
+      |cand AS (SELECT doc_id, round(
+      |    ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)
+      |      / (tf0 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (sumdl / n))))
+      |  + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)
+      |      / (tf1 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (sumdl / n))))
+      |  + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2)
+      |      / (tf2 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (sumdl / n))))
+      |  , 4) AS bm25
+      |  FROM dtf, st ORDER BY bm25 DESC, doc_id LIMIT 20)""".stripMargin
+
+  /** The 5 unrolled greedy MMR steps as DuckDB CTEs (s1..s5 +
+    * accumulated selections sel1..sel4); each step is argmax of
+    * 0.7·bm25 − 0.3·max-cos-to-selected with doc_id tiebreak —
+    * operation-for-operation the Spark builder's arithmetic. */
+  private val mmrStepsSql: String = {
+    val sb = new StringBuilder
+    sb.append("s1 AS (SELECT doc_id, 0.7 * bm25 AS mmr FROM cand " +
+      "ORDER BY mmr DESC, doc_id LIMIT 1),\n")
+    sb.append("sel1 AS (SELECT doc_id FROM s1)")
+    for (k <- 2 to 5) {
+      sb.append(s""",
+        |s$k AS (SELECT c.doc_id, 0.7 * c.bm25 - 0.3 * coalesce(
+        |    (SELECT max(cos) FROM sim WHERE sim.da = c.doc_id
+        |       AND sim.db IN (SELECT doc_id FROM sel${k - 1})), 0) AS mmr
+        |  FROM cand c WHERE c.doc_id NOT IN (SELECT doc_id FROM sel${k - 1})
+        |  ORDER BY mmr DESC, c.doc_id LIMIT 1)""".stripMargin)
+      if (k < 5)
+        sb.append(s""",
+          |sel$k AS (SELECT doc_id FROM sel${k - 1}
+          |          UNION ALL SELECT doc_id FROM s$k)""".stripMargin)
+    }
+    sb.toString
+  }
+
   /** Okapi BM25 (k1=1.2, b=0.75, Lucene idf) for the fixed query over
     * `documents` → (doc_id, bm25 rounded to 4). Corpus stats (N, Σdl,
     * per-term df) are ONE aggregated row crossJoin-broadcast back;
@@ -1290,6 +1339,93 @@ object SimilarityQueries {
           round(coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0)) +
             coalesce(lit(1.0) / (lit(60) + col("rc")), lit(0.0)), 6).as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    },
+
+    // MMR (maximal marginal relevance) diversified re-rank — the
+    // post-retrieval step a RAG stack runs on the retrieved page:
+    // greedily pick 5 of v15's top-20, each step maximizing
+    // 0.7·relevance − 0.3·max-similarity-to-already-picked. Greedy
+    // selection is inherently sequential, so the production-honest
+    // shape is exactly this one: the CANDIDATE set is top-k bounded
+    // at any corpus size (the only corpus-scale work is v15's
+    // scoring pass), and the 5 unrolled limit-1 steps plus the 20×20
+    // pairwise-cosine grid run over constant-sized data. All
+    // comparisons are on identical doubles (rounded bm25, exact
+    // integer tf dots, correctly-rounded products), ties on doc_id —
+    // both engines walk the same greedy path.
+    QueryDef(
+      "v17_mmr_rerank",
+      s"""WITH $mmrCandSql,
+        |tfs AS (SELECT doc_id, w AS term, count(*)::BIGINT AS tf FROM
+        |        (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        |         FROM documents WHERE doc_id IN (SELECT doc_id FROM cand)) t
+        |        GROUP BY doc_id, term),
+        |nrm AS (SELECT doc_id, sum(tf * tf) AS nn2 FROM tfs GROUP BY doc_id),
+        |sim AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |          CAST(dp.dot AS DOUBLE)
+        |            / (sqrt(CAST(na.nn2 AS DOUBLE)) * sqrt(CAST(nb.nn2 AS DOUBLE)))
+        |            AS cos
+        |        FROM (SELECT x.doc_id AS da2, y.doc_id AS db2,
+        |                sum(x.tf * y.tf) AS dot
+        |              FROM tfs x JOIN tfs y
+        |                ON x.term = y.term AND x.doc_id <> y.doc_id
+        |              GROUP BY x.doc_id, y.doc_id) dp
+        |        JOIN cand a ON a.doc_id = dp.da2
+        |        JOIN cand b ON b.doc_id = dp.db2
+        |        JOIN nrm na ON na.doc_id = dp.da2
+        |        JOIN nrm nb ON nb.doc_id = dp.db2),
+        |${mmrStepsSql}
+        |SELECT * FROM (
+        |  SELECT 1 AS rank, doc_id, round(mmr, 4) AS mmr FROM s1
+        |  UNION ALL SELECT 2, doc_id, round(mmr, 4) FROM s2
+        |  UNION ALL SELECT 3, doc_id, round(mmr, 4) FROM s3
+        |  UNION ALL SELECT 4, doc_id, round(mmr, 4) FROM s4
+        |  UNION ALL SELECT 5, doc_id, round(mmr, 4) FROM s5
+        |) ORDER BY rank""".stripMargin) { (s, d) =>
+      val cand = graft.PersistRegistry.track(
+        bm25Scored(s, d).orderBy(col("bm25").desc, col("doc_id")).limit(20)
+          .persist())
+      val tfs = graft.PersistRegistry.track(
+        graft.sources.Tables.documents(s, d)
+          .join(cand.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), "\\s+")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .persist())
+      val nrm = tfs.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nn2"))
+      val dot = tfs.as("x").join(tfs.as("y"),
+          col("x.term") === col("y.term") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .agg(sum(col("x.tf") * col("y.tf")).as("dot"))
+      val sim = graft.PersistRegistry.track(
+        dot.join(nrm.select(col("doc_id").as("da"), col("nn2").as("nna")), "da")
+          .join(nrm.select(col("doc_id").as("db"), col("nn2").as("nnb")), "db")
+          .select(col("da"), col("db"), (col("dot").cast("double") /
+            (sqrt(col("nna").cast("double")) * sqrt(col("nnb").cast("double"))))
+            .as("cos"))
+          .persist())
+      // greedy unroll: each step = one anti-join + one max-penalty agg +
+      // one limit-1 cut over the ≤20-row candidate table
+      var selected = cand
+        .select(col("doc_id"), (lit(0.7) * col("bm25")).as("mmr"))
+        .orderBy(col("mmr").desc, col("doc_id")).limit(1)
+        .withColumn("rank", lit(1))
+      for (k <- 2 to 5) {
+        val selIds = selected.select(col("doc_id").as("sel_id"))
+        val pen = sim.join(selIds, col("db") === col("sel_id"), "left_semi")
+          .groupBy(col("da").as("doc_id")).agg(max(col("cos")).as("pen"))
+        val next = cand
+          .join(selIds, col("doc_id") === col("sel_id"), "left_anti")
+          .join(pen, Seq("doc_id"), "left")
+          .select(col("doc_id"), (lit(0.7) * col("bm25") -
+            lit(0.3) * coalesce(col("pen"), lit(0.0))).as("mmr"))
+          .orderBy(col("mmr").desc, col("doc_id")).limit(1)
+          .withColumn("rank", lit(k))
+        selected = selected.unionByName(next)
+      }
+      selected.select(col("rank"), col("doc_id"), round(col("mmr"), 4).as("mmr"))
+        .orderBy("rank")
     },
   )
 }

@@ -107,4 +107,71 @@ class RetrievalCohortSpec extends AnyFunSuite {
     for (r <- rows; i <- 1 to 2 if !r.isNullAt(i))
       assert(r.getInt(i) >= 1 && r.getInt(i) <= 50)
   }
+
+  test("q64 decayed agg: matches naive per-event recompute") {
+    val rows = SparkEntry.queries("q64_decayed_agg")(spark, sf).collect()
+    PersistRegistry.release()
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDouble(2)))
+    val anchor = ev.map(_._2).max
+    val expected = ev.groupBy(_._1).map { case (u, es) =>
+      val s1 = es.map { case (_, day, v) =>
+        v * math.pow(0.5,
+          java.time.temporal.ChronoUnit.DAYS.between(day, anchor) / 7.0)
+      }.sum
+      (u,
+        BigDecimal(s1).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        es.length.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = rows.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    // summation order differs between engines/naive loop; the values
+    // agree to well under the rounding grain
+    assert(got.map(_._1) === expected.map(_._1))
+    assert(got.map(_._3) === expected.map(_._3))
+    for ((g, e) <- got.zip(expected))
+      assert(math.abs(g._2 - e._2) <= 0.011, s"user ${g._1}: ${g._2} vs ${e._2}")
+  }
+
+  test("v17 MMR: reproduces the naive greedy walk over v15's top-20") {
+    val rows = SparkEntry.queries("v17_mmr_rerank")(spark, sf).collect()
+    PersistRegistry.release()
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 5))
+    val cand = SparkEntry.queries("v15_bm25_topk")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    PersistRegistry.release()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> tokens(r.getString(1))).toMap
+    val tf = cand.map { case (id, _) =>
+      id -> docs(id).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }.toMap
+    def cos(a: Long, b: Long): Double = {
+      val (ta, tb) = (tf(a), tf(b))
+      val dot = ta.map { case (w, c) => c * tb.getOrElse(w, 0L) }.sum
+      dot.toDouble / (math.sqrt(ta.values.map(c => c * c).sum.toDouble) *
+        math.sqrt(tb.values.map(c => c * c).sum.toDouble))
+    }
+    val bm = cand.toMap
+    var sel = Vector(cand.minBy { case (id, s1) => (-s1, id) }._1)
+    var scores = Vector(0.7 * bm(sel.head))
+    for (_ <- 2 to 5) {
+      val next = cand.filterNot { case (id, _) => sel.contains(id) }
+        .map { case (id, s1) =>
+          val pen = sel.map(cos(id, _)).max
+          (id, 0.7 * s1 - 0.3 * pen)
+        }.minBy { case (id, m) => (-m, id) }
+      sel :+= next._1
+      scores :+= next._2
+    }
+    assert(rows.map(_.getLong(1)).toSeq === sel)
+    for ((r, e) <- rows.zip(scores))
+      assert(math.abs(r.getDouble(2) -
+        BigDecimal(e).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        < 1e-9)
+    // diversification really happened unless the relevance order was
+    // already diverse: the picked set is within the top-20 and distinct
+    assert(rows.map(_.getLong(1)).distinct.length === 5)
+    assert(rows.map(_.getLong(1)).toSet.subsetOf(cand.map(_._1).toSet))
+  }
 }
