@@ -133,7 +133,10 @@ object ScaleCheck {
       // TakeOrdered cuts and should scale near-linearly in scan cost;
       // q63's grid output is constant-sized
       "d16_substring_dedup", "v15_bm25_topk", "v16_rrf_hybrid",
-      "q63_cohort_retention")
+      "q63_cohort_retention",
+      // q64 one user-keyed weighted agg; t17 keyed tf/df aggs + per-doc
+      // window; v17 = v15's scoring pass + constant-sized greedy steps
+      "q64_decayed_agg", "t17_tfidf_keywords", "v17_mmr_rerank")
     val heavySuite = Seq("q07_multijoin_agg", "q44_star_join_q5",
       "d02_minhash_lsh", "q33_ranking_functions",
       "q10_window_topk_per_group", "d09_ivf_neardup")

@@ -1382,50 +1382,59 @@ object SimilarityQueries {
         |  UNION ALL SELECT 4, doc_id, round(mmr, 4) FROM s4
         |  UNION ALL SELECT 5, doc_id, round(mmr, 4) FROM s5
         |) ORDER BY rank""".stripMargin) { (s, d) =>
+      // The only corpus-scale work is v15's scoring pass; everything
+      // after operates on the retrieved PAGE. Greedy selection over a
+      // top-k page is serving-layer logic in any production retrieval
+      // stack, so the collects below are the honest shape — and both
+      // are structurally bounded (d05/v01's enforced-bound pattern):
+      // cand by its own limit(20), sim by 20·19 pairs derived from it.
       val cand = graft.PersistRegistry.track(
         bm25Scored(s, d).orderBy(col("bm25").desc, col("doc_id")).limit(20)
           .persist())
-      val tfs = graft.PersistRegistry.track(
-        graft.sources.Tables.documents(s, d)
-          .join(cand.select("doc_id"), Seq("doc_id"), "left_semi")
-          .select(col("doc_id"),
-            explode(split(trim(col("text")), "\\s+")).as("term"))
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-          .persist())
+      val candRows = cand.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      require(candRows.length <= 20, "candidate page must stay bounded")
+      val tfs = graft.sources.Tables.documents(s, d)
+        .join(cand.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist()
+      graft.PersistRegistry.track(tfs)
       val nrm = tfs.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nn2"))
       val dot = tfs.as("x").join(tfs.as("y"),
           col("x.term") === col("y.term") &&
             col("x.doc_id") =!= col("y.doc_id"))
         .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
         .agg(sum(col("x.tf") * col("y.tf")).as("dot"))
-      val sim = graft.PersistRegistry.track(
-        dot.join(nrm.select(col("doc_id").as("da"), col("nn2").as("nna")), "da")
-          .join(nrm.select(col("doc_id").as("db"), col("nn2").as("nnb")), "db")
-          .select(col("da"), col("db"), (col("dot").cast("double") /
-            (sqrt(col("nna").cast("double")) * sqrt(col("nnb").cast("double"))))
-            .as("cos"))
-          .persist())
-      // greedy unroll: each step = one anti-join + one max-penalty agg +
-      // one limit-1 cut over the ≤20-row candidate table
-      var selected = cand
-        .select(col("doc_id"), (lit(0.7) * col("bm25")).as("mmr"))
-        .orderBy(col("mmr").desc, col("doc_id")).limit(1)
-        .withColumn("rank", lit(1))
+      val simRows = dot
+        .join(nrm.select(col("doc_id").as("da"), col("nn2").as("nna")), "da")
+        .join(nrm.select(col("doc_id").as("db"), col("nn2").as("nnb")), "db")
+        .select(col("da"), col("db"), (col("dot").cast("double") /
+          (sqrt(col("nna").cast("double")) * sqrt(col("nnb").cast("double"))))
+          .as("cos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      require(simRows.size <= candRows.length * (candRows.length - 1),
+        "pair grid must stay bounded by the candidate page")
+      // greedy walk — the identical arithmetic the oracle's unrolled
+      // CTEs perform: 0.7·bm25 − 0.3·max cos-to-selected, doc_id ties
+      val bm = candRows.toMap
+      var sel = Vector(candRows.minBy { case (id, sc) => (-sc, id) }._1)
+      var out = Vector((1, sel.head, 0.7 * bm(sel.head)))
       for (k <- 2 to 5) {
-        val selIds = selected.select(col("doc_id").as("sel_id"))
-        val pen = sim.join(selIds, col("db") === col("sel_id"), "left_semi")
-          .groupBy(col("da").as("doc_id")).agg(max(col("cos")).as("pen"))
-        val next = cand
-          .join(selIds, col("doc_id") === col("sel_id"), "left_anti")
-          .join(pen, Seq("doc_id"), "left")
-          .select(col("doc_id"), (lit(0.7) * col("bm25") -
-            lit(0.3) * coalesce(col("pen"), lit(0.0))).as("mmr"))
-          .orderBy(col("mmr").desc, col("doc_id")).limit(1)
-          .withColumn("rank", lit(k))
-        selected = selected.unionByName(next)
+        val (id, mmr) = candRows.filterNot { case (id0, _) => sel.contains(id0) }
+          .map { case (id0, sc) =>
+            val pen = sel.map(sid => simRows.getOrElse((id0, sid), 0.0)).max
+            (id0, 0.7 * sc - 0.3 * pen)
+          }.minBy { case (id0, m) => (-m, id0) }
+        sel :+= id
+        out :+= ((k, id, mmr))
       }
-      selected.select(col("rank"), col("doc_id"), round(col("mmr"), 4).as("mmr"))
-        .orderBy("rank")
+      import s.implicits._
+      out.map { case (k, id, m) =>
+        (k, id, BigDecimal(m).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("rank", "doc_id", "mmr").orderBy("rank")
     },
   )
 }

@@ -481,5 +481,51 @@ object TextQueries {
         .repetitionSignals(s, Tables.documents(s, d))
         .orderBy("doc_id")
     },
+
+    // TF-IDF keyword extraction: each doc's top-3 terms by
+    // tf · ln(N/df) — the labeling/routing step of a document
+    // pipeline (and the classical explanation for WHY BM25's idf
+    // works). Scale shape: tf is one (doc,term)-keyed partial agg, df
+    // one term-keyed agg joined back on the SAME term exchange, and
+    // the top-3 cut is a per-doc window — every shuffle keyed and
+    // linear, no global ordering anywhere. Score stays a raw double
+    // for ranking (identical on both engines: integer inputs, one
+    // divide, one libm ln, one multiply) and is rounded only for
+    // output.
+    QueryDef(
+      "t17_tfidf_keywords",
+      """WITH tfs AS (SELECT doc_id, w AS term, count(*)::BIGINT AS tf FROM
+        |        (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |         FROM documents) t GROUP BY doc_id, term),
+        |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tfs GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, term,
+        |         tf * ln(n_docs / df) AS score
+        |       FROM tfs JOIN dfs USING (term), n)
+        |SELECT doc_id, term, CAST(rnk AS INT) AS rank,
+        |       round(score, 4) AS tfidf
+        |FROM (SELECT doc_id, term, score,
+        |        row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY score DESC, term) AS rnk
+        |      FROM sc) t
+        |WHERE rnk <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+      val tfs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfs = tfs.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d)
+        .agg(count(lit(1)).cast("double").as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tfs.join(dfs, "term").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          (col("tf") * log(col("n_docs") / col("df"))).as("score"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("rnk").cast("int").as("rank"),
+          round(col("score"), 4).as("tfidf"))
+        .orderBy("doc_id", "rank")
+    },
   )
 }

@@ -174,4 +174,25 @@ class RetrievalCohortSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).distinct.length === 5)
     assert(rows.map(_.getLong(1)).toSet.subsetOf(cand.map(_._1).toSet))
   }
+
+  test("t17 TF-IDF keywords: matches naive recompute, 3 per doc") {
+    val rows = SparkEntry.queries("t17_tfidf_keywords")(spark, sf).collect()
+    PersistRegistry.release()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> tokens(r.getString(1)))
+    val n = docs.length.toDouble
+    val df = docs.flatMap(_._2.distinct).groupBy(identity).view
+      .mapValues(_.length).toMap
+    val expected = docs.flatMap { case (id, w) =>
+      w.groupBy(identity).view.mapValues(_.size).toSeq
+        .map { case (t, tf) => (t, tf * math.log(n / df(t))) }
+        .sortBy { case (t, s1) => (-s1, t) }.take(3).zipWithIndex
+        .map { case ((t, s1), i) => (id, t, i + 1,
+          BigDecimal(s1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    }.sortBy(r => (r._1, r._3))
+    val got = rows.map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(got === expected.toSeq)
+    assert(got.groupBy(_._1).forall(_._2.map(_._3).sorted == Seq(1, 2, 3)))
+  }
 }
