@@ -1417,11 +1417,17 @@ object SimilarityQueries {
       require(simRows.size <= candRows.length * (candRows.length - 1),
         "pair grid must stay bounded by the candidate page")
       // greedy walk — the identical arithmetic the oracle's unrolled
-      // CTEs perform: 0.7·bm25 − 0.3·max cos-to-selected, doc_id ties
+      // CTEs perform: 0.7·bm25 − 0.3·max cos-to-selected, doc_id ties.
+      // A page smaller than 5 (or empty — the 0-row-corpus sweep)
+      // yields a correspondingly shorter walk.
       val bm = candRows.toMap
-      var sel = Vector(candRows.minBy { case (id, sc) => (-sc, id) }._1)
-      var out = Vector((1, sel.head, 0.7 * bm(sel.head)))
-      for (k <- 2 to 5) {
+      var sel = Vector.empty[Long]
+      var out = Vector.empty[(Int, Long, Double)]
+      if (candRows.nonEmpty) {
+        sel = Vector(candRows.minBy { case (id, sc) => (-sc, id) }._1)
+        out = Vector((1, sel.head, 0.7 * bm(sel.head)))
+      }
+      for (k <- 2 to math.min(5, candRows.length)) {
         val (id, mmr) = candRows.filterNot { case (id0, _) => sel.contains(id0) }
           .map { case (id0, sc) =>
             val pen = sel.map(sid => simRows.getOrElse((id0, sid), 0.0)).max
