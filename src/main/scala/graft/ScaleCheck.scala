@@ -136,7 +136,9 @@ object ScaleCheck {
       "q63_cohort_retention",
       // q64 one user-keyed weighted agg; t17 keyed tf/df aggs + per-doc
       // window; v17 = v15's scoring pass + constant-sized greedy steps
-      "q64_decayed_agg", "t17_tfidf_keywords", "v17_mmr_rerank")
+      "q64_decayed_agg", "t17_tfidf_keywords", "v17_mmr_rerank",
+      // q65: three user-keyed min-aggs chained on one exchange
+      "q65_funnel_steps")
     val heavySuite = Seq("q07_multijoin_agg", "q44_star_join_q5",
       "d02_minhash_lsh", "q33_ranking_functions",
       "q10_window_topk_per_group", "d09_ivf_neardup")

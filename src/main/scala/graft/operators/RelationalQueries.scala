@@ -1608,5 +1608,56 @@ object RelationalQueries {
           count(lit(1)).as("n_events"))
         .orderBy("user_id")
     },
+
+    // Strict-order conversion funnel (view → click → purchase): a user
+    // advances to stage k only with an event AT OR AFTER their stage
+    // k−1 entry time — min-ts chaining, the standard product-analytics
+    // funnel. Scale shape: all three stage tables are user_id-keyed
+    // min-aggs and the two advancing joins are on the SAME user_id
+    // key, so one exchange partitioning carries the whole chain; the
+    // output is 3 rows whatever the fact size.
+    QueryDef(
+      "q65_funnel_steps",
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        |       GROUP BY e.user_id),
+        |c AS (SELECT (SELECT count(*) FROM s1) AS n1,
+        |             (SELECT count(*) FROM s2) AS n2,
+        |             (SELECT count(*) FROM s3) AS n3)
+        |SELECT step, stage, n_users,
+        |       round(CAST(n_users AS DOUBLE) / n1, 4) AS conv
+        |FROM (SELECT 1 AS step, 'view' AS stage, n1 AS n_users, n1 FROM c
+        |      UNION ALL SELECT 2, 'click', n2, n1 FROM c
+        |      UNION ALL SELECT 3, 'purchase', n3, n1 FROM c) t
+        |ORDER BY step""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("ts") >= col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("ts") >= col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      val c = s1.agg(count(lit(1)).as("n1"))
+        .crossJoin(s2.agg(count(lit(1)).as("n2")))
+        .crossJoin(s3.agg(count(lit(1)).as("n3")))
+      val rows = c.select(lit(1).as("step"), lit("view").as("stage"),
+          col("n1").as("n_users"), col("n1"))
+        .unionByName(c.select(lit(2).as("step"), lit("click").as("stage"),
+          col("n2").as("n_users"), col("n1")))
+        .unionByName(c.select(lit(3).as("step"), lit("purchase").as("stage"),
+          col("n3").as("n_users"), col("n1")))
+      rows.select(col("step"), col("stage"), col("n_users"),
+          round(col("n_users").cast("double") / col("n1"), 4).as("conv"))
+        .orderBy("step")
+    },
   )
 }

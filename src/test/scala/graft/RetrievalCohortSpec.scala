@@ -195,4 +195,27 @@ class RetrievalCohortSpec extends AnyFunSuite {
     assert(got === expected.toSeq)
     assert(got.groupBy(_._1).forall(_._2.map(_._3).sorted == Seq(1, 2, 3)))
   }
+
+  test("q65 funnel: matches naive min-ts chaining; monotone") {
+    val rows = SparkEntry.queries("q65_funnel_steps")(spark, sf).collect()
+    PersistRegistry.release()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    val ev = Tables.events(spark, sf).select("user_id", "event_type", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    val byUser = ev.groupBy(_._1)
+    def stageTime(u: Long, typ: String, notBefore: Long): Option[Long] =
+      byUser(u).filter(e => e._2 == typ && e._3 >= notBefore)
+        .map(_._3).minOption
+    val t1 = byUser.keys.flatMap(u => stageTime(u, "view", Long.MinValue)
+      .map(u -> _)).toMap
+    val t2 = t1.flatMap { case (u, t) => stageTime(u, "click", t).map(u -> _) }
+    val t3 = t2.flatMap { case (u, t) => stageTime(u, "purchase", t).map(u -> _) }
+    val counts = rows.map(_.getLong(2)).toSeq
+    assert(counts === Seq(t1.size.toLong, t2.size.toLong, t3.size.toLong))
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2))
+    for (r <- rows)
+      assert(r.getDouble(3) === BigDecimal(r.getLong(2).toDouble / counts(0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
