@@ -218,4 +218,28 @@ class RetrievalCohortSpec extends AnyFunSuite {
       assert(r.getDouble(3) === BigDecimal(r.getLong(2).toDouble / counts(0))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("plan shapes: v15 ends in TakeOrdered, d16 explodes the corpus once") {
+    // v15's top-20 must be a TakeOrdered cut (k rows per partition then
+    // a k-merge), never a global sort + limit — the difference between
+    // O(k) and O(N log N) rows through the final exchange at scale
+    val v15 = SparkEntry.queries("v15_bm25_topk")(spark, sf)
+    v15.collect()
+    val p15 = v15.queryExecution.executedPlan.toString
+    assert(p15.contains("TakeOrderedAndProject"),
+      s"v15 lost its TakeOrdered cut:\n$p15")
+    assert(!p15.contains("SortMergeJoin"),
+      s"v15's stats row regressed to a data-sized join:\n$p15")
+    PersistRegistry.release()
+    // d16 feeds the gram table to both the DF count and the semi probe;
+    // the persisted subplan must serve BOTH consumers (two cache reads)
+    // instead of exploding the corpus twice
+    val d16 = SparkEntry.queries("d16_substring_dedup")(spark, sf)
+    d16.collect()
+    val p16 = d16.queryExecution.executedPlan.toString
+    val cacheReads = "InMemoryTableScan".r.findAllIn(p16).length
+    assert(cacheReads >= 2,
+      s"d16's gram table is not shared via cache ($cacheReads reads):\n$p16")
+    PersistRegistry.release()
+  }
 }
