@@ -27,7 +27,7 @@ PATTERNS = {
     # any URL that is not an Apache/Scala doc link or the reference's
     # own public data host (cited in Scaladoc provenance comments)
     "internal-url": re.compile(
-        r"https?://(?!(?:spark|hadoop)\.apache\.org|www\.scala-lang\.org"
+        r"https?://(?!(?:spark|hadoop|www)\.apache\.org|www\.scala-lang\.org"
         r"|docs\.oracle\.com|www1\.mbrace\.or\.jp|boatrace\.jp"
         r"|github\.com|duckdb\.org|en\.wikipedia\.org)[\w.-]+"),
     "internal-bucket": re.compile(r"\b(?:s3a?|gs|wasbs?|abfss?)://[\w.-]+"),
