@@ -437,7 +437,11 @@ object DedupQueries {
         |           / sqrt(CAST(a.nn AS DOUBLE) * CAST(c.nn AS DOUBLE)) AS cos_sim
         |  FROM n a JOIN n c ON a.label = c.label AND a.vec_id < c.vec_id) t
         |WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      ivfNearDupPairs(s, d).orderBy("id_a", "id_b")
+      // d09 DEFINES the IVF-edge table: always recompute + rewrite the
+      // snapshot its semantic-dedup consumer (d15) reads
+      s.read.parquet(
+          materialize(s, d, "ivf-pairs")(ivfNearDupPairs(s, d)))
+        .orderBy("id_a", "id_b")
     },
 
     // SimHash NEAR-DUP PAIRS (d03 builds fingerprints; this finds the
@@ -890,7 +894,9 @@ object DedupQueries {
         |            ORDER BY nn DESC, vec_id ASC) AS rn
         |      FROM j) t
         |WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (s, d) =>
-      val cl = componentsOf(s, ivfNearDupPairs(s, d).select("id_a", "id_b"))
+      val cl = componentsOf(s,
+        snapshot(s, d, "ivf-pairs")(ivfNearDupPairs(s, d))
+          .select("id_a", "id_b"))
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
       val nn = quantized(s, d).select("vec_id", "nn")
       cl.join(nn, "vec_id")
