@@ -138,7 +138,9 @@ object ScaleCheck {
       // window; v17 = v15's scoring pass + constant-sized greedy steps
       "q64_decayed_agg", "t17_tfidf_keywords", "v17_mmr_rerank",
       // q65: three user-keyed min-aggs chained on one exchange
-      "q65_funnel_steps")
+      "q65_funnel_steps",
+      // v18: per-iteration src-join + dst-agg over the O(3N) edge list
+      "v18_knn_pagerank")
     val heavySuite = Seq("q07_multijoin_agg", "q44_star_join_q5",
       "d02_minhash_lsh", "q33_ranking_functions",
       "q10_window_topk_per_group", "d09_ivf_neardup")

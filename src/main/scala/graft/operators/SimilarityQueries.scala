@@ -33,6 +33,27 @@ object SimilarityQueries {
   // terms chosen from the corpus vocabulary.
   private val BmTerms = Seq("spark", "join", "window")
 
+  /** v13's in-cell k-NN graph (vec_id, neighbor_id, cos_sim, rank≤3)
+    * — the builder behind the "knn-graph" stage snapshot. */
+  private def knnGraph(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    GraftExtensions.register(s) // native codegen dot_long
+    val n = quantized(s, d)
+    val a = n.select(col("vec_id"), col("r").as("ra"),
+      col("nn").as("nna"), col("label"))
+    val c = n.select(col("vec_id").as("neighbor_id"), col("r").as("rc"),
+      col("nn").as("nnc"), col("label").as("labelc"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    a.join(c, col("label") === col("labelc") &&
+        col("neighbor_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(call_function("dot_long", col("ra"), col("rc")),
+          col("nna"), col("nnc")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+  }
+
   /** DuckDB CTE chain ending in `cand(doc_id, bm25)` = v15's top-20
     * (the BM25 stats + scoring SQL, shared by the v17 oracle). */
   private val mmrCandSql: String =
@@ -1089,21 +1110,10 @@ object SimilarityQueries {
          |             ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
          |  FROM cs) t
          |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
-      GraftExtensions.register(s) // native codegen dot_long
-      val n = quantized(s, d)
-      val a = n.select(col("vec_id"), col("r").as("ra"),
-        col("nn").as("nna"), col("label"))
-      val c = n.select(col("vec_id").as("neighbor_id"), col("r").as("rc"),
-        col("nn").as("nnc"), col("label").as("labelc"))
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("cos_sim").desc, col("neighbor_id"))
-      a.join(c, col("label") === col("labelc") &&
-          col("neighbor_id") =!= col("vec_id"))
-        .select(col("vec_id"), col("neighbor_id"),
-          cosine(call_function("dot_long", col("ra"), col("rc")),
-            col("nna"), col("nnc")).as("cos_sim"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+      // v13 DEFINES the knn-graph table: always recompute + rewrite
+      // the snapshot its centrality consumer (v18) reads
+      s.read.parquet(
+          StageSnapshots.materialize(s, d, "knn-graph")(knnGraph(s, d)))
         .orderBy("vec_id", "rank")
     },
 
@@ -1441,6 +1451,83 @@ object SimilarityQueries {
         (k, id, BigDecimal(m).setScale(4,
           BigDecimal.RoundingMode.HALF_UP).toDouble)
       }.toDF("rank", "doc_id", "mmr").orderBy("rank")
+    },
+
+    // k-NN-graph PageRank (3 power iterations, INTEGER arithmetic):
+    // centrality over v13's graph — the hub/representativeness signal
+    // SemDeDup-family pipelines use to pick prototypes and data-
+    // selection papers use to weight coverage. All mass is BIGINT
+    // micro-units (1e9 total): init 1e9 div N, each step
+    // 0.15 + 0.85·inflow becomes 150e6 div N + (85·Σ(p div outdeg))
+    // div 100 — truncating integer division at every step, so both
+    // engines walk bit-identical states (no float summation anywhere;
+    // dangling in-cell singletons simply leak their mass, stated and
+    // deterministic). Scale shape: per iteration one src-keyed join +
+    // one dst-keyed partial agg over the O(3N) edge list — linear,
+    // O(iters) rounds, the same bulk-synchronous discipline as d08;
+    // the edge table is v13's "knn-graph" stage snapshot
+    // (compute-if-absent, the d02→d08 contract).
+    QueryDef(
+      "v18_knn_pagerank",
+      s"""WITH n AS ($quantizedSql),
+        |cs AS (SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
+        |         CAST(list_sum(list_transform(generate_series(1, len(a.r)),
+        |                i -> a.r[i] * c.r[i])) AS DOUBLE)
+        |           / sqrt(CAST(a.nn AS DOUBLE) * CAST(c.nn AS DOUBLE))
+        |           AS cos_sim
+        |       FROM n a JOIN n c ON c.label = a.label
+        |         AND c.vec_id <> a.vec_id),
+        |e AS (SELECT vec_id AS src, neighbor_id AS dst FROM (
+        |        SELECT vec_id, neighbor_id,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |        FROM cs) t WHERE rank <= 3),
+        |odeg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |nodes AS (SELECT vec_id FROM n),
+        |nc AS (SELECT count(*) AS cnt FROM nodes),
+        |p0 AS (SELECT vec_id, 1000000000 // cnt AS p FROM nodes, nc),
+        |f1 AS (SELECT e.dst, sum(p0.p // odeg.deg) AS inflow
+        |       FROM e JOIN p0 ON e.src = p0.vec_id
+        |            JOIN odeg ON e.src = odeg.src GROUP BY e.dst),
+        |p1 AS (SELECT nd.vec_id, (150000000 // nc.cnt)
+        |           + ((85 * coalesce(f1.inflow, 0)) // 100) AS p
+        |       FROM nodes nd CROSS JOIN nc
+        |       LEFT JOIN f1 ON f1.dst = nd.vec_id),
+        |f2 AS (SELECT e.dst, sum(p1.p // odeg.deg) AS inflow
+        |       FROM e JOIN p1 ON e.src = p1.vec_id
+        |            JOIN odeg ON e.src = odeg.src GROUP BY e.dst),
+        |p2 AS (SELECT nd.vec_id, (150000000 // nc.cnt)
+        |           + ((85 * coalesce(f2.inflow, 0)) // 100) AS p
+        |       FROM nodes nd CROSS JOIN nc
+        |       LEFT JOIN f2 ON f2.dst = nd.vec_id),
+        |f3 AS (SELECT e.dst, sum(p2.p // odeg.deg) AS inflow
+        |       FROM e JOIN p2 ON e.src = p2.vec_id
+        |            JOIN odeg ON e.src = odeg.src GROUP BY e.dst),
+        |p3 AS (SELECT nd.vec_id, (150000000 // nc.cnt)
+        |           + ((85 * coalesce(f3.inflow, 0)) // 100) AS p
+        |       FROM nodes nd CROSS JOIN nc
+        |       LEFT JOIN f3 ON f3.dst = nd.vec_id)
+        |SELECT vec_id, CAST(p AS BIGINT) AS pagerank
+        |FROM p3 ORDER BY pagerank DESC, vec_id LIMIT 20""".stripMargin) {
+      (s, d) =>
+      val g = StageSnapshots.snapshot(s, d, "knn-graph")(knnGraph(s, d))
+      val e = g.select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      val odeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nodes = quantized(s, d).select("vec_id")
+      val nc = nodes.agg(count(lit(1)).as("cnt"))
+      var p = nodes.crossJoin(broadcast(nc))
+        .select(col("vec_id"), expr("1000000000 div cnt").as("p"))
+      for (_ <- 1 to 3) {
+        val fl = e.join(p, col("src") === col("vec_id")).join(odeg, "src")
+          .select(col("dst"), expr("p div deg").as("contrib"))
+          .groupBy("dst").agg(sum("contrib").as("inflow"))
+        p = nodes.crossJoin(broadcast(nc))
+          .join(fl, col("vec_id") === col("dst"), "left")
+          .select(col("vec_id"), (expr("150000000 div cnt") +
+            expr("(85 * coalesce(inflow, 0)) div 100")).as("p"))
+      }
+      p.select(col("vec_id"), col("p").cast("long").as("pagerank"))
+        .orderBy(col("pagerank").desc, col("vec_id")).limit(20)
     },
   )
 }

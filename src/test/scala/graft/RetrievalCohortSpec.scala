@@ -242,4 +242,29 @@ class RetrievalCohortSpec extends AnyFunSuite {
       s"d16's gram table is not shared via cache ($cacheReads reads):\n$p16")
     PersistRegistry.release()
   }
+
+  test("v18 PageRank: integer states match a naive power-iteration walk") {
+    val rows = SparkEntry.queries("v18_knn_pagerank")(spark, sf).collect()
+    PersistRegistry.release()
+    assert(rows.length === 20)
+    val edges = SparkEntry.queries("v13_knn_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    PersistRegistry.release()
+    val nodes = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0))
+    val n = nodes.length
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var p = nodes.map(_ -> 1000000000L / n).toMap
+    for (_ <- 1 to 3) {
+      val inflow = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for ((u, dsts) <- out; contrib = p(u) / dsts.length; v <- dsts)
+        inflow(v) += contrib
+      p = nodes.map(v => v -> (150000000L / n + 85L * inflow(v) / 100)).toMap
+    }
+    val expected = p.toSeq.sortBy { case (id, pr) => (-pr, id) }.take(20)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq === expected)
+    // mass sanity: total is <= 1e9 (dangling singletons leak, stated)
+    assert(p.values.sum <= 1000000000L)
+  }
 }
