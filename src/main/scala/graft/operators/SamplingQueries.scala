@@ -360,6 +360,13 @@ object SamplingQueries {
     // combined), broadcast back onto the token stream — the stats
     // NEVER scale with the corpus, and the only data-sized shuffles
     // are the two count aggregations and the final per-doc agg.
+    // Cross-engine determinism: avg() over per-token doubles is
+    // summation-ORDER sensitive (r6 hash flake), so the per-bin LR is
+    // quantized to an exact integer in 1e-4 units (floor(x*1e4+0.5) —
+    // libm log2 is ulp-stable at 4 decimals, proven by t14/v15/q64)
+    // and the per-doc mean is an INTEGER sum divided once; the final
+    // 2-decimal value uses the shared floor(x+0.5) rounding rule, so
+    // no order-dependent float addition survives anywhere.
     QueryDef(
       "p09_dsir_weights",
       """WITH tok AS (SELECT doc_id, source,
@@ -375,10 +382,13 @@ object SamplingQueries {
         |                 WHERE source IN ('src0','src1','src2','src3'))
         |                  AS t_tot),
         |lr AS (SELECT rc.b,
-        |         log2((coalesce(tc.tc, 0) + 1) / (t_tot + 64))
-        |           - log2((rc.rc + 1) / (r_tot + 64)) AS lr
+        |         CAST(floor((log2((coalesce(tc.tc, 0) + 1) / (t_tot + 64))
+        |           - log2((rc.rc + 1) / (r_tot + 64))) * 10000 + 0.5)
+        |           AS BIGINT) AS lrq
         |       FROM rc LEFT JOIN tc ON rc.b = tc.b, tots)
-        |SELECT doc_id, count(*) AS n_tokens, round(avg(lr.lr), 2) AS dsir_lr
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       floor(CAST(sum(lr.lrq) AS DOUBLE) / count(*) / 100 + 0.5)
+        |         / 100 AS dsir_lr
         |FROM tok JOIN lr USING (b)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val hi = col("source").isin("src0", "src1", "src2", "src3")
@@ -396,14 +406,15 @@ object SamplingQueries {
       val lr = rc.join(tc, Seq("b"), "left")
         .crossJoin(broadcast(tots))
         .select(col("b"),
-          (log2((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
+          floor((log2((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
               (col("t_tot") + 64)) -
-            log2((col("rc") + 1).cast("double") / (col("r_tot") + 64)))
-            .as("lr"))
+            log2((col("rc") + 1).cast("double") / (col("r_tot") + 64))) *
+            10000 + 0.5).cast("long").as("lrq"))
       tok.join(broadcast(lr), "b")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
-          round(avg(col("lr")), 2).as("dsir_lr"))
+          (floor(sum(col("lrq")).cast("double") / count(lit(1)) / 100 + 0.5)
+            / 100).as("dsir_lr"))
         .orderBy("doc_id")
     },
 
