@@ -1659,5 +1659,65 @@ object RelationalQueries {
           round(col("n_users").cast("double") / col("n1"), 4).as("conv"))
         .orderBy("step")
     },
+
+    // Interval-concurrency sweep: how many user sessions are active
+    // at every instant the count changes. The naive form is a range
+    // SELF-JOIN (sessions × change-points — quadratic); the sweep
+    // replaces it with +1/-1 boundary events and ONE ordered prefix
+    // sum — O(n log n). The global running sum is computed the
+    // SCALABLE way (no single-partition window): range-repartition on
+    // the timestamp (persisted — range boundaries are sampled per
+    // job, so the pid column must be pinned once), per-partition
+    // running sum, plus a broadcast cumulative offset from the ≤32
+    // per-partition totals — the only global window runs over the
+    // partition-count rows. Exact-integer deltas make the result a
+    // pure function of the data. Sessions come from the same
+    // 30-min-gap logic s02 verifies.
+    QueryDef(
+      "q66_concurrency_sweep",
+      """WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS prev_us
+        |           FROM events),
+        |t AS (SELECT user_id, event_id, us,
+        |        CASE WHEN prev_us IS NOT NULL AND us - prev_us <= 1800000000
+        |             THEN 0 ELSE 1 END AS ns
+        |      FROM s),
+        |u AS (SELECT user_id, us,
+        |        CAST(sum(ns) OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id) AS INT) AS session_no
+        |      FROM t),
+        |sess AS (SELECT user_id, session_no, min(us) AS start_us,
+        |           max(us) AS end_us
+        |         FROM u GROUP BY user_id, session_no),
+        |delta AS (SELECT start_us AS us, 1 AS dl FROM sess
+        |          UNION ALL SELECT end_us + 1 AS us, -1 AS dl FROM sess),
+        |agg AS (SELECT us, sum(dl) AS dl FROM delta GROUP BY us)
+        |SELECT us, CAST(sum(dl) OVER (ORDER BY us) AS BIGINT) AS concurrent
+        |FROM agg ORDER BY us""".stripMargin) { (s, d) =>
+      val sess = graft.streaming.StreamingOps
+        .sessionStatsBatch(Tables.events(s, d))
+        .select(col("start_us"), col("end_us"))
+      val delta = sess.select(col("start_us").as("us"), lit(1L).as("dl"))
+        .unionAll(sess.select((col("end_us") + 1).as("us"),
+          lit(-1L).as("dl")))
+        .groupBy("us").agg(sum("dl").as("dl"))
+      val parts = graft.PersistRegistry.track(
+        delta.repartitionByRange(32, col("us"))
+          .withColumn("pid", spark_partition_id())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val wOff = Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = parts.groupBy("pid").agg(sum("dl").as("psum"))
+        .withColumn("off", coalesce(sum("psum").over(wOff), lit(0L)))
+        .select("pid", "off")
+      val wLoc = Window.partitionBy("pid").orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      parts.join(broadcast(offsets), "pid")
+        .withColumn("concurrent",
+          (col("off") + sum("dl").over(wLoc)).cast("long"))
+        .select("us", "concurrent")
+        .orderBy("us")
+    },
   )
 }

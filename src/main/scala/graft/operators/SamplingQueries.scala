@@ -469,5 +469,64 @@ object SamplingQueries {
         .select(col("source"), col("doc_id"), col("rk").cast("long").as("rk"))
         .orderBy("source", "rk")
     },
+
+    // Temperature-scaled source mixture (the multilingual-LM α-
+    // sampling trick, α = 0.5): source weights ∝ sqrt(token mass)
+    // instead of ∝ token mass, upsampling low-resource sources; docs
+    // are then kept by the deterministic md5-uniform threshold at
+    // each source's temperature rate (p05/p10's hv trick), targeting
+    // 200 kept docs total. Scale: the mixture stats are one
+    // #sources-row agg broadcast back — selection is a map-side
+    // filter, no shuffle beyond the count agg. Determinism: sqrt is
+    // correctly-rounded IEEE on both engines; the weight is frozen
+    // into an exact 1e-6-unit integer BEFORE normalization, so the
+    // rate is a pure function of exact integers (one division chain,
+    // written identically on both sides).
+    QueryDef(
+      "p11_temperature_mix",
+      """WITH ds AS (SELECT doc_id, source,
+        |        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |          AS n_tok,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |          AS hv
+        |      FROM documents),
+        |st AS (SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tok_s
+        |       FROM ds GROUP BY source),
+        |qs AS (SELECT source, n_docs,
+        |         CAST(floor(sqrt(CAST(n_tok_s AS DOUBLE)) * 1000000 + 0.5)
+        |              AS BIGINT) AS q
+        |       FROM st),
+        |tot AS (SELECT sum(q) AS sumq FROM qs),
+        |rt AS (SELECT source,
+        |         least(1.0, CAST(200 * q AS DOUBLE) / sumq / n_docs) AS rate
+        |       FROM qs, tot)
+        |SELECT d.source, doc_id,
+        |       CAST(floor(rate * 1000000 + 0.5) AS BIGINT) AS rate_ppm
+        |FROM ds d JOIN rt ON d.source = rt.source
+        |WHERE CAST(hv AS DOUBLE) / 1152921504606846976.0 < rate
+        |ORDER BY d.source, doc_id""".stripMargin) { (s, d) =>
+      val ds = graft.PersistRegistry.track(Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tok"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("hv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val st = ds.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok_s"))
+      val qs = st.select(col("source"), col("n_docs"),
+        floor(sqrt(col("n_tok_s").cast("double")) * 1000000 + 0.5)
+          .cast("long").as("q"))
+      val tot = qs.agg(sum("q").as("sumq"))
+      val rt = qs.crossJoin(broadcast(tot))
+        .select(col("source"),
+          least(lit(1.0), (lit(200L) * col("q")).cast("double") /
+            col("sumq") / col("n_docs")).as("rate"))
+      ds.join(broadcast(rt), "source")
+        .filter(col("hv").cast("double") / lit(1152921504606846976.0) <
+          col("rate"))
+        .select(col("source"), col("doc_id"),
+          floor(col("rate") * 1000000 + 0.5).cast("long").as("rate_ppm"))
+        .orderBy("source", "doc_id")
+    },
   )
 }

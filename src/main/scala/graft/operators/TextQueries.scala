@@ -527,5 +527,133 @@ object TextQueries {
           round(col("score"), 4).as("tfidf"))
         .orderBy("doc_id", "rank")
     },
+
+    // Hashed-bigram language-model quality score (the KenLM-style
+    // perplexity filter of CCNet/RefinedWeb, reduced to its Spark
+    // shape): train Laplace-smoothed conditional bigram counts on the
+    // hi-tier sources (src0-3 = "curated quality data"), then score
+    // every doc by its mean log2 P(w2|w1) under 4096-bin feature
+    // hashing. Scale: BOTH model tables are bounded 4096-row aggs
+    // (map-side combined, broadcast back) — the model NEVER grows
+    // with the corpus; scoring is one map-side join pass + one
+    // per-doc agg. Cross-engine determinism = the p09 scheme: per-
+    // bigram log-probs quantized to 1e-4-unit integers (libm log2 is
+    // ulp-stable at 4 decimals), INTEGER-summed per doc, one shared
+    // floor(x+0.5) division chain at the end — no order-dependent
+    // float addition anywhere. Docs with <2 tokens have no bigrams
+    // and drop out on both engines.
+    QueryDef(
+      "t18_bigram_lm",
+      """WITH toks AS (SELECT doc_id, source,
+        |          string_split_regex(trim(text), '\s+') AS ws
+        |        FROM documents),
+        |bg AS (SELECT doc_id, source,
+        |         ('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 8))::BIGINT
+        |           % 4096 AS b,
+        |         ('0x' || substr(md5(ws[i]), 1, 8))::BIGINT % 4096 AS c
+        |       FROM (SELECT doc_id, source, ws,
+        |               unnest(range(1, len(ws))) AS i
+        |             FROM toks WHERE len(ws) >= 2) t),
+        |cb AS (SELECT b, count(*) AS cb FROM bg
+        |       WHERE source IN ('src0','src1','src2','src3') GROUP BY b),
+        |cc AS (SELECT c, count(*) AS cc FROM bg
+        |       WHERE source IN ('src0','src1','src2','src3') GROUP BY c),
+        |sc AS (SELECT doc_id,
+        |         CAST(floor(log2(CAST(coalesce(cb.cb, 0) + 1 AS DOUBLE)
+        |             / (coalesce(cc.cc, 0) + 4096)) * 10000 + 0.5)
+        |           AS BIGINT) AS lpq
+        |       FROM bg LEFT JOIN cb USING (b) LEFT JOIN cc USING (c))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       floor(CAST(sum(lpq) AS DOUBLE) / count(*) / 100 + 0.5) / 100
+        |         AS lm_score
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val hi = col("source").isin("src0", "src1", "src2", "src3")
+      def bin(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c), 1, 8), 16, 10).cast("long") % 4096
+      val bg = graft.PersistRegistry.track(Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          split(trim(col("text")), "\\s+").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), col("source"), col("ws"),
+          explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
+        .select(col("doc_id"), col("source"),
+          bin(concat(element_at(col("ws"), col("i")), lit(" "),
+            element_at(col("ws"), col("i") + 1))).as("b"),
+          bin(element_at(col("ws"), col("i"))).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val cb = bg.filter(hi).groupBy("b").agg(count(lit(1)).as("cb"))
+      val cc = bg.filter(hi).groupBy("c").agg(count(lit(1)).as("cc"))
+      bg.join(broadcast(cb), Seq("b"), "left")
+        .join(broadcast(cc), Seq("c"), "left")
+        .select(col("doc_id"),
+          floor(log2((coalesce(col("cb"), lit(0L)) + 1).cast("double") /
+              (coalesce(col("cc"), lit(0L)) + 4096)) * 10000 + 0.5)
+            .cast("long").as("lpq"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (floor(sum(col("lpq")).cast("double") / count(lit(1)) / 100 + 0.5)
+            / 100).as("lm_score"))
+        .orderBy("doc_id")
+    },
+
+    // Zipf-slope corpus diagnostic: per source, the least-squares
+    // slope of ln(freq) vs ln(rank) over the top-100 vocabulary — a
+    // natural-language corpus sits near -1; templated/boilerplate
+    // text flattens toward 0. Scale: the only data-sized shuffle is
+    // the (source, token) count agg; the rank window runs on source-
+    // partitioned counts and the regression reduces 100 rows/source
+    // through a closed-form 5-sum formula. Determinism: ln values
+    // quantized to 1e-6-unit integers, all five regression sums are
+    // INTEGER sums (order-free; magnitudes bounded: |xq| ≤ 4.6e6,
+    // |yq| ≤ 2.1e7, n ≤ 100 keeps every product < 2^63), and the
+    // final slope is one exact-integer division + the shared
+    // floor(x+0.5) 3-decimal rule.
+    QueryDef(
+      "t19_zipf_slope",
+      """WITH tf AS (SELECT source, w, count(*) AS c FROM
+        |        (SELECT source,
+        |           unnest(string_split_regex(trim(text), '\s+')) AS w
+        |         FROM documents) t GROUP BY source, w),
+        |rk AS (SELECT source, c,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY c DESC, w) AS r
+        |       FROM tf),
+        |q AS (SELECT source,
+        |        CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |          AS xq,
+        |        CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |          AS yq
+        |      FROM rk WHERE r <= 100),
+        |st AS (SELECT source, count(*) AS n, sum(xq) AS sx, sum(yq) AS sy,
+        |         sum(xq*yq) AS sxy, sum(xq*xq) AS sxx
+        |       FROM q GROUP BY source)
+        |SELECT source, CAST(n AS BIGINT) AS n_ranks,
+        |       floor(CAST(n*sxy - sx*sy AS DOUBLE)
+        |             / CAST(n*sxx - sx*sx AS DOUBLE) * 1000 + 0.5) / 1000
+        |         AS zipf_slope
+        |FROM st ORDER BY source""".stripMargin) { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("c").desc, col("w"))
+      val q = tf.withColumn("r", row_number().over(wr))
+        .filter(col("r") <= 100)
+        .select(col("source"),
+          floor(log(col("r").cast("double")) * 1000000 + 0.5).cast("long")
+            .as("xq"),
+          floor(log(col("c").cast("double")) * 1000000 + 0.5).cast("long")
+            .as("yq"))
+      q.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("xq").as("sx"), sum("yq").as("sy"),
+          sum(col("xq") * col("yq")).as("sxy"),
+          sum(col("xq") * col("xq")).as("sxx"))
+        .select(col("source"), col("n").cast("long").as("n_ranks"),
+          (floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+              * 1000 + 0.5) / 1000).as("zipf_slope"))
+        .orderBy("source")
+    },
   )
 }
