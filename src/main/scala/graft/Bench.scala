@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -96,5 +97,9 @@ object Bench {
     // after it — the driver parses the tail of the run's output
     spark.stop()
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"mean_per_query":$mean%.4f,"errors":$errJson,"sf":"$sfDir","detail":"$detailPath"}""")
+    // callers keying on the return code must not treat a run with
+    // failed queries as success (round-7 shipped 20 failures under
+    // rc=0); artifacts and the summary line are already written
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

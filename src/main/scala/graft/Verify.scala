@@ -34,13 +34,31 @@ object Verify {
       spark.stop()
       sys.exit(1)
     }
+    // A query that fails to RUN must leave an explicit red row, not a
+    // silent gap: round 7 omitted 19 failing queries from the artifact
+    // with no failure record, and the run read as clean while ~15% of
+    // the suite went unverified. Write a one-row marker frame in the
+    // failed query's place — the driver's DuckDB compare then reports a
+    // schema/hash mismatch carrying the error text — plus a machine-
+    // readable verify_errors.json for direct inspection.
+    val execFailures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => subset.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        execFailures(name) = msg
+        try {
+          import spark.implicits._
+          Seq(("execution_failed", msg.take(500))).toDF(
+            "__verify_execution_failed__", "error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case m: Throwable =>
+          System.err.println(s"[verify] $name marker write failed: ${m.getMessage}")
+        }
       }
       PersistRegistry.release()
     }
@@ -64,6 +82,12 @@ object Verify {
         s"${q(k)}: ${q(v.replace(graft.operators.BoatraceQueries.OutDirToken, outDir))}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = execFailures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (execFailures.nonEmpty)
+      System.err.println(s"[verify] ${execFailures.size} queries failed " +
+        s"to execute: ${execFailures.keys.mkString(", ")}")
     spark.stop()
   }
 }

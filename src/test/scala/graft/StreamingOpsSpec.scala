@@ -31,7 +31,7 @@ class StreamingOpsSpec extends AnyFunSuite {
     val raw = spark.readStream
       .schema(spark.read.parquet(s"$sf/events.parquet").schema)
       .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(Tables.normalizeEventsTs)
     val q = StreamingOps.tumblingAggStream(raw)
       .writeStream.format("memory").queryName("tumbling_test")
       .outputMode("complete").start()
@@ -55,7 +55,7 @@ class StreamingOpsSpec extends AnyFunSuite {
     val raw = spark.readStream
       .schema(spark.read.parquet(s"$sf/events.parquet").schema)
       .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(Tables.normalizeEventsTs)
     val q = StreamingOps.slidingAggStream(raw)
       .writeStream.format("memory").queryName("sliding_test")
       .outputMode("complete").start()
