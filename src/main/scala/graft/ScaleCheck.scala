@@ -141,7 +141,11 @@ object ScaleCheck {
       // q65: three user-keyed min-aggs chained on one exchange
       "q65_funnel_steps",
       // v18: per-iteration src-join + dst-agg over the O(3N) edge list
-      "v18_knn_pagerank")
+      "v18_knn_pagerank",
+      // round-8: m05 frame-sig inverted index (token-salted copies make
+      // cross-copy frames disjoint — N independent corpora); p12 is a
+      // map stage + per-(phase, shard) windows and should stay flat
+      "m05_frame_dedup", "p12_curriculum_order")
     val heavySuite = Seq("q07_multijoin_agg", "q44_star_join_q5",
       "d02_minhash_lsh", "q33_ranking_functions",
       "q10_window_topk_per_group", "d09_ivf_neardup")

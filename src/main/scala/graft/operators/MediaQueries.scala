@@ -100,5 +100,67 @@ object MediaQueries {
           expr("aggregate(resized, 0L, (a, v) -> a + v)").as("checksum"))
         .orderBy("doc_id")
     },
+
+    // Media near-duplicate detection via shared frame fingerprints —
+    // the video-dedup shape: sample fixed-offset frames from each
+    // binary payload (m02's sampler, here over the payload BYTES),
+    // fingerprint each frame, and report media pairs sharing at least
+    // one aligned frame signature. Scale design mirrors d04's
+    // inverted index: document-frequency FIRST on the (frame_no, sig)
+    // key (one long per distinct signature through the shuffle), keep
+    // only signatures appearing in 2..100 medias — the upper bound
+    // drops pathological hot frames (black/intro frames in real
+    // video) that would otherwise blow the candidate join quadratic —
+    // then one equi-join on the signature key and a pair-count
+    // aggregate. Payloads shorter than 4 x 32 bytes are ineligible
+    // (too little signal to fingerprint; also excludes degenerate
+    // empty-frame matches). The pair space is never materialized
+    // beyond signature-sharing candidates.
+    QueryDef(
+      "m05_frame_dedup",
+      """WITH frames AS (
+        |  SELECT doc_id, frame_no,
+        |         md5(substring(text, 1 + frame_no * (length(text) // 4), 32))
+        |           AS frame_sig
+        |  FROM documents, generate_series(0, 3) t(frame_no)
+        |  WHERE length(text) >= 128),
+        |fdf AS (SELECT frame_no, frame_sig FROM frames
+        |        GROUP BY frame_no, frame_sig
+        |        HAVING count(*) BETWEEN 2 AND 100),
+        |rare AS (SELECT f.doc_id, f.frame_no, f.frame_sig
+        |         FROM frames f JOIN fdf
+        |           ON f.frame_no = fdf.frame_no
+        |          AND f.frame_sig = fdf.frame_sig)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(count(*) AS INT) AS shared_frames
+        |FROM rare a JOIN rare b
+        |  ON a.frame_sig = b.frame_sig AND a.frame_no = b.frame_no
+        | AND a.doc_id < b.doc_id
+        |GROUP BY doc_a, doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val media = MediaOps.mediaTable(Tables.documents(s, d))
+        .filter(length(col("payload")) >= 128)
+      val frames = graft.PersistRegistry.track(
+        media.select(col("doc_id"),
+            explode(sequence(lit(0), lit(3))).as("frame_no"), col("payload"))
+          .select(col("doc_id"), col("frame_no"),
+            md5(expr("substring(payload, " +
+              "1 + frame_no * (length(payload) div 4), 32)")).as("frame_sig"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val fdf = frames.groupBy("frame_no", "frame_sig")
+        .agg(count(lit(1)).as("fdf"))
+        .filter(col("fdf").between(2, 100))
+        .select("frame_no", "frame_sig")
+      val rare = frames.join(fdf, Seq("frame_no", "frame_sig"))
+      val a = rare.select(col("frame_no").as("fa"),
+        col("frame_sig").as("siga"), col("doc_id").as("doc_a"))
+      val b = rare.select(col("frame_no").as("fb"),
+        col("frame_sig").as("sigb"), col("doc_id").as("doc_b"))
+      a.join(b, col("siga") === col("sigb") && col("fa") === col("fb") &&
+          col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).cast("int").as("shared_frames"))
+        .orderBy("doc_a", "doc_b")
+    },
   )
 }

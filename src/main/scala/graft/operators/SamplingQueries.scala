@@ -528,5 +528,52 @@ object SamplingQueries {
           floor(col("rate") * 1000000 + 0.5).cast("long").as("rate_ppm"))
         .orderBy("source", "doc_id")
     },
+
+    // Curriculum ordering — the "easy first, hard later" training
+    // schedule: band documents into phases by an integer quality
+    // signal (lexical-diversity permille, the t02 family) against
+    // DECLARED absolute thresholds — no global quantile pass, so
+    // phase assignment is a pure map stage that scales to any corpus
+    // and is stable when the corpus grows (quantile-based phases
+    // reshuffle every document when new data arrives; threshold-based
+    // ones don't). Within a phase, order is the p04 contract:
+    // md5-deterministic shuffle inside md5-assigned shards —
+    // partition-invariant, reproducible on any cluster, and the
+    // row_number windows are per (phase, shard) so no single-reducer
+    // global sort exists anywhere in the plan. A trainer consumes
+    // shards in (phase, shard, pos) order.
+    QueryDef(
+      "p12_curriculum_order",
+      """WITH t AS (SELECT doc_id,
+        |        CAST(1000 * len(list_distinct(string_split_regex(trim(text), '\s+')))
+        |             // len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |          AS qscore
+        |      FROM documents),
+        |ph AS (SELECT doc_id, qscore,
+        |         CAST(CASE WHEN qscore < 450 THEN 0 WHEN qscore < 550 THEN 1
+        |                   WHEN qscore < 650 THEN 2 ELSE 3 END AS INT) AS phase,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |           % 8 AS shard
+        |       FROM t)
+        |SELECT doc_id, qscore, phase, shard,
+        |       CAST(row_number() OVER (PARTITION BY phase, shard
+        |              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |         AS pos
+        |FROM ph ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("phase", "shard")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("CAST(1000 * size(array_distinct(split(trim(text), '\\\\s+'))) " +
+            "AS BIGINT) div size(split(trim(text), '\\\\s+'))").as("qscore"))
+        .withColumn("phase",
+          when(col("qscore") < 450, 0).when(col("qscore") < 550, 1)
+            .when(col("qscore") < 650, 2).otherwise(3).cast("int"))
+        .withColumn("shard",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 8)
+        .withColumn("pos", row_number().over(w).cast("bigint"))
+        .orderBy("doc_id")
+    },
   )
 }

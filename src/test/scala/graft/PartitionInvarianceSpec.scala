@@ -31,7 +31,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "v09_pq_encode",          // per-subspace codebook partial sums
     "p07_filter_funnel",      // flag conjunctions + dedup-key window
     "p08_balanced_shards",    // range-repartition + offset global rank
-    "t14_lm_quality")         // float avg under round(,2) + token join
+    "t14_lm_quality",         // float avg under round(,2) + token join
+    "m05_frame_dedup",        // frame-sig inverted index + pair agg
+    "p12_curriculum_order")   // threshold phases + per-shard windows
 
   test("representative queries are identical under different parallelism") {
     val key = "spark.sql.shuffle.partitions"
