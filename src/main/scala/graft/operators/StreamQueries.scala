@@ -81,10 +81,10 @@ object StreamQueries {
 
     // Keep-first dedup (batch form of dropDuplicatesWithinWatermark —
     // see StreamingOps.dedupStreamWithinWatermark). The order key is
-    // epoch MICROS on both sides: events.parquet carries nanos, and
-    // ordering by the raw nanos timestamp could pick a different row
-    // than the micros-truncated Spark timestamp when two events share
-    // a microsecond.
+    // epoch MICROS on both sides: the loader normalizes every fixture
+    // generation's ts storage to micros (Tables.normalizeEventsTs), and
+    // ordering on the post-normalization value keeps the winner
+    // identical across engines when two events share a microsecond.
     QueryDef(
       "s04_dedup_first",
       """SELECT user_id, event_type, first_us, first_event_id FROM (

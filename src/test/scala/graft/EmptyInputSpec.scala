@@ -15,8 +15,8 @@ class EmptyInputSpec extends AnyFunSuite {
 
   private lazy val emptyDir: String = {
     val d = java.nio.file.Files.createTempDirectory("sf_empty")
-    // raw schemas (events keeps its nanos-long ts; the loader's
-    // transform runs on read as usual)
+    // raw schemas (events keeps whatever ts storage the fixture uses;
+    // the loader's dtype-branching normalization runs on read as usual)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for (t <- Tables.names)
       spark.read.parquet(s"$sf/$t.parquet").limit(0)
