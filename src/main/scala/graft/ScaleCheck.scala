@@ -145,7 +145,11 @@ object ScaleCheck {
       // round-8: m05 frame-sig inverted index (token-salted copies make
       // cross-copy frames disjoint — N independent corpora); p12 is a
       // map stage + per-(phase, shard) windows and should stay flat
-      "m05_frame_dedup", "p12_curriculum_order")
+      "m05_frame_dedup", "p12_curriculum_order",
+      // v19: BOTH join sides grow with N, co-grouped on the cell id —
+      // Σ|q_cell|·|c_cell| at fixed nlist is the v13 quadratic, shown
+      // honestly; p13's window streams are (source, shard)-bounded
+      "v19_ann_join", "p13_token_budget_cut")
     val heavySuite = Seq("q07_multijoin_agg", "q44_star_join_q5",
       "d02_minhash_lsh", "q33_ranking_functions",
       "q10_window_topk_per_group", "d09_ivf_neardup")

@@ -575,5 +575,48 @@ object SamplingQueries {
         .withColumn("pos", row_number().over(w).cast("bigint"))
         .orderBy("doc_id")
     },
+
+    // Token-budget ENFORCEMENT — executes the sizing arithmetic p06
+    // only plans: cut each source to (at most) a declared per-source
+    // token budget (800 tokens here), deterministically. The budget is split into
+    // per-shard quotas (B div 8 — the remainder is deliberately
+    // unallocated, documented under-fill rather than a cross-shard
+    // coordination step), docs fill each (source, shard) stream in
+    // p04's md5 order, and a doc survives iff its INCLUSIVE running
+    // token sum stays within the quota — the cap is never exceeded.
+    // Scale: the only non-map stage is the running-sum window over
+    // (source, shard) — 8 bounded streams per source, no global sort,
+    // no driver pass; the same shape as p03's packing window. The cut
+    // is reproducible on any partitioning and stable under corpus
+    // growth within a shard-stream's md5 prefix order.
+    QueryDef(
+      "p13_token_budget_cut",
+      """WITH t AS (SELECT doc_id, source,
+        |        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |          AS n_tok,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |          % 8 AS shard
+        |      FROM documents),
+        |r AS (SELECT doc_id, source, shard, n_tok,
+        |        CAST(sum(n_tok) OVER (PARTITION BY source, shard
+        |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS BIGINT) AS cum_tok
+        |      FROM t)
+        |SELECT doc_id, source, shard, n_tok, cum_tok
+        |FROM r WHERE cum_tok <= 800 // 8
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("source", "shard")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tok"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 8).as("shard"))
+        .withColumn("cum_tok", sum("n_tok").over(w).cast("bigint"))
+        .filter(col("cum_tok") <= lit(800 / 8))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -1529,5 +1529,59 @@ object SimilarityQueries {
       p.select(col("vec_id"), col("p").cast("long").as("pagerank"))
         .orderBy(col("pagerank").desc, col("vec_id")).limit(20)
     },
+
+    // ANN JOIN with an UNBOUNDED query side — the missing regime in
+    // the family: v01/v03/v05 carry a bounded, broadcast-able query
+    // set (the online-serving contract); dataset distillation, DSIR
+    // scoring, and retrieval-training pipelines instead join an
+    // entire query TABLE (here the md5-decile-0 slice, ~10% of the
+    // corpus and growing with it) against the corpus. No broadcast
+    // anywhere: BOTH sides shuffle on the IVF cell id (probe-1 —
+    // each query searches its own cell, the cell assignment coming
+    // free from the index at ingest), the per-cell join is Σ
+    // |q_cell|·|c_cell| — never N² — and the per-query top-3 is a
+    // window over in-cell candidates. This is v13's co-partitioned
+    // kNN shape specialized to two tables; nlist∝N keeps cells
+    // bounded at 100 TB exactly as v13's scale row documents.
+    QueryDef(
+      "v19_ann_join",
+      s"""WITH n AS ($quantizedSql),
+        |q AS (SELECT vec_id AS query_id, label, r AS rq, nn AS nnq FROM n
+        |      WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+        |            % 10 = 0),
+        |c AS (SELECT vec_id AS neighbor_id, label, r AS rc, nn AS nnc FROM n
+        |      WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+        |            % 10 <> 0),
+        |cs AS (SELECT query_id, neighbor_id,
+        |         CAST(list_sum(list_transform(generate_series(1, len(rq)),
+        |                i -> rq[i] * rc[i])) AS DOUBLE)
+        |           / sqrt(CAST(nnq AS DOUBLE) * CAST(nnc AS DOUBLE)) AS cos_sim
+        |       FROM q JOIN c USING (label))
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |             ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM cs) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      GraftExtensions.register(s) // native codegen dot_long (plans.DotLong)
+      val n = quantized(s, d)
+      val bucket = conv(substring(md5(col("vec_id").cast("string")), 1, 8),
+        16, 10).cast("long") % 10
+      val q = n.filter(bucket === 0)
+        .select(col("vec_id").as("query_id"), col("label"),
+          col("r").as("rq"), col("nn").as("nnq"))
+      val c = n.filter(bucket =!= 0)
+        .select(col("vec_id").as("neighbor_id"), col("label"),
+          col("r").as("rc"), col("nn").as("nnc"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      q.join(c, Seq("label"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(call_function("dot_long", col("rq"), col("rc")),
+            col("nnq"), col("nnc")).as("cos_sim"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    },
   )
 }

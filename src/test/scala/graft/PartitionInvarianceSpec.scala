@@ -33,7 +33,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "p08_balanced_shards",    // range-repartition + offset global rank
     "t14_lm_quality",         // float avg under round(,2) + token join
     "m05_frame_dedup",        // frame-sig inverted index + pair agg
-    "p12_curriculum_order")   // threshold phases + per-shard windows
+    "p12_curriculum_order",   // threshold phases + per-shard windows
+    "v19_ann_join",           // cell-cogrouped two-table ANN join
+    "p13_token_budget_cut")   // per-stream quota running-sum cut
 
   test("representative queries are identical under different parallelism") {
     val key = "spark.sql.shuffle.partitions"

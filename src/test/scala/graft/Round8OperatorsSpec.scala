@@ -59,6 +59,42 @@ class Round8OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("v19: unbounded-query ANN join — dense ranks, ordered sims, decile-0 queries") {
+    val rows = SparkEntry.queries("v19_ann_join")(spark, sf).collect()
+    PersistRegistry.release()
+    assert(rows.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def decile(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 10
+    }
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.foreach { case (qid, grp) =>
+      assert(decile(qid) === 0L)       // the query table is the md5-decile-0 slice
+      val sorted = grp.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq === (1 to grp.length))  // dense ranks
+      assert(sorted.length <= 3)
+      val sims = sorted.map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })  // ordered
+      grp.foreach(r => assert(decile(r.getLong(1)) !== 0L))  // corpus side only
+    }
+  }
+
+  test("p13: the cut never exceeds the per-stream quota and keeps md5-order prefixes") {
+    val rows = SparkEntry.queries("p13_token_budget_cut")(spark, sf).collect()
+    PersistRegistry.release()
+    assert(rows.nonEmpty)
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.length < total) // the budget actually cuts
+    rows.groupBy(r => (r.getString(1), r.getLong(2))).foreach {
+      case (_, grp) =>
+        // inclusive running sum capped at the 800 div 8 = 100 quota
+        assert(grp.map(_.getLong(3)).sum <= 100L)
+        assert(grp.map(_.getLong(4)).max <= 100L)
+    }
+  }
+
   test("p12: phase ordering tracks the quality signal") {
     val rows = SparkEntry.queries("p12_curriculum_order")(spark, sf)
       .select("qscore", "phase").collect()
