@@ -10,6 +10,9 @@ object Verify {
     val subset: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // only stop a session this main created: under a test harness the
+    // builder returns the suite's shared session, which must survive
+    val preexisting = SparkSession.getDefaultSession.nonEmpty
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,7 +34,7 @@ object Verify {
         s"oracle rows cannot be checked: ${e.getMessage}")
       Files.writeString(Paths.get(s"$outDir/DUMP_FAILED"),
         s"boatrace base dump failed: ${e.getMessage}\n")
-      spark.stop()
+      if (!preexisting) spark.stop()
       sys.exit(1)
     }
     // A query that fails to RUN must leave an explicit red row, not a
@@ -88,6 +91,6 @@ object Verify {
     if (execFailures.nonEmpty)
       System.err.println(s"[verify] ${execFailures.size} queries failed " +
         s"to execute: ${execFailures.keys.mkString(", ")}")
-    spark.stop()
+    if (!preexisting) spark.stop()
   }
 }
