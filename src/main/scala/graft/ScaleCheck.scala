@@ -149,7 +149,10 @@ object ScaleCheck {
       // v19: BOTH join sides grow with N, co-grouped on the cell id —
       // Σ|q_cell|·|c_cell| at fixed nlist is the v13 quadratic, shown
       // honestly; p13's window streams are (source, shard)-bounded
-      "v19_ann_join", "p13_token_budget_cut")
+      "v19_ann_join", "p13_token_budget_cut",
+      // p14: p03's shard window + a pack_id groupBy whose groups are
+      // bounded by the context budget — collect never sees O(N)
+      "p14_pack_emit")
     val heavySuite = Seq("q07_multijoin_agg", "q44_star_join_q5",
       "d02_minhash_lsh", "q33_ranking_functions",
       "q10_window_topk_per_group", "d09_ivf_neardup")

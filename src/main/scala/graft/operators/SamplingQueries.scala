@@ -618,5 +618,74 @@ object SamplingQueries {
         .filter(col("cum_tok") <= lit(800 / 8))
         .orderBy("doc_id")
     },
+
+    // Pack MATERIALIZATION — the model-ready-tensor step p03 only
+    // plans: each pack's flattened token-id stream (vocab-hashed ids,
+    // docs concatenated in deterministic doc_id order) plus the fill
+    // metrics a trainer's data loader audits. The Spark side builds
+    // the ACTUAL packed arrays — collect per pack, sort by doc_id,
+    // flatten — and the oracle checks their md5 fingerprint (array
+    // values fingerprinted, not re-listed: robust to engine list-type
+    // differences, identical determinism). Scale: one shuffle on the
+    // shard key for the running-sum window (p03's own exchange), one
+    // groupBy on pack_id whose groups are bounded by the 2048-token
+    // context budget — a pack never grows with the corpus, so the
+    // collect_list per group is O(context window), not O(N).
+    QueryDef(
+      "p14_pack_emit",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_transform(string_split_regex(trim(text), '\s+'),
+        |           x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % 32768)
+        |           AS ids,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |           AS n_tok,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |           % 16 AS shard
+        |  FROM documents),
+        |c AS (SELECT doc_id, ids, n_tok, shard,
+        |        CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |          AS cum
+        |      FROM t),
+        |p AS (SELECT doc_id, ids, n_tok,
+        |        shard * 1000000000000 +
+        |        CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS pack_id
+        |      FROM c)
+        |SELECT pack_id,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       CAST(sum(n_tok) * 1000 // 2048 AS BIGINT) AS fill_permille,
+        |       md5(array_to_string(flatten(list(ids ORDER BY doc_id)), ','))
+        |         AS ids_sig
+        |FROM p GROUP BY pack_id ORDER BY pack_id""".stripMargin) { (s, d) =>
+      val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 16
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          transform(split(trim(col("text")), "\\s+"),
+            x => conv(substring(md5(x), 1, 8), 16, 10).cast("long") % 32768)
+            .as("ids"),
+          size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tok"),
+          shard.as("shard"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("ids"), col("n_tok"),
+          (col("shard") * 1000000000000L +
+            floor((col("cum") - col("n_tok")) / 2048.0).cast("bigint"))
+            .as("pack_id"))
+        .groupBy("pack_id")
+        .agg(
+          count(lit(1)).cast("bigint").as("n_docs"),
+          sum("n_tok").cast("bigint").as("n_tokens"),
+          expr("CAST(sum(n_tok) * 1000 div 2048 AS BIGINT)")
+            .as("fill_permille"),
+          md5(concat_ws(",",
+            flatten(transform(
+              array_sort(collect_list(struct(col("doc_id"), col("ids")))),
+              x => x.getField("ids"))))).as("ids_sig"))
+        .orderBy("pack_id")
+    },
   )
 }

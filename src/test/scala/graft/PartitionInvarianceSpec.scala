@@ -35,7 +35,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "m05_frame_dedup",        // frame-sig inverted index + pair agg
     "p12_curriculum_order",   // threshold phases + per-shard windows
     "v19_ann_join",           // cell-cogrouped two-table ANN join
-    "p13_token_budget_cut")   // per-stream quota running-sum cut
+    "p13_token_budget_cut",   // per-stream quota running-sum cut
+    "p14_pack_emit")          // ordered pack flatten + fingerprint
 
   test("representative queries are identical under different parallelism") {
     val key = "spark.sql.shuffle.partitions"

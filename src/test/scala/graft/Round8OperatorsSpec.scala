@@ -95,6 +95,26 @@ class Round8OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("p14: pack emission reconciles with p03's assignment and conserves tokens") {
+    val packs = SparkEntry.queries("p14_pack_emit")(spark, sf).collect()
+    PersistRegistry.release()
+    val p03 = SparkEntry.queries("p03_pack_sequences")(spark, sf).collect()
+    PersistRegistry.release()
+    // identical pack universe, identical membership counts
+    val fromP03 = p03.groupBy(_.getLong(2)).view.mapValues(_.length.toLong).toMap
+    val fromP14 = packs.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromP14 === fromP03)
+    // every corpus token lands in exactly one pack
+    val corpusTokens = Tables.documents(spark, sf)
+      .select(size(split(trim(col("text")), "\\s+")).cast("long"))
+      .collect().map(_.getLong(0)).sum
+    assert(packs.map(_.getLong(2)).sum === corpusTokens)
+    // fingerprints are well-formed and distinct (packs differ in content)
+    val sigs = packs.map(_.getString(4))
+    assert(sigs.forall(_.matches("[0-9a-f]{32}")))
+    assert(sigs.distinct.length === sigs.length)
+  }
+
   test("p12: phase ordering tracks the quality signal") {
     val rows = SparkEntry.queries("p12_curriculum_order")(spark, sf)
       .select("qscore", "phase").collect()
