@@ -11,6 +11,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fixture fingerprint: md5 over every table's (name, raw schema,
+    // row count). Rounds whose fingerprints differ ran on different
+    // data — their totals are NOT comparable (the round-7 lesson: the
+    // events fixture changed shape under the suite and the regression
+    // read as a perf cliff). Raw schema, not post-loader: the
+    // fingerprint must change when the storage form does, even if a
+    // loader absorbs it.
+    val fixtureFp = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      for (t <- graft.sources.Tables.names) {
+        val df = graft.sources.Tables.load(spark, sfDir, t)
+        md.update(s"$t|${df.schema.catalogString}|${df.count()}"
+          .getBytes("UTF-8"))
+      }
+      md.digest().map("%02x".format(_)).mkString
+    }
     // Warm the session once (classloading + whole-stage-codegen
     // compiler init dominate the first job by seconds) so the timings
     // below measure the engine, not JVM startup. Per-query codegen is
@@ -87,7 +104,7 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "bench_detail.json")
     val detail =
-      f"""{"metric":"bench_detail","sf":"$sfDir","total_sec":$total%.3f,"n_queries":${results.size},"mean_per_query":$mean%.4f,"queries":$qs,"shuffle_mb":$shJson,"errors":$errJson}"""
+      f"""{"metric":"bench_detail","sf":"$sfDir","fixture_fp":"$fixtureFp","total_sec":$total%.3f,"n_queries":${results.size},"mean_per_query":$mean%.4f,"queries":$qs,"shuffle_mb":$shJson,"errors":$errJson}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath), detail + "\n")
     catch { case e: Throwable =>
@@ -96,7 +113,7 @@ object Bench {
     // stop BEFORE the summary line: shutdown logging must not print
     // after it — the driver parses the tail of the run's output
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"mean_per_query":$mean%.4f,"errors":$errJson,"sf":"$sfDir","detail":"$detailPath"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"mean_per_query":$mean%.4f,"errors":$errJson,"sf":"$sfDir","fixture_fp":"$fixtureFp","detail":"$detailPath"}""")
     // callers keying on the return code must not treat a run with
     // failed queries as success (round-7 shipped 20 failures under
     // rc=0); artifacts and the summary line are already written
