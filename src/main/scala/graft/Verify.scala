@@ -5,6 +5,18 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    val rc = run(args)
+    // Nonzero on dump failure or any failed query: a driver keying on
+    // the return code alone must never read a failing run as success
+    // (Bench got this contract in round 8; Verify's rc was still
+    // unconditionally 0 then — asymmetric for no reason).
+    if (rc != 0) sys.exit(rc)
+  }
+
+  /** Body of main, returning the exit code instead of calling
+    * sys.exit — the failure contract is assertable from a spec
+    * without killing the test JVM. */
+  def run(args: Array[String]): Int = {
     // args: sfDir outDir [comma-separated query subset — dev spot-checks]
     val (sfDir, outDir) = (args(0), args(1))
     val subset: Option[Set[String]] =
@@ -35,7 +47,7 @@ object Verify {
       Files.writeString(Paths.get(s"$outDir/DUMP_FAILED"),
         s"boatrace base dump failed: ${e.getMessage}\n")
       if (!preexisting) spark.stop()
-      sys.exit(1)
+      return 1
     }
     // A query that fails to RUN must leave an explicit red row, not a
     // silent gap: round 7 omitted 19 failing queries from the artifact
@@ -92,5 +104,9 @@ object Verify {
       System.err.println(s"[verify] ${execFailures.size} queries failed " +
         s"to execute: ${execFailures.keys.mkString(", ")}")
     if (!preexisting) spark.stop()
+    // Marker frames + verify_errors.json are already on disk for the
+    // driver's per-query compare; the rc makes the failure visible to
+    // callers that never open them.
+    if (execFailures.nonEmpty) 1 else 0
   }
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{conv, md5, substring}
 
 /** Primitive-loop kernels for the text-dedup hot path. Spark's
   * higher-order array functions (transform / aggregate / sequence /
@@ -17,6 +18,45 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   minhash_k  = min over shingles of ((2k+1)h + 7919k) mod 4294967311
   */
 object TextKernels {
+
+  /** The engine-wide deterministic hash rank: md5 of the (stringified)
+    * key, first 8 hex chars read as an unsigned 32-bit value. One
+    * definition, three dialects, all value-identical by construction:
+    * this Column form (Spark `conv`), the [[mdHash32Sql]] DuckDB form
+    * interpolated into the declared oracles, and the JVM-loop form
+    * `VectorKernels.md5Hex8` used inside mapPartitions kernels. Every
+    * split/shard/sample/cap operator derives its bucket from here, so
+    * membership is a pure function of the key — reproducible on any
+    * cluster, any partitioning, either engine. The explicit string
+    * cast is a no-op on string input (Catalyst elides it / DuckDB
+    * VARCHAR→VARCHAR is identity), so one signature serves both key
+    * types. */
+  def mdHash32(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** [[mdHash32]] folded into a uniform bucket in [0, k). */
+  def mdBucket(c: Column, k: Int): Column = mdHash32(c) % k
+
+  /** 60-bit variant (first 15 hex chars): the finer rank used where
+    * 32 bits of resolution would collide too often (per-domain caps,
+    * temperature sampling thresholds). 60 bits — not 64 — keeps the
+    * value non-negative in a BIGINT on both engines. Mirrors
+    * `VectorKernels.md5Hex15`. */
+  def mdHash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB dialect of [[mdHash32]], for interpolation into oracle
+    * SQL — the oracle literal and the engine expression derive from
+    * this one file, so they cannot drift apart. */
+  def mdHash32Sql(e: String): String =
+    s"('0x' || substr(md5(CAST($e AS VARCHAR)), 1, 8))::BIGINT"
+
+  /** DuckDB dialect of [[mdBucket]]. */
+  def mdBucketSql(e: String, k: Int): String = s"${mdHash32Sql(e)} % $k"
+
+  /** DuckDB dialect of [[mdHash60]]. */
+  def mdHash60Sql(e: String): String =
+    s"('0x' || substr(md5(CAST($e AS VARCHAR)), 1, 15))::BIGINT"
 
   private[graft] def tokenize(text: String): Array[String] = {
     // Spark `trim` strips 0x20 only (String.trim also strips \t\n —

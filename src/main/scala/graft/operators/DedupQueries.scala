@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextKernels.{mdBucket, mdBucketSql, mdHash32Sql, mdHash60Sql}
 import graft.sources.Tables
 
 /** Deduplication operators over `documents` / `embeddings` — the
@@ -43,10 +44,10 @@ object DedupQueries {
   /** DuckDB CTE chain computing the d03 32-bit TF-weighted SimHash per
     * doc (ends in `sim(doc_id, simhash)`); shared by d03 and d07. */
   private val simhashCteSql =
-    """tok AS (SELECT doc_id, w, count(*)::BIGINT AS cnt FROM
+    raw"""tok AS (SELECT doc_id, w, count(*)::BIGINT AS cnt FROM
       |    (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
       |     FROM documents) t GROUP BY doc_id, w),
-      |h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS hv,
+      |h AS (SELECT doc_id, ${mdHash32Sql("w")} AS hv,
       |             cnt FROM tok),
       |bits AS (SELECT doc_id, b,
       |           sum(CASE WHEN (hv >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS contrib
@@ -276,7 +277,7 @@ object DedupQueries {
       |           FROM documents),
       |sh AS (SELECT doc_id, $shinglesSql AS s FROM w),
       |hs AS (SELECT doc_id, s, list_transform(s,
-      |          x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hv
+      |          x -> ${mdHash32Sql("x")}) AS hv
       |       FROM sh),
       |sig AS (SELECT doc_id, s, list_transform(generate_series(0, 7),
       |          k -> list_min(list_transform(hv,
@@ -547,10 +548,8 @@ object DedupQueries {
     // here with positional grams so it scales linearly in corpus size.
     QueryDef(
       "d06_decontaminate",
-      """WITH split AS (
-        |  SELECT doc_id, text,
-        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-        |           % 100 AS b
+      raw"""WITH split AS (
+        |  SELECT doc_id, text, ${mdBucketSql("doc_id", 100)} AS b
         |  FROM documents WHERE length(text) >= 32),
         |grams AS (
         |  SELECT doc_id, b, substr(text, CAST(gs AS INT) + 1, 32) AS g
@@ -562,8 +561,7 @@ object DedupQueries {
         |SELECT doc_id, count(*) AS n_shared
         |FROM te WHERE g IN (SELECT g FROM tr)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val b = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
+      val b = mdBucket(col("doc_id"), 100)
       val grams = Tables.documents(s, d)
         .filter(length(col("text")) >= 32)
         .select(col("doc_id"), b.as("b"), col("text"),
@@ -593,8 +591,7 @@ object DedupQueries {
       "d11_incremental_dedup",
       s"""WITH $sigCteSql,
         |sp AS (SELECT doc_id, s, sig,
-        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-        |           % 10 AS bk
+        |         ${mdBucketSql("doc_id", 10)} AS bk
         |       FROM sig),
         |db AS (SELECT doc_id, b,
         |         CAST(sig[2*b+1] AS VARCHAR) || ':' ||
@@ -616,9 +613,7 @@ object DedupQueries {
       val sig = graft.PersistRegistry.track(graft.functions.TextKernels
         .minhashSignatures(s, Tables.documents(s, d), 8)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val sp = sig.withColumn("bk",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 10)
+      val sp = sig.withColumn("bk", mdBucket(col("doc_id"), 10))
       def bandsOf(df: DataFrame): DataFrame = df
         .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("b"),
           col("sig"))
@@ -812,11 +807,10 @@ object DedupQueries {
     // 8-bit collision noise.
     QueryDef(
       "d14_simhash_scale",
-      """WITH tok AS (SELECT doc_id, w, count(*)::BIGINT AS cnt FROM
+      raw"""WITH tok AS (SELECT doc_id, w, count(*)::BIGINT AS cnt FROM
         |    (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
         |     FROM documents) t GROUP BY doc_id, w),
-        |h AS (SELECT doc_id,
-        |        CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS hv, cnt
+        |h AS (SELECT doc_id, ${mdHash60Sql("w")} AS hv, cnt
         |      FROM tok),
         |bits AS (SELECT doc_id, b,
         |           sum(CASE WHEN (hv >> b) & 1 = 1 THEN cnt ELSE -cnt END)

@@ -116,14 +116,27 @@ object MediaQueries {
     // (too little signal to fingerprint; also excludes degenerate
     // empty-frame matches). The pair space is never materialized
     // beyond signature-sharing candidates.
+    //
+    // BYTE semantics throughout — eligibility, frame offsets, and the
+    // fingerprinted window are all over the payload BYTES, never
+    // characters (a video/image payload has no characters). DuckDB
+    // has no blob substring/md5, so the oracle recomputes the same
+    // bytes through hex(): byte i of the payload is hex chars
+    // [2i-1, 2i] (both engines emit uppercase hex), and the declared
+    // frame signature is md5 over the window's hex form on BOTH
+    // sides. Parity therefore holds for any UTF-8 corpus, not just an
+    // all-ASCII fixture where chars happen to equal bytes.
     QueryDef(
       "m05_frame_dedup",
-      """WITH frames AS (
+      """WITH m AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS L
+        |  FROM documents WHERE octet_length(encode(text)) >= 128),
+        |frames AS (
         |  SELECT doc_id, frame_no,
-        |         md5(substring(text, 1 + frame_no * (length(text) // 4), 32))
+        |         md5(substring(hx, 1 + 2 * frame_no * (L // 4), 64))
         |           AS frame_sig
-        |  FROM documents, generate_series(0, 3) t(frame_no)
-        |  WHERE length(text) >= 128),
+        |  FROM m, generate_series(0, 3) t(frame_no)),
         |fdf AS (SELECT frame_no, frame_sig FROM frames
         |        GROUP BY frame_no, frame_sig
         |        HAVING count(*) BETWEEN 2 AND 100),
@@ -139,13 +152,14 @@ object MediaQueries {
         |GROUP BY doc_a, doc_b
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       val media = MediaOps.mediaTable(Tables.documents(s, d))
-        .filter(length(col("payload")) >= 128)
+        .filter(length(col("payload")) >= 128) // length(binary) = bytes
       val frames = graft.PersistRegistry.track(
         media.select(col("doc_id"),
             explode(sequence(lit(0), lit(3))).as("frame_no"), col("payload"))
           .select(col("doc_id"), col("frame_no"),
-            md5(expr("substring(payload, " +
-              "1 + frame_no * (length(payload) div 4), 32)")).as("frame_sig"))
+            md5(hex(expr("substring(payload, " +
+              "1 + frame_no * (length(payload) div 4), 32)")))
+              .as("frame_sig"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val fdf = frames.groupBy("frame_no", "frame_sig")
         .agg(count(lit(1)).as("fdf"))

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextKernels.{mdBucket, mdBucketSql, mdHash60,
+  mdHash60Sql}
 import graft.sources.Tables
 
 /** Dataset-splitting / sampling operators for the training-data
@@ -14,28 +16,26 @@ import graft.sources.Tables
   * order-dependent and cannot be oracle-checked or re-derived.
   *
   * Hash recipe shared by both engines: first 8 hex chars of
-  * md5(key-as-string) read as a base-16 integer (Spark `conv`,
-  * DuckDB `('0x' || substr(...))::BIGINT`), mod 100 → a uniform
-  * bucket in [0, 100). Map-only (no shuffle except the oracle
-  * ORDER BY); the filter is codegen'd.
+  * md5(key-as-string) read as a base-16 integer, mod k → a uniform
+  * bucket in [0, k). Both the Spark Column form and the DuckDB
+  * oracle fragment come from ONE definition —
+  * `TextKernels.mdBucket` / `mdBucketSql` — so the engine and its
+  * declared oracle cannot drift apart. Map-only (no shuffle except
+  * the oracle ORDER BY); the filter is codegen'd.
   */
 object SamplingQueries {
 
-  private val bucket =
-    conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100
+  private val bucket = mdBucket(col("doc_id"), 100)
 
   val all: Seq[QueryDef] = Seq(
 
     // Train/val/test split (80/10/10) by hashed doc_id.
     QueryDef(
       "p01_hash_split",
-      """SELECT doc_id,
+      raw"""SELECT doc_id,
         |       CASE WHEN b < 80 THEN 'train'
         |            WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-        |FROM (SELECT doc_id,
-        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-        |          % 100 AS b
+        |FROM (SELECT doc_id, ${mdBucketSql("doc_id", 100)} AS b
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
@@ -51,11 +51,9 @@ object SamplingQueries {
     // same rate regardless of its size; no shuffle, unlike sampleBy).
     QueryDef(
       "p02_stratified_sample",
-      """SELECT source, count(*) AS n_sampled,
+      raw"""SELECT source, count(*) AS n_sampled,
         |       count(DISTINCT doc_id) AS n_distinct
-        |FROM (SELECT source, doc_id,
-        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-        |          % 100 AS b
+        |FROM (SELECT source, doc_id, ${mdBucketSql("doc_id", 100)} AS b
         |      FROM documents)
         |WHERE b < 20
         |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
@@ -78,12 +76,11 @@ object SamplingQueries {
     // reproducible on any partitioning.
     QueryDef(
       "p03_pack_sequences",
-      """WITH t AS (
+      raw"""WITH t AS (
         |  SELECT doc_id,
         |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
         |           AS n_tok,
-        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-        |           % 16 AS shard
+        |         ${mdBucketSql("doc_id", 16)} AS shard
         |  FROM documents),
         |c AS (SELECT doc_id, n_tok, shard,
         |        CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
@@ -93,8 +90,7 @@ object SamplingQueries {
         |       shard * 1000000000000 +
         |       CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 16
+      val shard = mdBucket(col("doc_id"), 16)
       val w = Window.partitionBy("shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.documents(s, d)
@@ -119,9 +115,8 @@ object SamplingQueries {
     // tiny count aggregate on top.
     QueryDef(
       "p05_mixture_resample",
-      """WITH t AS (SELECT source, doc_id,
-        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-        |          % 100 AS b
+      raw"""WITH t AS (SELECT source, doc_id,
+        |        ${mdBucketSql("doc_id", 100)} AS b
         |      FROM documents)
         |SELECT source, count(*) AS n_kept
         |FROM t
@@ -147,17 +142,14 @@ object SamplingQueries {
     // epoch number.
     QueryDef(
       "p04_train_order",
-      """SELECT doc_id, shard,
+      raw"""SELECT doc_id, shard,
         |       CAST(row_number() OVER (PARTITION BY shard
         |              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
         |         AS pos_in_shard
-        |FROM (SELECT doc_id,
-        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-        |          % 8 AS shard
+        |FROM (SELECT doc_id, ${mdBucketSql("doc_id", 8)} AS shard
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 8
+      val shard = mdBucket(col("doc_id"), 8)
       val w = Window.partitionBy("shard")
         .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
       Tables.documents(s, d)
@@ -333,7 +325,10 @@ object SamplingQueries {
         t.repartitionByRange(32, col("n_tok").desc, col("doc_id"))
           .withColumn("pid", spark_partition_id())
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val wOff = Window.orderBy("pid")
+      // ≤32 pid rows by construction; the constant partition key keeps
+      // WindowExec's unpartitioned-window warning for real offenders
+      // (pmod, not a literal — foldable keys get optimized away)
+      val wOff = Window.partitionBy(pmod(col("pid"), lit(1))).orderBy("pid")
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = parts.groupBy("pid").agg(count(lit(1)).as("cnt"))
         .withColumn("off", coalesce(sum("cnt").over(wOff), lit(0L)))
@@ -369,8 +364,8 @@ object SamplingQueries {
     // no order-dependent float addition survives anywhere.
     QueryDef(
       "p09_dsir_weights",
-      """WITH tok AS (SELECT doc_id, source,
-        |        ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS b
+      raw"""WITH tok AS (SELECT doc_id, source,
+        |        ${mdBucketSql("w", 64)} AS b
         |      FROM (SELECT doc_id, source,
         |              unnest(string_split_regex(trim(text), '\s+')) AS w
         |            FROM documents) t),
@@ -396,8 +391,7 @@ object SamplingQueries {
         .select(col("doc_id"), col("source"),
           explode(split(trim(col("text")), "\\s+")).as("w"))
         .select(col("doc_id"), col("source"),
-          (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % 64)
-            .as("b"))
+          mdBucket(col("w"), 64).as("b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val rc = tok.groupBy("b").agg(count(lit(1)).as("rc"))
       val tc = tok.filter(hi).groupBy("b").agg(count(lit(1)).as("tc"))
@@ -438,9 +432,8 @@ object SamplingQueries {
     // exactly the unpruned truth, which the spec pins.
     QueryDef(
       "p10_domain_cap",
-      """WITH hv AS (SELECT source, doc_id,
-        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-        |          AS hv
+      raw"""WITH hv AS (SELECT source, doc_id,
+        |        ${mdHash60Sql("doc_id")} AS hv
         |      FROM documents),
         |cnt AS (SELECT source, count(*) AS cnt FROM hv GROUP BY source),
         |pruned AS (SELECT hv.source, doc_id, hv.hv
@@ -456,8 +449,7 @@ object SamplingQueries {
       (s, d) =>
       val hv = Tables.documents(s, d)
         .select(col("source"), col("doc_id"),
-          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-            .cast("long").as("hv"))
+          mdHash60(col("doc_id")).as("hv"))
       val cnt = hv.groupBy("source").agg(count(lit(1)).as("cnt"))
       val pruned = hv.join(broadcast(cnt), "source")
         .filter(col("hv").cast("double") / lit(1152921504606846976.0) <
@@ -484,11 +476,10 @@ object SamplingQueries {
     // written identically on both sides).
     QueryDef(
       "p11_temperature_mix",
-      """WITH ds AS (SELECT doc_id, source,
+      raw"""WITH ds AS (SELECT doc_id, source,
         |        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
         |          AS n_tok,
-        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-        |          AS hv
+        |        ${mdHash60Sql("doc_id")} AS hv
         |      FROM documents),
         |st AS (SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tok_s
         |       FROM ds GROUP BY source),
@@ -508,8 +499,7 @@ object SamplingQueries {
       val ds = graft.PersistRegistry.track(Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tok"),
-          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-            .cast("long").as("hv"))
+          mdHash60(col("doc_id")).as("hv"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val st = ds.groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok_s"))
@@ -544,7 +534,7 @@ object SamplingQueries {
     // shards in (phase, shard, pos) order.
     QueryDef(
       "p12_curriculum_order",
-      """WITH t AS (SELECT doc_id,
+      raw"""WITH t AS (SELECT doc_id,
         |        CAST(1000 * len(list_distinct(string_split_regex(trim(text), '\s+')))
         |             // len(string_split_regex(trim(text), '\s+')) AS BIGINT)
         |          AS qscore
@@ -552,8 +542,7 @@ object SamplingQueries {
         |ph AS (SELECT doc_id, qscore,
         |         CAST(CASE WHEN qscore < 450 THEN 0 WHEN qscore < 550 THEN 1
         |                   WHEN qscore < 650 THEN 2 ELSE 3 END AS INT) AS phase,
-        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-        |           % 8 AS shard
+        |         ${mdBucketSql("doc_id", 8)} AS shard
         |       FROM t)
         |SELECT doc_id, qscore, phase, shard,
         |       CAST(row_number() OVER (PARTITION BY phase, shard
@@ -569,9 +558,7 @@ object SamplingQueries {
         .withColumn("phase",
           when(col("qscore") < 450, 0).when(col("qscore") < 550, 1)
             .when(col("qscore") < 650, 2).otherwise(3).cast("int"))
-        .withColumn("shard",
-          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-            .cast("long") % 8)
+        .withColumn("shard", mdBucket(col("doc_id"), 8))
         .withColumn("pos", row_number().over(w).cast("bigint"))
         .orderBy("doc_id")
     },
@@ -591,11 +578,10 @@ object SamplingQueries {
     // growth within a shard-stream's md5 prefix order.
     QueryDef(
       "p13_token_budget_cut",
-      """WITH t AS (SELECT doc_id, source,
+      raw"""WITH t AS (SELECT doc_id, source,
         |        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
         |          AS n_tok,
-        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-        |          % 8 AS shard
+        |        ${mdBucketSql("doc_id", 8)} AS shard
         |      FROM documents),
         |r AS (SELECT doc_id, source, shard, n_tok,
         |        CAST(sum(n_tok) OVER (PARTITION BY source, shard
@@ -612,8 +598,7 @@ object SamplingQueries {
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tok"),
-          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-            .cast("long") % 8).as("shard"))
+          mdBucket(col("doc_id"), 8).as("shard"))
         .withColumn("cum_tok", sum("n_tok").over(w).cast("bigint"))
         .filter(col("cum_tok") <= lit(800 / 8))
         .orderBy("doc_id")
@@ -633,15 +618,13 @@ object SamplingQueries {
     // collect_list per group is O(context window), not O(N).
     QueryDef(
       "p14_pack_emit",
-      """WITH t AS (
+      raw"""WITH t AS (
         |  SELECT doc_id,
         |         list_transform(string_split_regex(trim(text), '\s+'),
-        |           x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % 32768)
-        |           AS ids,
+        |           x -> ${mdBucketSql("x", 32768)}) AS ids,
         |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
         |           AS n_tok,
-        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-        |           % 16 AS shard
+        |         ${mdBucketSql("doc_id", 16)} AS shard
         |  FROM documents),
         |c AS (SELECT doc_id, ids, n_tok, shard,
         |        CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
@@ -659,15 +642,13 @@ object SamplingQueries {
         |       md5(array_to_string(flatten(list(ids ORDER BY doc_id)), ','))
         |         AS ids_sig
         |FROM p GROUP BY pack_id ORDER BY pack_id""".stripMargin) { (s, d) =>
-      val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 16
+      val shard = mdBucket(col("doc_id"), 16)
       val w = Window.partitionBy("shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.documents(s, d)
         .select(col("doc_id"),
           transform(split(trim(col("text")), "\\s+"),
-            x => conv(substring(md5(x), 1, 8), 16, 10).cast("long") % 32768)
-            .as("ids"),
+            x => mdBucket(x, 32768)).as("ids"),
           size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tok"),
           shard.as("shard"))
         .withColumn("cum", sum(col("n_tok")).over(w))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextKernels
 import graft.sources.Tables
 import DedupQueries.{cosine, dotL, quantized, quantizedSql}
 import graft.plans.GraftExtensions
@@ -403,8 +404,8 @@ object SimilarityQueries {
     s"""WITH n AS ($quantizedSql),
         |dots AS (SELECT vec_id, p,
         |           CAST(list_sum(list_transform(generate_series(1, len(r)),
-        |             j -> ((CAST(('0x' || substr(md5(p || ':' || j), 1, 8)) AS BIGINT)
-        |                    % 2001) - 1000) * r[j])) AS BIGINT) AS pd
+        |             j -> (${TextKernels.mdBucketSql("p || ':' || j", 2001)}
+        |                   - 1000) * r[j])) AS BIGINT) AS pd
         |         FROM n, generate_series(0, 7) t(p)),
         |buck AS (SELECT vec_id,
         |           CAST(sum(CASE WHEN pd > 0 THEN (1::BIGINT << p) ELSE 0 END)
@@ -1319,8 +1320,16 @@ object SimilarityQueries {
         |FROM bmr FULL OUTER JOIN csr ON bmr.doc_id = csr.doc_id
         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
       // both rank windows run over ≤50 rows (post-TakeOrdered), so the
-      // single-partition global window is a constant-sized step
-      val wB = Window.orderBy(col("bm25").desc, col("doc_id"))
+      // single-partition global window is a constant-sized step; the
+      // constant partition key states that on the plan itself —
+      // execution is identical, but WindowExec's "No Partition
+      // Defined" warning (a real alarm on unbounded input) no longer
+      // fires for a window that is bounded by construction. pmod(k,1)
+      // = 0 rather than lit(0): a foldable key would be stripped by
+      // the optimizer (EliminateWindowPartitions), resurrecting the
+      // warning.
+      val wB = Window.partitionBy(pmod(col("doc_id"), lit(1)))
+        .orderBy(col("bm25").desc, col("doc_id"))
       val bmr = bm25Scored(s, d)
         .orderBy(col("bm25").desc, col("doc_id")).limit(50)
         .withColumn("rb", row_number().over(wB)).select("doc_id", "rb")
@@ -1339,7 +1348,8 @@ object SimilarityQueries {
         .select(col("doc_id"), round(col("qdot").cast("double") /
           (sqrt(lit(3.0)) * sqrt(col("nn2").cast("double"))), 6).as("lexcos"))
         .orderBy(col("lexcos").desc, col("doc_id")).limit(50)
-      val wC = Window.orderBy(col("lexcos").desc, col("doc_id"))
+      val wC = Window.partitionBy(pmod(col("doc_id"), lit(1)))
+        .orderBy(col("lexcos").desc, col("doc_id"))
       val csr = cs.withColumn("rc", row_number().over(wC))
         .select(col("doc_id").as("c_doc_id"), col("rc"))
       bmr.join(csr, col("doc_id") === col("c_doc_id"), "full_outer")
@@ -1547,11 +1557,9 @@ object SimilarityQueries {
       "v19_ann_join",
       s"""WITH n AS ($quantizedSql),
         |q AS (SELECT vec_id AS query_id, label, r AS rq, nn AS nnq FROM n
-        |      WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
-        |            % 10 = 0),
+        |      WHERE ${TextKernels.mdBucketSql("vec_id", 10)} = 0),
         |c AS (SELECT vec_id AS neighbor_id, label, r AS rc, nn AS nnc FROM n
-        |      WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
-        |            % 10 <> 0),
+        |      WHERE ${TextKernels.mdBucketSql("vec_id", 10)} <> 0),
         |cs AS (SELECT query_id, neighbor_id,
         |         CAST(list_sum(list_transform(generate_series(1, len(rq)),
         |                i -> rq[i] * rc[i])) AS DOUBLE)
@@ -1565,8 +1573,7 @@ object SimilarityQueries {
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
       GraftExtensions.register(s) // native codegen dot_long (plans.DotLong)
       val n = quantized(s, d)
-      val bucket = conv(substring(md5(col("vec_id").cast("string")), 1, 8),
-        16, 10).cast("long") % 10
+      val bucket = TextKernels.mdBucket(col("vec_id"), 10)
       val q = n.filter(bucket === 0)
         .select(col("vec_id").as("query_id"), col("label"),
           col("r").as("rq"), col("nn").as("nnq"))

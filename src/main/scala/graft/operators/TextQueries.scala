@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextKernels.{mdBucket, mdBucketSql}
 import graft.sources.Tables
 
 /** Text-analysis operators over the `documents` table — the
@@ -544,13 +545,12 @@ object TextQueries {
     // and drop out on both engines.
     QueryDef(
       "t18_bigram_lm",
-      """WITH toks AS (SELECT doc_id, source,
+      raw"""WITH toks AS (SELECT doc_id, source,
         |          string_split_regex(trim(text), '\s+') AS ws
         |        FROM documents),
         |bg AS (SELECT doc_id, source,
-        |         ('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 8))::BIGINT
-        |           % 4096 AS b,
-        |         ('0x' || substr(md5(ws[i]), 1, 8))::BIGINT % 4096 AS c
+        |         ${mdBucketSql("ws[i] || ' ' || ws[i+1]", 4096)} AS b,
+        |         ${mdBucketSql("ws[i]", 4096)} AS c
         |       FROM (SELECT doc_id, source, ws,
         |               unnest(range(1, len(ws))) AS i
         |             FROM toks WHERE len(ws) >= 2) t),
@@ -569,7 +569,7 @@ object TextQueries {
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val hi = col("source").isin("src0", "src1", "src2", "src3")
       def bin(c: org.apache.spark.sql.Column) =
-        conv(substring(md5(c), 1, 8), 16, 10).cast("long") % 4096
+        graft.functions.TextKernels.mdBucket(c, 4096)
       val bg = graft.PersistRegistry.track(Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           split(trim(col("text")), "\\s+").as("ws"))

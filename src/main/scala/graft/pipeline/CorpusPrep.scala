@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.QualityGate
+import graft.functions.{QualityGate, TextKernels}
 
 /** End-to-end training-corpus preparation — the composition a user of
   * this engine actually runs, built from the oracle-checked pieces:
@@ -33,7 +33,7 @@ object CorpusPrep {
       metrics: Observation)
 
   private def bucket(c: org.apache.spark.sql.Column) =
-    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 100
+    TextKernels.mdBucket(c, 100)
 
   def prepare(spark: SparkSession, docs: DataFrame,
       minTokens: Int = 20, packBudget: Long = 2048L,
@@ -71,8 +71,7 @@ object CorpusPrep {
 
     // 5. pack the train split: next-fit within md5-shards (packing is
     // sequential; sharding is what parallelizes it)
-    val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % shards
+    val shard = TextKernels.mdBucket(col("doc_id"), shards)
     val pw = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val train = trainClean
@@ -113,8 +112,7 @@ object CorpusPrep {
     * the same document set, different for any insertion/removal. */
   private def checksum(df: DataFrame): Long = {
     val M = 2305843009213693951L // 2^61 - 1
-    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val h = TextKernels.mdHash60(col("doc_id"))
     // sum in decimal(38,0): Long sums of 2^61-sized terms overflow
     df.agg((sum((h % M).cast("decimal(38,0)")) % M).cast("long"))
       .head.getLong(0)

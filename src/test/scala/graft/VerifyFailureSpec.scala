@@ -11,12 +11,19 @@ import org.scalatest.funsuite.AnyFunSuite
 class VerifyFailureSpec extends AnyFunSuite {
   import TestSpark._
 
-  test("a failing query leaves a marker frame and a verify_errors entry") {
+  test("a failing query leaves a marker frame, a verify_errors entry, " +
+      "and a nonzero exit code") {
     val out = java.nio.file.Files.createTempDirectory("vfail").toString
     // a nonexistent corpus dir makes every query throw at plan time;
     // the subset arg skips the boatrace base dump (whose absence is a
     // separate, already-fail-fast path)
-    Verify.main(Array("/tmp/graft_no_such_corpus", out, "q01_scan_project"))
+    val rc = Verify.run(Array("/tmp/graft_no_such_corpus", out,
+      "q01_scan_project"))
+
+    // rc-keying callers must see the failure without opening artifacts
+    // (main wraps run's rc in sys.exit — asserting here pins the
+    // process contract without killing the test JVM)
+    assert(rc === 1)
 
     // the failed query's output slot holds the marker frame — the
     // driver's compare turns it into a schema-mismatch row carrying
@@ -32,5 +39,34 @@ class VerifyFailureSpec extends AnyFunSuite {
     val errs = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$out/verify_errors.json")), "UTF-8")
     assert(errs.contains("\"q01_scan_project\""))
+  }
+
+  test("a queries-only run that succeeds exits 0") {
+    val out = java.nio.file.Files.createTempDirectory("vok").toString
+    val rc = Verify.run(Array(TestSpark.sf, out, "q25_schema_introspection"))
+    assert(rc === 0)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/DUMP_FAILED")))
+  }
+
+  test("a base-dump failure writes DUMP_FAILED and aborts with rc 1 " +
+      "before any query runs") {
+    val out = java.nio.file.Files.createTempDirectory("vdump").toString
+    // a plain FILE squatting on the dump directory makes the parquet
+    // writer's mkdirs fail — the injected dump failure
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/boatrace_base"), "not a directory")
+    val rc = Verify.run(Array(TestSpark.sf, out))
+    assert(rc === 1)
+    val msg = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/DUMP_FAILED")), "UTF-8")
+    assert(msg.contains("boatrace base dump failed"))
+    // the abort is BEFORE the query loop: no per-query output and no
+    // oracle_sql.json — one self-explanatory failure, not 150 cryptic
+    // downstream ones
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/oracle_sql.json")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/q01_scan_project")))
   }
 }
