@@ -42,10 +42,17 @@ object ScaleCheck {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     val shift = 1000000000L
+    // SPARK_GRAFT_SCALE_TABLES=embeddings,documents restricts the N×
+    // build to the tables the selected queries actually read — a
+    // single-family measurement (e.g. v19 over embeddings only) must
+    // not pay a 50× lineitem rebuild it never scans
+    val tableSubset = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // reuse requires the _SUCCESS marker, not mere directory existence:
     // a crashed prior build leaves a partial directory that would be
     // silently timed against, producing wrong scale ratios
     for ((t, keys) <- keyCols
+         if tableSubset.forall(_.contains(t))
          if !(reuse &&
            new java.io.File(s"$out/$t.parquet/_SUCCESS").exists())) {
       val src = spark.read.parquet(s"$base/$t.parquet")

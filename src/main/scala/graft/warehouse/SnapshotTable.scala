@@ -141,6 +141,16 @@ object SnapshotTable {
   def versions(dir: String): Seq[Int] =
     (0 to currentVersion(dir).getOrElse(-1)).toSeq
 
+  /** Live data-file paths of a version (default CURRENT): the commit
+    * manifest, exposed so a caller can adopt one commit's immutable
+    * files directly (e.g. StageSnapshots reading an overwrite
+    * commit's single data directory as plain parquet). */
+  def dataFiles(dir: String, version: Int = -1): Seq[String] = {
+    val v = if (version >= 0) Some(version) else currentVersion(dir)
+    v.map(manifestFiles(dir, _)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $dir"))
+  }
+
   /** Retention sweep: keep the last `keepVersions` versions, delete
     * every data file no retained manifest references, and drop the
     * expired manifests. Run OUT-OF-BAND of readers of expired

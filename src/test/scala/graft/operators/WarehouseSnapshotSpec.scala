@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-session stage-snapshot persistence: with
+  * `spark.graft.snapshotWarehouse` set, a snapshot built in one
+  * session is committed through SnapshotTable's ledger and a FRESH
+  * session (cold session cache) adopts it with zero recompute — the
+  * 100 TB deployment shape, where the IVF index / PQ codebook build
+  * dwarfs query cost and a restart must not retrain. Staleness is
+  * structural: the commit carries a fingerprint of the input data
+  * dir, and a changed corpus mismatches and rebuilds.
+  */
+class WarehouseSnapshotSpec extends AnyFunSuite {
+  import graft.TestSpark.spark
+
+  private def newDataDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("whsnap-data")
+    java.nio.file.Files.writeString(d.resolve("corpus.txt"), "v1 content")
+    d.toString
+  }
+
+  test("a committed snapshot is reused by a fresh session at matching " +
+      "fingerprint, and rebuilt when the corpus changes") {
+    val wh = java.nio.file.Files.createTempDirectory("whsnap-root").toString
+    val data = newDataDir()
+    spark.conf.set("spark.graft.snapshotWarehouse", wh)
+    try {
+      import spark.implicits._
+      var builds = 0
+      def build = { builds += 1; Seq((1L, "a"), (2L, "b")).toDF("id", "v") }
+
+      // session A: first consumer builds and commits
+      val r1 = StageSnapshots.snapshot(spark, data, "test-index")(build)
+        .orderBy("id").collect().map(_.getString(1)).toSeq
+      assert(builds === 1)
+      assert(r1 === Seq("a", "b"))
+
+      // session A again: session cache serves it
+      StageSnapshots.snapshot(spark, data, "test-index")(build).count()
+      assert(builds === 1)
+
+      // "restart": cold session cache — the warehouse commit, not the
+      // builder, must satisfy the read (fingerprint matches)
+      StageSnapshots.invalidateSessionCache()
+      val r2 = StageSnapshots.snapshot(spark, data, "test-index")(build)
+        .orderBy("id").collect().map(_.getString(1)).toSeq
+      assert(builds === 1, "restarted session retrained despite a " +
+        "committed snapshot at matching fingerprint")
+      assert(r2 === r1)
+
+      // corpus changes (new file in the data dir) -> fingerprint
+      // mismatch -> the stale commit must NOT be adopted
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(data, "delta.txt"), "new arrivals")
+      StageSnapshots.invalidateSessionCache()
+      StageSnapshots.snapshot(spark, data, "test-index")(build).count()
+      assert(builds === 2, "changed corpus was served a stale snapshot")
+
+      // the rebuild committed a NEW ledger version over the stale one
+      val tdirs = new java.io.File(wh).listFiles().filter(_.isDirectory)
+      assert(tdirs.length === 1)
+      assert(graft.warehouse.SnapshotTable.versions(
+        tdirs.head.toString) === Seq(0, 1))
+    } finally {
+      spark.conf.unset("spark.graft.snapshotWarehouse")
+      StageSnapshots.invalidateSessionCache()
+    }
+  }
+
+  test("defining queries always recompute and commit a fresh version " +
+      "even in warehouse mode (the honest-measurement contract)") {
+    val wh = java.nio.file.Files.createTempDirectory("whsnap-root2").toString
+    val data = newDataDir()
+    spark.conf.set("spark.graft.snapshotWarehouse", wh)
+    try {
+      import spark.implicits._
+      var builds = 0
+      def build = { builds += 1; Seq((builds.toLong, "x")).toDF("id", "v") }
+
+      StageSnapshots.define(spark, data, "test-def")(build).count()
+      StageSnapshots.define(spark, data, "test-def")(build).count()
+      assert(builds === 2, "a DEFINING query must pay its real cost")
+      val tdir = new java.io.File(wh).listFiles()
+        .filter(_.isDirectory).head.toString
+      assert(graft.warehouse.SnapshotTable.versions(tdir) === Seq(0, 1))
+      // and a later consumer (fresh session) adopts the LATEST commit
+      StageSnapshots.invalidateSessionCache()
+      val got = StageSnapshots.snapshot(spark, data, "test-def")(build)
+        .collect().map(_.getLong(0)).toSeq
+      assert(builds === 2)
+      assert(got === Seq(2L))
+    } finally {
+      spark.conf.unset("spark.graft.snapshotWarehouse")
+      StageSnapshots.invalidateSessionCache()
+    }
+  }
+
+  test("without the warehouse conf, snapshots stay session-scoped " +
+      "(temp-dir path, no warehouse directories created)") {
+    val data = newDataDir()
+    import spark.implicits._
+    var builds = 0
+    def build = { builds += 1; Seq((1L, "a")).toDF("id", "v") }
+    StageSnapshots.snapshot(spark, data, "test-plain")(build).count()
+    assert(builds === 1)
+    StageSnapshots.invalidateSessionCache()
+    // cold cache and no warehouse -> must rebuild
+    StageSnapshots.snapshot(spark, data, "test-plain")(build).count()
+    assert(builds === 2)
+  }
+}
