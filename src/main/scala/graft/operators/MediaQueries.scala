@@ -48,25 +48,35 @@ object MediaQueries {
     },
 
     // Batched stub-decode feature extraction (MediaOps.extractFeatures
-    // — mapPartitions with bounded batches). The stub's byte
-    // statistics ARE SQL-expressible for this ASCII corpus (bytes ==
-    // chars), so the oracle states them over the text — a real codec
-    // would drop this to a rows-only check.
+    // — mapPartitions with bounded batches). The stub's statistics are
+    // over the payload BYTES (a codec sees bytes, not characters), so
+    // the oracle recomputes them byte-true through hex() — byte i of
+    // the payload is hex chars [2i-1, 2i] — and parity holds for any
+    // UTF-8 corpus, not just an all-ASCII fixture. A real codec would
+    // drop this to a rows-only check.
     QueryDef(
       "m03_media_features",
-      """SELECT doc_id, 'blob/' || source AS format,
-        |       CAST(length(text) AS DOUBLE) AS f_len,
-        |       CASE WHEN length(text) = 0 THEN 0.0 ELSE
-        |         CAST(list_sum(list_transform(string_split(text, ''),
-        |                c -> ord(c))) AS DOUBLE) / length(text) END AS f_mean,
-        |       CASE WHEN length(text) = 0 THEN 0.0 ELSE
-        |         CAST(list_max(list_transform(string_split(text, ''),
-        |                c -> ord(c))) AS DOUBLE) END AS f_max,
-        |       CASE WHEN length(text) = 0 THEN 0.0 ELSE
-        |         CAST(len(list_distinct(string_split(text, ''))) AS DOUBLE) END
-        |         AS f_distinct,
+      """WITH m AS (SELECT doc_id, 'blob/' || source AS format,
+        |                  hex(encode(text)) AS hx,
+        |                  octet_length(encode(text)) AS L
+        |           FROM documents),
+        |v AS (SELECT doc_id, ('0x' || substr(hx, CAST(2*i-1 AS INT), 2))::BIGINT
+        |               AS bv
+        |      FROM (SELECT doc_id, hx, unnest(range(1, L + 1)) AS i FROM m) t),
+        |a AS (SELECT doc_id, sum(bv) AS s, max(bv) AS mx,
+        |             count(DISTINCT bv) AS nd
+        |      FROM v GROUP BY doc_id)
+        |SELECT m.doc_id, format,
+        |       CAST(L AS DOUBLE) AS f_len,
+        |       CASE WHEN L = 0 THEN 0.0
+        |            ELSE CAST(a.s AS DOUBLE) / L END AS f_mean,
+        |       CASE WHEN L = 0 THEN 0.0
+        |            ELSE CAST(a.mx AS DOUBLE) END AS f_max,
+        |       CASE WHEN L = 0 THEN 0.0
+        |            ELSE CAST(a.nd AS DOUBLE) END AS f_distinct,
         |       'stub-v1' AS decoder
-        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+        |FROM m LEFT JOIN a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
       MediaOps.extractFeatures(s,
           MediaOps.mediaTable(Tables.documents(s, d)))
         .select(col("doc_id"), col("format"),
@@ -79,15 +89,18 @@ object MediaQueries {
     // Batched stub resize (MediaOps.resize — box-average the payload
     // bytes into 64 buckets; the resample shape for image thumbnails /
     // audio downsampling). The bucket rule (i·W div L, floored mean)
-    // is pure integer arithmetic, so the oracle restates it over the
-    // ASCII text and the md5 of the resized signal matches exactly.
+    // is pure integer arithmetic over the payload BYTES; the oracle
+    // recomputes the byte values through hex() (m03's recipe) so the
+    // md5 of the resized signal matches exactly on any UTF-8 corpus.
     QueryDef(
       "m04_media_resize",
-      """WITH pos AS (SELECT doc_id, text, length(text) AS L,
-        |                    unnest(generate_series(1, length(text))) AS i
-        |             FROM documents),
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |                  octet_length(encode(text)) AS L
+        |           FROM documents),
+        |pos AS (SELECT doc_id, L, hx, unnest(range(1, L + 1)) AS i FROM m),
         |bk AS (SELECT doc_id, CAST(((i-1) * 64) // L AS INT) AS j,
-        |              CAST(sum(ord(substr(text, CAST(i AS INT), 1)))
+        |              CAST(sum(('0x' || substr(hx, CAST(2*i-1 AS INT), 2))
+        |                       ::BIGINT)
         |                   // count(*) AS INT) AS bv
         |       FROM pos GROUP BY doc_id, j)
         |SELECT doc_id, CAST(count(*) AS INT) AS out_len,

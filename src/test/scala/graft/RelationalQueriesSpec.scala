@@ -149,7 +149,7 @@ class RelationalQueriesSpec extends AnyFunSuite {
     // and the oracle-checked bound columns all hold
     val rows = SparkEntry.queries("q29_approx_sketches")(spark, sf).collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(r => r.getBoolean(2) && r.getBoolean(3)),
+    assert(rows.forall(r => r.getBoolean(1) && r.getBoolean(2)),
       "sketch estimate escaped its declared envelope")
   }
 

@@ -18,10 +18,13 @@ from pathlib import Path
 # Rooted package imports (com./net./io./ai./org./…) that are not on the
 # public allowlist are hits. Imports of local vals (e.g.
 # `import spark.implicits._`) are fine and not rooted-package-shaped.
+# org.json4s is allowlisted: it is a public open-source library that
+# SHIPS IN Spark's own jars (/opt/spark/jars/json4s-*) — Bench uses it
+# to parse the prior round's bench_detail.json for the regression gate.
 PUBLIC_IMPORT = re.compile(
     r"^\s*import\s+(?=(?:com|net|io|ai|dev|co|org)\.)"
     r"(?!org\.apache\.spark\b|org\.apache\.hadoop\b|org\.scalatest\b"
-    r"|org\.scalacheck\b)([A-Za-z_][\w.]*)")
+    r"|org\.scalacheck\b|org\.json4s\b)([A-Za-z_][\w.]*)")
 
 PATTERNS = {
     # any URL that is not an Apache/Scala doc link or the reference's
