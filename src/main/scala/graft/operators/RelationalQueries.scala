@@ -568,27 +568,28 @@ object RelationalQueries {
     // error (tighter, engine-specific).
     QueryDef(
       "q29_approx_sketches",
-      """SELECT o_orderpriority,
-        |       count(DISTINCT o_custkey) AS exact_customers,
+      """SELECT count(DISTINCT o_custkey) AS exact_customers,
         |       TRUE AS hll_within_3rsd,
         |       TRUE AS amed_within_decile
-        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin) {
-      (s, d) =>
+        |FROM orders""".stripMargin) { (s, d) =>
       Tables.orders(s, d)
-        .groupBy("o_orderpriority")
         .agg(
           count_distinct(col("o_custkey")).as("exact_customers"),
           approx_count_distinct("o_custkey").as("hll"),
           percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
             .as("amed"),
-          percentile(col("o_totalprice"), lit(0.45)).as("p45"),
-          percentile(col("o_totalprice"), lit(0.55)).as("p55"))
-        .select(col("o_orderpriority"), col("exact_customers"),
+          // one exact-percentile aggregate carries both band edges —
+          // the envelope's only added cost over the round-8 form (a
+          // grouped variant tripled the query's time by mixing the
+          // distinct Expand with per-group object aggregates; the
+          // bench regression gate caught it, scope stays global)
+          percentile(col("o_totalprice"),
+            array(lit(0.45), lit(0.55))).as("band"))
+        .select(col("exact_customers"),
           (abs(col("hll") - col("exact_customers")).cast("double") <=
             col("exact_customers") * 0.15).as("hll_within_3rsd"),
-          col("amed").between(col("p45"), col("p55"))
-            .as("amed_within_decile"))
-        .orderBy("o_orderpriority")
+          col("amed").between(element_at(col("band"), 1),
+            element_at(col("band"), 2)).as("amed_within_decile"))
     },
 
     // Salted join (skew mitigation): identical results to the plain
