@@ -159,7 +159,10 @@ object ScaleCheck {
       "v19_ann_join", "p13_token_budget_cut",
       // p14: p03's shard window + a pack_id groupBy whose groups are
       // bounded by the context budget — collect never sees O(N)
-      "p14_pack_emit")
+      "p14_pack_emit",
+      // m06: map-only aHash fingerprints + the 4-shorts-per-media
+      // band join; the 2..200 band cap bounds candidate buckets
+      "m06_phash_neardup")
     val heavySuite = Seq("q07_multijoin_agg", "q44_star_join_q5",
       "d02_minhash_lsh", "q33_ranking_functions",
       "q10_window_topk_per_group", "d09_ivf_neardup")

@@ -189,5 +189,131 @@ object MediaQueries {
         .agg(count(lit(1)).cast("int").as("shared_frames"))
         .orderBy("doc_a", "doc_b")
     },
+
+    // Perceptual-hash media NEAR-dup — the pHash/aHash video-dedup
+    // shape m05's exact frame signatures cannot cover (a re-encoded
+    // or slightly-edited payload shares zero exact frames but nearly
+    // identical coarse structure): aHash over m04's stub-resized
+    // signal. Per eligible payload: 64 box-averaged byte buckets
+    // (the resize stub), a 60-bit fingerprint (bit j set iff
+    // bucket[j]·64 > Σbuckets, strictly — integer-exact on both
+    // engines; 60 bits keeps the BIGINT non-negative, the d14
+    // convention), then d14's banding: 4 bands × 15 bits, candidates
+    // share a band value, confirmed at true Hamming <= 3 via
+    // bit_count(xor).
+    //
+    // The corpus plants no positionally-aligned payload variants
+    // (measured: the minimum fingerprint distance between DISTINCT
+    // docs is 10 of 60 bits), so the operator is demonstrated the
+    // way v06 demonstrates recall — on a deterministic synthetic
+    // RE-ENCODE probe: each eligible payload gets a twin (doc_id +
+    // 10^9) whose resized signal is perturbed by +1 on every 7th
+    // bucket, the stand-in for lossy re-encoding. The pipeline must
+    // match twins to their originals (Hamming <= 3 — the probe's
+    // planted truth) and pair no unrelated docs (their distance
+    // floor is 10). Scale: fingerprinting is map-only on top of the
+    // resize; the band join shuffles 4 shorts per media. aHash's
+    // resolution is FIXED at 60 bits, so unlike d14 the keyspace
+    // cannot grow with N by widening bands — measured at 25x, the
+    // bare (band, value) key went in-bucket quadratic (107.9x
+    // shuffle for 25x data, v13's fixed-keyspace lesson). The
+    // production blocking answer is a SECOND key that a re-encode
+    // preserves: the payload-size band (L div 64) joins the
+    // candidate key, spreading hot fingerprint patterns across size
+    // classes while twins (same size by construction, as a real
+    // re-encode approximately is) always collide. The 2..200
+    // band-frequency cap (m05's hot-frame rule) still bounds any
+    // residual degenerate bucket. Byte semantics throughout via the
+    // m03/m04 hex recipe — parity on any corpus.
+    QueryDef(
+      "m06_phash_neardup",
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |                  octet_length(encode(text)) AS L
+        |           FROM documents
+        |           WHERE octet_length(encode(text)) >= 128),
+        |pos AS (SELECT doc_id, L, hx, unnest(range(1, L + 1)) AS i FROM m),
+        |bk AS (SELECT doc_id, CAST(((i-1) * 64) // L AS INT) AS j,
+        |              CAST(sum(('0x' || substr(hx, CAST(2*i-1 AS INT), 2))
+        |                       ::BIGINT)
+        |                   // count(*) AS INT) AS bv
+        |       FROM pos GROUP BY doc_id, j),
+        |al AS (SELECT doc_id, j, bv FROM bk
+        |       UNION ALL
+        |       SELECT doc_id + 1000000000, j,
+        |              bv + CASE WHEN j % 7 = 0 THEN 1 ELSE 0 END
+        |       FROM bk),
+        |tot AS (SELECT doc_id, sum(bv) AS tot FROM al GROUP BY doc_id),
+        |fp AS (SELECT al.doc_id,
+        |         CAST(sum(CASE WHEN j < 60 AND bv * 64 > tot
+        |                       THEN (1::BIGINT << j) ELSE 0 END)
+        |              AS BIGINT) AS fp
+        |       FROM al JOIN tot USING (doc_id) GROUP BY al.doc_id),
+        |bands AS (SELECT f.doc_id, f.fp, b,
+        |                 (f.fp >> (b*15)) & 32767 AS bv, m.L // 64 AS sz
+        |          FROM fp f JOIN m ON m.doc_id = f.doc_id % 1000000000,
+        |               generate_series(0, 3) t(b)),
+        |keep AS (SELECT b, bv, sz FROM bands GROUP BY b, bv, sz
+        |         HAVING count(*) BETWEEN 2 AND 200),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        |                a.fp AS fa, c.fp AS fb
+        |         FROM bands a JOIN keep USING (b, bv, sz)
+        |              JOIN bands c ON a.b = c.b AND a.bv = c.bv
+        |               AND a.sz = c.sz AND a.doc_id < c.doc_id)
+        |SELECT doc_a, doc_b,
+        |       CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val media = MediaOps.mediaTable(Tables.documents(s, d))
+        .filter(length(col("payload")) >= 128)
+      val rs = MediaOps.resize(s, media) // doc_id, out_len, resized
+      // L >= 128 => every one of the 64 buckets is populated
+      val twins = rs.select(
+        (col("doc_id") + 1000000000L).as("doc_id"),
+        transform(col("resized"),
+          (v, j) => v + when(j % 7 === 0, 1).otherwise(0)).as("resized"))
+      val withTot = rs.select(col("doc_id"), col("resized"))
+        .unionByName(twins)
+        .select(col("doc_id"), col("resized"),
+          aggregate(col("resized"), lit(0L), (a, v) => a + v).as("tot"))
+      val fpCol = (0 until 60).map { j =>
+        when(element_at(col("resized"), j + 1).cast("long") * 64 >
+          col("tot"), lit(1L << j)).otherwise(0L)
+      }.reduce(_ + _)
+      val fp = graft.PersistRegistry.track(
+        withTot.select(col("doc_id"), fpCol.as("fp"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // size band of the ORIGINAL payload (twins share it by
+      // construction, as a real re-encode approximately preserves
+      // size) — the second blocking key that keeps hot fingerprint
+      // patterns from going in-bucket quadratic at corpus scale
+      val sizes = media.select(col("doc_id").as("sz_id"),
+        expr("CAST(length(payload) div 64 AS BIGINT)").as("sz"))
+      val bands = fp
+        .select(col("doc_id"), col("fp"),
+          explode(sequence(lit(0), lit(3))).as("b"))
+        .select(col("doc_id"), col("fp"), col("b"),
+          expr("shiftright(fp, b * 15) & CAST(32767 AS BIGINT)").as("bv"))
+        // N-row side: a plain equi-join on the de-shifted id (NOT a
+        // broadcast — the size table grows with the corpus)
+        .join(sizes, col("doc_id") % 1000000000L === col("sz_id"))
+        .drop("sz_id")
+      val keep = bands.groupBy("b", "bv", "sz")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, 200))
+        .select("b", "bv", "sz")
+      val rare = bands.join(keep, Seq("b", "bv", "sz"))
+      val a = rare.select(col("b").as("ba"), col("bv").as("bva"),
+        col("sz").as("sza"), col("doc_id").as("doc_a"), col("fp").as("fa"))
+      val c = rare.select(col("b").as("bc"), col("bv").as("bvc"),
+        col("sz").as("szc"), col("doc_id").as("doc_b"), col("fp").as("fb"))
+      a.join(c, col("ba") === col("bc") && col("bva") === col("bvc") &&
+          col("sza") === col("szc") && col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "fa", "fb").distinct()
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("fa").bitwiseXOR(col("fb"))).cast("int")
+            .as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    },
   )
 }

@@ -36,7 +36,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "p12_curriculum_order",   // threshold phases + per-shard windows
     "v19_ann_join",           // cell-cogrouped two-table ANN join
     "p13_token_budget_cut",   // per-stream quota running-sum cut
-    "p14_pack_emit")          // ordered pack flatten + fingerprint
+    "p14_pack_emit",          // ordered pack flatten + fingerprint
+    "m06_phash_neardup")      // aHash fingerprint + banded confirm
 
   test("representative queries are identical under different parallelism") {
     val key = "spark.sql.shuffle.partitions"
