@@ -1745,5 +1745,53 @@ object RelationalQueries {
         .select("us", "concurrent")
         .orderBy("us")
     },
+
+    // Recursive CTE — hierarchy traversal + subtree rollup, the
+    // WITH RECURSIVE surface Spark gained in 4.x (and the last
+    // query-language family the suite lacked; before it, iterative
+    // reachability needed hand-rolled loops like d08's fixpoint).
+    // The corpus carries no parent column, so the hierarchy is a
+    // DECLARED deterministic forest over doc_id — parent(d) =
+    // (d-1) div 8, root 0 — an 8-ary tree of depth ⌈log8 N⌉. The
+    // recursion enumerates each doc's ancestor path (strictly
+    // decreasing ids ⇒ guaranteed termination; N·log8 N path rows
+    // total), then one groupBy rolls every node's subtree size,
+    // token mass, and height. Scale: each recursion step is one
+    // equi-join of the surviving frontier — log-depth iteration,
+    // exactly the engine-native form of d08's propagation loop; the
+    // rollup is a single map-side-combinable aggregate. DuckDB runs
+    // the identical WITH RECURSIVE text, integer arithmetic only.
+    QueryDef(
+      "q67_recursive_hierarchy",
+      raw"""WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
+        |  SELECT doc_id, doc_id, 0 FROM documents
+        |  UNION ALL
+        |  SELECT a.doc_id, (a.anc_id - 1) // 8, a.depth + 1
+        |  FROM anc a WHERE a.anc_id > 0),
+        |tok AS (SELECT doc_id,
+        |          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |            AS n_tok
+        |        FROM documents)
+        |SELECT anc_id AS node_id, count(*) AS n_desc,
+        |       CAST(sum(n_tok) AS BIGINT) AS subtree_tokens,
+        |       CAST(max(depth) AS INT) AS subtree_height
+        |FROM anc JOIN tok USING (doc_id)
+        |GROUP BY anc_id ORDER BY node_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).createOrReplaceTempView("docs_rec")
+      s.sql(
+        raw"""WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
+          |  SELECT doc_id, doc_id, 0 FROM docs_rec
+          |  UNION ALL
+          |  SELECT a.doc_id, (a.anc_id - 1) div 8, a.depth + 1
+          |  FROM anc a WHERE a.anc_id > 0),
+          |tok AS (SELECT doc_id,
+          |          CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tok
+          |        FROM docs_rec)
+          |SELECT anc_id AS node_id, count(*) AS n_desc,
+          |       CAST(sum(n_tok) AS BIGINT) AS subtree_tokens,
+          |       CAST(max(depth) AS INT) AS subtree_height
+          |FROM anc JOIN tok USING (doc_id)
+          |GROUP BY anc_id ORDER BY node_id""".stripMargin)
+    },
   )
 }

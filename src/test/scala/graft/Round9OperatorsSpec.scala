@@ -49,4 +49,34 @@ class Round9OperatorsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids.subsetOf(eligible))
   }
+
+  test("q67: the recursive rollup is a consistent forest invariant") {
+    val rows = SparkEntry.queries("q67_recursive_hierarchy")(spark, sf)
+      .collect()
+    PersistRegistry.release()
+    val byNode = rows.map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    val docs = Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val totalTokens = docs
+      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .agg(sum("n")).head.getLong(0)
+    // the root's subtree is the whole corpus
+    val (rootDesc, rootTokens, rootHeight) = byNode(0L)
+    assert(rootDesc === nDocs)
+    assert(rootTokens === totalTokens)
+    assert(rootHeight >= 1)
+    // every node's subtree is contained in its parent's, strictly
+    // monotone counts up the declared parent(d) = (d-1) div 8 chain
+    for ((node, (desc, toks, h)) <- byNode if node > 0) {
+      val (pDesc, pToks, pH) = byNode((node - 1) / 8)
+      assert(pDesc > desc && pToks > toks && pH > h - 1,
+        s"parent of $node does not contain its subtree")
+    }
+    // leaves (no child ids in range) hold exactly themselves
+    val maxId = byNode.keys.max
+    for ((node, (desc, _, h)) <- byNode if node * 8 + 1 > maxId) {
+      assert(desc === 1L && h === 0)
+    }
+  }
 }
