@@ -162,7 +162,10 @@ object ScaleCheck {
       "p14_pack_emit",
       // m06: map-only aHash fingerprints + the 4-shorts-per-media
       // band join; the 2..200 band cap bounds candidate buckets
-      "m06_phash_neardup")
+      "m06_phash_neardup",
+      // q67: recursive-CTE ancestor paths — N·log8 N path rows over
+      // log-depth frontier joins, then one rollup agg
+      "q67_recursive_hierarchy")
     val heavySuite = Seq("q07_multijoin_agg", "q44_star_join_q5",
       "d02_minhash_lsh", "q33_ranking_functions",
       "q10_window_topk_per_group", "d09_ivf_neardup")

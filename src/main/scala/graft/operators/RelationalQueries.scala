@@ -1778,6 +1778,14 @@ object RelationalQueries {
         |FROM anc JOIN tok USING (doc_id)
         |GROUP BY anc_id ORDER BY node_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d).createOrReplaceTempView("docs_rec")
+      // Spark guards recursive CTEs with a total-row limit (default
+      // 1e6) against non-terminating recursion. This recursion is
+      // bounded by construction (strictly decreasing ids), and its
+      // row count is N·log8(max id) — LINEAR in the corpus — so the
+      // guard must be sized with the data (it tripped at the 25x
+      // scale measurement): the deployment knob for corpus-scale
+      // hierarchy work, not a loophole.
+      s.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
       s.sql(
         raw"""WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
           |  SELECT doc_id, doc_id, 0 FROM docs_rec
