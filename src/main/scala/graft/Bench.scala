@@ -150,8 +150,13 @@ object Bench {
     // while a genuine regression reproduces on re-measurement. Each
     // candidate gets ONE extra timed run and keeps its min — the r7
     // failure mode (1.09s -> 13.78s, a 12x degradation) survives any
-    // number of retries; noise does not.
+    // number of retries; noise does not. Every re-measurement is
+    // recorded ({query, first, second}) in the detail artifact, so a
+    // suspect the retry CLEARS leaves an audit row instead of
+    // vanishing silently.
     val confirmed = scala.collection.mutable.Map.empty[String, Double]
+    val remeasured =
+      scala.collection.mutable.ListBuffer.empty[(String, Double, Double)]
     results.toSeq.sortBy(_._1).foreach { case (name, cur) =>
       prevQueries.get(name).foreach { prev =>
         if (regressed(prev, cur)) {
@@ -162,6 +167,7 @@ object Bench {
             (System.nanoTime() - t0) / 1e9
           } catch { case _: Throwable => cur }
           PersistRegistry.release()
+          remeasured += ((name, cur, re))
           confirmed(name) = math.min(cur, re)
         }
       }
@@ -174,9 +180,6 @@ object Bench {
         case prev if regressed(prev, cur) => (name, prev, cur)
       }
     }
-    val qs = finalTimes.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
-      .mkString("{", ",", "}")
     val total = if (finalTimes.nonEmpty) finalTimes.values.sum else 0.0
     // n_queries/mean: totals are only comparable across rounds at the
     // same query count — the suite grows every round
@@ -189,8 +192,24 @@ object Bench {
     val regJson = regressions.map { case (n, p, c) =>
       f"""{"name":"$n","prev_sec":$p%.4f,"cur_sec":$c%.4f}"""
     }.mkString("[", ",", "]")
+    val remJson = remeasured.map { case (n, first, second) =>
+      f"""{"name":"$n","first_sec":$first%.4f,"second_sec":$second%.4f}"""
+    }.mkString("[", ",", "]")
+    // A RED run must not disarm the gate for its successor: writing
+    // this run's degraded timings to detailPath would make the next
+    // run compare against the degraded baseline and silently pass —
+    // the r7 "degraded run stamped as truth" failure mode, one run
+    // later. For regressed queries the detail file carries the PRIOR
+    // baseline forward (the regressed measurements are still fully
+    // recorded in the regressions/remeasured fields and the summary
+    // line); a green run stamps its own timings as usual.
+    val baselineTimes = finalTimes ++
+      regressions.map { case (n, prev, _) => n -> prev }
+    val bqs = baselineTimes.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
     val detail =
-      f"""{"metric":"bench_detail","sf":"$sfDir","fixture_fp":"$fixtureFp","total_sec":$total%.3f,"n_queries":${results.size},"mean_per_query":$mean%.4f,"queries":$qs,"shuffle_mb":$shJson,"errors":$errJson,"regressions":$regJson}"""
+      f"""{"metric":"bench_detail","sf":"$sfDir","fixture_fp":"$fixtureFp","total_sec":$total%.3f,"n_queries":${results.size},"mean_per_query":$mean%.4f,"queries":$bqs,"shuffle_mb":$shJson,"errors":$errJson,"regressions":$regJson,"remeasured":$remJson}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath), detail + "\n")
     catch { case e: Throwable =>

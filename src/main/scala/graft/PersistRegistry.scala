@@ -24,6 +24,25 @@ object PersistRegistry {
   /** Register a persisted intermediate; returns it unchanged. */
   def track[T <: Dataset[_]](ds: T): T = { tracked.add(ds); ds }
 
+  /** Persist-and-track, idempotent BY PLAN: `Dataset.storageLevel`
+    * consults the session CacheManager with the same normalized-plan
+    * lookup `persist` itself uses, so a frame whose plan is already
+    * cached (a shared builder invoked twice inside one query) is
+    * returned as-is instead of re-persisting — which would log
+    * CacheManager's "already cached" warning and register a
+    * double-release. This is the one entry point query builders
+    * should use; bare `track(x.persist(...))` remains for callers
+    * that manage the persist themselves. */
+  def cached[T <: Dataset[_]](ds: T,
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): T = {
+    if (ds.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      ds.persist(level)
+      tracked.add(ds)
+    }
+    ds
+  }
+
   /** Unpersist every tracked intermediate (non-blocking). Safe to call
     * when nothing is tracked, and safe on already-unpersisted sets. */
   def release(): Unit = {

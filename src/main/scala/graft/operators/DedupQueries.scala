@@ -103,9 +103,8 @@ object DedupQueries {
     * element); the signature subplan is persisted because it feeds
     * both sides of the band self-join and the confirm joins. */
   private def confirmedMinhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = graft.PersistRegistry.track(graft.functions.TextKernels
-      .minhashSignatures(s, Tables.documents(s, d), 8)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sig = graft.PersistRegistry.cached(graft.functions.TextKernels
+      .minhashSignatures(s, Tables.documents(s, d), 8))
     val bands = sig
       .select(col("doc_id"),
         explode(sequence(lit(0), lit(3))).as("b"), col("sig"))
@@ -134,9 +133,8 @@ object DedupQueries {
     * both confirm joins. Shingling runs in the primitive-loop kernel
     * (the expression form is interpreted). */
   private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = graft.PersistRegistry.track(graft.functions.TextKernels
-      .shingled(s, Tables.documents(s, d))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sh = graft.PersistRegistry.cached(graft.functions.TextKernels
+      .shingled(s, Tables.documents(s, d)))
     val inv = sh.select(col("doc_id"), explode(col("s")).as("sg"))
     // Document-frequency FIRST (map-side-combined count — shuffles
     // one long per distinct shingle), then posting lists only for
@@ -168,9 +166,8 @@ object DedupQueries {
   /** d07's near-dup pairs (doc_a, doc_b, hamming <= 3) via 4×8-bit
     * SimHash band blocking — shared by d07 and the audit d13. */
   private def simhashNeardupPairs(s: SparkSession, d: String): DataFrame = {
-    val sim = graft.PersistRegistry.track(graft.functions.TextKernels
-      .simhash32(s, Tables.documents(s, d))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sim = graft.PersistRegistry.cached(graft.functions.TextKernels
+      .simhash32(s, Tables.documents(s, d)))
     val bands = sim.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("b"))
       .select(col("doc_id"), col("simhash"), col("b"),
@@ -226,13 +223,18 @@ object DedupQueries {
     var converged = false
     while (!converged) {
       // propagate each node's label to its neighbors, keep the min
-      val next = edges
+      // plan-aware persist: when the harness re-runs this query
+      // before releasing the prior run's converged labels, iteration
+      // k's plan here is normalized-equal to that still-cached frame
+      // — adopt it instead of re-persisting (which would only log
+      // CacheManager's "already cached" warning and register a
+      // duplicate cache entry request)
+      val next = graft.PersistRegistry.cached(edges
         .join(labels.withColumnRenamed("id", "src")
           .withColumnRenamed("lbl", "nlbl"), "src")
         .select(col("dst").as("id"), col("nlbl").as("lbl"))
         .union(labels)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .groupBy("id").agg(min("lbl").as("lbl")))
       val nextSum = labelSum(next)
       converged = nextSum == curSum
       curSum = nextSum
@@ -245,6 +247,7 @@ object DedupQueries {
     // the final labels must stay persisted until the CALLER consumes
     // `out` (unpersisting here would replay the whole fixpoint) —
     // hand it to the registry for post-materialization release
+    // (track, not cached: the loop persisted it already)
     graft.PersistRegistry.track(labels)
     out
   }
@@ -610,9 +613,8 @@ object DedupQueries {
         |                   JOIN sig y ON y.doc_id = cand.dup_of)
         |SELECT new_doc, dup_of, jacc FROM conf
         |WHERE jacc >= 0.5 ORDER BY new_doc, dup_of""".stripMargin) { (s, d) =>
-      val sig = graft.PersistRegistry.track(graft.functions.TextKernels
-        .minhashSignatures(s, Tables.documents(s, d), 8)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val sig = graft.PersistRegistry.cached(graft.functions.TextKernels
+        .minhashSignatures(s, Tables.documents(s, d), 8))
       val sp = sig.withColumn("bk", mdBucket(col("doc_id"), 10))
       def bandsOf(df: DataFrame): DataFrame = df
         .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("b"),
@@ -683,15 +685,14 @@ object DedupQueries {
       val t = Tables.documents(s, d)
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
         .filter(size(col("w")) >= 8)
-      val segs = graft.PersistRegistry.track(t
+      val segs = graft.PersistRegistry.cached(t
         .select(col("doc_id"),
           explode(sequence(lit(0), (size(col("w")) / 8).cast("int") - 1))
             .as("idx"),
           col("w"))
         .select(col("doc_id"), col("idx"),
           array_join(slice(col("w"), col("idx") * 8 + 1, lit(8)), " ")
-            .as("seg"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            .as("seg")))
       val dfreq = segs.groupBy("seg")
         .agg(countDistinct("doc_id").as("df"))
       val keep = segs.join(dfreq.filter(col("df") < 2).select("seg"), "seg")
@@ -829,9 +830,8 @@ object DedupQueries {
         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val sim = graft.PersistRegistry.track(graft.functions.TextKernels
-        .simhash60(s, Tables.documents(s, d))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val sim = graft.PersistRegistry.cached(graft.functions.TextKernels
+        .simhash60(s, Tables.documents(s, d)))
       val bands = sim.select(col("doc_id"), col("simhash"),
           explode(sequence(lit(0), lit(3))).as("b"))
         .select(col("doc_id"), col("simhash"), col("b"),
@@ -941,11 +941,10 @@ object DedupQueries {
       // the gram table feeds BOTH the distinct-doc count and the semi
       // probe; Spark does not reuse unpersisted subplans, so persist it
       // once instead of exploding the corpus twice
-      val g = graft.PersistRegistry.track(
+      val g = graft.PersistRegistry.cached(
         t8.select(col("doc_id"),
           explode(transform(sequence(lit(1), size(col("w")) - 7),
-            i => array_join(slice(col("w"), i, lit(8)), " "))).as("gram"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            i => array_join(slice(col("w"), i, lit(8)), " "))).as("gram")))
       val dup = g.groupBy("gram")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2).select("gram")

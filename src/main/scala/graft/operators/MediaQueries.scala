@@ -166,14 +166,13 @@ object MediaQueries {
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       val media = MediaOps.mediaTable(Tables.documents(s, d))
         .filter(length(col("payload")) >= 128) // length(binary) = bytes
-      val frames = graft.PersistRegistry.track(
+      val frames = graft.PersistRegistry.cached(
         media.select(col("doc_id"),
             explode(sequence(lit(0), lit(3))).as("frame_no"), col("payload"))
           .select(col("doc_id"), col("frame_no"),
             md5(hex(expr("substring(payload, " +
               "1 + frame_no * (length(payload) div 4), 32)")))
-              .as("frame_sig"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+              .as("frame_sig")))
       val fdf = frames.groupBy("frame_no", "frame_sig")
         .agg(count(lit(1)).as("fdf"))
         .filter(col("fdf").between(2, 100))
@@ -190,41 +189,47 @@ object MediaQueries {
         .orderBy("doc_a", "doc_b")
     },
 
-    // Perceptual-hash media NEAR-dup — the pHash/aHash video-dedup
+    // Perceptual-hash media NEAR-dup — the pHash/dHash video-dedup
     // shape m05's exact frame signatures cannot cover (a re-encoded
     // or slightly-edited payload shares zero exact frames but nearly
-    // identical coarse structure): aHash over m04's stub-resized
-    // signal. Per eligible payload: 64 box-averaged byte buckets
-    // (the resize stub), a 60-bit fingerprint (bit j set iff
-    // bucket[j]·64 > Σbuckets, strictly — integer-exact on both
-    // engines; 60 bits keeps the BIGINT non-negative, the d14
-    // convention), then d14's banding: 4 bands × 15 bits, candidates
-    // share a band value, confirmed at true Hamming <= 3 via
-    // bit_count(xor).
+    // identical coarse structure). Round 9 shipped this as a 60-bit
+    // aHash, and its own scale row flagged the flaw: a FIXED 60-bit
+    // keyspace saturates as N grows (107.9x in-bucket shuffle at
+    // 25x), and the rescue was a payload-size side key. Round 10
+    // applies d14's widening lesson to the hash ITSELF: a 256-BIT
+    // multi-offset gradient hash (dHash generalized) over m04's
+    // 64-bucket stub-resized signal — word k (of 4 BIGINTs), bit j =
+    // bucket[j] > bucket[(j + off_k) mod 64], offsets (1, 2, 4, 8):
+    // four gradient scales, integer-exact on both engines. Banding
+    // is 16 bands x 16 BITS (the >=16-bit width the keyspace needs
+    // to grow with N; at 1B+ docs the same 256 bits re-band as
+    // 8 x 32 without touching the fingerprint), candidates share a
+    // band value, confirmed at true Hamming <= 15 over all 256 bits
+    // — the pigeonhole bound: <= 15 flipped bits can corrupt at most
+    // 15 of 16 bands, so every true pair ALWAYS shares a band.
+    // Measured on the corpus: the bare (band, value) key now spreads
+    // cleanly (max bucket occupancy 46 at sf0.1, ZERO buckets at the
+    // 200 cap) — no size side key needed; the 2..200 band-frequency
+    // cap (m05's hot-frame rule) stays as the bound on any
+    // degenerate bucket a real corpus might plant.
     //
-    // The corpus plants no positionally-aligned payload variants
-    // (measured: the minimum fingerprint distance between DISTINCT
-    // docs is 10 of 60 bits), so the operator is demonstrated the
-    // way v06 demonstrates recall — on a deterministic synthetic
-    // RE-ENCODE probe: each eligible payload gets a twin (doc_id +
-    // 10^9) whose resized signal is perturbed by +1 on every 7th
-    // bucket, the stand-in for lossy re-encoding. The pipeline must
-    // match twins to their originals (Hamming <= 3 — the probe's
-    // planted truth) and pair no unrelated docs (their distance
-    // floor is 10). Scale: fingerprinting is map-only on top of the
-    // resize; the band join shuffles 4 shorts per media. aHash's
-    // resolution is FIXED at 60 bits, so unlike d14 the keyspace
-    // cannot grow with N by widening bands — measured at 25x, the
-    // bare (band, value) key went in-bucket quadratic (107.9x
-    // shuffle for 25x data, v13's fixed-keyspace lesson). The
-    // production blocking answer is a SECOND key that a re-encode
-    // preserves: the payload-size band (L div 64) joins the
-    // candidate key, spreading hot fingerprint patterns across size
-    // classes while twins (same size by construction, as a real
-    // re-encode approximately is) always collide. The 2..200
-    // band-frequency cap (m05's hot-frame rule) still bounds any
-    // residual degenerate bucket. Byte semantics throughout via the
-    // m03/m04 hex recipe — parity on any corpus.
+    // The corpus plants no positionally-aligned payload variants, so
+    // the operator is demonstrated the way v06 demonstrates recall —
+    // on a deterministic synthetic RE-ENCODE probe: each eligible
+    // payload gets a twin (doc_id + 10^12 — OUTSIDE any reachable id
+    // space: ScaleCheck's per-copy shift is i*10^9, p03's pack ids
+    // are shard*10^12, and the engine side raise_error()s if a
+    // source doc_id ever reaches the shift) whose resized signal is
+    // perturbed by +1 on every 7th bucket, the stand-in for lossy
+    // re-encoding. Text bucket means cluster tightly, so the
+    // perturbation flips every near-tie comparison it touches:
+    // measured twin distances span 0..14 of 256 bits while DISTINCT
+    // docs sit at a floor of 62 — the <= 15 radius captures every
+    // twin (perfect recall by pigeonhole) with a 4x separation
+    // margin. Scale: fingerprinting is map-only on top of the
+    // resize; the band join shuffles 16 shorts per media. Byte
+    // semantics throughout via the m03/m04 hex recipe — parity on
+    // any UTF-8 corpus.
     QueryDef(
       "m06_phash_neardup",
       """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
@@ -239,80 +244,106 @@ object MediaQueries {
         |       FROM pos GROUP BY doc_id, j),
         |al AS (SELECT doc_id, j, bv FROM bk
         |       UNION ALL
-        |       SELECT doc_id + 1000000000, j,
+        |       SELECT doc_id + 1000000000000, j,
         |              bv + CASE WHEN j % 7 = 0 THEN 1 ELSE 0 END
         |       FROM bk),
-        |tot AS (SELECT doc_id, sum(bv) AS tot FROM al GROUP BY doc_id),
-        |fp AS (SELECT al.doc_id,
-        |         CAST(sum(CASE WHEN j < 60 AND bv * 64 > tot
-        |                       THEN (1::BIGINT << j) ELSE 0 END)
-        |              AS BIGINT) AS fp
-        |       FROM al JOIN tot USING (doc_id) GROUP BY al.doc_id),
-        |bands AS (SELECT f.doc_id, f.fp, b,
-        |                 (f.fp >> (b*15)) & 32767 AS bv, m.L // 64 AS sz
-        |          FROM fp f JOIN m ON m.doc_id = f.doc_id % 1000000000,
-        |               generate_series(0, 3) t(b)),
-        |keep AS (SELECT b, bv, sz FROM bands GROUP BY b, bv, sz
+        |g AS (SELECT a.doc_id, o.k,
+        |             bit_or(CASE WHEN a.bv > b.bv THEN
+        |                      CASE WHEN a.j = 63
+        |                           THEN (-9223372036854775807-1)::BIGINT
+        |                           ELSE (1::BIGINT << a.j) END
+        |                    ELSE 0::BIGINT END) AS w
+        |      FROM al a
+        |      JOIN (VALUES (0,1),(1,2),(2,4),(3,8)) o(k, off) ON true
+        |      JOIN al b ON b.doc_id = a.doc_id AND b.j = (a.j + o.off) % 64
+        |      GROUP BY a.doc_id, o.k),
+        |fp AS (SELECT doc_id,
+        |              max(CASE WHEN k=0 THEN w END) AS w0,
+        |              max(CASE WHEN k=1 THEN w END) AS w1,
+        |              max(CASE WHEN k=2 THEN w END) AS w2,
+        |              max(CASE WHEN k=3 THEN w END) AS w3
+        |       FROM g GROUP BY doc_id),
+        |bands AS (SELECT doc_id, w0, w1, w2, w3, b,
+        |                 ((CASE b // 4 WHEN 0 THEN w0 WHEN 1 THEN w1
+        |                               WHEN 2 THEN w2 ELSE w3 END)
+        |                  >> ((b % 4) * 16)) & 65535 AS bv
+        |          FROM fp, generate_series(0, 15) t(b)),
+        |keep AS (SELECT b, bv FROM bands GROUP BY b, bv
         |         HAVING count(*) BETWEEN 2 AND 200),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
-        |                a.fp AS fa, c.fp AS fb
-        |         FROM bands a JOIN keep USING (b, bv, sz)
+        |                a.w0 AS a0, a.w1 AS a1, a.w2 AS a2, a.w3 AS a3,
+        |                c.w0 AS c0, c.w1 AS c1, c.w2 AS c2, c.w3 AS c3
+        |         FROM bands a JOIN keep USING (b, bv)
         |              JOIN bands c ON a.b = c.b AND a.bv = c.bv
-        |               AND a.sz = c.sz AND a.doc_id < c.doc_id)
+        |               AND a.doc_id < c.doc_id)
         |SELECT doc_a, doc_b,
-        |       CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
-        |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+        |       CAST(bit_count(xor(a0, c0)) AS INT)
+        |       + CAST(bit_count(xor(a1, c1)) AS INT)
+        |       + CAST(bit_count(xor(a2, c2)) AS INT)
+        |       + CAST(bit_count(xor(a3, c3)) AS INT) AS hamming
+        |FROM cand
+        |WHERE CAST(bit_count(xor(a0, c0)) AS INT)
+        |      + CAST(bit_count(xor(a1, c1)) AS INT)
+        |      + CAST(bit_count(xor(a2, c2)) AS INT)
+        |      + CAST(bit_count(xor(a3, c3)) AS INT) <= 15
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val TwinShift = 1000000000000L
       val media = MediaOps.mediaTable(Tables.documents(s, d))
         .filter(length(col("payload")) >= 128)
       val rs = MediaOps.resize(s, media) // doc_id, out_len, resized
-      // L >= 128 => every one of the 64 buckets is populated
+      // L >= 128 => every one of the 64 buckets is populated.
+      // Guard (distributed, zero-cost until violated): a source
+      // doc_id at or past the twin shift would alias a twin id and
+      // silently corrupt the probe's planted truth — fail loudly.
       val twins = rs.select(
-        (col("doc_id") + 1000000000L).as("doc_id"),
+        when(col("doc_id") >= TwinShift,
+          raise_error(concat(lit("m06: source doc_id "), col("doc_id"),
+            lit(s" >= twin shift $TwinShift"))))
+          .otherwise(col("doc_id") + TwinShift).as("doc_id"),
         transform(col("resized"),
           (v, j) => v + when(j % 7 === 0, 1).otherwise(0)).as("resized"))
-      val withTot = rs.select(col("doc_id"), col("resized"))
-        .unionByName(twins)
-        .select(col("doc_id"), col("resized"),
-          aggregate(col("resized"), lit(0L), (a, v) => a + v).as("tot"))
-      val fpCol = (0 until 60).map { j =>
-        when(element_at(col("resized"), j + 1).cast("long") * 64 >
-          col("tot"), lit(1L << j)).otherwise(0L)
-      }.reduce(_ + _)
-      val fp = graft.PersistRegistry.track(
-        withTot.select(col("doc_id"), fpCol.as("fp"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      // size band of the ORIGINAL payload (twins share it by
-      // construction, as a real re-encode approximately preserves
-      // size) — the second blocking key that keeps hot fingerprint
-      // patterns from going in-bucket quadratic at corpus scale
-      val sizes = media.select(col("doc_id").as("sz_id"),
-        expr("CAST(length(payload) div 64 AS BIGINT)").as("sz"))
+      val all = rs.select(col("doc_id"), col("resized")).unionByName(twins)
+      // 256-bit gradient fingerprint, one word per comparison offset —
+      // pure per-row expressions (map-only; bitwiseOR keeps every term
+      // a bit-pattern op, no ANSI-overflow surface)
+      val offsets = Seq(1, 2, 4, 8)
+      val wordCols = offsets.zipWithIndex.map { case (off, k) =>
+        (0 until 64).map { j =>
+          when(element_at(col("resized"), j + 1) >
+            element_at(col("resized"), (j + off) % 64 + 1),
+            lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ bitwiseOR _).as(s"w$k")
+      }
+      val fp = graft.PersistRegistry.cached(
+        all.select(col("doc_id") +: wordCols: _*))
       val bands = fp
-        .select(col("doc_id"), col("fp"),
-          explode(sequence(lit(0), lit(3))).as("b"))
-        .select(col("doc_id"), col("fp"), col("b"),
-          expr("shiftright(fp, b * 15) & CAST(32767 AS BIGINT)").as("bv"))
-        // N-row side: a plain equi-join on the de-shifted id (NOT a
-        // broadcast — the size table grows with the corpus)
-        .join(sizes, col("doc_id") % 1000000000L === col("sz_id"))
-        .drop("sz_id")
-      val keep = bands.groupBy("b", "bv", "sz")
+        .select(col("doc_id"), col("w0"), col("w1"), col("w2"), col("w3"),
+          explode(sequence(lit(0), lit(15))).as("b"))
+        .withColumn("bv",
+          expr("shiftright(element_at(array(w0, w1, w2, w3), " +
+            "CAST(b div 4 AS INT) + 1), CAST((b % 4) * 16 AS INT)) " +
+            "& CAST(65535 AS BIGINT)"))
+      val keep = bands.groupBy("b", "bv")
         .agg(count(lit(1)).as("n"))
         .filter(col("n").between(2, 200))
-        .select("b", "bv", "sz")
-      val rare = bands.join(keep, Seq("b", "bv", "sz"))
+        .select("b", "bv")
+      val rare = bands.join(keep, Seq("b", "bv"))
       val a = rare.select(col("b").as("ba"), col("bv").as("bva"),
-        col("sz").as("sza"), col("doc_id").as("doc_a"), col("fp").as("fa"))
+        col("doc_id").as("doc_a"), col("w0").as("a0"), col("w1").as("a1"),
+        col("w2").as("a2"), col("w3").as("a3"))
       val c = rare.select(col("b").as("bc"), col("bv").as("bvc"),
-        col("sz").as("szc"), col("doc_id").as("doc_b"), col("fp").as("fb"))
+        col("doc_id").as("doc_b"), col("w0").as("c0"), col("w1").as("c1"),
+        col("w2").as("c2"), col("w3").as("c3"))
+      val ham = (0 until 4)
+        .map(k => bit_count(col(s"a$k").bitwiseXOR(col(s"c$k"))).cast("int"))
+        .reduce(_ + _)
       a.join(c, col("ba") === col("bc") && col("bva") === col("bvc") &&
-          col("sza") === col("szc") && col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "fa", "fb").distinct()
+          col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
-          bit_count(col("fa").bitwiseXOR(col("fb"))).cast("int")
-            .as("hamming"))
-        .filter(col("hamming") <= 3)
+          col("a0"), col("a1"), col("a2"), col("a3"),
+          col("c0"), col("c1"), col("c2"), col("c3")).distinct()
+        .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
+        .filter(col("hamming") <= 15)
         .orderBy("doc_a", "doc_b")
     },
   )

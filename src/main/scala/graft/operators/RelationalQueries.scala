@@ -1725,10 +1725,9 @@ object RelationalQueries {
         .unionAll(sess.select((col("end_us") + 1).as("us"),
           lit(-1L).as("dl")))
         .groupBy("us").agg(sum("dl").as("dl"))
-      val parts = graft.PersistRegistry.track(
+      val parts = graft.PersistRegistry.cached(
         delta.repartitionByRange(32, col("us"))
-          .withColumn("pid", spark_partition_id())
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          .withColumn("pid", spark_partition_id()))
       // ≤32 pid rows by construction; the constant partition key keeps
       // WindowExec's unpartitioned-window warning for real offenders
       // (pmod, not a literal — foldable keys get optimized away)
@@ -1764,7 +1763,7 @@ object RelationalQueries {
     QueryDef(
       "q67_recursive_hierarchy",
       raw"""WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
-        |  SELECT doc_id, doc_id, 0 FROM documents
+        |  SELECT doc_id, doc_id AS anc_id, 0 AS depth FROM documents
         |  UNION ALL
         |  SELECT a.doc_id, (a.anc_id - 1) // 8, a.depth + 1
         |  FROM anc a WHERE a.anc_id > 0),
@@ -1781,25 +1780,49 @@ object RelationalQueries {
       // Spark guards recursive CTEs with a total-row limit (default
       // 1e6) against non-terminating recursion. This recursion is
       // bounded by construction (strictly decreasing ids), and its
-      // row count is N·log8(max id) — LINEAR in the corpus — so the
-      // guard must be sized with the data (it tripped at the 25x
-      // scale measurement): the deployment knob for corpus-scale
-      // hierarchy work, not a loophole.
-      s.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
-      s.sql(
-        raw"""WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
-          |  SELECT doc_id, doc_id, 0 FROM docs_rec
-          |  UNION ALL
-          |  SELECT a.doc_id, (a.anc_id - 1) div 8, a.depth + 1
-          |  FROM anc a WHERE a.anc_id > 0),
-          |tok AS (SELECT doc_id,
-          |          CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tok
-          |        FROM docs_rec)
-          |SELECT anc_id AS node_id, count(*) AS n_desc,
-          |       CAST(sum(n_tok) AS BIGINT) AS subtree_tokens,
-          |       CAST(max(depth) AS INT) AS subtree_height
-          |FROM anc JOIN tok USING (doc_id)
-          |GROUP BY anc_id ORDER BY node_id""".stripMargin)
+      // row count is N·(log8(max id) + 2) — LINEAR in the corpus —
+      // so the guard is SIZED FROM THE CORPUS (count + max id, one
+      // tiny agg) with 4x headroom, instead of a near-unbounded
+      // constant: still a real runaway guard, now scaled to the
+      // data it protects. The conf is session-global, so it is
+      // saved and restored around the recursion and must not leak
+      // into later queries sharing the session; because the guard
+      // is read at EXECUTION time while the harness consumes the
+      // returned frame lazily, the recursion is evaluated eagerly
+      // inside the guarded scope (localCheckpoint — the result is
+      // one row per node, ~1.15N, result-sized like any ORDER BY
+      // output) and the restore runs in finally.
+      val (nDocs, maxId) = {
+        val r = Tables.documents(s, d)
+          .agg(count(lit(1)), coalesce(max(col("doc_id")), lit(0L))).head
+        (r.getLong(0), r.getLong(1))
+      }
+      val depth = (math.log(math.max(maxId, 1).toDouble) / math.log(8.0))
+        .ceil.toLong + 2
+      val bound = math.max(4 * (nDocs + 1) * depth, 1000000L)
+      val key = "spark.sql.cteRecursionRowLimit"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, bound.toString)
+      try {
+        s.sql(
+          raw"""WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
+            |  SELECT doc_id, doc_id AS anc_id, 0 AS depth FROM docs_rec
+            |  UNION ALL
+            |  SELECT a.doc_id, (a.anc_id - 1) div 8, a.depth + 1
+            |  FROM anc a WHERE a.anc_id > 0),
+            |tok AS (SELECT doc_id,
+            |          CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tok
+            |        FROM docs_rec)
+            |SELECT anc_id AS node_id, count(*) AS n_desc,
+            |       CAST(sum(n_tok) AS BIGINT) AS subtree_tokens,
+            |       CAST(max(depth) AS INT) AS subtree_height
+            |FROM anc JOIN tok USING (doc_id)
+            |GROUP BY anc_id ORDER BY node_id""".stripMargin)
+          .localCheckpoint()
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     },
   )
 }

@@ -321,10 +321,9 @@ object SamplingQueries {
       val t = Tables.documents(s, d)
         .select(col("doc_id"),
           size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tok"))
-      val parts = graft.PersistRegistry.track(
+      val parts = graft.PersistRegistry.cached(
         t.repartitionByRange(32, col("n_tok").desc, col("doc_id"))
-          .withColumn("pid", spark_partition_id())
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          .withColumn("pid", spark_partition_id()))
       // ≤32 pid rows by construction; the constant partition key keeps
       // WindowExec's unpartitioned-window warning for real offenders
       // (pmod, not a literal — foldable keys get optimized away)
@@ -387,12 +386,11 @@ object SamplingQueries {
         |FROM tok JOIN lr USING (b)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val hi = col("source").isin("src0", "src1", "src2", "src3")
-      val tok = graft.PersistRegistry.track(Tables.documents(s, d)
+      val tok = graft.PersistRegistry.cached(Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           explode(split(trim(col("text")), "\\s+")).as("w"))
         .select(col("doc_id"), col("source"),
-          mdBucket(col("w"), 64).as("b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          mdBucket(col("w"), 64).as("b")))
       val rc = tok.groupBy("b").agg(count(lit(1)).as("rc"))
       val tc = tok.filter(hi).groupBy("b").agg(count(lit(1)).as("tc"))
       val tots = tok.agg(count(lit(1)).cast("double").as("r_tot"),
@@ -496,11 +494,10 @@ object SamplingQueries {
         |FROM ds d JOIN rt ON d.source = rt.source
         |WHERE CAST(hv AS DOUBLE) / 1152921504606846976.0 < rate
         |ORDER BY d.source, doc_id""".stripMargin) { (s, d) =>
-      val ds = graft.PersistRegistry.track(Tables.documents(s, d)
+      val ds = graft.PersistRegistry.cached(Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tok"),
-          mdHash60(col("doc_id")).as("hv"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          mdHash60(col("doc_id")).as("hv")))
       val st = ds.groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok_s"))
       val qs = st.select(col("source"), col("n_docs"),

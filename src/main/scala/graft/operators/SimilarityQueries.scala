@@ -167,8 +167,8 @@ object SimilarityQueries {
   private[graft] def buildPqCodebook(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val y = graft.PersistRegistry.track(
-      pqY(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val y = graft.PersistRegistry.cached(
+      pqY(s, d))
     // PQK seeds: bounded collect by construction (k·64 longs)
     val seeds = y.orderBy("vec_id").limit(PQK)
       .select("y").as[Array[Long]].collect()
@@ -894,10 +894,9 @@ object SimilarityQueries {
          |SELECT vec_id, CAST(cell AS INT) AS cell
          |FROM a2 ORDER BY vec_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val y = graft.PersistRegistry.track(
+      val y = graft.PersistRegistry.cached(
         quantized(s, d)
-          .select(col("vec_id"), transform(col("r"), v => v + 10000L).as("y"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          .select(col("vec_id"), transform(col("r"), v => v + 10000L).as("y")))
       // k seeds: bounded collect by construction (k·dim longs)
       val seeds = y.orderBy("vec_id").limit(8)
         .select("y").as[Array[Long]].collect()
@@ -1334,12 +1333,11 @@ object SimilarityQueries {
         .orderBy(col("bm25").desc, col("doc_id")).limit(50)
         .withColumn("rb", row_number().over(wB)).select("doc_id", "rb")
       // the tf table feeds both the norm and the query-dot aggregates
-      val tfs = graft.PersistRegistry.track(
+      val tfs = graft.PersistRegistry.cached(
         graft.sources.Tables.documents(s, d)
           .select(col("doc_id"),
             explode(split(trim(col("text")), "\\s+")).as("term"))
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
       val nrm = tfs.groupBy("doc_id")
         .agg(sum(col("tf") * col("tf")).as("nn2"))
       val qd = tfs.filter(col("term").isin(BmTerms: _*))
@@ -1408,18 +1406,16 @@ object SimilarityQueries {
       // stack, so the collects below are the honest shape — and both
       // are structurally bounded (d05/v01's enforced-bound pattern):
       // cand by its own limit(20), sim by 20·19 pairs derived from it.
-      val cand = graft.PersistRegistry.track(
-        bm25Scored(s, d).orderBy(col("bm25").desc, col("doc_id")).limit(20)
-          .persist())
+      val cand = graft.PersistRegistry.cached(
+        bm25Scored(s, d).orderBy(col("bm25").desc, col("doc_id")).limit(20))
       val candRows = cand.collect().map(r => (r.getLong(0), r.getDouble(1)))
       require(candRows.length <= 20, "candidate page must stay bounded")
-      val tfs = graft.sources.Tables.documents(s, d)
-        .join(cand.select("doc_id"), Seq("doc_id"), "left_semi")
-        .select(col("doc_id"),
-          explode(split(trim(col("text")), "\\s+")).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .persist()
-      graft.PersistRegistry.track(tfs)
+      val tfs = graft.PersistRegistry.cached(
+        graft.sources.Tables.documents(s, d)
+          .join(cand.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), "\\s+")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
       val nrm = tfs.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nn2"))
       val dot = tfs.as("x").join(tfs.as("y"),
           col("x.term") === col("y.term") &&

@@ -570,7 +570,7 @@ object TextQueries {
       val hi = col("source").isin("src0", "src1", "src2", "src3")
       def bin(c: org.apache.spark.sql.Column) =
         graft.functions.TextKernels.mdBucket(c, 4096)
-      val bg = graft.PersistRegistry.track(Tables.documents(s, d)
+      val bg = graft.PersistRegistry.cached(Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           split(trim(col("text")), "\\s+").as("ws"))
         .filter(size(col("ws")) >= 2)
@@ -579,8 +579,7 @@ object TextQueries {
         .select(col("doc_id"), col("source"),
           bin(concat(element_at(col("ws"), col("i")), lit(" "),
             element_at(col("ws"), col("i") + 1))).as("b"),
-          bin(element_at(col("ws"), col("i"))).as("c"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          bin(element_at(col("ws"), col("i"))).as("c")))
       val cb = bg.filter(hi).groupBy("b").agg(count(lit(1)).as("cb"))
       val cc = bg.filter(hi).groupBy("c").agg(count(lit(1)).as("cc"))
       bg.join(broadcast(cb), Seq("b"), "left")
