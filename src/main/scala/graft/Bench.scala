@@ -11,6 +11,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Opt-in cross-session snapshot reuse (OFF by default — the
+    // default bench measures every query's full computation): when
+    // SPARK_GRAFT_SNAPSHOT_WAREHOUSE names a directory, StageSnapshots
+    // commits stage tables (IVF index, PQ codebook, dup pairs/
+    // clusters) through the warehouse ledger, and a LATER bench/
+    // session pointing at the same directory adopts any committed
+    // snapshot whose data fingerprint matches instead of rebuilding —
+    // the real deployment delta (index build >> query cost) becomes
+    // measurable as run-1-cold vs run-2-warm. Defining queries still
+    // recompute by contract; only consumers adopt.
+    sys.env.get("SPARK_GRAFT_SNAPSHOT_WAREHOUSE").filter(_.nonEmpty)
+      .foreach(w => spark.conf.set("spark.graft.snapshotWarehouse", w))
     // Session-wide conf, set once up front (NOT buried in the
     // fingerprint block below — it shapes every read in this run):
     // a TIMESTAMP(NANOS) parquet column loads as bigint rather than

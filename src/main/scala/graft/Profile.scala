@@ -6,6 +6,10 @@ object Profile {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same opt-in as Bench: point two successive Profile sessions at
+    // one warehouse dir to measure cold-build vs snapshot-adopt
+    sys.env.get("SPARK_GRAFT_SNAPSHOT_WAREHOUSE").filter(_.nonEmpty)
+      .foreach(w => spark.conf.set("spark.graft.snapshotWarehouse", w))
     val names = args
     for (n <- names; i <- 1 to 2) {
       val t0 = System.nanoTime()

@@ -665,5 +665,78 @@ object SamplingQueries {
               x => x.getField("ids"))))).as("ids_sig"))
         .orderBy("pack_id")
     },
+
+    // FULL-PIPELINE oracle row for CorpusPrep.prepare — the
+    // composition a user of this engine actually runs (quality gate →
+    // exact dedup → deterministic split → 32-gram decontamination →
+    // sharded next-fit packing), value-checked END TO END rather than
+    // only piece-by-piece: the emitted pack_id of every surviving
+    // train doc depends on every upstream stage's exact membership
+    // decisions, so one hash-equal frame pins the whole chain. The
+    // oracle restates each stage in DuckDB SQL from the same declared
+    // rules (gate thresholds, md5 buckets via the shared
+    // TextKernels dialect, stride-16 char grams, 2048-token budget).
+    // Scale: the composition is CorpusPrep's own plan — one dedup
+    // groupBy, one gram semi join, one per-shard window; nothing is
+    // added for verification beyond the final ORDER BY.
+    QueryDef(
+      "p15_corpus_prep",
+      raw"""WITH w AS (
+        |  SELECT doc_id, text,
+        |         string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, text, len(w) AS n_tokens,
+        |         list_transform(generate_series(1, greatest(len(w)-4, 1)),
+        |           i -> array_to_string(w[i:i+4], ' ')) AS gs
+        |  FROM w),
+        |gate AS (
+        |  SELECT doc_id, text FROM g
+        |  WHERE n_tokens >= 20
+        |    AND CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE)
+        |        / len(gs) < 0.5),
+        |ded AS (
+        |  SELECT doc_id, text FROM gate
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text)
+        |                             ORDER BY doc_id) = 1),
+        |sp AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN ${mdBucketSql("doc_id", 100)} < 80 THEN 'train'
+        |              WHEN ${mdBucketSql("doc_id", 100)} < 90 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM ded),
+        |tg AS (
+        |  SELECT DISTINCT substr(text, CAST(gs + 1 AS INT), 32) AS gr
+        |  FROM sp, unnest(range(0, length(text) - 32 + 1, 16)) t(gs)
+        |  WHERE split = 'test' AND length(text) >= 32),
+        |contam AS (
+        |  SELECT DISTINCT s.doc_id
+        |  FROM sp s, unnest(range(0, length(s.text) - 32 + 1, 16)) t(gs)
+        |  WHERE s.split = 'train' AND length(s.text) >= 32
+        |    AND substr(s.text, CAST(gs + 1 AS INT), 32) IN
+        |          (SELECT gr FROM tg)),
+        |tr AS (
+        |  SELECT doc_id, text FROM sp
+        |  WHERE split = 'train'
+        |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+        |pk AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |           AS n_tok,
+        |         ${mdBucketSql("doc_id", 16)} AS shard
+        |  FROM tr),
+        |cum AS (
+        |  SELECT doc_id, n_tok, shard,
+        |         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM pk)
+        |SELECT doc_id, n_tok,
+        |       CAST(shard * 1000000000000 + floor((c - n_tok) / 2048.0)
+        |            AS BIGINT) AS pack_id
+        |FROM cum ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.pipeline.CorpusPrep.prepare(s, Tables.documents(s, d))
+        .train.select(col("doc_id"), col("n_tok"), col("pack_id"))
+        .orderBy("doc_id")
+    },
   )
 }

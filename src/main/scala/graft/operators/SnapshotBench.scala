@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Measures the cross-session snapshot-reuse delta (the warehouse
+  * ledger's deployment win: index build ≫ query cost) without the
+  * multi-JVM timing noise that drowns it in session-to-session wall
+  * clock (observed ±2x between sbt sessions at multi-GB working
+  * sets): ONE warmed JVM, with `StageSnapshots.invalidateSessionCache`
+  * simulating a fresh session (spec-proven equivalent — the next
+  * snapshot() resolves through the warehouse exactly as a restarted
+  * session would).
+  *
+  * Protocol per consumer query (d15 / v10 / v11 — the ops that adopt
+  * d09's IVF pair table and v09's PQ codebook/encodings):
+  *   ADOPT:   warehouse conf set, session cache invalidated, every
+  *            dependency committed by a prior definer run → the query
+  *            reads committed snapshots, zero recompute.
+  *   REBUILD: warehouse conf cleared, session cache invalidated → the
+  *            query recomputes every stage dependency from the corpus.
+  * Phases alternate REBUILD/ADOPT twice and keep per-phase minima, so
+  * page-cache and JIT drift cancel instead of accumulating into one
+  * phase's numbers.
+  *
+  * Usage: runMain graft.operators.SnapshotBench [sfDir]
+  */
+object SnapshotBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-snapbench-wh-").toString
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    val definers = Seq("d02_minhash_lsh", "d09_ivf_neardup", "v09_pq_encode")
+    val consumers = Seq("d15_semantic_dedup", "v10_pq_adc_topk",
+      "v11_ivfpq_search")
+
+    def time(name: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      graft.PersistRegistry.release()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // JVM warm-up (codegen + classloading), then commit every stage
+    // table the consumers depend on
+    time("q05_groupby_agg")
+    spark.conf.set("spark.graft.snapshotWarehouse", wh)
+    definers.foreach(time)
+
+    val adopt = scala.collection.mutable.Map.empty[String, Double]
+    val rebuild = scala.collection.mutable.Map.empty[String, Double]
+    for (round <- 1 to 2; mode <- Seq("rebuild", "adopt")) {
+      if (mode == "adopt")
+        spark.conf.set("spark.graft.snapshotWarehouse", wh)
+      else spark.conf.set("spark.graft.snapshotWarehouse", "")
+      for (q <- consumers) {
+        StageSnapshots.invalidateSessionCache() // next run = fresh session
+        val t = time(q)
+        val m = if (mode == "adopt") adopt else rebuild
+        m(q) = math.min(t, m.getOrElse(q, Double.MaxValue))
+        println(f"SNAPBENCH $q $mode round$round $t%.2f s")
+      }
+    }
+    println(f"${"query"}%-22s ${"rebuild"}%8s ${"adopt"}%8s ${"saved"}%7s")
+    for (q <- consumers) {
+      val (r, a) = (rebuild(q), adopt(q))
+      println(f"$q%-22s $r%8.2f $a%8.2f ${r - a}%6.2fs")
+    }
+    spark.stop()
+  }
+}

@@ -36,6 +36,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * is structurally impossible, not a convention. Without the conf,
   * behavior is unchanged (session-scoped temp snapshots keyed by
   * applicationId).
+  *
+  * SINGLE-WRITER CONSTRAINT (warehouse mode): SnapshotTable commits
+  * have no CAS on a local filesystem, so at most one session may be
+  * COMMITTING to a given warehouse at a time — the deployment shape
+  * is one builder session, many reader sessions (readers only adopt
+  * committed versions and never contend). Two sessions that both
+  * miss the fingerprint check and both build will serialize on the
+  * manifest's CREATE_NEW claim (SnapshotTable.commit) — the loser
+  * re-versions or fails loudly, never silently clobbers — but the
+  * duplicate build work is not prevented; coordinate builders
+  * externally if that cost matters.
   */
 private[operators] object StageSnapshots {
 
@@ -119,6 +130,11 @@ private[operators] object StageSnapshots {
         // all of one commit's files share a single uuid data dir —
         // readable as ordinary parquet, so the return contract holds
         val files = graft.warehouse.SnapshotTable.dataFiles(tdir, v)
+        if (files.isEmpty)
+          throw new IllegalStateException(
+            s"snapshot '$what' committed v$v with ZERO data files " +
+            s"(build produced an empty write) — cannot adopt a data " +
+            s"directory from an empty manifest at $tdir")
         java.nio.file.Paths.get(files.head).getParent.toString
       case None =>
         val tmp = java.nio.file.Files
@@ -184,9 +200,12 @@ private[operators] object StageSnapshots {
           val tdir = tableDir(root, d, what)
           graft.warehouse.SnapshotTable.currentMeta(tdir)
             .filter(_ == "fp=" + fingerprintOf(d))
-            .map { _ =>
-              val files = graft.warehouse.SnapshotTable.dataFiles(tdir)
-              java.nio.file.Paths.get(files.head).getParent.toString
+            .flatMap { _ =>
+              // an empty-manifest commit (zero part files) cannot be
+              // adopted — fall through to a rebuild instead of
+              // throwing NoSuchElement from files.head
+              graft.warehouse.SnapshotTable.dataFiles(tdir).headOption
+                .map(f => java.nio.file.Paths.get(f).getParent.toString)
             }
         }
         committed match {

@@ -68,20 +68,66 @@ object SnapshotTable {
 
   /** Manifest write + ATOMIC pointer swap: a crash before the move
     * leaves the table at the previous version with only orphaned data
-    * files (garbage, not corruption). */
+    * files (garbage, not corruption).
+    *
+    * The table is SINGLE-WRITER by contract (a local filesystem has
+    * no CAS for CURRENT), but a violated contract must fail loudly,
+    * not corrupt: the manifest is claimed with CREATE_NEW — the
+    * version number doubles as a lock file — so two sessions racing
+    * the same version can never both stamp v N. What the loser does
+    * depends on whether its file list was derived from the previous
+    * version: a BASE-INDEPENDENT commit (overwrite, compact-of-fresh-
+    * read) simply re-reads CURRENT and retries on the next number
+    * (`retryOnCollision = true`); a base-DEPENDENT commit (append,
+    * upsert — whose file list embeds the parent manifest) must NOT
+    * retry against a now-stale base (it would silently drop the
+    * winner's rows — a lost update) and throws instead. Either way,
+    * concurrent commits serialize or error; a bare write would have
+    * let both stamp the same manifest. Residual (inherent without
+    * CAS): two racing RETRYING committers can swap CURRENT out of
+    * order, leaving it on the lower of two fully-committed versions
+    * — every manifest is still intact and readable by version, which
+    * is the no-corruption property this guard exists for. */
   private def commit(dir: String, files: Seq[String],
-      meta: Option[String] = None): Int = {
+      meta: Option[String] = None,
+      retryOnCollision: Boolean = false): Int = {
     val vd = versionsDir(dir)
     Files.createDirectories(vd)
-    val v = currentVersion(dir).map(_ + 1).getOrElse(0)
-    Files.write(vd.resolve(f"v$v%05d.manifest"),
-      files.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    val tmp = vd.resolve("CURRENT.tmp")
-    val line = v.toString + meta.map(" " + _).getOrElse("")
-    Files.write(tmp, line.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, vd.resolve("CURRENT"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    v
+    val maxRetries = 20
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(dir).map(_ + 1).getOrElse(0)
+      try {
+        Files.write(vd.resolve(f"v$v%05d.manifest"),
+          files.mkString("\n").getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        val tmp = vd.resolve(s"CURRENT.tmp.$v")
+        val line = v.toString + meta.map(" " + _).getOrElse("")
+        Files.write(tmp, line.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, vd.resolve("CURRENT"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        return v
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          if (!retryOnCollision)
+            throw new IllegalStateException(
+              s"concurrent commit collision on $dir at version $v — " +
+              "this commit's file list was derived from a version that " +
+              "is no longer CURRENT (retrying would lose the winning " +
+              "commit's rows); this table is single-writer, coordinate " +
+              "writers externally", e)
+          if (attempt >= maxRetries)
+            throw new IllegalStateException(
+              s"concurrent commits to $dir exceeded $maxRetries version " +
+              "collisions — this table is single-writer; coordinate " +
+              "writers externally", e)
+          attempt += 1
+          // the winner is mid-commit; give its CURRENT swap a beat
+          Thread.sleep(20L * attempt)
+      }
+    }
+    -1 // unreachable
   }
 
   /** Append: new version = previous live files + the new ones. `meta`
@@ -96,17 +142,21 @@ object SnapshotTable {
 
   /** Overwrite: new version = only the new files (old files stay on
     * disk serving old snapshots until a retention sweep). `meta`
-    * rides the atomic pointer swap (see currentMeta). */
+    * rides the atomic pointer swap (see currentMeta). The new
+    * content does not depend on the previous version, so a commit
+    * collision retries on the next version number (see commit). */
   def overwrite(spark: SparkSession, df: DataFrame, dir: String,
       meta: Option[String] = None): Int =
-    commit(dir, writeData(df, dir), meta)
+    commit(dir, writeData(df, dir), meta, retryOnCollision = true)
 
   /** Compaction: rewrite the CURRENT rows into `numFiles` files and
     * commit — row-identical by construction, and old snapshots keep
     * reading the old small files. `meta` lets a maintenance pass
     * PRESERVE the streaming ledger (compacting with meta =
     * currentMeta keeps a retried epoch recognizable as already
-    * applied — dropping it would reopen the double-append window). */
+    * applied — dropping it would reopen the double-append window).
+    * The rewritten rows derive from the version read below, so a
+    * collision must NOT retry (the winner may have appended). */
   def compact(spark: SparkSession, dir: String, numFiles: Int = 1,
       meta: Option[String] = None): Int =
     commit(dir, writeData(read(spark, dir).coalesce(numFiles), dir), meta)
@@ -124,7 +174,9 @@ object SnapshotTable {
       .join(df.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
         keyCols, "left_anti")
       .unionByName(df)
-    overwrite(spark, merged, dir, meta)
+    // merged content derives from the version read above — a commit
+    // collision must fail, not retry against a now-stale base
+    commit(dir, writeData(merged, dir), meta)
   }
 
   /** Read a snapshot (default: CURRENT). The file list is fixed at

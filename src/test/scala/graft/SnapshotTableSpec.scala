@@ -127,4 +127,35 @@ class SnapshotTableSpec extends AnyFunSuite {
     // the pre-compaction snapshot still reads the small files
     assert(SnapshotTable.read(spark, dir, v - 1).inputFiles.length === filesBefore)
   }
+
+  test("racing overwrite commits serialize on the manifest claim — " +
+      "every commit gets a distinct version, no manifest is clobbered") {
+    val dir = freshDir
+    val docs = Tables.documents(spark, sf).limit(20)
+    // seed v0 so racers contend on an existing CURRENT
+    SnapshotTable.append(spark, docs, dir)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    // the table is single-writer BY CONTRACT; this exercises the
+    // violated contract: base-independent commits (overwrite) must
+    // re-version via the CREATE_NEW manifest claim, never clobber
+    val racers = (1 to 4).map { i =>
+      Future(SnapshotTable.overwrite(spark, docs.limit(i), dir))
+    }
+    val versions = racers.map(f => Await.result(f, 120.seconds))
+    assert(versions.distinct.size === versions.size,
+      s"two commits stamped the same version: $versions")
+    // every stamped manifest exists, each with its own file list, and
+    // CURRENT points at a committed version
+    val vd = java.nio.file.Paths.get(dir, "_versions")
+    versions.foreach { v =>
+      assert(java.nio.file.Files.exists(vd.resolve(f"v$v%05d.manifest")))
+      // which racer claimed which version is scheduling-dependent,
+      // but every claimed version must read back as one racer's frame
+      assert((1L to 4L).contains(SnapshotTable.read(spark, dir, v).count()))
+    }
+    assert(SnapshotTable.read(spark, dir).count() > 0)
+  }
 }
