@@ -166,6 +166,17 @@ object Bench {
     // recorded ({query, first, second}) in the detail artifact, so a
     // suspect the retry CLEARS leaves an audit row instead of
     // vanishing silently.
+    // Deliberate algorithmic changes (trading a toy-scale constant
+    // factor for asymptotic scaling, as m06's round-10 blocking
+    // redesign does) are accepted EXPLICITLY, never silently:
+    // SPARK_GRAFT_ACCEPT_REGRESSIONS names queries whose slowdown
+    // this run may stamp as the new baseline. The acceptance is
+    // recorded in the detail artifact ("accepted_regressions", with
+    // the old and new times) so the move is auditable, and the next
+    // run gates against the new number. Unnamed regressions still
+    // fail the run.
+    val acceptNames = sys.env.getOrElse("SPARK_GRAFT_ACCEPT_REGRESSIONS", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val confirmed = scala.collection.mutable.Map.empty[String, Double]
     val remeasured =
       scala.collection.mutable.ListBuffer.empty[(String, Double, Double)]
@@ -187,11 +198,12 @@ object Bench {
     // the artifact carries the CONFIRMED times (best over all runs) —
     // next round's gate must not inherit a noise-inflated baseline
     val finalTimes = results ++ confirmed
-    val regressions = finalTimes.toSeq.sortBy(_._1).flatMap { case (name, cur) =>
-      prevQueries.get(name).collect {
-        case prev if regressed(prev, cur) => (name, prev, cur)
-      }
-    }
+    val (acceptedRegs, regressions) =
+      finalTimes.toSeq.sortBy(_._1).flatMap { case (name, cur) =>
+        prevQueries.get(name).collect {
+          case prev if regressed(prev, cur) => (name, prev, cur)
+        }
+      }.partition { case (name, _, _) => acceptNames(name) }
     val total = if (finalTimes.nonEmpty) finalTimes.values.sum else 0.0
     // n_queries/mean: totals are only comparable across rounds at the
     // same query count — the suite grows every round
@@ -201,7 +213,15 @@ object Bench {
         "regressions vs prior round (>2x and >0.5s): " +
         regressions.map { case (n, p, c) =>
           f"$n ($p%.2fs -> $c%.2fs)" }.mkString(", "))
+    if (acceptedRegs.nonEmpty)
+      System.err.println(s"[bench] ${acceptedRegs.size} regressions " +
+        "ACCEPTED as new baselines (SPARK_GRAFT_ACCEPT_REGRESSIONS): " +
+        acceptedRegs.map { case (n, p, c) =>
+          f"$n ($p%.2fs -> $c%.2fs)" }.mkString(", "))
     val regJson = regressions.map { case (n, p, c) =>
+      f"""{"name":"$n","prev_sec":$p%.4f,"cur_sec":$c%.4f}"""
+    }.mkString("[", ",", "]")
+    val accJson = acceptedRegs.map { case (n, p, c) =>
       f"""{"name":"$n","prev_sec":$p%.4f,"cur_sec":$c%.4f}"""
     }.mkString("[", ",", "]")
     val remJson = remeasured.map { case (n, first, second) =>
@@ -221,7 +241,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val detail =
-      f"""{"metric":"bench_detail","sf":"$sfDir","fixture_fp":"$fixtureFp","total_sec":$total%.3f,"n_queries":${results.size},"mean_per_query":$mean%.4f,"queries":$bqs,"shuffle_mb":$shJson,"errors":$errJson,"regressions":$regJson,"remeasured":$remJson}"""
+      f"""{"metric":"bench_detail","sf":"$sfDir","fixture_fp":"$fixtureFp","total_sec":$total%.3f,"n_queries":${results.size},"mean_per_query":$mean%.4f,"queries":$bqs,"shuffle_mb":$shJson,"errors":$errJson,"regressions":$regJson,"accepted_regressions":$accJson,"remeasured":$remJson}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath), detail + "\n")
     catch { case e: Throwable =>

@@ -90,10 +90,35 @@ object ScaleCheck {
           // disjoint — so MinHash/LSH dedup over N× data dedups N×
           // independent corpora instead of finding N-1 verbatim twins of
           // every doc (which would measure a quadratic-by-construction
-          // problem, not scaling).
-          else if (t == "documents" && i > 0)
-            shifted.withColumn("text",
-              regexp_replace(col("text"), "(\\S+)", "$1" + i))
+          // problem, not scaling). Two extra decorrelation layers exist
+          // because of m06 (the round-10 lesson: a scale harness must
+          // decorrelate copies at EVERY granularity an operator
+          // measures, byte-level included): (a) the salt varies in
+          // LENGTH and BYTE VALUES per copy, not just in its digits — a
+          // bare "$1"+i salt shifts byte-bucket means by well under one
+          // unit, so every cross-copy doc pair stayed a PERCEPTUAL twin
+          // (at 25× the full 256-bit m06 fingerprint had only 134k
+          // distinct values across 227k media); and (b) each copy's
+          // text is CYCLICALLY ROTATED by a copy-specific fraction
+          // (i·37 mod 101 / 101) of its length — token salting alone
+          // still left cross-copy pairs within m06's Hamming-15 radius
+          // (480k real cross-copy near-dups in the 25× output, 4× the
+          // planted-twin count), because a perceptual hash is BUILT to
+          // see through small byte perturbations; rotation misaligns
+          // every resize-bucket boundary, scattering fingerprints,
+          // while costing token ops only the one seam token (k-1
+          // shingles of a k-shingle set).
+          else if (t == "documents" && i > 0) {
+            val salt = ('a' + (i * 7) % 26).toChar.toString * (1 + i % 4) + i
+            val rot = (i * 37) % 101
+            shifted
+              .withColumn("text",
+                regexp_replace(col("text"), "(\\S+)", "$1" + salt))
+              .withColumn("text", expr(
+                s"concat(substr(text, cast(length(text) * $rot / 101 " +
+                  "as int) + 1), " +
+                  s"substr(text, 1, cast(length(text) * $rot / 101 as int)))"))
+          }
           else shifted
         }.reduce(_ unionByName _)
       scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")

@@ -193,25 +193,55 @@ object MediaQueries {
     // shape m05's exact frame signatures cannot cover (a re-encoded
     // or slightly-edited payload shares zero exact frames but nearly
     // identical coarse structure). Round 9 shipped this as a 60-bit
-    // aHash, and its own scale row flagged the flaw: a FIXED 60-bit
-    // keyspace saturates as N grows (107.9x in-bucket shuffle at
-    // 25x), and the rescue was a payload-size side key. Round 10
-    // applies d14's widening lesson to the hash ITSELF: a 256-BIT
-    // multi-offset gradient hash (dHash generalized) over m04's
-    // 64-bucket stub-resized signal — word k (of 4 BIGINTs), bit j =
+    // aHash whose own scale row flagged the fixed keyspace; the first
+    // round-10 cut widened the hash to 256 bits but banded it 16 x 16
+    // BITS, and ScaleCheck caught the consequence: a 16-bit band
+    // keyspace (65k values) turns birthday collisions quadratic —
+    // 373.7x shuffle at 25x data (N^2/2^16 junk candidates per band
+    // on fingerprints that cluster like word-soup text does).
+    //
+    // Final design: the fingerprint stays a 256-BIT multi-offset
+    // gradient hash (dHash generalized) over m04's 64-bucket
+    // stub-resized signal — word k (of 4 BIGINTs), bit j =
     // bucket[j] > bucket[(j + off_k) mod 64], offsets (1, 2, 4, 8):
-    // four gradient scales, integer-exact on both engines. Banding
-    // is 16 bands x 16 BITS (the >=16-bit width the keyspace needs
-    // to grow with N; at 1B+ docs the same 256 bits re-band as
-    // 8 x 32 without touching the fingerprint), candidates share a
-    // band value, confirmed at true Hamming <= 15 over all 256 bits
-    // — the pigeonhole bound: <= 15 flipped bits can corrupt at most
-    // 15 of 16 bands, so every true pair ALWAYS shares a band.
-    // Measured on the corpus: the bare (band, value) key now spreads
-    // cleanly (max bucket occupancy 46 at sf0.1, ZERO buckets at the
-    // 200 cap) — no size side key needed; the 2..200 band-frequency
-    // cap (m05's hot-frame rule) stays as the bound on any
-    // degenerate bucket a real corpus might plant.
+    // four gradient scales, integer-exact on both engines. Blocking
+    // is multi-index Hamming search (MIH): 8 bands x 32 BITS (4.3B
+    // values per band — the birthday term N^2/2^32 is negligible to
+    // ~100M media), with the hash bits dealt to bands by a FIXED
+    // mixing permutation (bit g lands at position (163g + 71) mod
+    // 256 — 163 is odd so it is a bijection): CONTIGUOUS bands
+    // inherit the gradient's local correlation (adjacent comparisons
+    // share buckets, so tie runs make whole sub-words agree across
+    // unrelated docs — measured 2.3 mean/270 max exact-key
+    // multiplicity and a still-quadratic candidate count at 25x),
+    // while mixed bands sample 32 near-independent bits each, so
+    // band values spread over the full 2^32 and both exact and
+    // 1-bit-neighborhood collisions collapse. Bands stay DISJOINT
+    // 32-bit subsets, so every pigeonhole argument below survives
+    // the permutation verbatim. On top of that, ADAPTIVE MULTI-PROBE
+    // keeps the radius-15 guarantee that 16 exact-match bands gave:
+    //   * MIH pigeonhole: Hamming <= 15 over 8 bands => some band
+    //     differs in <= floor(15/8) = 1 bit.
+    //   * A gradient bit can flip between two versions of a signal
+    //     with per-bucket delta <= 1 ONLY at a near-tie comparison:
+    //     sign(x-y) changes and |Δ(x-y)| <= 2 forces |x-y| <= 2 on
+    //     BOTH sides. A differing bit is SET on exactly one side, so
+    //     it suffices for the set side to probe the cleared variant
+    //     (canonical direction — halves probe volume): each doc
+    //     emits, besides its 8 exact band values, the band value
+    //     with bit g cleared for every near-tie comparison g with
+    //     diff in [1, 2]. If the <=1 differing bit in the surviving
+    //     band is bit g, the set side's probe equals the clear
+    //     side's exact value: recall is exact, not probabilistic,
+    //     and the probe volume is per-doc bounded (~24 rows/doc
+    //     measured at sf0.1), never corpus-quadratic.
+    // Candidates = probes ⋈ exact keys (per-key candidates bounded
+    // by the 200 exact-side frequency cap — m05's hot-pattern rule,
+    // so total candidates <= 200·|probes|, linear), then confirmed
+    // at true Hamming <= 15 over all 256 bits via two fingerprint
+    // joins. At ~1B media the same fingerprint re-bands as 6 x 42
+    // bits with 2-flip probes over near-tie pairs — the d14 widening
+    // schedule applied to the BAND KEY, never the stored hash.
     //
     // The corpus plants no positionally-aligned payload variants, so
     // the operator is demonstrated the way v06 demonstrates recall —
@@ -221,15 +251,16 @@ object MediaQueries {
     // are shard*10^12, and the engine side raise_error()s if a
     // source doc_id ever reaches the shift) whose resized signal is
     // perturbed by +1 on every 7th bucket, the stand-in for lossy
-    // re-encoding. Text bucket means cluster tightly, so the
-    // perturbation flips every near-tie comparison it touches:
-    // measured twin distances span 0..14 of 256 bits while DISTINCT
-    // docs sit at a floor of 62 — the <= 15 radius captures every
-    // twin (perfect recall by pigeonhole) with a 4x separation
-    // margin. Scale: fingerprinting is map-only on top of the
-    // resize; the band join shuffles 16 shorts per media. Byte
-    // semantics throughout via the m03/m04 hex recipe — parity on
-    // any UTF-8 corpus.
+    // re-encoding (per-bucket delta 1 — inside the multi-probe
+    // contract's bound). Measured twin distances span 0..14 of 256
+    // bits while DISTINCT docs sit at a floor of 62 — the <= 15
+    // radius captures every twin with a 4x separation margin.
+    // Scale: fingerprinting and probe generation are map-only on
+    // top of the resize; the blocking join shuffles the exact keys
+    // (8 rows/media) plus the near-tie probes (data-dependent,
+    // per-media bounded by the 256 comparisons). Byte semantics
+    // throughout via the m03/m04 hex recipe — parity on any UTF-8
+    // corpus.
     QueryDef(
       "m06_phash_neardup",
       """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
@@ -247,45 +278,63 @@ object MediaQueries {
         |       SELECT doc_id + 1000000000000, j,
         |              bv + CASE WHEN j % 7 = 0 THEN 1 ELSE 0 END
         |       FROM bk),
-        |g AS (SELECT a.doc_id, o.k,
-        |             bit_or(CASE WHEN a.bv > b.bv THEN
-        |                      CASE WHEN a.j = 63
+        |cmp AS (SELECT a.doc_id, o.k, a.j, a.bv AS x, b.bv AS y
+        |        FROM al a
+        |        JOIN (VALUES (0,1),(1,2),(2,4),(3,8)) o(k, off) ON true
+        |        JOIN al b ON b.doc_id = a.doc_id
+        |                 AND b.j = (a.j + o.off) % 64),
+        |g AS (SELECT doc_id, k,
+        |             bit_or(CASE WHEN x > y THEN
+        |                      CASE WHEN j = 63
         |                           THEN (-9223372036854775807-1)::BIGINT
-        |                           ELSE (1::BIGINT << a.j) END
+        |                           ELSE (1::BIGINT << j) END
         |                    ELSE 0::BIGINT END) AS w
-        |      FROM al a
-        |      JOIN (VALUES (0,1),(1,2),(2,4),(3,8)) o(k, off) ON true
-        |      JOIN al b ON b.doc_id = a.doc_id AND b.j = (a.j + o.off) % 64
-        |      GROUP BY a.doc_id, o.k),
+        |      FROM cmp GROUP BY doc_id, k),
         |fp AS (SELECT doc_id,
         |              max(CASE WHEN k=0 THEN w END) AS w0,
         |              max(CASE WHEN k=1 THEN w END) AS w1,
         |              max(CASE WHEN k=2 THEN w END) AS w2,
         |              max(CASE WHEN k=3 THEN w END) AS w3
         |       FROM g GROUP BY doc_id),
-        |bands AS (SELECT doc_id, w0, w1, w2, w3, b,
-        |                 ((CASE b // 4 WHEN 0 THEN w0 WHEN 1 THEN w1
-        |                               WHEN 2 THEN w2 ELSE w3 END)
-        |                  >> ((b % 4) * 16)) & 65535 AS bv
-        |          FROM fp, generate_series(0, 15) t(b)),
-        |keep AS (SELECT b, bv FROM bands GROUP BY b, bv
-        |         HAVING count(*) BETWEEN 2 AND 200),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
-        |                a.w0 AS a0, a.w1 AS a1, a.w2 AS a2, a.w3 AS a3,
-        |                c.w0 AS c0, c.w1 AS c1, c.w2 AS c2, c.w3 AS c3
-        |         FROM bands a JOIN keep USING (b, bv)
-        |              JOIN bands c ON a.b = c.b AND a.bv = c.bv
-        |               AND a.doc_id < c.doc_id)
-        |SELECT doc_a, doc_b,
-        |       CAST(bit_count(xor(a0, c0)) AS INT)
-        |       + CAST(bit_count(xor(a1, c1)) AS INT)
-        |       + CAST(bit_count(xor(a2, c2)) AS INT)
-        |       + CAST(bit_count(xor(a3, c3)) AS INT) AS hamming
-        |FROM cand
-        |WHERE CAST(bit_count(xor(a0, c0)) AS INT)
-        |      + CAST(bit_count(xor(a1, c1)) AS INT)
-        |      + CAST(bit_count(xor(a2, c2)) AS INT)
-        |      + CAST(bit_count(xor(a3, c3)) AS INT) <= 15
+        |bits AS (SELECT doc_id, g,
+        |              ((CASE g // 64 WHEN 0 THEN w0 WHEN 1 THEN w1
+        |                             WHEN 2 THEN w2 ELSE w3 END)
+        |               >> (g % 64)) & 1 AS bit,
+        |              ((g * 163 + 71) % 256) // 32 AS b,
+        |              ((g * 163 + 71) % 256) % 32 AS slot
+        |         FROM fp, generate_series(0, 255) t(g)),
+        |eb AS (SELECT doc_id, b, bit_or(bit << slot) AS bv
+        |       FROM bits GROUP BY doc_id, b),
+        |ties AS (SELECT doc_id, k * 64 + j AS gidx
+        |         FROM cmp WHERE x - y BETWEEN 1 AND 2),
+        |pr AS (SELECT doc_id, b, bv FROM eb
+        |       UNION ALL
+        |       SELECT t.doc_id,
+        |              ((t.gidx * 163 + 71) % 256) // 32 AS b,
+        |              xor(e.bv, 1::BIGINT <<
+        |                  (((t.gidx * 163 + 71) % 256) % 32)) AS bv
+        |       FROM ties t JOIN eb e
+        |         ON e.doc_id = t.doc_id
+        |        AND e.b = ((t.gidx * 163 + 71) % 256) // 32),
+        |keep AS (SELECT b, bv FROM eb GROUP BY b, bv
+        |         HAVING count(*) <= 200),
+        |cand AS (SELECT DISTINCT least(p.doc_id, e.doc_id) AS doc_a,
+        |                greatest(p.doc_id, e.doc_id) AS doc_b
+        |         FROM pr p JOIN keep USING (b, bv)
+        |              JOIN eb e ON p.b = e.b AND p.bv = e.bv
+        |               AND p.doc_id <> e.doc_id)
+        |SELECT c.doc_a, c.doc_b,
+        |       CAST(bit_count(xor(fa.w0, fb.w0)) AS INT)
+        |       + CAST(bit_count(xor(fa.w1, fb.w1)) AS INT)
+        |       + CAST(bit_count(xor(fa.w2, fb.w2)) AS INT)
+        |       + CAST(bit_count(xor(fa.w3, fb.w3)) AS INT) AS hamming
+        |FROM cand c
+        |JOIN fp fa ON fa.doc_id = c.doc_a
+        |JOIN fp fb ON fb.doc_id = c.doc_b
+        |WHERE CAST(bit_count(xor(fa.w0, fb.w0)) AS INT)
+        |      + CAST(bit_count(xor(fa.w1, fb.w1)) AS INT)
+        |      + CAST(bit_count(xor(fa.w2, fb.w2)) AS INT)
+        |      + CAST(bit_count(xor(fa.w3, fb.w3)) AS INT) <= 15
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       val TwinShift = 1000000000000L
       val media = MediaOps.mediaTable(Tables.documents(s, d))
@@ -314,34 +363,72 @@ object MediaQueries {
             lit(1L << j)).otherwise(lit(0L))
         }.reduce(_ bitwiseOR _).as(s"w$k")
       }
-      val fp = graft.PersistRegistry.cached(
-        all.select(col("doc_id") +: wordCols: _*))
-      val bands = fp
-        .select(col("doc_id"), col("w0"), col("w1"), col("w2"), col("w3"),
-          explode(sequence(lit(0), lit(15))).as("b"))
-        .withColumn("bv",
-          expr("shiftright(element_at(array(w0, w1, w2, w3), " +
-            "CAST(b div 4 AS INT) + 1), CAST((b % 4) * 16 AS INT)) " +
-            "& CAST(65535 AS BIGINT)"))
-      val keep = bands.groupBy("b", "bv")
+      // mixed MIH band columns (map-only): hash bit g lands in band
+      // (163g + 71) mod 256 div 32 at slot mod 32 — each band ORs
+      // its 32 pseudo-randomly assigned bits
+      def bitOf(g: Int) =
+        shiftright(col(s"w${g / 64}"), g % 64).bitwiseAND(lit(1L))
+      def permOf(g: Int) = (g * 163 + 71) % 256
+      val bandCols = (0 until 8).map { b =>
+        (0 until 256).filter(g => permOf(g) / 32 == b).map { g =>
+          shiftleft(bitOf(g), permOf(g) % 32)
+        }.reduce(_ bitwiseOR _).as(s"bv$b")
+      }
+      // resized rides along for probe generation; the cache is
+      // released by the caller through PersistRegistry
+      val fpr = graft.PersistRegistry.cached(all.select(
+        col("doc_id") +: col("resized") +: (wordCols ++ bandCols): _*))
+      val bandArr = array((0 until 8).map(b => col(s"bv$b")): _*)
+      // exact MIH keys, one row per (media, band)
+      val eb = fpr.select(col("doc_id"), posexplode(bandArr))
+        .toDF("doc_id", "b", "bv")
+      // adaptive multi-probe keys: for every near-tie comparison
+      // (global bit g: word g div 64, bucket pair (g % 64, +off)),
+      // the band value with bit g flipped — the only single-bit
+      // corruptions a delta-bounded re-encode can produce. Canonical
+      // direction halves the volume: a pair differing at bit g has
+      // the bit SET on exactly one side, so only that side probes
+      // the cleared variant (bit set <=> diff >= 1; near-tie at the
+      // contract's delta <=> diff <= 2) — the 0-side's exact key is
+      // the match target. Measured on sf0.1 eligible media: ~24
+      // probe rows/doc (vs 8 exact keys), per-doc bounded.
+      val tieRows = fpr
+        .select(col("doc_id"), bandArr.as("bvs"), explode(expr(
+          "filter(sequence(0, 255), g -> " +
+            "(element_at(resized, g % 64 + 1) - " +
+            "element_at(resized, (g % 64 + element_at(array(1, 2, 4, 8), " +
+            "CAST(g div 64 AS INT) + 1)) % 64 + 1)) BETWEEN 1 AND 2)"))
+          .as("g"))
+        .select(col("doc_id"),
+          expr("CAST(((g * 163 + 71) % 256) div 32 AS INT)").as("b"),
+          expr("element_at(bvs, " +
+            "CAST(((g * 163 + 71) % 256) div 32 AS INT) + 1) " +
+            "^ shiftleft(CAST(1 AS BIGINT), " +
+            "CAST(((g * 163 + 71) % 256) % 32 AS INT))").as("bv"))
+      val pr = eb.unionByName(tieRows)
+      // hot-pattern cap on the EXACT side only (no lower bound: a
+      // singleton exact key is a legitimate probe target) — total
+      // candidates <= 200 * |probes|, linear by construction
+      val keep = eb.groupBy("b", "bv")
         .agg(count(lit(1)).as("n"))
-        .filter(col("n").between(2, 200))
+        .filter(col("n") <= 200)
         .select("b", "bv")
-      val rare = bands.join(keep, Seq("b", "bv"))
-      val a = rare.select(col("b").as("ba"), col("bv").as("bva"),
-        col("doc_id").as("doc_a"), col("w0").as("a0"), col("w1").as("a1"),
-        col("w2").as("a2"), col("w3").as("a3"))
-      val c = rare.select(col("b").as("bc"), col("bv").as("bvc"),
-        col("doc_id").as("doc_b"), col("w0").as("c0"), col("w1").as("c1"),
-        col("w2").as("c2"), col("w3").as("c3"))
+      val cand = pr.select(col("b"), col("bv"), col("doc_id").as("doc_p"))
+        .join(keep, Seq("b", "bv"))
+        .join(eb.select(col("b"), col("bv"), col("doc_id").as("doc_e")),
+          Seq("b", "bv"))
+        .filter(col("doc_p") =!= col("doc_e"))
+        .select(least(col("doc_p"), col("doc_e")).as("doc_a"),
+          greatest(col("doc_p"), col("doc_e")).as("doc_b"))
+        .distinct()
+      val fa = fpr.select(col("doc_id").as("doc_a"), col("w0").as("a0"),
+        col("w1").as("a1"), col("w2").as("a2"), col("w3").as("a3"))
+      val fb = fpr.select(col("doc_id").as("doc_b"), col("w0").as("c0"),
+        col("w1").as("c1"), col("w2").as("c2"), col("w3").as("c3"))
       val ham = (0 until 4)
         .map(k => bit_count(col(s"a$k").bitwiseXOR(col(s"c$k"))).cast("int"))
         .reduce(_ + _)
-      a.join(c, col("ba") === col("bc") && col("bva") === col("bvc") &&
-          col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          col("a0"), col("a1"), col("a2"), col("a3"),
-          col("c0"), col("c1"), col("c2"), col("c3")).distinct()
+      cand.join(fa, "doc_a").join(fb, "doc_b")
         .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
         .filter(col("hamming") <= 15)
         .orderBy("doc_a", "doc_b")

@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** Round-9/10 operator: m06 perceptual-hash media near-dup (round 10
-  * widened it to a 256-bit multi-offset gradient hash with 16x16-bit
-  * bands). Semantic properties beyond the value oracle — the probe's
-  * planted truth must come back with perfect precision and PERFECT
-  * recall (the <= 15 radius over 16 bands is a pigeonhole guarantee,
-  * not a probability), and the distance floor between DISTINCT
-  * payloads must stay far above the match radius (the separation
-  * that makes the radius meaningful).
+  * widened it to a 256-bit multi-offset gradient hash blocked by
+  * multi-index Hamming search: 8 x 32-bit bands + adaptive near-tie
+  * multi-probe). Semantic properties beyond the value oracle — the
+  * probe's planted truth must come back with perfect precision and
+  * PERFECT recall (Hamming <= 15 over 8 bands leaves some band with
+  * <= 1 differing bit, and that bit is a near-tie the probe rows
+  * cover — a guarantee, not a probability), and the distance floor
+  * between DISTINCT payloads must stay far above the match radius
+  * (the separation that makes the radius meaningful).
   */
 class Round9OperatorsSpec extends AnyFunSuite {
   import TestSpark._
@@ -37,9 +39,11 @@ class Round9OperatorsSpec extends AnyFunSuite {
     }
     val eligible = Tables.documents(spark, sf)
       .filter(octet_length(col("text")) >= 128).count()
-    // pigeonhole: <= 15 flipped bits corrupt at most 15 of 16 bands,
-    // so every twin shares a band with its original and is confirmed
-    // inside the radius — recall is exact, not approximate
+    // MIH pigeonhole: <= 15 flipped bits leave some 32-bit band with
+    // <= 1 differing bit, and that bit is a near-tie comparison the
+    // multi-probe rows flip — so every twin meets its original on an
+    // exact band key and is confirmed inside the radius; recall is
+    // exact, not approximate
     assert(pairs.length === eligible,
       s"recall ${pairs.length}/$eligible — the pigeonhole guarantee " +
       "must be exact")
