@@ -190,7 +190,10 @@ object ScaleCheck {
       "m06_phash_neardup",
       // q67: recursive-CTE ancestor paths — N·log8 N path rows over
       // log-depth frontier joins, then one rollup agg
-      "q67_recursive_hierarchy")
+      "q67_recursive_hierarchy",
+      // v20: graph-ANN beam walk — Q-bounded frontier joins against
+      // the v13 graph snapshot; only the graph build is data-sized
+      "v20_graph_beam_search")
     val heavySuite = Seq("q07_multijoin_agg", "q44_star_join_q5",
       "d02_minhash_lsh", "q33_ranking_functions",
       "q10_window_topk_per_group", "d09_ivf_neardup")

@@ -510,6 +510,78 @@ object SimilarityQueries {
         |  FROM cs) t
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // v20 beam-search knobs. H must cover the in-cell graph's diameter
+  // (~log_k |cell|); B is the frontier width. The oracle's hop CTE
+  // chain is GENERATED from these same constants, so engine and
+  // DuckDB always walk the identical search.
+  private[operators] val V20H = 6
+  private[operators] val V20B = 8
+
+  private val v20Sql: String = {
+    val hops = (1 to V20H).map { h =>
+      val prevBeam = if (h == 1) "v0" else s"bm${h - 1}"
+      s"""nb$h AS (SELECT DISTINCT b.query_id, g.neighbor_id AS node
+         |        FROM $prevBeam b JOIN g ON g.vec_id = b.node),
+         |v$h AS (SELECT DISTINCT query_id, node FROM (
+         |         SELECT query_id, node FROM v${h - 1}
+         |         UNION ALL SELECT query_id, node FROM nb$h) u),
+         |sc$h AS (SELECT v.query_id, v.node,
+         |          CAST(list_sum(list_transform(generate_series(1, len(q.r)),
+         |                 i -> q.r[i] * c.r[i])) AS DOUBLE)
+         |            / sqrt(CAST(q.nn AS DOUBLE) * CAST(c.nn AS DOUBLE))
+         |            AS cos_sim
+         |        FROM v$h v JOIN n q ON q.vec_id = v.query_id
+         |                 JOIN n c ON c.vec_id = v.node),
+         |bm$h AS (SELECT query_id, node FROM (
+         |          SELECT query_id, node, row_number() OVER (
+         |              PARTITION BY query_id ORDER BY cos_sim DESC, node)
+         |            AS rn FROM sc$h) t WHERE rn <= $V20B)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS ($quantizedSql),
+       |cen AS (SELECT label, j, CAST(sum(r[j]) AS BIGINT) AS cj
+       |        FROM n, generate_series(1, 64) t(j) GROUP BY label, j),
+       |cent AS (SELECT label, list(cj ORDER BY j) AS c,
+       |           CAST(list_sum(list_transform(list(cj ORDER BY j),
+       |                x -> x*x)) AS DOUBLE) AS cn
+       |         FROM cen GROUP BY label),
+       |probe AS (SELECT query_id, label FROM (
+       |    SELECT q.vec_id AS query_id, cent.label,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             CAST(list_sum(list_transform(generate_series(1, 64),
+       |                    i -> q.r[i] * cent.c[i])) AS DOUBLE)
+       |               / sqrt(CAST(q.nn AS DOUBLE) * cn) DESC, cent.label)
+       |             AS rn
+       |    FROM n q, cent WHERE q.vec_id < $Q) t WHERE rn = 1),
+       |gd AS (SELECT vec_id, neighbor_id FROM (
+       |        SELECT a.vec_id, c.vec_id AS neighbor_id,
+       |               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |                 CAST(list_sum(list_transform(
+       |                        generate_series(1, len(a.r)),
+       |                        i -> a.r[i] * c.r[i])) AS DOUBLE)
+       |                   / sqrt(CAST(a.nn AS DOUBLE)
+       |                          * CAST(c.nn AS DOUBLE)) DESC,
+       |                 c.vec_id) AS rank
+       |        FROM n a JOIN n c ON c.label = a.label
+       |          AND c.vec_id <> a.vec_id) t
+       |      WHERE rank <= 3),
+       |g AS (SELECT vec_id, neighbor_id FROM gd
+       |      UNION
+       |      SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM gd),
+       |ent AS (SELECT label, vec_id AS node FROM (
+       |         SELECT label, vec_id, row_number() OVER (
+       |             PARTITION BY label ORDER BY vec_id) AS rn FROM n) t
+       |       WHERE rn <= 4),
+       |v0 AS (SELECT p.query_id, e.node FROM probe p JOIN ent e
+       |       USING (label)),
+       |$hops
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT query_id, node AS neighbor_id, cos_sim,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |             ORDER BY cos_sim DESC, node) AS INT) AS rank
+       |  FROM sc$V20H WHERE node <> query_id) t
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // Brute-force exact cosine top-k per query vector. The query side
@@ -1584,6 +1656,144 @@ object SimilarityQueries {
             col("nnq"), col("nnc")).as("cos_sim"))
         .withColumn("rank", row_number().over(w).cast("int"))
         .filter(col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    },
+
+    // GRAPH-ANN BEAM SEARCH — the HNSW-shaped serving path the suite
+    // lacked: v03 answers a query by scanning its WHOLE probed cell
+    // (O(|cell|) dot products per query); v20 walks the cell's k-NN
+    // graph instead — entry at the cell's min-vec_id node, then H
+    // beam hops (beam B by cosine, node tiebreak) expanding each
+    // beam node's k<=3 committed v13 edges, candidates = the visited
+    // set, final top-3 among visited nodes. H and B are the
+    // recall/cost knobs a graph index is sized by: H must cover the
+    // graph's diameter (~log_k |cell|, so H grows with log N — at
+    // H=3/B=4 recall@3 vs the exhaustive v03 walk measured 22% on
+    // sf0.1's ~4000-vector cells; H=6/B=8 is sized for the testdata
+    // range), B widens the frontier past local optima. Deterministic
+    // end-to-end (integer-quantized cosines are bit-identical across
+    // engines; every selection breaks ties by node id), so DuckDB
+    // recomputes the exact walk — the hop CTE chain below is
+    // GENERATED from the same (H, B) constants the engine loops
+    // over. Scale: the query side is the v01-v05 bounded serving
+    // contract (broadcast); the GRAPH is the only data-sized table
+    // and is consumed from v13's committed "knn-graph" stage
+    // snapshot (compute-if-absent — a session that ran v13 pays
+    // nothing); each hop joins <= Q*B beam rows against it by node
+    // key, touching O(B*k) vectors per query per hop instead of
+    // O(|cell|) — the reason graph ANN wins once cells are large
+    // (at 1B vectors with nlist from v07's build, |cell| ~ 1-10k but
+    // a walk reads ~H*B*k nodes). The visited set is
+    // <= Q*(1 + H*B*k) rows — no stage is corpus-sized beyond the
+    // graph join.
+    QueryDef(
+      "v20_graph_beam_search",
+      v20Sql) { (s, d) =>
+      import s.implicits._
+      val n = quantized(s, d)
+      // The walk STATE lives on the query coordinator (the driver) —
+      // exactly how an online graph-ANN query executes, and the
+      // v01/v17 bounded-serving contract: state is
+      // O(Q·(seeds + H·B·k)) rows, every bound require()d. A first
+      // cut ran the walk as H rounds of distributed jobs; its data
+      // volume was identical but it paid ~150 tiny stages of
+      // scheduling/codegen overhead per run (15+ s at sf0.1 for
+      // 3 KB of state). Every CORPUS access below stays a
+      // distributed pushed-filter scan — the graph snapshot is
+      // probed by beam-node keys each hop, never collected.
+      val qrows = n.filter(col("vec_id") < Q)
+        .select(col("vec_id"), col("r"), col("nn"))
+        .as[(Long, Array[Long], Long)].collect()
+      require(qrows.length <= Q, s"query set exceeds the $Q bound")
+      val qvec = qrows.map(r => r._1 -> ((r._2, r._3))).toMap
+      def cosTo(q: Long, rc: Array[Long], nnc: Long): Double = {
+        val (rq, nnq) = qvec(q)
+        var i = 0; var dot = 0L
+        while (i < rq.length) { dot += rq(i) * rc(i); i += 1 }
+        dot.toDouble / math.sqrt(nnq.toDouble * nnc.toDouble)
+      }
+      // coarse probe — v03's rule verbatim (centroid = exact integer
+      // component-wise sum; best cell by cosine, ties to the smaller
+      // label); the centroid table is the IVF coordinator state
+      // (nlist rows, the same table v03/v05/v11 broadcast)
+      val cents = n.select(col("label"), col("r"),
+          explode(sequence(lit(1), lit(64))).as("j"))
+        .select(col("label"), col("j"),
+          element_at(col("r"), col("j")).as("rj"))
+        .groupBy("label", "j").agg(sum("rj").as("cj"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
+          x => x.getField("cj")).as("c"))
+        .select(col("label").cast("long"), col("c"))
+        .as[(Long, Array[Long])].collect()
+      require(cents.length <= 1000000, "centroid table exceeds the " +
+        "coordinator bound — shard the coarse quantizer")
+      val probed: Map[Long, Long] = qvec.keys.map { q =>
+        q -> cents.map { case (label, c) =>
+          val nnc = c.map(x => x * x).sum
+          (-cosTo(q, c, nnc), label)
+        }.min._2
+      }.toMap
+      // multi-entry seeding: the 4 smallest vec_ids per probed cell
+      // (one entry strands the walk in a directed k-NN graph's local
+      // neighborhood; HNSW's multi-seed lesson)
+      val probedLabels = probed.values.toSet
+      val wEnt = Window.partitionBy("label").orderBy("vec_id")
+      val seeds = n.filter(col("label").cast("long")
+          .isInCollection(probedLabels))
+        .withColumn("rn", row_number().over(wEnt))
+        .filter(col("rn") <= 4)
+        .select(col("label").cast("long"), col("vec_id"), col("r"), col("nn"))
+        .as[(Long, Long, Array[Long], Long)].collect()
+      require(seeds.length <= 4 * Q, "seed set exceeds the 4*Q bound")
+      val seedsByLabel = seeds.groupBy(_._1)
+      // the graph is v13's committed stage snapshot (compute-if-
+      // absent), SYMMETRIZED: reverse edges double effective degree
+      // and connectivity — a directed 3-out graph strands greedy
+      // walks (measured 28% recall@3 vs v03 on sf0.1's ~4000-vector
+      // cells before symmetrizing)
+      val gd = StageSnapshots.snapshot(s, d, "knn-graph")(knnGraph(s, d))
+        .select(col("vec_id"), col("neighbor_id"))
+      val g = gd.unionByName(gd.select(col("neighbor_id").as("vec_id"),
+        col("vec_id").as("neighbor_id"))).distinct()
+      // visited state: query -> node -> cosine
+      var visited: Map[Long, Map[Long, Double]] = probed.map { case (q, lb) =>
+        q -> seedsByLabel(lb)
+          .map { case (_, node, rc, nnc) => node -> cosTo(q, rc, nnc) }.toMap
+      }
+      for (_ <- 1 to V20H) {
+        val beams: Map[Long, Seq[Long]] = visited.map { case (q, m) =>
+          q -> m.toSeq.map { case (node, c) => (-c, node) }
+            .sorted.take(V20B).map(_._2)
+        }
+        val beamNodes = beams.values.flatten.toSet
+        // ONE distributed probe per hop: beam nodes' edges joined
+        // with the neighbors' vectors, both sides filter-pushed
+        val ed = g.filter(col("vec_id").isInCollection(beamNodes))
+          .join(n.select(col("vec_id").as("neighbor_id"),
+            col("r"), col("nn")), Seq("neighbor_id"))
+          .select(col("vec_id"), col("neighbor_id"), col("r"), col("nn"))
+          .as[(Long, Long, Array[Long], Long)].collect()
+        // out-degree is <= 2k symmetric, but a reverse edge adds the
+        // ORIGINAL graph's in-degree — unbounded only for
+        // pathological hubs; guard loudly rather than truncate
+        // (truncation would silently diverge from the oracle's walk)
+        require(ed.length <= beamNodes.size * 512,
+          "graph hub exceeded the per-hop edge bound")
+        val bySrc = ed.groupBy(_._1)
+        visited = visited.map { case (q, m) =>
+          val adds = beams(q).iterator
+            .flatMap(bn => bySrc.getOrElse(bn, Array.empty))
+            .map { case (_, node, rc, nnc) => node -> cosTo(q, rc, nnc) }
+          q -> (m ++ adds)
+        }
+      }
+      val out = visited.toSeq.flatMap { case (q, m) =>
+        m.toSeq.filter(_._1 != q)
+          .sortBy { case (node, c) => (-c, node) }.take(3)
+          .zipWithIndex.map { case ((node, c), i) => (q, node, c, i + 1) }
+      }
+      out.toDF("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")
     },
   )

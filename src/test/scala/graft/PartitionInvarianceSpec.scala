@@ -37,8 +37,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "v19_ann_join",           // cell-cogrouped two-table ANN join
     "p13_token_budget_cut",   // per-stream quota running-sum cut
     "p14_pack_emit",          // ordered pack flatten + fingerprint
-    "m06_phash_neardup",      // aHash fingerprint + banded confirm
-    "q67_recursive_hierarchy") // recursive frontier joins + rollup
+    "m06_phash_neardup",      // mixed-MIH bands + multi-probe confirm
+    "q67_recursive_hierarchy", // recursive frontier joins + rollup
+    "v20_graph_beam_search")  // snapshot graph + iterative beam windows
 
   test("representative queries are identical under different parallelism") {
     val key = "spark.sql.shuffle.partitions"
