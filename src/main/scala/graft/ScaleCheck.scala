@@ -193,7 +193,10 @@ object ScaleCheck {
       "q67_recursive_hierarchy",
       // v20: graph-ANN beam walk — Q-bounded frontier joins against
       // the v13 graph snapshot; only the graph build is data-sized
-      "v20_graph_beam_search")
+      "v20_graph_beam_search",
+      // p16: E-way epoch fan-out + one (epoch, shard) window — p04's
+      // shape with the epoch dimension; linear in E·N
+      "p16_epoch_shuffle")
     val heavySuite = Seq("q07_multijoin_agg", "q44_star_join_q5",
       "d02_minhash_lsh", "q33_ranking_functions",
       "q10_window_topk_per_group", "d09_ivf_neardup")

@@ -738,5 +738,44 @@ object SamplingQueries {
         .train.select(col("doc_id"), col("n_tok"), col("pack_id"))
         .orderBy("doc_id")
     },
+
+    // SEEDED PER-EPOCH RESHUFFLE — the training-loader order op p04
+    // lacks the epoch dimension for: every epoch must present the
+    // corpus in a DIFFERENT order (repeated order measurably hurts
+    // convergence), yet the whole schedule must be reproducible from
+    // one seed on any cluster. Each (seed, epoch, doc) key is
+    // md5-hashed once; the hash drives BOTH the epoch's shard
+    // assignment (full reshuffle — shards differ across epochs, the
+    // distributed analog of reshuffling the sharded dataset between
+    // epochs) and the within-shard order (60-bit rank, doc_id
+    // tiebreak). Scale: a map-only E-way fan-out plus one
+    // (epoch, shard)-keyed window — no global sort, linear in
+    // E·N, the p04/p08 partitioning discipline with the epoch
+    // dimension added.
+    QueryDef(
+      "p16_epoch_shuffle",
+      raw"""SELECT epoch, doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY epoch, shard
+        |              ORDER BY ${mdHash60Sql(
+              "'42:' || CAST(epoch AS VARCHAR) || ':' " +
+                "|| CAST(doc_id AS VARCHAR)")}, doc_id) AS BIGINT)
+        |         AS pos_in_shard
+        |FROM (SELECT d.doc_id, CAST(t.epoch AS INT) AS epoch,
+        |        ${mdBucketSql(
+              "'42:' || CAST(epoch AS VARCHAR) || ':' " +
+                "|| CAST(doc_id AS VARCHAR)", 8)} AS shard
+        |      FROM documents d, generate_series(0, 2) t(epoch))
+        |ORDER BY epoch, doc_id""".stripMargin) { (s, d) =>
+      val key = concat(lit("42:"), col("epoch").cast("string"),
+        lit(":"), col("doc_id").cast("string"))
+      val w = Window.partitionBy("epoch", "shard")
+        .orderBy(mdHash60(key), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(2))).as("epoch"))
+        .withColumn("shard", mdBucket(key, 8))
+        .withColumn("pos_in_shard", row_number().over(w).cast("bigint"))
+        .orderBy("epoch", "doc_id")
+    },
   )
 }

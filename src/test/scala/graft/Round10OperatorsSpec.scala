@@ -70,4 +70,35 @@ class Round10OperatorsSpec extends AnyFunSuite {
       s"recall@3 $overlap/${exact.size} below the 3/4 floor " +
       "(measured 56/60 on this fixture)")
   }
+
+  test("p16: every epoch is a full permutation of the corpus, and " +
+      "epochs genuinely reshuffle") {
+    val rows = SparkEntry.queries("p16_epoch_shuffle")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("epoch"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("shard"), r.getAs[Long]("pos_in_shard")))
+    PersistRegistry.release()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet === Set(0, 1, 2))
+    for ((e, rs) <- byEpoch) {
+      assert(rs.map(_._2).distinct.length.toLong === nDocs,
+        s"epoch $e is not a permutation of the corpus")
+      // (shard, pos) is a dense order: positions within each shard
+      // are exactly 1..|shard|
+      for ((_, srs) <- rs.groupBy(_._3))
+        assert(srs.map(_._4).sorted.toSeq === (1L to srs.length).toSeq,
+          s"epoch $e has gaps in a shard's positions")
+    }
+    // reshuffle: the doc -> (shard, pos) schedule must differ between
+    // every epoch pair for a substantial fraction of docs
+    val sched = byEpoch.map { case (e, rs) =>
+      e -> rs.map(r => r._2 -> ((r._3, r._4))).toMap
+    }
+    for (a <- 0 to 1; b <- a + 1 to 2) {
+      val moved = sched(a).count { case (doc, sp) => sched(b)(doc) != sp }
+      assert(moved.toLong * 2 > nDocs,
+        s"epochs $a and $b share the schedule for most docs — not a " +
+        "reshuffle")
+    }
+  }
 }
