@@ -11,8 +11,9 @@ import org.apache.spark.sql.SparkSession
   * snapshot() resolves through the warehouse exactly as a restarted
   * session would).
   *
-  * Protocol per consumer query (d15 / v10 / v11 — the ops that adopt
-  * d09's IVF pair table and v09's PQ codebook/encodings):
+  * Protocol per consumer query (d15 / v10 / v11 / v20 — the ops
+  * that adopt d09's IVF pair table, v09's PQ codebook/encodings,
+  * and v13's k-NN graph):
   *   ADOPT:   warehouse conf set, session cache invalidated, every
   *            dependency committed by a prior definer run → the query
   *            reads committed snapshots, zero recompute.
@@ -36,9 +37,10 @@ object SnapshotBench {
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-    val definers = Seq("d02_minhash_lsh", "d09_ivf_neardup", "v09_pq_encode")
+    val definers = Seq("d02_minhash_lsh", "d09_ivf_neardup", "v09_pq_encode",
+      "v13_knn_graph")
     val consumers = Seq("d15_semantic_dedup", "v10_pq_adc_topk",
-      "v11_ivfpq_search")
+      "v11_ivfpq_search", "v20_graph_beam_search")
 
     def time(name: String): Double = {
       val t0 = System.nanoTime()
