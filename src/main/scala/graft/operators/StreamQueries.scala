@@ -149,5 +149,45 @@ object StreamQueries {
       StreamingOps.windowDistinctUsersBatch(Tables.events(s, d), "15 minutes")
         .orderBy("bucket_start")
     },
+
+    // LEFT OUTER interval join — s05's attribution shape with the
+    // unmatched side KEPT (clicks with no preceding-hour view emit a
+    // null-padded row): the outer stream-stream join is its own
+    // Structured Streaming surface, because the null row can only be
+    // emitted once the watermark proves no matching view can still
+    // arrive — state eviction IS the outer-emit trigger
+    // (StreamingOpsSpec drives the streaming twin with a sentinel
+    // event that advances the watermark past every open window and
+    // proves it equals this batch form). Scale: identical to s05 —
+    // the user_id equi-key carries the shuffle, the time bound
+    // bounds streaming state; the outer side adds one
+    // watermark-delay window of unmatched-left state, still
+    // time-bounded.
+    QueryDef(
+      "s07_interval_join_outer",
+      """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+        |       epoch_us(c.ts) AS click_us, epoch_us(v.ts) AS view_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        | AND v.ts <= c.ts AND c.ts < v.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, view_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+          col("ts").as("view_ts"))
+      clicks.join(views,
+          col("user_id") === col("v_user_id")
+            && col("view_ts") <= col("click_ts")
+            && col("click_ts") < col("view_ts") + expr("interval 1 hour"),
+          "left_outer")
+        .select(col("click_id"), col("view_id"), col("user_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("view_ts")).as("view_us"))
+        .orderBy("click_id", "view_id")
+    },
   )
 }

@@ -349,6 +349,70 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("left-outer watermarked stream-stream join emits null-padded " +
+      "rows once the watermark closes the window, matching batch") {
+    import spark.implicits._
+    // the s07 shape: clicks left-joined to same-user views in the
+    // preceding hour; unmatched clicks must surface as null rows —
+    // in streaming that emission happens ONLY when the watermark
+    // proves no matching view can still arrive
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    def sides(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts")),
+      df.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+          col("ts").as("v_ts")))
+    def joinCond = col("c_user") === col("v_user") &&
+      col("v_ts") <= col("c_ts") &&
+      col("c_ts") < col("v_ts") + expr("INTERVAL 1 HOUR")
+
+    val (bc, bv) = sides(e)
+    val batch = bc.join(bv, joinCond, "left_outer")
+      .select(col("c_id"), col("v_id")).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val (sc, sv) = sides(stream)
+    val q = sc.withWatermark("c_ts", "2 hours")
+      .join(sv.withWatermark("v_ts", "2 hours"), joinCond, "leftOuter")
+      .select(col("c_id"), col("v_id"))
+      .writeStream.format("memory").queryName("ss_outer_join_test")
+      .outputMode("append").start()
+    val Sentinel = 1000000000000L
+    try {
+      val rows = e.select("event_id", "ts", "user_id", "event_type")
+        .as[(Long, java.sql.Timestamp, Long, String)].collect()
+      val maxTs = rows.map(_._2.getTime).max
+      mem.addData(rows.toIndexedSeq)
+      q.processAllAvailable()
+      // null-padded rows for clicks near the stream's end are still
+      // held as state: the watermark has not passed their windows. A
+      // far-future sentinel on BOTH sides advances it past every
+      // open window — only then may the engine emit the outer rows.
+      val future = new java.sql.Timestamp(maxTs + 30L * 24 * 3600 * 1000)
+      mem.addData(Seq(
+        (Sentinel, future, Sentinel, "click"),
+        (Sentinel + 1, future, Sentinel, "view")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("ss_outer_join_test").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .filter(_._1 < Sentinel).toSet
+    assert(streamed === batch,
+      "streaming left-outer join diverged from the batch outer join")
+    // and the outer rows genuinely exist (the surface under test)
+    assert(streamed.exists(_._2 == -1L),
+      "no null-padded row was emitted — the outer path never fired")
+  }
+
   test("watermarked stream-stream join matches the batch interval join") {
     import spark.implicits._
     // purchases joined to same-user signups within the preceding hour
