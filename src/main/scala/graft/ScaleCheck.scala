@@ -196,7 +196,10 @@ object ScaleCheck {
       "v20_graph_beam_search",
       // p16: E-way epoch fan-out + one (epoch, shard) window — p04's
       // shape with the epoch dimension; linear in E·N
-      "p16_epoch_shuffle")
+      "p16_epoch_shuffle",
+      // d17: d06's gram-keyed LEFT join + counting agg — the gram
+      // exchange is the one data-sized shuffle
+      "d17_contamination_rate")
     val heavySuite = Seq("q07_multijoin_agg", "q44_star_join_q5",
       "d02_minhash_lsh", "q33_ranking_functions",
       "q10_window_topk_per_group", "d09_ivf_neardup")

@@ -578,6 +578,53 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Contamination RATE report — the graded form of d06: d06 names
+    // the contaminated docs (the filter's input), this reports EVERY
+    // test doc's gram count, shared-gram count, and contamination
+    // rate in integer basis points (the eval-integrity artifact a
+    // training run publishes alongside its decontam filter — "what
+    // fraction of each held-out doc leaked into train", not just
+    // "which docs crossed the threshold"). Same machinery as d06 —
+    // stride-16 32-char gram fan-out, distinct, one gram-keyed LEFT
+    // join (never a doc-pair space) — plus one counting agg; the
+    // rate is integer floor division (both engines' operators agree
+    // on non-negative operands). Linear at any corpus size: the
+    // gram exchange is the only data-sized shuffle.
+    QueryDef(
+      "d17_contamination_rate",
+      raw"""WITH split AS (
+        |  SELECT doc_id, text, ${mdBucketSql("doc_id", 100)} AS b
+        |  FROM documents WHERE length(text) >= 32),
+        |grams AS (
+        |  SELECT doc_id, b, substr(text, CAST(gs AS INT) + 1, 32) AS g
+        |  FROM (SELECT doc_id, b, text,
+        |          unnest(range(0, CAST(length(text) - 31 AS BIGINT), 16)) AS gs
+        |        FROM split)),
+        |tr AS (SELECT DISTINCT g FROM grams WHERE b < 80),
+        |te AS (SELECT DISTINCT doc_id, g FROM grams WHERE b >= 90)
+        |SELECT te.doc_id, count(*) AS n_grams,
+        |       count(tr.g) AS n_shared,
+        |       count(tr.g) * 10000 // count(*) AS contam_bp
+        |FROM te LEFT JOIN tr ON te.g = tr.g
+        |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin) { (s, d) =>
+      val b = mdBucket(col("doc_id"), 100)
+      val grams = Tables.documents(s, d)
+        .filter(length(col("text")) >= 32)
+        .select(col("doc_id"), b.as("b"), col("text"),
+          explode(sequence(lit(0), length(col("text")) - 32, lit(16))).as("gs"))
+        .select(col("doc_id"), col("b"),
+          col("text").substr(col("gs") + 1, lit(32)).as("g"))
+      val train = grams.filter(col("b") < 80).select("g").distinct()
+        .withColumn("hit", lit(1))
+      val test  = grams.filter(col("b") >= 90).select("doc_id", "g").distinct()
+      test.join(train, Seq("g"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_shared"))
+        .withColumn("contam_bp",
+          expr("n_shared * 10000 div n_grams"))
+        .orderBy("doc_id")
+    },
+
     // INCREMENTAL dedup — the daily-ingest path: a new DELTA batch
     // (docs in md5 bucket 7, the stand-in for today's crawl) is
     // deduped against the EXISTING corpus (the other 9 buckets)

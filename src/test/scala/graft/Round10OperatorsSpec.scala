@@ -101,4 +101,27 @@ class Round10OperatorsSpec extends AnyFunSuite {
         "reshuffle")
     }
   }
+
+  test("d17: the contamination-rate report reconciles exactly with " +
+      "d06's contaminated-doc set") {
+    val rate = SparkEntry.queries("d17_contamination_rate")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    PersistRegistry.release()
+    val d06 = SparkEntry.queries("d06_decontaminate")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    PersistRegistry.release()
+    // every d06 hit appears with the identical shared count; every
+    // clean doc reports zero; rates are consistent and bounded
+    assert(rate.collect { case (d, (_, sh, _)) if sh > 0 => d -> sh } ===
+      d06, "d17's nonzero rows diverge from d06's contaminated set")
+    for ((doc, (n, sh, bp)) <- rate) {
+      assert(n > 0 && sh >= 0 && sh <= n, s"doc $doc counts inconsistent")
+      assert(bp === sh * 10000 / n, s"doc $doc rate arithmetic wrong")
+      assert(bp >= 0 && bp <= 10000)
+    }
+    assert(rate.values.exists(_._2 == 0),
+      "no clean test doc in the report — the LEFT join degenerated")
+  }
 }
