@@ -1,0 +1,82 @@
+package graft
+
+/** Pure regression-gate rules for [[Bench]], extracted so the
+  * anchored-baseline and suite-drift behavior is unit-testable
+  * (BenchGateSpec) instead of living inline in a main.
+  *
+  * Round-10 lesson (the reason for anchoring): the old gate stamped
+  * each green run's timings as the next run's baseline, so a query
+  * could drift arbitrarily far through sub-threshold steps — m06 went
+  * 2.90 (accepted) -> 3.04 -> 3.07 -> 3.68 -> 6.01 s across five
+  * round-10 bench commits without one trip, and the round artifact
+  * carried 2.07x the accepted cost with `regressions: []`. Baselines
+  * now RATCHET DOWN ONLY: a query's anchor is the best confirmed time
+  * since its last explicit acceptance, so compounding drift
+  * eventually crosses the 2x band of the ANCHOR and trips no matter
+  * how small the individual steps were.
+  */
+object BenchGate {
+
+  /** Per-query trip rule (unchanged since round 9): BOTH >2x AND
+    * >0.5 s slower than the anchored baseline — the dual threshold
+    * keeps the gate quiet on sub-second GC/JIT noise and loud on
+    * real cliffs. */
+  def regressed(baseline: Double, cur: Double): Boolean =
+    cur > 2 * baseline && cur - baseline > 0.5
+
+  /** Next round's anchored baselines.
+    *
+    *   - accepted name        -> re-anchor at this run's cost (the
+    *     explicit algorithmic-trade path; recorded in the artifact)
+    *   - tripped, unaccepted  -> carry the PRIOR anchor forward (a
+    *     red run must not disarm the gate for its successor)
+    *   - otherwise            -> min(prior anchor, this run) — drift
+    *     below the trip band never moves the anchor up
+    *   - failed queries       -> prior anchor carried unchanged
+    */
+  def nextBaselines(
+      prev: Map[String, Double],
+      cur: Map[String, Double],
+      accepted: Set[String],
+      failed: Set[String]): Map[String, Double] = {
+    val carried = prev.filter { case (n, _) => failed(n) }
+    val stamped = cur.map { case (name, c) =>
+      name -> (prev.get(name) match {
+        case Some(_) if accepted(name) => c
+        case Some(p) if regressed(p, c) => p
+        case Some(p) => math.min(p, c)
+        case None => c
+      })
+    }
+    carried ++ stamped
+  }
+
+  /** Suite-total drift over the queries common to both maps — the
+    * round-10 blind spot: broad ~1.3x drift never trips a per-query
+    * >2x filter, and the committed artifact read 31% slower with
+    * `regressions: []`. Returns (priorTotal, curTotal, ratio) or
+    * None when there is no overlap. */
+  def suiteDrift(prev: Map[String, Double], cur: Map[String, Double])
+      : Option[(Double, Double, Double)] = {
+    val common = prev.keySet & cur.keySet
+    if (common.isEmpty) None
+    else {
+      val p = common.iterator.map(prev).sum
+      val c = common.iterator.map(cur).sum
+      Some((p, c, c / p))
+    }
+  }
+
+  /** Suite-total trip threshold: >20% slower than the anchored
+    * baselines' total over common queries. */
+  val SuiteDriftMax = 1.2
+
+  /** Accept names that matched no regression this run — a stale
+    * SPARK_GRAFT_ACCEPT_REGRESSIONS entry left in the environment
+    * would otherwise silently auto-accept any FUTURE regression of
+    * that query without a fresh decision. The caller fails the run
+    * so stale entries are flushed immediately. */
+  def unusedAccepts(acceptNames: Set[String],
+      trippedNames: Set[String]): Set[String] =
+    acceptNames -- trippedNames
+}

@@ -32,5 +32,5 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    defs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    defs.flatMap(q => q.oracle.map(f => q.name -> f())).toMap
 }

@@ -10,6 +10,74 @@ import graft.sources.Tables
   */
 object MediaQueries {
 
+  /** m06's fingerprint table — eligible media plus their planted
+    * re-encode twins, with the 256-bit multi-offset gradient hash
+    * (w0..w3) and the 8 bit-mixed MIH band values (bv0..bv7), all
+    * map-only expressions on top of the resize. Extracted so the
+    * query and [[m06CappedKeyCount]] share one definition. */
+  private def m06Fingerprints(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val TwinShift = 1000000000000L
+    val media = MediaOps.mediaTable(Tables.documents(s, d))
+      .filter(length(col("payload")) >= 128)
+    val rs = MediaOps.resize(s, media) // doc_id, out_len, resized
+    // L >= 128 => every one of the 64 buckets is populated.
+    // Guard (distributed, zero-cost until violated): a source
+    // doc_id at or past the twin shift would alias a twin id and
+    // silently corrupt the probe's planted truth — fail loudly.
+    val twins = rs.select(
+      when(col("doc_id") >= TwinShift,
+        raise_error(concat(lit("m06: source doc_id "), col("doc_id"),
+          lit(s" >= twin shift $TwinShift"))))
+        .otherwise(col("doc_id") + TwinShift).as("doc_id"),
+      transform(col("resized"),
+        (v, j) => v + when(j % 7 === 0, 1).otherwise(0)).as("resized"))
+    val sig = rs.select(col("doc_id"), col("resized")).unionByName(twins)
+    // 256-bit gradient fingerprint, one word per comparison offset —
+    // pure per-row expressions (map-only; bitwiseOR keeps every term
+    // a bit-pattern op, no ANSI-overflow surface)
+    val offsets = Seq(1, 2, 4, 8)
+    val wordCols = offsets.zipWithIndex.map { case (off, k) =>
+      (0 until 64).map { j =>
+        when(element_at(col("resized"), j + 1) >
+          element_at(col("resized"), (j + off) % 64 + 1),
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _).as(s"w$k")
+    }
+    // mixed MIH band columns (map-only): hash bit g lands in band
+    // (163g + 71) mod 256 div 32 at slot mod 32 — each band ORs
+    // its 32 pseudo-randomly assigned bits
+    def bitOf(g: Int) =
+      shiftright(col(s"w${g / 64}"), g % 64).bitwiseAND(lit(1L))
+    def permOf(g: Int) = (g * 163 + 71) % 256
+    val bandCols = (0 until 8).map { b =>
+      (0 until 256).filter(g => permOf(g) / 32 == b).map { g =>
+        shiftleft(bitOf(g), permOf(g) % 32)
+      }.reduce(_ bitwiseOR _).as(s"bv$b")
+    }
+    sig.select(
+      col("doc_id") +: col("resized") +: (wordCols ++ bandCols): _*)
+  }
+
+  /** Number of exact MIH band keys whose multiplicity exceeds m06's
+    * 200-cap (the hot-pattern rule drops them from the probe TARGET
+    * set). The pigeonhole recall guarantee is conditional on this
+    * count: a twin pair whose ONLY <=1-bit-differing band key is
+    * capped would be missed. 0 on the test corpus at every SF
+    * (spec-pinned), so recall is unconditional there; a degenerate
+    * deployment corpus can check the precondition with this one
+    * aggregate before trusting radius-15 recall. */
+  private[graft] def m06CappedKeyCount(
+      s: org.apache.spark.sql.SparkSession, d: String): Long = {
+    val fpr = m06Fingerprints(s, d)
+    val bandArr = array((0 until 8).map(b => col(s"bv$b")): _*)
+    fpr.select(col("doc_id"), posexplode(bandArr))
+      .toDF("doc_id", "b", "bv")
+      .groupBy("b", "bv").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 200)
+      .count()
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // Metadata + content fingerprint of the binary payload —
@@ -232,9 +300,14 @@ object MediaQueries {
     //     with bit g cleared for every near-tie comparison g with
     //     diff in [1, 2]. If the <=1 differing bit in the surviving
     //     band is bit g, the set side's probe equals the clear
-    //     side's exact value: recall is exact, not probabilistic,
-    //     and the probe volume is per-doc bounded (~24 rows/doc
-    //     measured at sf0.1), never corpus-quadratic.
+    //     side's exact value: recall is exact rather than
+    //     probabilistic — CONDITIONAL on the 200-cap below dropping
+    //     no band key the pair needs (a degenerate corpus where a
+    //     pair's only <=1-bit-differing band key is hot would lose
+    //     that pair; m06CappedKeyCount observes the precondition —
+    //     0 capped keys on the test corpus, spec-pinned, so recall
+    //     IS exact there) — and the probe volume is per-doc bounded
+    //     (~24 rows/doc measured at sf0.1), never corpus-quadratic.
     // Candidates = probes ⋈ exact keys (per-key candidates bounded
     // by the 200 exact-side frequency cap — m05's hot-pattern rule,
     // so total candidates <= 200·|probes|, linear), then confirmed
@@ -336,48 +409,17 @@ object MediaQueries {
         |      + CAST(bit_count(xor(fa.w2, fb.w2)) AS INT)
         |      + CAST(bit_count(xor(fa.w3, fb.w3)) AS INT) <= 15
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val TwinShift = 1000000000000L
-      val media = MediaOps.mediaTable(Tables.documents(s, d))
-        .filter(length(col("payload")) >= 128)
-      val rs = MediaOps.resize(s, media) // doc_id, out_len, resized
-      // L >= 128 => every one of the 64 buckets is populated.
-      // Guard (distributed, zero-cost until violated): a source
-      // doc_id at or past the twin shift would alias a twin id and
-      // silently corrupt the probe's planted truth — fail loudly.
-      val twins = rs.select(
-        when(col("doc_id") >= TwinShift,
-          raise_error(concat(lit("m06: source doc_id "), col("doc_id"),
-            lit(s" >= twin shift $TwinShift"))))
-          .otherwise(col("doc_id") + TwinShift).as("doc_id"),
-        transform(col("resized"),
-          (v, j) => v + when(j % 7 === 0, 1).otherwise(0)).as("resized"))
-      val all = rs.select(col("doc_id"), col("resized")).unionByName(twins)
-      // 256-bit gradient fingerprint, one word per comparison offset —
-      // pure per-row expressions (map-only; bitwiseOR keeps every term
-      // a bit-pattern op, no ANSI-overflow surface)
-      val offsets = Seq(1, 2, 4, 8)
-      val wordCols = offsets.zipWithIndex.map { case (off, k) =>
-        (0 until 64).map { j =>
-          when(element_at(col("resized"), j + 1) >
-            element_at(col("resized"), (j + off) % 64 + 1),
-            lit(1L << j)).otherwise(lit(0L))
-        }.reduce(_ bitwiseOR _).as(s"w$k")
-      }
-      // mixed MIH band columns (map-only): hash bit g lands in band
-      // (163g + 71) mod 256 div 32 at slot mod 32 — each band ORs
-      // its 32 pseudo-randomly assigned bits
-      def bitOf(g: Int) =
-        shiftright(col(s"w${g / 64}"), g % 64).bitwiseAND(lit(1L))
-      def permOf(g: Int) = (g * 163 + 71) % 256
-      val bandCols = (0 until 8).map { b =>
-        (0 until 256).filter(g => permOf(g) / 32 == b).map { g =>
-          shiftleft(bitOf(g), permOf(g) % 32)
-        }.reduce(_ bitwiseOR _).as(s"bv$b")
-      }
-      // resized rides along for probe generation; the cache is
-      // released by the caller through PersistRegistry
-      val fpr = graft.PersistRegistry.cached(all.select(
-        col("doc_id") +: col("resized") +: (wordCols ++ bandCols): _*))
+      // fingerprints + twins: see m06Fingerprints above. resized
+      // rides along for probe generation; the cache is released by
+      // the caller through PersistRegistry. Materialize EAGERLY:
+      // three downstream branches (exact keys, tie probes, the
+      // confirm joins) scan fpr, and when their stages run
+      // concurrently each recomputes the fingerprint map before the
+      // first cache write lands (the BlockManager "already exists;
+      // not re-adding" WARN) — one count() pays the fingerprint job
+      // exactly once and every branch reads the cache.
+      val fpr = graft.PersistRegistry.cached(m06Fingerprints(s, d))
+      fpr.count()
       val bandArr = array((0 until 8).map(b => col(s"bv$b")): _*)
       // exact MIH keys, one row per (media, band)
       val eb = fpr.select(col("doc_id"), posexplode(bandArr))

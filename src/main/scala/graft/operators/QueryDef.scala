@@ -16,12 +16,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QueryDef(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[() => String])
 
 object QueryDef {
-  def apply(name: String, oracle: String)(
+  // The oracle is a BY-NAME thunk, forced when SparkEntry.oracleSql is
+  // assembled (in Verify, AFTER the queries ran): a generated oracle
+  // may depend on knobs the engine sizes from the data at runtime
+  // (v20's hop-CTE chain length), and an eagerly-built string would
+  // freeze the default knobs at module init.
+  def apply(name: String, oracle: => String)(
       run: (SparkSession, String) => DataFrame): QueryDef =
-    QueryDef(name, run, Some(oracle))
+    QueryDef(name, run, Some(() => oracle))
 
   def noOracle(name: String)(
       run: (SparkSession, String) => DataFrame): QueryDef =

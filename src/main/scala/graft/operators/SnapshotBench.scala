@@ -75,6 +75,23 @@ object SnapshotBench {
       val (r, a) = (rebuild(q), adopt(q))
       println(f"$q%-22s $r%8.2f $a%8.2f ${r - a}%6.2fs")
     }
+    // Tracked artifact (round-11): the adopt-vs-rebuild delta is the
+    // deployment-shape number (index build ≫ query) — committing it
+    // as JSON gives it cross-round regression coverage like the cold
+    // path's bench_detail. Path via SPARK_GRAFT_ADOPT_DETAIL or the
+    // second CLI arg; skipped when neither is set (interactive use).
+    val outPath = args.lift(1)
+      .orElse(sys.env.get("SPARK_GRAFT_ADOPT_DETAIL")).filter(_.nonEmpty)
+    outPath.foreach { p =>
+      val qj = consumers.map { q =>
+        f""""$q":{"rebuild_sec":${rebuild(q)}%.3f,"adopt_sec":${adopt(q)}%.3f,"saved_sec":${rebuild(q) - adopt(q)}%.3f}"""
+      }.mkString("{", ",", "}")
+      val line =
+        s"""{"metric":"bench_adopt","sf":"$sfDir","queries":$qj}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        line + "\n")
+      println(s"SNAPBENCH detail written to $p")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The anchored-baseline regression gate (round-11 redesign). The
+  * headline scenario is round 10's failure mode replayed: m06 drifted
+  * 2.90 (accepted) -> 3.04 -> 3.07 -> 3.68 -> 6.01 s across five
+  * bench runs, each step under the 2x/0.5s trip band vs the LAST run,
+  * so the old stamp-last-run gate never fired. Against a ratcheted
+  * anchor the same sequence trips at the 6.01 step.
+  */
+class BenchGateSpec extends AnyFunSuite {
+
+  test("compound sub-threshold drift trips against the anchor where " +
+      "stamp-last-run never fires (round-10 m06 replay)") {
+    val runs = Seq(3.04, 3.07, 3.68, 6.01)
+    // old rule: baseline = last run's time — no step trips
+    val oldTrips = (2.90 +: runs).sliding(2).exists {
+      case Seq(p, c) => BenchGate.regressed(p, c)
+    }
+    assert(!oldTrips, "the drift was invisible per-step by design")
+    // new rule: the anchor ratchets down only
+    var anchor = Map("m06" -> 2.90)
+    val tripped = runs.map { c =>
+      val t = BenchGate.regressed(anchor("m06"), c)
+      if (!t) anchor = BenchGate.nextBaselines(
+        anchor, Map("m06" -> c), Set.empty, Set.empty)
+      t
+    }
+    assert(tripped === Seq(false, false, false, true),
+      "6.01 vs the 2.90 anchor must trip (2.07x, +3.11s)")
+    assert(anchor("m06") === 2.90, "sub-trip drift never moved the anchor")
+  }
+
+  test("anchors ratchet down on improvement and never rise silently") {
+    val prev = Map("q" -> 1.0)
+    assert(BenchGate.nextBaselines(prev, Map("q" -> 0.4),
+      Set.empty, Set.empty) === Map("q" -> 0.4))
+    assert(BenchGate.nextBaselines(prev, Map("q" -> 1.6),
+      Set.empty, Set.empty) === Map("q" -> 1.0))
+  }
+
+  test("an explicit acceptance re-anchors at the new cost") {
+    val prev = Map("q" -> 1.0)
+    assert(BenchGate.nextBaselines(prev, Map("q" -> 2.9),
+      Set("q"), Set.empty) === Map("q" -> 2.9))
+  }
+
+  test("a tripped, unaccepted query carries its anchor forward (red " +
+      "runs do not disarm the gate) and a failed query keeps its anchor") {
+    val prev = Map("bad" -> 1.0, "dead" -> 2.0)
+    val next = BenchGate.nextBaselines(prev, Map("bad" -> 13.78),
+      Set.empty, Set("dead"))
+    assert(next === Map("bad" -> 1.0, "dead" -> 2.0))
+  }
+
+  test("a first-seen query stamps its own time as the anchor") {
+    assert(BenchGate.nextBaselines(Map.empty, Map("new" -> 0.7),
+      Set.empty, Set.empty) === Map("new" -> 0.7))
+  }
+
+  test("suite drift: broad 1.3x drift trips the 20% total gate that " +
+      "the per-query filter is blind to; 10% noise does not") {
+    val prev = (1 to 100).map(i => s"q$i" -> 1.0).toMap
+    val drifted = prev.map { case (k, v) => k -> v * 1.3 }
+    val (p, c, r) = BenchGate.suiteDrift(prev, drifted).get
+    assert(p === 100.0 && math.abs(c - 130.0) < 1e-9)
+    assert(r > BenchGate.SuiteDriftMax)
+    assert(!drifted.exists { case (k, v) => BenchGate.regressed(prev(k), v) },
+      "no individual query trips — that is the point")
+    val noisy = prev.map { case (k, v) => k -> v * 1.1 }
+    assert(BenchGate.suiteDrift(prev, noisy).get._3 <= BenchGate.SuiteDriftMax)
+  }
+
+  test("suite drift only compares common queries and is None with " +
+      "no overlap") {
+    val d = BenchGate.suiteDrift(Map("a" -> 1.0, "gone" -> 50.0),
+      Map("a" -> 1.1, "new" -> 9.0))
+    assert(d.get._1 === 1.0 && d.get._2 === 1.1)
+    assert(BenchGate.suiteDrift(Map("x" -> 1.0), Map("y" -> 1.0)).isEmpty)
+  }
+
+  test("accept names that matched no regression are reported stale") {
+    assert(BenchGate.unusedAccepts(Set("a", "b"), Set("b")) === Set("a"))
+    assert(BenchGate.unusedAccepts(Set.empty, Set("b")) === Set.empty)
+  }
+}

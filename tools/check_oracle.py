@@ -7,12 +7,47 @@ Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify),
 runs the matching oracle SQL from oracle_sql.json in DuckDB over the
 same sf tables, sorts columns by name and rows by value, and diffs.
 """
-import duckdb
 import json
+import os
 import sys
+import zlib
+
+import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def t08_compression_ratio(con, sfdir):
+    """Python oracle for t08 (deflate compression-ratio quality
+    signal): DuckDB has no deflate, but zlib recomputes the engine's
+    java.util.zip.Deflater(6) byte counts value-exactly — both are
+    the canonical zlib stream (level 6, windowBits 15, memLevel 8,
+    default strategy), so n_compressed matches byte-for-byte and the
+    ratio is the identical IEEE division."""
+    df = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sfdir}/documents.parquet')"
+        " ORDER BY doc_id").fetchdf()
+    rows = []
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        raw = ("" if text is None else text).encode("utf-8")
+        z = len(zlib.compress(raw, 6))
+        rows.append((doc_id, len(raw), z,
+                     0.0 if len(raw) == 0 else z / len(raw)))
+    out = pd.DataFrame(
+        rows, columns=["doc_id", "n_bytes", "n_compressed",
+                       "compression_ratio"])
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_bytes"] = out["n_bytes"].astype("int32")
+    out["n_compressed"] = out["n_compressed"].astype("int32")
+    return out
+
+
+# Oracles whose expected frame is computed in Python rather than
+# DuckDB SQL (non-SQL-expressible semantics with an exact public
+# recomputation). Checked with the same norm/compare as SQL oracles.
+PYTHON_ORACLES = {"t08_compression_ratio": t08_compression_ratio}
 
 
 def norm(df):
@@ -28,12 +63,17 @@ def main(sfdir, outdir):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     with open(f"{outdir}/oracle_sql.json") as f:
         oracle = json.load(f)
+    # Python-computed oracles join the pool whenever Verify dumped
+    # the query's result (subset runs may omit it).
+    py = {name: fn for name, fn in PYTHON_ORACLES.items()
+          if os.path.isdir(f"{outdir}/{name}")}
     n_ok = n_fail = 0
-    for name, sql in sorted(oracle.items()):
+    for name in sorted(set(oracle) | set(py)):
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchdf()
-            exp = con.execute(sql).fetchdf()
+            exp = (py[name](con, sfdir) if name in py
+                   else con.execute(oracle[name]).fetchdf())
             got, exp = norm(got), norm(exp)
             if list(got.columns) != list(exp.columns):
                 print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
@@ -71,7 +111,8 @@ def main(sfdir, outdir):
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
     print(f"\n{n_ok} ok, {n_fail} fail, "
-          f"{len(oracle)} with oracle")
+          f"{len(set(oracle) | set(py))} with oracle "
+          f"({len(py)} python-computed)")
     return 1 if n_fail else 0
 
 
