@@ -32,13 +32,25 @@ object PersistRegistry {
     * CacheManager's "already cached" warning and register a
     * double-release. This is the one entry point query builders
     * should use; bare `track(x.persist(...))` remains for callers
-    * that manage the persist themselves. */
+    * that manage the persist themselves.
+    *
+    * A FRESH persist is materialized EAGERLY (one count()): the
+    * frames handed here exist to feed self-joins and multi-branch
+    * plans, and when those branches' stages run concurrently each
+    * recomputes the unmaterialized cached partitions before the
+    * first cache write lands — wasted compute plus the BlockManager
+    * "already exists; not re-adding" WARN (round 11: this
+    * double-compute was ~2.4 s of m06's stamped cost). Callers whose
+    * very next statement is already an action on the frame (d08's
+    * fixpoint loop) pass eager = false. */
   def cached[T <: Dataset[_]](ds: T,
       level: org.apache.spark.storage.StorageLevel =
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): T = {
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      eager: Boolean = true): T = {
     if (ds.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
       ds.persist(level)
       tracked.add(ds)
+      if (eager) ds.count()
     }
     ds
   }

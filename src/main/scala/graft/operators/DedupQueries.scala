@@ -229,12 +229,14 @@ object DedupQueries {
       // — adopt it instead of re-persisting (which would only log
       // CacheManager's "already cached" warning and register a
       // duplicate cache entry request)
+      // eager = false: labelSum below is the immediate first action
       val next = graft.PersistRegistry.cached(edges
         .join(labels.withColumnRenamed("id", "src")
           .withColumnRenamed("lbl", "nlbl"), "src")
         .select(col("dst").as("id"), col("nlbl").as("lbl"))
         .union(labels)
-        .groupBy("id").agg(min("lbl").as("lbl")))
+        .groupBy("id").agg(min("lbl").as("lbl")),
+        eager = false)
       val nextSum = labelSum(next)
       converged = nextSum == curSum
       curSum = nextSum

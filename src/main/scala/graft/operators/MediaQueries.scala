@@ -411,15 +411,11 @@ object MediaQueries {
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       // fingerprints + twins: see m06Fingerprints above. resized
       // rides along for probe generation; the cache is released by
-      // the caller through PersistRegistry. Materialize EAGERLY:
-      // three downstream branches (exact keys, tie probes, the
-      // confirm joins) scan fpr, and when their stages run
-      // concurrently each recomputes the fingerprint map before the
-      // first cache write lands (the BlockManager "already exists;
-      // not re-adding" WARN) — one count() pays the fingerprint job
-      // exactly once and every branch reads the cache.
+      // the caller through PersistRegistry (and materialized eagerly
+      // there — three downstream branches scan fpr, and lazy
+      // materialization let their concurrent stages each recompute
+      // the fingerprint map: ~2.4 s of the round-10 stamped cost).
       val fpr = graft.PersistRegistry.cached(m06Fingerprints(s, d))
-      fpr.count()
       val bandArr = array((0 until 8).map(b => col(s"bv$b")): _*)
       // exact MIH keys, one row per (media, band)
       val eb = fpr.select(col("doc_id"), posexplode(bandArr))
