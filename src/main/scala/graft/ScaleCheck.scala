@@ -199,7 +199,12 @@ object ScaleCheck {
       "p16_epoch_shuffle",
       // d17: d06's gram-keyed LEFT join + counting agg — the gram
       // exchange is the one data-sized shuffle
-      "d17_contamination_rate")
+      "d17_contamination_rate",
+      // d08 (round 11): min-label components over the LSH pairs —
+      // per-copy shuffle constant 11.9/12.3 MB at 25×/100×; the
+      // 1×→25× shuffle jump is the band join crossing the
+      // broadcast→sort-merge threshold, not a superlinearity
+      "d08_dup_clusters")
     val heavySuite = Seq("q07_multijoin_agg", "q44_star_join_q5",
       "d02_minhash_lsh", "q33_ranking_functions",
       "q10_window_topk_per_group", "d09_ivf_neardup")
