@@ -204,7 +204,11 @@ object ScaleCheck {
       // per-copy shuffle constant 11.9/12.3 MB at 25×/100×; the
       // 1×→25× shuffle jump is the band join crossing the
       // broadcast→sort-merge threshold, not a superlinearity
-      "d08_dup_clusters")
+      "d08_dup_clusters",
+      // v21 (round 11): graph insert — the v20 walk against the
+      // insert-free base graph; bounded like v20, only the base
+      // graph build is data-sized
+      "v21_graph_insert")
     val heavySuite = Seq("q07_multijoin_agg", "q44_star_join_q5",
       "d02_minhash_lsh", "q33_ranking_functions",
       "q10_window_topk_per_group", "d09_ivf_neardup")

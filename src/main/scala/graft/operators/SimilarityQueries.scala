@@ -35,11 +35,14 @@ object SimilarityQueries {
   private val BmTerms = Seq("spark", "join", "window")
 
   /** v13's in-cell k-NN graph (vec_id, neighbor_id, cos_sim, rank≤3)
-    * — the builder behind the "knn-graph" stage snapshot. */
+    * — the builder behind the "knn-graph" stage snapshot. `flt`
+    * restricts the node set (v21 builds "knn-graph-base" over the
+    * corpus WITHOUT its insert batch). */
   private def knnGraph(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+      d: String,
+      flt: Column = lit(true)): org.apache.spark.sql.DataFrame = {
     GraftExtensions.register(s) // native codegen dot_long
-    val n = quantized(s, d)
+    val n = quantized(s, d).filter(flt)
     val a = n.select(col("vec_id"), col("r").as("ra"),
       col("nn").as("nna"), col("label"))
     val c = n.select(col("vec_id").as("neighbor_id"), col("r").as("rc"),
@@ -533,9 +536,31 @@ object SimilarityQueries {
   private[graft] val v20Knobs =
     new java.util.concurrent.atomic.AtomicReference[(Int, Int)](
       v20SizeKnobs(2))
+  // v21 (graph insert) records its own knobs: its probed cells are
+  // the BASE graph's (inserts excluded), so the sizing can differ
+  // from v20's on the same data.
+  private[graft] val v21Knobs =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int)](
+      v20SizeKnobs(2))
 
-  private def v20Sql: String = {
-    val (vH, vB) = v20Knobs.get()
+  private def v20Sql: String =
+    graphWalkSql("q.vec_id < " + Q, "true", v20Knobs.get())
+
+  // v21: queries = the insert batch (every 89th vec_id), base = the
+  // committed corpus WITHOUT the batch — the walk finds each
+  // insert's k=3 edges against the base graph.
+  private def v21Sql: String =
+    graphWalkSql("q.vec_id % 89 = 0", "vec_id % 89 <> 0",
+      v21Knobs.get())
+
+  /** The closed-set beam-walk CTE chain, parametrized by the query
+    * predicate (which vectors search), the base predicate (which
+    * vectors form the searchable corpus + graph — v20 searches the
+    * full corpus, v21 excludes the insert batch), and the recorded
+    * (H, B) knobs. Engine and DuckDB walk the identical search. */
+  private def graphWalkSql(queryPred: String, basePred: String,
+      knobs: (Int, Int)): String = {
+    val (vH, vB) = knobs
     // Best-first with a CLOSED SET (round 11): each hop's beam is the
     // top-B of the VISITED-BUT-NOT-YET-EXPANDED nodes (ex$h tracks
     // expansions). The round-10 walk beamed over ALL visited nodes,
@@ -564,11 +589,12 @@ object SimilarityQueries {
          |            / sqrt(CAST(q.nn AS DOUBLE) * CAST(c.nn AS DOUBLE))
          |            AS cos_sim
          |        FROM v$h v JOIN n q ON q.vec_id = v.query_id
-         |                 JOIN n c ON c.vec_id = v.node)""".stripMargin
+         |                 JOIN b c ON c.vec_id = v.node)""".stripMargin
     }.mkString(",\n")
     s"""WITH n AS ($quantizedSql),
+       |b AS (SELECT * FROM n WHERE $basePred),
        |cen AS (SELECT label, j, CAST(sum(r[j]) AS BIGINT) AS cj
-       |        FROM n, generate_series(1, 64) t(j) GROUP BY label, j),
+       |        FROM b, generate_series(1, 64) t(j) GROUP BY label, j),
        |cent AS (SELECT label, list(cj ORDER BY j) AS c,
        |           CAST(list_sum(list_transform(list(cj ORDER BY j),
        |                x -> x*x)) AS DOUBLE) AS cn
@@ -580,7 +606,7 @@ object SimilarityQueries {
        |                    i -> q.r[i] * cent.c[i])) AS DOUBLE)
        |               / sqrt(CAST(q.nn AS DOUBLE) * cn) DESC, cent.label)
        |             AS rn
-       |    FROM n q, cent WHERE q.vec_id < $Q) t WHERE rn = 1),
+       |    FROM n q, cent WHERE $queryPred) t WHERE rn = 1),
        |gd AS (SELECT vec_id, neighbor_id FROM (
        |        SELECT a.vec_id, c.vec_id AS neighbor_id,
        |               row_number() OVER (PARTITION BY a.vec_id ORDER BY
@@ -590,7 +616,7 @@ object SimilarityQueries {
        |                   / sqrt(CAST(a.nn AS DOUBLE)
        |                          * CAST(c.nn AS DOUBLE)) DESC,
        |                 c.vec_id) AS rank
-       |        FROM n a JOIN n c ON c.label = a.label
+       |        FROM b a JOIN b c ON c.label = a.label
        |          AND c.vec_id <> a.vec_id) t
        |      WHERE rank <= 3),
        |g AS (SELECT vec_id, neighbor_id FROM gd
@@ -598,7 +624,7 @@ object SimilarityQueries {
        |      SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM gd),
        |ent AS (SELECT label, vec_id AS node FROM (
        |         SELECT label, vec_id, row_number() OVER (
-       |             PARTITION BY label ORDER BY vec_id) AS rn FROM n) t
+       |             PARTITION BY label ORDER BY vec_id) AS rn FROM b) t
        |       WHERE rn <= 4),
        |v0 AS (SELECT p.query_id, e.node FROM probe p JOIN ent e
        |       USING (label)),
@@ -610,7 +636,7 @@ object SimilarityQueries {
        |            / sqrt(CAST(q.nn AS DOUBLE) * CAST(c.nn AS DOUBLE))
        |            AS cos_sim
        |        FROM v0 v JOIN n q ON q.vec_id = v.query_id
-       |                 JOIN n c ON c.vec_id = v.node),
+       |                 JOIN b c ON c.vec_id = v.node),
        |$hops
        |SELECT query_id, neighbor_id, cos_sim, rank FROM (
        |  SELECT query_id, node AS neighbor_id, cos_sim,
@@ -1731,146 +1757,184 @@ object SimilarityQueries {
     QueryDef(
       "v20_graph_beam_search",
       v20Sql) { (s, d) =>
-      import s.implicits._
-      val n = quantized(s, d)
-      // The walk STATE lives on the query coordinator (the driver) —
-      // exactly how an online graph-ANN query executes, and the
-      // v01/v17 bounded-serving contract: state is
-      // O(Q·(seeds + H·B·k)) rows, every bound require()d. A first
-      // cut ran the walk as H rounds of distributed jobs; its data
-      // volume was identical but it paid ~150 tiny stages of
-      // scheduling/codegen overhead per run (15+ s at sf0.1 for
-      // 3 KB of state). Every CORPUS access below stays a
-      // distributed pushed-filter scan — the graph snapshot is
-      // probed by beam-node keys each hop, never collected.
-      val qrows = n.filter(col("vec_id") < Q)
-        .select(col("vec_id"), col("r"), col("nn"))
-        .as[(Long, Array[Long], Long)].collect()
-      require(qrows.length <= Q, s"query set exceeds the $Q bound")
-      val qvec = qrows.map(r => r._1 -> ((r._2, r._3))).toMap
-      def cosTo(q: Long, rc: Array[Long], nnc: Long): Double = {
-        val (rq, nnq) = qvec(q)
-        var i = 0; var dot = 0L
-        while (i < rq.length) { dot += rq(i) * rc(i); i += 1 }
-        dot.toDouble / math.sqrt(nnq.toDouble * nnc.toDouble)
-      }
-      // coarse probe — v03's rule verbatim (centroid = exact integer
-      // component-wise sum; best cell by cosine, ties to the smaller
-      // label); the centroid table is the IVF coordinator state
-      // (nlist rows, the same table v03/v05/v11 broadcast)
-      val cents = n.select(col("label"), col("r"),
-          explode(sequence(lit(1), lit(64))).as("j"))
-        .select(col("label"), col("j"),
-          element_at(col("r"), col("j")).as("rj"))
-        .groupBy("label", "j").agg(sum("rj").as("cj"))
-        .groupBy("label")
-        .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
-          x => x.getField("cj")).as("c"))
-        .select(col("label").cast("long"), col("c"))
-        .as[(Long, Array[Long])].collect()
-      require(cents.length <= 1000000, "centroid table exceeds the " +
-        "coordinator bound — shard the coarse quantizer")
-      // overflow guard, consistent with the other require()'d bounds:
-      // the 64-term Long norm below overflows past |cj| ~ 3.79e8
-      // (sqrt(Long.Max/64)); a centroid component that large means
-      // the cell sum outgrew the quantization — fail loudly instead
-      // of silently diverging from the oracle (which would promote
-      // or error rather than wrap)
-      require(cents.forall(_._2.forall(cj => math.abs(cj) <= 379000000L)),
-        "centroid component exceeds the overflow-safe 3.79e8 bound — " +
-        "quantize coarser or shard the cell")
-      val probed: Map[Long, Long] = qvec.keys.map { q =>
-        q -> cents.map { case (label, c) =>
-          val nnc = c.map(x => x * x).sum
-          (-cosTo(q, c, nnc), label)
-        }.min._2
-      }.toMap
-      // multi-entry seeding: the 4 smallest vec_ids per probed cell
-      // (one entry strands the walk in a directed k-NN graph's local
-      // neighborhood; HNSW's multi-seed lesson)
-      val probedLabels = probed.values.toSet
-      // adaptive sizing: H/B from the LARGEST probed cell (one
-      // distributed count over the <= Q probed cells — fixed knobs
-      // under-recall the moment cells outgrow the fixture they were
-      // tuned on; a deployed graph index is sized by exactly this
-      // log|cell| rule). Recorded in v20Knobs so the oracle's
-      // generated hop chain walks the identical search.
-      val maxCell = n.filter(col("label").cast("long")
-          .isInCollection(probedLabels))
-        .groupBy("label").count()
-        // Option: max over zero groups is NULL (empty corpus)
-        .agg(max("count").as("m")).as[Option[Long]].collect()
-        .headOption.flatten.getOrElse(2L)
-      val (vH, vB) = v20SizeKnobs(maxCell)
-      v20Knobs.set((vH, vB))
-      val wEnt = Window.partitionBy("label").orderBy("vec_id")
-      val seeds = n.filter(col("label").cast("long")
-          .isInCollection(probedLabels))
-        .withColumn("rn", row_number().over(wEnt))
-        .filter(col("rn") <= 4)
-        .select(col("label").cast("long"), col("vec_id"), col("r"), col("nn"))
-        .as[(Long, Long, Array[Long], Long)].collect()
-      require(seeds.length <= 4 * Q, "seed set exceeds the 4*Q bound")
-      val seedsByLabel = seeds.groupBy(_._1)
-      // the graph is v13's committed stage snapshot (compute-if-
-      // absent), SYMMETRIZED: reverse edges double effective degree
-      // and connectivity — a directed 3-out graph strands greedy
-      // walks (measured 28% recall@3 vs v03 on sf0.1's ~4000-vector
-      // cells before symmetrizing)
-      val gd = StageSnapshots.snapshot(s, d, "knn-graph")(knnGraph(s, d))
-        .select(col("vec_id"), col("neighbor_id"))
-      val g = gd.unionByName(gd.select(col("neighbor_id").as("vec_id"),
-        col("vec_id").as("neighbor_id"))).distinct()
-      // visited state: query -> node -> cosine. The walk is
-      // BEST-FIRST WITH A CLOSED SET (round 11): each hop expands the
-      // top-B visited nodes NOT yet expanded. Beaming over all
-      // visited nodes (round 10) stalled the walk once the global
-      // top-B were expanded — every later hop re-expanded them and
-      // recall plateaued at 75% on sf0.1's cells however deep H went.
-      var visited: Map[Long, Map[Long, Double]] = probed.map { case (q, lb) =>
-        q -> seedsByLabel(lb)
-          .map { case (_, node, rc, nnc) => node -> cosTo(q, rc, nnc) }.toMap
-      }
-      var closed: Map[Long, Set[Long]] =
-        probed.map { case (q, _) => q -> Set.empty[Long] }
-      for (_ <- 1 to vH) {
-        val beams: Map[Long, Seq[Long]] = visited.map { case (q, m) =>
-          q -> m.toSeq.filterNot { case (node, _) => closed(q)(node) }
-            .map { case (node, c) => (-c, node) }
-            .sorted.take(vB).map(_._2)
-        }
-        val beamNodes = beams.values.flatten.toSet
-        if (beamNodes.nonEmpty) {
-          // ONE distributed probe per hop: beam nodes' edges joined
-          // with the neighbors' vectors, both sides filter-pushed
-          val ed = g.filter(col("vec_id").isInCollection(beamNodes))
-            .join(n.select(col("vec_id").as("neighbor_id"),
-              col("r"), col("nn")), Seq("neighbor_id"))
-            .select(col("vec_id"), col("neighbor_id"), col("r"), col("nn"))
-            .as[(Long, Long, Array[Long], Long)].collect()
-          // out-degree is <= 2k symmetric, but a reverse edge adds the
-          // ORIGINAL graph's in-degree — unbounded only for
-          // pathological hubs; guard loudly rather than truncate
-          // (truncation would silently diverge from the oracle's walk)
-          require(ed.length <= beamNodes.size * 512,
-            "graph hub exceeded the per-hop edge bound")
-          val bySrc = ed.groupBy(_._1)
-          closed = closed.map { case (q, e) => q -> (e ++ beams(q)) }
-          visited = visited.map { case (q, m) =>
-            val adds = beams(q).iterator
-              .flatMap(bn => bySrc.getOrElse(bn, Array.empty))
-              .map { case (_, node, rc, nnc) => node -> cosTo(q, rc, nnc) }
-            q -> (m ++ adds)
-          }
-        }
-      }
-      val out = visited.toSeq.flatMap { case (q, m) =>
-        m.toSeq.filter(_._1 != q)
-          .sortBy { case (node, c) => (-c, node) }.take(3)
-          .zipWithIndex.map { case ((node, c), i) => (q, node, c, i + 1) }
-      }
-      out.toDF("query_id", "neighbor_id", "cos_sim", "rank")
-        .orderBy("query_id", "rank")
+      graphBeamWalk(s, d, col("vec_id") < Q, lit(true), "knn-graph",
+        v20Knobs, maxQ = Q)
+    },
+
+    // GRAPH INSERT — the index-MAINTENANCE half of the serving story
+    // (round 11): v13 batch-builds the k-NN graph and v20 searches
+    // it, but a 100 TB corpus appends vectors continuously, and
+    // rebuilding Σcell² edges per batch is the one cost a graph
+    // index exists to avoid. v21 runs the HNSW insert rule: the
+    // batch (every 89th vec_id — the held-out "new" vectors) is
+    // EXCLUDED from the base corpus, each insert coarse-probes the
+    // base centroids, closed-set beam-walks the base cell's graph
+    // (the identical v20 machinery against a "knn-graph-base"
+    // snapshot), and its top-3 visited nodes become the insert's
+    // edges — O(walk) per insert instead of O(|cell|), with the
+    // reverse edges implied by the same symmetrization the search
+    // applies. Deterministic end-to-end, so DuckDB recomputes the
+    // exact insert set via the same generated chain; the spec pins
+    // edge quality against the exhaustive in-cell truth.
+    QueryDef(
+      "v21_graph_insert",
+      v21Sql) { (s, d) =>
+      graphBeamWalk(s, d, pmod(col("vec_id"), lit(89)) === 0,
+        pmod(col("vec_id"), lit(89)) =!= 0, "knn-graph-base",
+        v21Knobs, maxQ = 64)
     },
   )
+
+  /** Coordinator-side closed-set beam walk, shared by v20 (search:
+    * base = full corpus) and v21 (insert: base excludes the batch).
+    *
+    * The walk STATE lives on the query coordinator (the driver) —
+    * exactly how an online graph-ANN query executes, and the v01/v17
+    * bounded-serving contract: state is O(Q·(seeds + H·B·k)) rows,
+    * every bound require()d. A first cut ran the walk as H rounds of
+    * distributed jobs; its data volume was identical but it paid
+    * ~150 tiny stages of scheduling/codegen overhead per run (15+ s
+    * at sf0.1 for 3 KB of state). Every CORPUS access below stays a
+    * distributed pushed-filter scan — the graph snapshot is probed
+    * by beam-node keys each hop, never collected.
+    */
+  private def graphBeamWalk(s: org.apache.spark.sql.SparkSession,
+      d: String, queryFilter: Column, baseFilter: Column,
+      snapName: String,
+      knobsRef: java.util.concurrent.atomic.AtomicReference[(Int, Int)],
+      maxQ: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val nAll = quantized(s, d)
+    val n = nAll.filter(baseFilter) // the searchable base corpus
+    val qrows = nAll.filter(queryFilter)
+      .select(col("vec_id"), col("r"), col("nn"))
+      .as[(Long, Array[Long], Long)].collect()
+    require(qrows.length <= maxQ, s"query set exceeds the $maxQ bound")
+    val qvec = qrows.map(r => r._1 -> ((r._2, r._3))).toMap
+    def cosTo(q: Long, rc: Array[Long], nnc: Long): Double = {
+      val (rq, nnq) = qvec(q)
+      var i = 0; var dot = 0L
+      while (i < rq.length) { dot += rq(i) * rc(i); i += 1 }
+      dot.toDouble / math.sqrt(nnq.toDouble * nnc.toDouble)
+    }
+    // coarse probe — v03's rule verbatim (centroid = exact integer
+    // component-wise sum; best cell by cosine, ties to the smaller
+    // label); the centroid table is the IVF coordinator state
+    // (nlist rows, the same table v03/v05/v11 broadcast)
+    val cents = n.select(col("label"), col("r"),
+        explode(sequence(lit(1), lit(64))).as("j"))
+      .select(col("label"), col("j"),
+        element_at(col("r"), col("j")).as("rj"))
+      .groupBy("label", "j").agg(sum("rj").as("cj"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
+        x => x.getField("cj")).as("c"))
+      .select(col("label").cast("long"), col("c"))
+      .as[(Long, Array[Long])].collect()
+    require(cents.length <= 1000000, "centroid table exceeds the " +
+      "coordinator bound — shard the coarse quantizer")
+    // overflow guard, consistent with the other require()'d bounds:
+    // the 64-term Long norm below overflows past |cj| ~ 3.79e8
+    // (sqrt(Long.Max/64)); a centroid component that large means
+    // the cell sum outgrew the quantization — fail loudly instead
+    // of silently diverging from the oracle (which would promote
+    // or error rather than wrap)
+    require(cents.forall(_._2.forall(cj => math.abs(cj) <= 379000000L)),
+      "centroid component exceeds the overflow-safe 3.79e8 bound — " +
+      "quantize coarser or shard the cell")
+    val probed: Map[Long, Long] = qvec.keys.map { q =>
+      q -> cents.map { case (label, c) =>
+        val nnc = c.map(x => x * x).sum
+        (-cosTo(q, c, nnc), label)
+      }.min._2
+    }.toMap
+    // multi-entry seeding: the 4 smallest vec_ids per probed cell
+    // (one entry strands the walk in a directed k-NN graph's local
+    // neighborhood; HNSW's multi-seed lesson)
+    val probedLabels = probed.values.toSet
+    // adaptive sizing: H/B from the LARGEST probed cell (one
+    // distributed count over the <= Q probed cells — fixed knobs
+    // under-recall the moment cells outgrow the fixture they were
+    // tuned on; a deployed graph index is sized by exactly this
+    // log|cell| rule). Recorded in the op's knobs ref so the
+    // oracle's generated hop chain walks the identical search.
+    val maxCell = n.filter(col("label").cast("long")
+        .isInCollection(probedLabels))
+      .groupBy("label").count()
+      // Option: max over zero groups is NULL (empty corpus)
+      .agg(max("count").as("m")).as[Option[Long]].collect()
+      .headOption.flatten.getOrElse(2L)
+    val (vH, vB) = v20SizeKnobs(maxCell)
+    knobsRef.set((vH, vB))
+    val wEnt = Window.partitionBy("label").orderBy("vec_id")
+    val seeds = n.filter(col("label").cast("long")
+        .isInCollection(probedLabels))
+      .withColumn("rn", row_number().over(wEnt))
+      .filter(col("rn") <= 4)
+      .select(col("label").cast("long"), col("vec_id"), col("r"), col("nn"))
+      .as[(Long, Long, Array[Long], Long)].collect()
+    require(seeds.length <= 4 * maxQ, s"seed set exceeds the 4*$maxQ bound")
+    val seedsByLabel = seeds.groupBy(_._1)
+    // the graph is a committed stage snapshot (compute-if-absent:
+    // v20 consumes v13's "knn-graph"; v21 builds "knn-graph-base"
+    // over the insert-free corpus once per fixture), SYMMETRIZED:
+    // reverse edges double effective degree and connectivity — a
+    // directed 3-out graph strands greedy walks (measured 28%
+    // recall@3 vs v03 before symmetrizing)
+    val gd = StageSnapshots.snapshot(s, d, snapName)(
+        knnGraph(s, d, baseFilter))
+      .select(col("vec_id"), col("neighbor_id"))
+    val g = gd.unionByName(gd.select(col("neighbor_id").as("vec_id"),
+      col("vec_id").as("neighbor_id"))).distinct()
+    // visited state: query -> node -> cosine. The walk is
+    // BEST-FIRST WITH A CLOSED SET (round 11): each hop expands the
+    // top-B visited nodes NOT yet expanded. Beaming over all
+    // visited nodes (round 10) stalled the walk once the global
+    // top-B were expanded — every later hop re-expanded them and
+    // recall plateaued at 75% on sf0.1's cells however deep H went.
+    var visited: Map[Long, Map[Long, Double]] = probed.map { case (q, lb) =>
+      q -> seedsByLabel(lb)
+        .map { case (_, node, rc, nnc) => node -> cosTo(q, rc, nnc) }.toMap
+    }
+    var closed: Map[Long, Set[Long]] =
+      probed.map { case (q, _) => q -> Set.empty[Long] }
+    for (_ <- 1 to vH) {
+      val beams: Map[Long, Seq[Long]] = visited.map { case (q, m) =>
+        q -> m.toSeq.filterNot { case (node, _) => closed(q)(node) }
+          .map { case (node, c) => (-c, node) }
+          .sorted.take(vB).map(_._2)
+      }
+      val beamNodes = beams.values.flatten.toSet
+      if (beamNodes.nonEmpty) {
+        // ONE distributed probe per hop: beam nodes' edges joined
+        // with the neighbors' vectors, both sides filter-pushed
+        val ed = g.filter(col("vec_id").isInCollection(beamNodes))
+          .join(n.select(col("vec_id").as("neighbor_id"),
+            col("r"), col("nn")), Seq("neighbor_id"))
+          .select(col("vec_id"), col("neighbor_id"), col("r"), col("nn"))
+          .as[(Long, Long, Array[Long], Long)].collect()
+        // out-degree is <= 2k symmetric, but a reverse edge adds the
+        // ORIGINAL graph's in-degree — unbounded only for
+        // pathological hubs; guard loudly rather than truncate
+        // (truncation would silently diverge from the oracle's walk)
+        require(ed.length <= beamNodes.size * 512,
+          "graph hub exceeded the per-hop edge bound")
+        val bySrc = ed.groupBy(_._1)
+        closed = closed.map { case (q, e) => q -> (e ++ beams(q)) }
+        visited = visited.map { case (q, m) =>
+          val adds = beams(q).iterator
+            .flatMap(bn => bySrc.getOrElse(bn, Array.empty))
+            .map { case (_, node, rc, nnc) => node -> cosTo(q, rc, nnc) }
+          q -> (m ++ adds)
+        }
+      }
+    }
+    val out = visited.toSeq.flatMap { case (q, m) =>
+      m.toSeq.filter(_._1 != q)
+        .sortBy { case (node, c) => (-c, node) }.take(3)
+        .zipWithIndex.map { case ((node, c), i) => (q, node, c, i + 1) }
+    }
+    out.toDF("query_id", "neighbor_id", "cos_sim", "rank")
+      .orderBy("query_id", "rank")
+  }
 }

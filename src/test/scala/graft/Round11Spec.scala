@@ -64,4 +64,69 @@ class Round11Spec extends AnyFunSuite {
     assert(v20SizeKnobs(4000) === ((10, 20)))
     assert(v20SizeKnobs(400000) === ((14, 28)))
   }
+
+  // --- v21 graph insert (round-11 extension): HNSW-style index
+  // maintenance — the batch (vec_id % 89 == 0) is excluded from the
+  // base graph and each insert beam-walks the base cell for its k=3
+  // edges.
+
+  test("v21: every insert gets exactly 3 ranked edges, all into " +
+      "BASE nodes of one cell, with true quantized cosines") {
+    val rows = SparkEntry.queries("v21_graph_insert")(spark, sf).collect()
+    PersistRegistry.release()
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1),
+        r.getSeq[Float](2).map(x => math.round(x.toDouble * 10000)).toArray)))
+      .toMap
+    def nn(v: Array[Long]) = v.map(x => x * x).sum
+    val inserts = emb.keys.filter(_ % 89 == 0).toSet
+    assert(rows.map(_.getLong(0)).toSet === inserts,
+      "every insert searches, nothing else does")
+    for ((q, rs) <- rows.groupBy(_.getLong(0))) {
+      assert(rs.map(_.getInt(3)).sorted.toSeq === Seq(1, 2, 3))
+      for (r <- rs) {
+        val nb = r.getLong(1)
+        assert(nb % 89 != 0, s"insert $q linked to another insert $nb")
+        val (rq, rc) = (emb(q)._2, emb(nb)._2)
+        val expect = rq.lazyZip(rc).map(_ * _).sum.toDouble /
+          math.sqrt(nn(rq).toDouble * nn(rc).toDouble)
+        assert(r.getDouble(2) === expect,
+          s"cos($q, $nb) drifted from the quantized truth")
+      }
+      assert(rs.map(r => emb(r.getLong(1))._1).toSet.size === 1,
+        s"insert $q's edges span more than one cell")
+    }
+  }
+
+  test("v21: insert edges match the exhaustive in-cell top-3 at 90%+ " +
+      "on sf0.1 (the walk finds the same neighbors a full rebuild would)") {
+    val big = "/root/testdata/sf0.1"
+    val got = SparkEntry.queries("v21_graph_insert")(spark, big).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    PersistRegistry.release()
+    val emb = spark.read.parquet(s"$big/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(x => math.round(x.toDouble * 10000)).toArray))
+    def nn(v: Array[Long]) = v.map(x => x * x).sum
+    val base = emb.filter(_._1 % 89 != 0)
+    // exhaustive truth: each insert's top-3 base nodes in its BEST
+    // base cell (centroid = exact integer component-wise sum; the
+    // same probe rule the engine runs)
+    val cents = base.groupBy(_._2).map { case (lb, vs) =>
+      lb -> (0 until 64).map(j => vs.map(_._3(j)).sum).toArray
+    }
+    val exact = emb.filter(_._1 % 89 == 0).flatMap { case (q, _, rq) =>
+      def cos(rc: Array[Long]) = rq.lazyZip(rc).map(_ * _).sum.toDouble /
+        math.sqrt(nn(rq).toDouble * nn(rc).toDouble)
+      val lb = cents.toSeq.map { case (l, c) => (-cos(c), l) }.min._2
+      base.filter(_._2 == lb).map { case (id, _, rc) => (-cos(rc), id) }
+        .sorted.take(3).map { case (_, id) => (q, id) }
+    }.toSet
+    val overlap = (got & exact).size
+    assert(overlap * 10 >= exact.size * 9,
+      s"insert-edge recall $overlap/${exact.size} below 90%")
+    info(s"insert-edge recall = $overlap/${exact.size}")
+  }
 }
