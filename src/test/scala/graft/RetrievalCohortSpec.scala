@@ -231,15 +231,23 @@ class RetrievalCohortSpec extends AnyFunSuite {
     assert(!p15.contains("SortMergeJoin"),
       s"v15's stats row regressed to a data-sized join:\n$p15")
     PersistRegistry.release()
-    // d16 feeds the gram table to both the DF count and the semi probe;
-    // the persisted subplan must serve BOTH consumers (two cache reads)
-    // instead of exploding the corpus twice
+    // d16 (round 12): the exploded gram table exists only inside one
+    // exchange — the distinct-doc count is a window over the
+    // collapsed (gram, doc_id) aggregate, so the plan explodes the
+    // corpus EXACTLY ONCE and needs no persist at all (the round-11
+    // cached form paid a full materialization pass over the suite's
+    // largest intermediate)
     val d16 = SparkEntry.queries("d16_substring_dedup")(spark, sf)
     d16.collect()
+    // AQE's toString prints BOTH the final and the initial plan —
+    // count nodes in the final section only
     val p16 = d16.queryExecution.executedPlan.toString
-    val cacheReads = "InMemoryTableScan".r.findAllIn(p16).length
-    assert(cacheReads >= 2,
-      s"d16's gram table is not shared via cache ($cacheReads reads):\n$p16")
+      .split("== Initial Plan ==")(0)
+    val explodes = "Generate explode".r.findAllIn(p16).length
+    assert(explodes === 1,
+      s"d16 must explode the corpus exactly once ($explodes):\n$p16")
+    assert(!p16.contains("InMemoryTableScan"),
+      s"d16 needs no cache — single lineage:\n$p16")
     PersistRegistry.release()
   }
 
