@@ -75,8 +75,39 @@ object BenchGate {
     * SPARK_GRAFT_ACCEPT_REGRESSIONS entry left in the environment
     * would otherwise silently auto-accept any FUTURE regression of
     * that query without a fresh decision. The caller fails the run
-    * so stale entries are flushed immediately. */
+    * so stale entries are flushed immediately.
+    *
+    * `consideredNames` is every query that was EITHER confirmed as a
+    * regression OR remeasured this run (a borderline trip the
+    * confirmation pass cleared as noise): an operator who
+    * pre-declared an acceptance for a query that then measured clean
+    * made a correct call that noise resolved — punishing that with a
+    * red run (the round-11 rule) taught people not to pre-declare. A
+    * name matching NEITHER is the genuinely stale entry the flush
+    * exists for. */
   def unusedAccepts(acceptNames: Set[String],
-      trippedNames: Set[String]): Set[String] =
-    acceptNames -- trippedNames
+      consideredNames: Set[String]): Set[String] =
+    acceptNames -- consideredNames
+
+  /** Baselines under an explicit SUITE-level acceptance
+    * (SPARK_GRAFT_ACCEPT_DRIFT): every query present this run
+    * re-anchors at this run's confirmed time; failed queries keep
+    * their prior anchor. This is the sanctioned escape for a
+    * legitimate broad slowdown (environment change, or a deliberate
+    * trade spread across many queries each under the per-query trip
+    * band) — without it the ratchet-down-only anchors make every
+    * future run red with no exit but deleting the detail file. The
+    * caller records the acceptance in the artifact.
+    *
+    * A drift acceptance is NOT a per-query acceptance: queries that
+    * tripped the per-query 2x rule and were not individually named
+    * (`trippedUnaccepted`) still carry their prior anchor forward —
+    * accepting broad drift must not launder a specific cliff. */
+  def driftAcceptedBaselines(
+      prev: Map[String, Double],
+      cur: Map[String, Double],
+      failed: Set[String],
+      trippedUnaccepted: Set[String] = Set.empty): Map[String, Double] =
+    nextBaselines(prev, cur, accepted = cur.keySet -- trippedUnaccepted,
+      failed = failed)
 }

@@ -212,7 +212,11 @@ object ScaleCheck {
       // copy (1e9 is not a multiple of 89) and blew the walk's
       // maxQ=64 coordinator bound the first time a scaled run
       // included v21. Only the base graph build is data-sized.
-      "v21_graph_insert")
+      "v21_graph_insert",
+      // v22 (round 12): insert commit + search — the insert walk
+      // (copy-0 batch), the augmented-graph union/commit (one linear
+      // pass over the base edges), and a Q-bounded search over it
+      "v22_insert_commit_search")
     val heavySuite = Seq("q07_multijoin_agg", "q44_star_join_q5",
       "d02_minhash_lsh", "q33_ranking_functions",
       "q10_window_topk_per_group", "d09_ivf_neardup")

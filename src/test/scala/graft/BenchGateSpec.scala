@@ -84,4 +84,30 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.unusedAccepts(Set("a", "b"), Set("b")) === Set("a"))
     assert(BenchGate.unusedAccepts(Set.empty, Set("b")) === Set.empty)
   }
+
+  test("an accept name whose query was remeasured (trip cleared as " +
+      "noise) is considered used, not stale") {
+    // the caller passes confirmed regressions PLUS remeasured names;
+    // "a" tripped on first measure, the confirmation pass cleared it
+    val considered = Set("b") ++ Set("a") // regressions ++ remeasured
+    assert(BenchGate.unusedAccepts(Set("a", "b"), considered) === Set.empty)
+  }
+
+  test("drift acceptance re-anchors every common query at this run's " +
+      "times — the sanctioned escape for a broad legitimate slowdown") {
+    val prev = (1 to 5).map(i => s"q$i" -> 1.0).toMap
+    val cur = prev.map { case (k, _) => k -> 1.4 } // broad 1.4x, no per-query trip
+    assert(!cur.exists { case (k, v) => BenchGate.regressed(prev(k), v) })
+    val next = BenchGate.driftAcceptedBaselines(prev, cur, Set.empty)
+    assert(next === cur, "all anchors move to this run's times")
+  }
+
+  test("drift acceptance does not launder a per-query cliff: a tripped " +
+      "unaccepted query keeps its prior anchor, and failed queries too") {
+    val prev = Map("ok" -> 1.0, "cliff" -> 1.0, "dead" -> 2.0)
+    val cur = Map("ok" -> 1.4, "cliff" -> 13.78)
+    val next = BenchGate.driftAcceptedBaselines(prev, cur,
+      failed = Set("dead"), trippedUnaccepted = Set("cliff"))
+    assert(next === Map("ok" -> 1.4, "cliff" -> 1.0, "dead" -> 2.0))
+  }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 items: the post-insert graph lifecycle (v22). v21 derives
+  * each insert's edges; v22 publishes the augmented graph and serves
+  * searches from it. These tests prove the maintenance path is
+  * EQUIVALENT to the rebuild it exists to avoid: searching the
+  * committed base+insert graph agrees with searching a full Σcell²
+  * rebuild, and the inserted vectors are live members of the index.
+  */
+class Round12Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def pairsAt(d: String, name: String): Map[Long, Seq[Long]] = {
+    val rows = SparkEntry.queries(name)(spark, d)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    PersistRegistry.release()
+    rows.groupBy(_._1).map { case (q, rs) =>
+      q -> rs.sortBy(_._3).map(_._2).toSeq
+    }
+  }
+
+  test("v22: search over the committed post-insert graph agrees with " +
+      "search over a full rebuild (v20) at 95%+ top-3 overlap on sf0.1") {
+    val big = "/root/testdata/sf0.1"
+    val after = pairsAt(big, "v22_insert_commit_search")
+    val rebuild = pairsAt(big, "v20_graph_beam_search")
+    assert(after.keySet === rebuild.keySet, "same query set")
+    val total = rebuild.valuesIterator.map(_.size).sum
+    val overlap = rebuild.keysIterator.map { q =>
+      (after(q).toSet & rebuild(q).toSet).size
+    }.sum
+    assert(overlap * 100 >= total * 95,
+      s"post-insert search agreement $overlap/$total below 95% vs rebuild")
+    info(s"search-after-insert vs search-after-rebuild: $overlap/$total")
+  }
+
+  test("v22: the committed graph carries every insert's 3 edges on " +
+      "top of the base graph, and an inserted vector (vec 0) serves " +
+      "as a live search query") {
+    val plus = graft.operators.SimilarityQueries
+      .insertAugmentedGraph(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    PersistRegistry.release()
+    val inserts = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0))
+      .filter(_ % 89 == 0).toSet
+    val byInsert = plus.filter(p => inserts(p._1)).groupBy(_._1)
+    assert(byInsert.keySet === inserts,
+      "every insert appears as a source in the committed graph")
+    assert(byInsert.values.forall(_.length === 3),
+      "each insert carries exactly its 3 walk-found edges")
+    assert(plus.forall(p => !inserts(p._2)),
+      "no stored edge targets an insert (reverse reachability comes " +
+        "from search-time symmetrization, as for the batch-built graph)")
+    // vec 0 is in the batch (0 % 89 == 0) AND in the standard query
+    // set (vec_id < 20): the post-insert search must serve it like
+    // any committed member
+    val after = pairsAt(sf, "v22_insert_commit_search")
+    assert(after.contains(0L) && after(0L).size === 3,
+      "the inserted vector 0 searches the post-insert graph")
+  }
+}
