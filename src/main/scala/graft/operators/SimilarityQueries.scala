@@ -1892,7 +1892,165 @@ object SimilarityQueries {
         graphBuilder = Some(() => insertAugmentedGraph(s, d)),
         defineSnap = true)
     },
+
+    // GRAPH DELETE with LOCAL REPAIR — the remaining lifecycle verb
+    // (round 12; build = v13, search = v20, insert = v21/v22): a
+    // 100 TB corpus also REMOVES vectors (takedowns, dedup
+    // retractions), and dropping a node's edges naively punches
+    // holes in the graph that strand later walks. v23 runs the HNSW
+    // delete rule: prune every edge incident to the delete batch
+    // (every 97th vec_id, pinned to copy 0 like v21's inserts),
+    // then LOCALLY REPAIR — each deleted node's former neighbors
+    // (symmetrized, survivors only) are candidate-paired among
+    // themselves and each survivor keeps its top-3 repair edges by
+    // true cosine, restoring the connectivity the deleted hub
+    // carried at O(|D|·deg²) pair cost, never a rebuild. The
+    // repaired graph is committed as "knn-graph-del" (defining
+    // query) and the standard query set (minus deleted queries)
+    // searches it over the survivor corpus. Deterministic
+    // end-to-end, so DuckDB recomputes prune + repair + walk in one
+    // generated statement; Round12Spec pins zero deleted ids in any
+    // result or committed edge, and agreement vs a full
+    // rebuild-without-the-batch.
+    QueryDef(
+      "v23_graph_delete_search",
+      v23Sql) { (s, d) =>
+      graphBeamWalk(s, d, col("vec_id") < Q && !v23DeleteFilter,
+        !v23DeleteFilter, "knn-graph-del", v23Knobs, maxQ = Q,
+        graphBuilder = Some(() => deleteRepairedGraph(s, d)),
+        defineSnap = true)
+    },
   )
+
+  /** v23's delete batch: every 97th vec_id, pinned to copy 0 —
+    * same bounded-batch contract as v21's inserts. */
+  private def v23DeleteFilter: Column =
+    pmod(col("vec_id"), lit(97)) === 0 && col("vec_id") < ScaleShift
+
+  /** The DELETE-REPAIRED graph: the committed full graph (v13's
+    * "knn-graph") with every edge incident to the delete batch
+    * pruned, plus local repair — each deleted node's former
+    * neighbors (symmetrized, survivors only) pair among themselves
+    * and each survivor keeps its top-3 repair candidates by true
+    * quantized cosine (node tiebreak). O(|D|·deg²) repair pairs,
+    * never a rebuild; duplicates against surviving edges collapse
+    * in the search's symmetrize-distinct. */
+  private[graft] def deleteRepairedGraph(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    GraftExtensions.register(s)
+    val gd = StageSnapshots.snapshot(s, d, "knn-graph")(knnGraph(s, d))
+      .select(col("vec_id"), col("neighbor_id"))
+    val del = quantized(s, d).filter(v23DeleteFilter)
+      .select(col("vec_id").as("del_id"))
+    // pruned: both endpoints survive
+    val pruned = gd
+      .join(del.withColumnRenamed("del_id", "vec_id"), Seq("vec_id"),
+        "left_anti")
+      .join(del.withColumnRenamed("del_id", "neighbor_id"),
+        Seq("neighbor_id"), "left_anti")
+      .select("vec_id", "neighbor_id")
+    // each deleted node's SURVIVING neighbors, over both directions
+    val inc = gd.join(del.withColumnRenamed("del_id", "vec_id"),
+        Seq("vec_id"))
+      .select(col("vec_id").as("del_id"), col("neighbor_id").as("node"))
+      .unionByName(
+        gd.join(del.withColumnRenamed("del_id", "neighbor_id"),
+            Seq("neighbor_id"))
+          .select(col("neighbor_id").as("del_id"),
+            col("vec_id").as("node")))
+      .join(del.withColumnRenamed("del_id", "node"), Seq("node"),
+        "left_anti")
+      .distinct()
+    // repair candidates: ordered survivor pairs sharing a deleted
+    // neighbor, ranked per source by true cosine
+    val n = quantized(s, d)
+    val a = n.select(col("vec_id").as("u"), col("r").as("ru"),
+      col("nn").as("nnu"))
+    val b = n.select(col("vec_id").as("w"), col("r").as("rw"),
+      col("nn").as("nnw"))
+    val wnd = Window.partitionBy("u")
+      .orderBy(col("cos_sim").desc, col("w"))
+    val repairs = inc.select(col("del_id"), col("node").as("u"))
+      .join(inc.select(col("del_id"), col("node").as("w")), Seq("del_id"))
+      .filter(col("u") =!= col("w"))
+      .select("u", "w").distinct()
+      .join(a, "u").join(b, "w")
+      .select(col("u"), col("w"),
+        cosine(call_function("dot_long", col("ru"), col("rw")),
+          col("nnu"), col("nnw")).as("cos_sim"))
+      .withColumn("rn", row_number().over(wnd))
+      .filter(col("rn") <= 3)
+      .select(col("u").as("vec_id"), col("w").as("neighbor_id"))
+    pruned.unionByName(repairs)
+  }
+
+  // v23 search-walk knobs, recorded like v20/v22's.
+  private[graft] val v23Knobs =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int)](
+      v20SizeKnobs(2))
+
+  /** Spec-only comparator: the same survivor-corpus search over a
+    * FULL REBUILD of the graph without the delete batch — the
+    * expensive path v23's prune+repair replaces. */
+  private[graft] def deleteRebuildSearch(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graphBeamWalk(s, d, col("vec_id") < Q && !v23DeleteFilter,
+      !v23DeleteFilter, "knn-graph-del-rebuild",
+      new java.util.concurrent.atomic.AtomicReference(v20SizeKnobs(2)),
+      maxQ = Q)
+
+  /** v23's oracle: prune + local repair + walk in one statement.
+    * The full graph is v13's rule over the whole corpus; survivors
+    * form the searchable base. */
+  private def v23Sql: String = {
+    val delPred = s"vec_id % 97 = 0 AND vec_id < $ScaleShift"
+    val (sctes, sFin) = walkCtes("s",
+      s"q.vec_id < $Q AND NOT (q.vec_id % 97 = 0 AND q.vec_id < $ScaleShift)",
+      "bd", "g", v23Knobs.get())
+    s"""WITH n AS MATERIALIZED ($quantizedSql),
+       |bd AS MATERIALIZED (SELECT * FROM n WHERE NOT ($delPred)),
+       |fgd AS MATERIALIZED (${knnGdSql("n")}),
+       |pruned AS MATERIALIZED (SELECT vec_id, neighbor_id FROM fgd
+       |        WHERE NOT (vec_id % 97 = 0 AND vec_id < $ScaleShift)
+       |          AND NOT (neighbor_id % 97 = 0
+       |                   AND neighbor_id < $ScaleShift)),
+       |inc AS MATERIALIZED (SELECT DISTINCT del_id, node FROM (
+       |        SELECT vec_id AS del_id, neighbor_id AS node FROM fgd
+       |        WHERE vec_id % 97 = 0 AND vec_id < $ScaleShift
+       |        UNION ALL
+       |        SELECT neighbor_id AS del_id, vec_id AS node FROM fgd
+       |        WHERE neighbor_id % 97 = 0 AND neighbor_id < $ScaleShift) t
+       |      WHERE NOT (node % 97 = 0 AND node < $ScaleShift)),
+       |rp AS MATERIALIZED (SELECT u AS vec_id, w AS neighbor_id FROM (
+       |        SELECT p.u, p.w,
+       |               row_number() OVER (PARTITION BY p.u ORDER BY
+       |                 CAST(list_sum(list_transform(
+       |                        generate_series(1, len(x.r)),
+       |                        i -> x.r[i] * y.r[i])) AS DOUBLE)
+       |                   / sqrt(CAST(x.nn AS DOUBLE)
+       |                          * CAST(y.nn AS DOUBLE)) DESC,
+       |                 p.w) AS rn
+       |        FROM (SELECT DISTINCT a.node AS u, b.node AS w
+       |              FROM inc a JOIN inc b ON a.del_id = b.del_id
+       |                AND a.node <> b.node) p
+       |          JOIN bd x ON x.vec_id = p.u
+       |          JOIN bd y ON y.vec_id = p.w) t
+       |      WHERE rn <= 3),
+       |pgd AS MATERIALIZED (SELECT vec_id, neighbor_id FROM pruned
+       |        UNION ALL SELECT vec_id, neighbor_id FROM rp),
+       |g AS MATERIALIZED (SELECT vec_id, neighbor_id FROM pgd
+       |      UNION
+       |      SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM pgd),
+       |$sctes
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT query_id, node AS neighbor_id, cos_sim,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |             ORDER BY cos_sim DESC, node) AS INT) AS rank
+       |  FROM $sFin WHERE node <> query_id) t
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** v21/v22's insert batch: every 89th vec_id, pinned to copy 0 of
     * any scaled corpus (vec_id < ScaleShift) so the batch stays

@@ -38,9 +38,14 @@ object SnapshotBench {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     val definers = Seq("d02_minhash_lsh", "d09_ivf_neardup", "v09_pq_encode",
-      "v13_knn_graph")
+      "v13_knn_graph",
+      // v21 commits "knn-graph-base" through the warehouse
+      // (compute-if-absent → committed on first build), which v22
+      // then adopts instead of rebuilding the insert-free graph
+      "v21_graph_insert")
     val consumers = Seq("d15_semantic_dedup", "v10_pq_adc_topk",
-      "v11_ivfpq_search", "v20_graph_beam_search")
+      "v11_ivfpq_search", "v20_graph_beam_search",
+      "v22_insert_commit_search")
 
     def time(name: String): Double = {
       val t0 = System.nanoTime()
@@ -82,16 +87,55 @@ object SnapshotBench {
     // second CLI arg; skipped when neither is set (interactive use).
     val outPath = args.lift(1)
       .orElse(sys.env.get("SPARK_GRAFT_ADOPT_DETAIL")).filter(_.nonEmpty)
+    // Cross-round regression gate on the ADOPT path (round-12,
+    // verdict stretch): the file at the out path, if present, is the
+    // prior round's committed adopt detail — read BEFORE overwrite,
+    // Bench's convention. A snapshot-reuse regression (e.g. a ledger
+    // bug forcing silent rebuilds: adopt_sec collapses to
+    // rebuild_sec) trips the same >2x AND >0.5s rule as the cold
+    // path. New consumers (no prior row) stamp their first number.
+    val prior: Map[String, Double] = outPath.map { p =>
+      try {
+        val f = java.nio.file.Paths.get(p)
+        if (java.nio.file.Files.exists(f)) {
+          import org.json4s._
+          (org.json4s.jackson.JsonMethods.parse(
+            java.nio.file.Files.readString(f)) \ "queries") match {
+            case JObject(fields) => fields.collect {
+              case (q, JObject(m)) => m.collectFirst {
+                case ("adopt_sec", JDouble(v)) => q -> v
+                case ("adopt_sec", JInt(v)) => q -> v.toDouble
+              }
+            }.flatten.toMap
+            case _ => Map.empty[String, Double]
+          }
+        } else Map.empty[String, Double]
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    }.getOrElse(Map.empty)
+    val adoptRegs = consumers.flatMap { q =>
+      prior.get(q).collect {
+        case p if graft.BenchGate.regressed(p, adopt(q)) => (q, p, adopt(q))
+      }
+    }
+    if (adoptRegs.nonEmpty)
+      System.err.println(s"[snapbench] ${adoptRegs.size} ADOPT-path " +
+        "regressions vs prior detail (>2x and >0.5s): " +
+        adoptRegs.map { case (q, p, c) => f"$q ($p%.2fs -> $c%.2fs)" }
+          .mkString(", "))
     outPath.foreach { p =>
       val qj = consumers.map { q =>
         f""""$q":{"rebuild_sec":${rebuild(q)}%.3f,"adopt_sec":${adopt(q)}%.3f,"saved_sec":${rebuild(q) - adopt(q)}%.3f}"""
       }.mkString("{", ",", "}")
+      val rj = adoptRegs.map { case (q, pr, c) =>
+        f"""{"name":"$q","prev_sec":$pr%.4f,"cur_sec":$c%.4f}"""
+      }.mkString("[", ",", "]")
       val line =
-        s"""{"metric":"bench_adopt","sf":"$sfDir","queries":$qj}"""
+        s"""{"metric":"bench_adopt","sf":"$sfDir","queries":$qj,"adopt_regressions":$rj}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         line + "\n")
       println(s"SNAPBENCH detail written to $p")
     }
     spark.stop()
+    if (adoptRegs.nonEmpty) sys.exit(1)
   }
 }

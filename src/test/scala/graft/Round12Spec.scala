@@ -62,4 +62,48 @@ class Round12Spec extends AnyFunSuite {
     assert(after.contains(0L) && after(0L).size === 3,
       "the inserted vector 0 searches the post-insert graph")
   }
+
+  test("v23: no deleted id appears in any search result, and the " +
+      "committed repaired graph touches no deleted node") {
+    val deleted = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0))
+      .filter(_ % 97 == 0).toSet
+    val res = pairsAt(sf, "v23_graph_delete_search")
+    assert(res.keySet.forall(q => !deleted(q)),
+      "no deleted vector serves as a query")
+    assert(!res.keySet.contains(0L) && res.keySet.size === 19,
+      "vec 0 is deleted (0 % 97 == 0), the other 19 standard queries run")
+    assert(res.valuesIterator.flatten.forall(n => !deleted(n)),
+      "no deleted vector is returned as a neighbor")
+    val edges = graft.operators.SimilarityQueries
+      .deleteRepairedGraph(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    PersistRegistry.release()
+    assert(edges.forall { case (a, b) => !deleted(a) && !deleted(b) },
+      "the committed repaired graph has no edge incident to a delete")
+  }
+
+  test("v23: search over the prune+repair graph agrees with search " +
+      "over a full rebuild without the batch at 95%+ on sf0.1") {
+    val big = "/root/testdata/sf0.1"
+    val after = pairsAt(big, "v23_graph_delete_search")
+    val reb = {
+      val rows = graft.operators.SimilarityQueries
+        .deleteRebuildSearch(spark, big)
+        .select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      PersistRegistry.release()
+      rows.groupBy(_._1).map { case (q, rs) =>
+        q -> rs.sortBy(_._3).map(_._2).toSeq
+      }
+    }
+    assert(after.keySet === reb.keySet, "same survivor query set")
+    val total = reb.valuesIterator.map(_.size).sum
+    val overlap = reb.keysIterator.map { q =>
+      (after(q).toSet & reb(q).toSet).size
+    }.sum
+    assert(overlap * 100 >= total * 95,
+      s"delete-repair search agreement $overlap/$total below 95% vs rebuild")
+    info(s"search-after-delete vs rebuild-without-batch: $overlap/$total")
+  }
 }

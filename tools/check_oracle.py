@@ -49,6 +49,22 @@ def t08_compression_ratio(con, sfdir):
 # recomputation). Checked with the same norm/compare as SQL oracles.
 PYTHON_ORACLES = {"t08_compression_ratio": t08_compression_ratio}
 
+# zlib-implementation pin for t08: the byte-exact claim holds for
+# stock madler zlib on BOTH sides (CPython's bundled zlib vs the
+# JRE's). A zlib-ng-linked CPython or an exotic JRE produces
+# different (still valid) streams, which would surface as
+# environment-dependent false FAILs — so self-check a known vector
+# once and, on divergence, drop t08's byte-exact oracle with a
+# loud note instead of reporting a bogus failure.
+# 60 bytes: verified identical for CPython zlib.compress(·, 6) and
+# java.util.zip.Deflater(6) on this container's stock zlib.
+_ZLIB_PIN = (b"the quick brown fox jumps over the lazy dog " * 20, 60)
+
+
+def _zlib_pinned():
+    import zlib
+    return len(zlib.compress(_ZLIB_PIN[0], 6)) == _ZLIB_PIN[1]
+
 
 def norm(df):
     df = df[sorted(df.columns)]
@@ -67,6 +83,11 @@ def main(sfdir, outdir):
     # the query's result (subset runs may omit it).
     py = {name: fn for name, fn in PYTHON_ORACLES.items()
           if os.path.isdir(f"{outdir}/{name}")}
+    if py and not _zlib_pinned():
+        print("NOTE python zlib diverges from the pinned stock-zlib "
+              "stream (zlib-ng?) — t08's byte-exact oracle skipped on "
+              "this environment")
+        py = {}
     n_ok = n_fail = 0
     for name in sorted(set(oracle) | set(py)):
         try:
