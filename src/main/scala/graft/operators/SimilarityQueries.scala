@@ -1990,6 +1990,23 @@ object SimilarityQueries {
     new java.util.concurrent.atomic.AtomicReference[(Int, Int)](
       v20SizeKnobs(2))
 
+  /** The STREAMING insert hook (StreamingGraphInsert): walk the
+    * given already-quantized query vectors against the committed
+    * base graph — exactly v21's machinery, queries supplied by the
+    * arriving micro-batch instead of a corpus predicate. The 4096
+    * bound is the per-epoch coordinator budget; an intake sizes
+    * maxFilesPerTrigger to respect it. */
+  private[graft] def streamInsertEdges(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      qrows: Array[(Long, Array[Long], Long)])
+      : org.apache.spark.sql.DataFrame = {
+    val n = quantized(s, d).filter(!v21BatchFilter)
+    val gd = StageSnapshots.snapshot(s, d, "knn-graph-base")(
+      knnGraph(s, d, !v21BatchFilter))
+      .select(col("vec_id"), col("neighbor_id"))
+    beamWalkCore(s, n, qrows, gd, v21Knobs, maxQ = 4096)
+  }
+
   /** Spec-only comparator: the same survivor-corpus search over a
     * FULL REBUILD of the graph without the delete batch — the
     * expensive path v23's prune+repair replaces. */
@@ -2107,7 +2124,30 @@ object SimilarityQueries {
     val qrows = nAll.filter(queryFilter)
       .select(col("vec_id"), col("r"), col("nn"))
       .as[(Long, Array[Long], Long)].collect()
+    val build = graphBuilder.getOrElse(() => knnGraph(s, d, baseFilter))
+    val gd = (if (defineSnap) StageSnapshots.define(s, d, snapName)(build())
+      else StageSnapshots.snapshot(s, d, snapName)(build()))
+      .select(col("vec_id"), col("neighbor_id"))
+    beamWalkCore(s, n, qrows, gd, knobsRef, maxQ)
+  }
+
+  /** The walk itself, decoupled from WHERE queries come from: the
+    * batch ops pass a corpus predicate above; the STREAMING insert
+    * path (StreamingGraphInsert) passes each arriving micro-batch's
+    * vectors directly. Query state stays the bounded coordinator
+    * contract either way. */
+  private[graft] def beamWalkCore(s: org.apache.spark.sql.SparkSession,
+      n: org.apache.spark.sql.DataFrame,
+      qrows: Array[(Long, Array[Long], Long)],
+      gdIn: org.apache.spark.sql.DataFrame,
+      knobsRef: java.util.concurrent.atomic.AtomicReference[(Int, Int)],
+      maxQ: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
     require(qrows.length <= maxQ, s"query set exceeds the $maxQ bound")
+    if (qrows.isEmpty) // a drained stream's empty epoch walks nothing
+      return Seq.empty[(Long, Long, Double, Int)]
+        .toDF("query_id", "neighbor_id", "cos_sim", "rank")
+    val gd = gdIn
     val qvec = qrows.map(r => r._1 -> ((r._2, r._3))).toMap
     def cosTo(q: Long, rc: Array[Long], nnc: Long): Double = {
       val (rq, nnq) = qvec(q)
@@ -2173,16 +2213,12 @@ object SimilarityQueries {
       .as[(Long, Long, Array[Long], Long)].collect()
     require(seeds.length <= 4 * maxQ, s"seed set exceeds the 4*$maxQ bound")
     val seedsByLabel = seeds.groupBy(_._1)
-    // the graph is a committed stage snapshot (compute-if-absent:
+    // the graph (a committed stage snapshot resolved by the caller:
     // v20 consumes v13's "knn-graph"; v21 builds "knn-graph-base"
-    // over the insert-free corpus once per fixture), SYMMETRIZED:
+    // over the insert-free corpus once per fixture) is SYMMETRIZED:
     // reverse edges double effective degree and connectivity — a
     // directed 3-out graph strands greedy walks (measured 28%
     // recall@3 vs v03 before symmetrizing)
-    val build = graphBuilder.getOrElse(() => knnGraph(s, d, baseFilter))
-    val gd = (if (defineSnap) StageSnapshots.define(s, d, snapName)(build())
-      else StageSnapshots.snapshot(s, d, snapName)(build()))
-      .select(col("vec_id"), col("neighbor_id"))
     val g = gd.unionByName(gd.select(col("neighbor_id").as("vec_id"),
       col("vec_id").as("neighbor_id"))).distinct()
     // visited state: query -> node -> cosine. The walk is
