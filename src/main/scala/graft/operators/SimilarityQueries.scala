@@ -1920,6 +1920,159 @@ object SimilarityQueries {
         graphBuilder = Some(() => deleteRepairedGraph(s, d)),
         defineSnap = true)
     },
+
+    // GRAPH HEALTH REPORT — the observability op an index operator
+    // runs nightly (round 12): per coarse cell, node/edge counts,
+    // RECIPROCITY (fraction of directed edges whose reverse also
+    // committed — the connectivity margin the search's
+    // symmetrization adds; a cell drifting toward 0 strands greedy
+    // walks), the max in-degree (the hub concentration that blows
+    // per-hop expansion budgets), and the count of in-degree-0 nodes
+    // (unreachable except as walk entry points). All linear: one
+    // self-join on the edge key for reciprocity, one groupBy per
+    // degree direction, over the COMMITTED graph snapshot
+    // (compute-if-absent — a session that ran v13 pays nothing).
+    // At 1B vectors this is the table a capacity dashboard reads.
+    QueryDef(
+      "v24_graph_health",
+      s"""WITH n AS MATERIALIZED ($quantizedSql),
+         |gd AS MATERIALIZED (${knnGdSql("n")}),
+         |lab AS (SELECT vec_id, label FROM n),
+         |e AS (SELECT g.vec_id, g.neighbor_id, l.label
+         |      FROM gd g JOIN lab l ON l.vec_id = g.vec_id),
+         |rec AS (SELECT a.label, count(*) AS n_recip
+         |        FROM e a JOIN gd b ON b.vec_id = a.neighbor_id
+         |          AND b.neighbor_id = a.vec_id
+         |        GROUP BY a.label),
+         |deg AS (SELECT l.label, g.neighbor_id AS node,
+         |               count(*) AS in_deg
+         |        FROM gd g JOIN lab l ON l.vec_id = g.neighbor_id
+         |        GROUP BY l.label, g.neighbor_id),
+         |ecnt AS (SELECT label, count(*) AS n_edges FROM e GROUP BY label),
+         |ncnt AS (SELECT label, count(*) AS n_nodes FROM lab GROUP BY label),
+         |mdeg AS (SELECT label, CAST(max(in_deg) AS BIGINT) AS max_in_degree
+         |         FROM deg GROUP BY label),
+         |snk AS (SELECT l.label,
+         |          CAST(count(*) AS BIGINT) AS n_unreferenced
+         |        FROM lab l LEFT JOIN deg d2
+         |          ON d2.label = l.label AND d2.node = l.vec_id
+         |        WHERE d2.node IS NULL GROUP BY l.label)
+         |SELECT CAST(ncnt.label AS BIGINT) AS label, n_nodes,
+         |       CAST(coalesce(ecnt.n_edges, 0) AS BIGINT) AS n_edges,
+         |       CAST(coalesce(rec.n_recip, 0) AS BIGINT) AS n_reciprocal,
+         |       coalesce(mdeg.max_in_degree, 0) AS max_in_degree,
+         |       coalesce(snk.n_unreferenced, 0) AS n_unreferenced
+         |FROM ncnt LEFT JOIN ecnt USING (label)
+         |  LEFT JOIN rec USING (label)
+         |  LEFT JOIN mdeg USING (label)
+         |  LEFT JOIN snk USING (label)
+         |ORDER BY label""".stripMargin) { (s, d) =>
+      val n = quantized(s, d)
+      val gd = StageSnapshots.snapshot(s, d, "knn-graph")(knnGraph(s, d))
+        .select(col("vec_id"), col("neighbor_id"))
+      val lab = n.select(col("vec_id"), col("label").cast("long").as("label"))
+      val e = gd.join(lab, "vec_id")
+      val rec = e.join(
+          gd.select(col("neighbor_id").as("vec_id"),
+            col("vec_id").as("neighbor_id")),
+          Seq("vec_id", "neighbor_id"), "left_semi")
+        .groupBy("label").agg(count(lit(1)).as("n_recip"))
+      val deg = gd.join(lab.withColumnRenamed("vec_id", "neighbor_id"),
+          "neighbor_id")
+        .groupBy(col("label"), col("neighbor_id").as("node"))
+        .agg(count(lit(1)).as("in_deg"))
+      val ecnt = e.groupBy("label").agg(count(lit(1)).as("n_edges"))
+      val ncnt = lab.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+      val mdeg = deg.groupBy("label")
+        .agg(max("in_deg").cast("long").as("max_in_degree"))
+      val snk = lab.join(deg.select(col("label"), col("node").as("vec_id")),
+          Seq("label", "vec_id"), "left_anti")
+        .groupBy("label").agg(count(lit(1)).cast("long")
+          .as("n_unreferenced"))
+      ncnt.join(ecnt, Seq("label"), "left")
+        .join(rec, Seq("label"), "left")
+        .join(mdeg, Seq("label"), "left")
+        .join(snk, Seq("label"), "left")
+        .select(col("label"), col("n_nodes"),
+          coalesce(col("n_edges"), lit(0L)).cast("long").as("n_edges"),
+          coalesce(col("n_recip"), lit(0L)).cast("long")
+            .as("n_reciprocal"),
+          coalesce(col("max_in_degree"), lit(0L)).as("max_in_degree"),
+          coalesce(col("n_unreferenced"), lit(0L)).as("n_unreferenced"))
+        .orderBy("label")
+    },
+
+    // EMBEDDING DRIFT MONITOR — the data-drift op an ML platform
+    // runs between a REFERENCE corpus shard and the CURRENT intake
+    // (round 12): per embedding dimension, bucket the quantized
+    // values (width 2000 = 0.2 in raw units, floor division) and
+    // report the total-variation distance between the two shards'
+    // bucket distributions. TVD instead of PSI on purpose: PSI's
+    // ln() is not guaranteed bit-identical across libms, while TVD
+    // is EXACT integer arithmetic until one final division —
+    // Σ|c_cur·N_ref − c_ref·N_cur| / (2·N_ref·N_cur) — so the
+    // oracle hash-compares safely. Scale: one groupBy(dim, bucket,
+    // shard) with map-side combine over exploded components (the
+    // only data-sized shuffle, O(dims·buckets) groups), then a
+    // 64-row report. Shards here = even/odd vec_id halves (the
+    // deterministic stand-in for yesterday/today).
+    QueryDef(
+      "v25_embedding_drift",
+      s"""WITH n AS ($quantizedSql),
+         |c AS (SELECT vec_id % 2 AS shard, j,
+         |             CAST(floor(r[j] / 2000.0) AS BIGINT) AS bucket
+         |      FROM n, generate_series(1, 64) t(j)),
+         |bc AS (SELECT shard, j, bucket, count(*) AS cnt
+         |       FROM c GROUP BY shard, j, bucket),
+         |tot AS (SELECT shard, CAST(sum(cnt) AS BIGINT) AS n_tot
+         |        FROM bc GROUP BY shard),
+         |w AS (SELECT j, bucket,
+         |        CAST(coalesce(sum(CASE WHEN shard = 0 THEN cnt END), 0)
+         |             AS BIGINT) AS c_ref,
+         |        CAST(coalesce(sum(CASE WHEN shard = 1 THEN cnt END), 0)
+         |             AS BIGINT) AS c_cur
+         |      FROM bc GROUP BY j, bucket)
+         |SELECT CAST(w.j AS INT) AS dim,
+         |       CAST(count(*) AS BIGINT) AS n_buckets,
+         |       CAST(sum(abs(c_cur * r.n_tot - c_ref * u.n_tot))
+         |            AS BIGINT) AS tvd_num,
+         |       CAST(2 * r.n_tot * u.n_tot AS BIGINT) AS tvd_den,
+         |       CAST(sum(abs(c_cur * r.n_tot - c_ref * u.n_tot))
+         |            AS DOUBLE) / (2.0 * r.n_tot * u.n_tot) AS tvd
+         |FROM w, (SELECT n_tot FROM tot WHERE shard = 0) r,
+         |     (SELECT n_tot FROM tot WHERE shard = 1) u
+         |GROUP BY w.j, r.n_tot, u.n_tot
+         |ORDER BY dim""".stripMargin) { (s, d) =>
+      val n = quantized(s, d)
+      val c = n.select((col("vec_id") % 2).as("shard"),
+          posexplode(col("r")).as(Seq("j0", "rv")))
+        .select(col("shard"), (col("j0") + 1).as("j"),
+          floor(col("rv") / 2000.0).cast("long").as("bucket"))
+      val bc = c.groupBy("shard", "j", "bucket")
+        .agg(count(lit(1)).as("cnt"))
+      val tot = bc.groupBy("shard").agg(sum("cnt").cast("long").as("n_tot"))
+      val nRef = tot.filter(col("shard") === 0)
+        .select(col("n_tot").as("n_ref"))
+      val nCur = tot.filter(col("shard") === 1)
+        .select(col("n_tot").as("n_cur"))
+      val w = bc.groupBy("j", "bucket")
+        .agg(
+          coalesce(sum(when(col("shard") === 0, col("cnt"))), lit(0L))
+            .cast("long").as("c_ref"),
+          coalesce(sum(when(col("shard") === 1, col("cnt"))), lit(0L))
+            .cast("long").as("c_cur"))
+      w.crossJoin(broadcast(nRef)).crossJoin(broadcast(nCur))
+        .groupBy(col("j"), col("n_ref"), col("n_cur"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(abs(col("c_cur") * col("n_ref") - col("c_ref") * col("n_cur")))
+            .cast("long").as("tvd_num"))
+        .select(col("j").cast("int").as("dim"), col("n_buckets"),
+          col("tvd_num"),
+          (lit(2L) * col("n_ref") * col("n_cur")).cast("long").as("tvd_den"),
+          (col("tvd_num").cast("double") /
+            (lit(2.0) * col("n_ref") * col("n_cur"))).as("tvd"))
+        .orderBy("dim")
+    },
   )
 
   /** v23's delete batch: every 97th vec_id, pinned to copy 0 —
