@@ -220,7 +220,10 @@ object ScaleCheck {
       // v23 (round 12): delete + local repair + search — the prune
       // is one linear pass over the committed graph, repair is
       // O(|D|·deg²) with the batch pinned to copy 0, search bounded
-      "v23_graph_delete_search")
+      "v23_graph_delete_search",
+      // v26 (round 12): filtered graph search — v20's bounded walk
+      // with a 3x beam; the filter costs nothing data-sized
+      "v26_filtered_graph_search")
     val heavySuite = Seq("q07_multijoin_agg", "q44_star_join_q5",
       "d02_minhash_lsh", "q33_ranking_functions",
       "q10_window_topk_per_group", "d09_ivf_neardup")

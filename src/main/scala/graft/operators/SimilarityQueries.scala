@@ -702,11 +702,12 @@ object SimilarityQueries {
        |          AND c.vec_id <> a.vec_id) t
        |      WHERE rank <= 3""".stripMargin
 
-  /** Single-walk statement (v20/v21): base corpus + its own k-NN
-    * graph + one walk chain. Engine and DuckDB walk the identical
-    * search. */
+  /** Single-walk statement (v20/v21/v26): base corpus + its own
+    * k-NN graph + one walk chain. `resultPred` restricts the FINAL
+    * selection only (v26's filtered search — the frontier stays
+    * unfiltered). Engine and DuckDB walk the identical search. */
   private def graphWalkSql(queryPred: String, basePred: String,
-      knobs: (Int, Int)): String = {
+      knobs: (Int, Int), resultPred: String = "true"): String = {
     val (ctes, scF) = walkCtes("", queryPred, "b", "g", knobs)
     s"""WITH n AS MATERIALIZED ($quantizedSql),
        |b AS MATERIALIZED (SELECT * FROM n WHERE $basePred),
@@ -719,7 +720,7 @@ object SimilarityQueries {
        |  SELECT query_id, node AS neighbor_id, cos_sim,
        |         CAST(row_number() OVER (PARTITION BY query_id
        |             ORDER BY cos_sim DESC, node) AS INT) AS rank
-       |  FROM $scF WHERE node <> query_id) t
+       |  FROM $scF WHERE node <> query_id AND ($resultPred)) t
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
@@ -1921,6 +1922,29 @@ object SimilarityQueries {
         defineSnap = true)
     },
 
+    // FILTERED GRAPH SEARCH — the serving matrix's remaining cell
+    // (round 12): v12 answers attribute-filtered ANN through the
+    // IVF path (probe more cells, filter the candidate scan); v26
+    // answers it through the GRAPH path, the "filtered HNSW"
+    // problem a metadata-rich vector store hits immediately. The
+    // standard rule applies: the walk's FRONTIER stays unfiltered —
+    // pruning expansions at 1/3 selectivity disconnects the walk —
+    // while the final top-3 keeps only predicate-passing nodes
+    // (vec_id % 3 = 0, v12's convention), and the beam widens by
+    // the inverse selectivity (B = 3·2H) so the visited set holds
+    // enough passing candidates. Same committed "knn-graph"
+    // snapshot as v20 — one index serves filtered and unfiltered
+    // traffic. Deterministic; the oracle walks the identical search
+    // with the recorded knobs. Round12Spec measures filtered
+    // recall@3 vs the exhaustive in-cell filtered truth.
+    QueryDef(
+      "v26_filtered_graph_search",
+      v26Sql) { (s, d) =>
+      graphBeamWalk(s, d, col("vec_id") < Q, lit(true), "knn-graph",
+        v26Knobs, maxQ = Q, resultKeep = _ % 3 == 0,
+        sizeKnobs = v26SizeKnobs)
+    },
+
     // GRAPH HEALTH REPORT — the observability op an index operator
     // runs nightly (round 12): per coarse cell, node/edge counts,
     // RECIPROCITY (fraction of directed edges whose reverse also
@@ -2160,6 +2184,22 @@ object SimilarityQueries {
     beamWalkCore(s, n, qrows, gd, v21Knobs, maxQ = 4096)
   }
 
+  // v26 (filtered graph search) knobs: depth from the standard
+  // log|cell| rule, beam widened 3× — the inverse of the
+  // `vec_id % 3 = 0` predicate's selectivity — so the unfiltered
+  // frontier visits enough PASSING nodes for the filtered top-3.
+  private[graft] val v26Knobs =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int)](
+      v20SizeKnobs(2))
+  private[graft] def v26SizeKnobs(maxCell: Long): (Int, Int) = {
+    val (h, b) = v20SizeKnobs(maxCell)
+    (h, 3 * b)
+  }
+
+  private def v26Sql: String =
+    graphWalkSql("q.vec_id < " + Q, "true", v26Knobs.get(),
+      resultPred = "node % 3 = 0")
+
   /** Spec-only comparator: the same survivor-corpus search over a
     * FULL REBUILD of the graph without the delete batch — the
     * expensive path v23's prune+repair replaces. */
@@ -2270,7 +2310,10 @@ object SimilarityQueries {
       // its bench number is the real insert+commit cost, and the
       // recorded v21 knobs are current when its oracle is forced).
       graphBuilder: Option[() => org.apache.spark.sql.DataFrame] = None,
-      defineSnap: Boolean = false): org.apache.spark.sql.DataFrame = {
+      defineSnap: Boolean = false,
+      resultKeep: Long => Boolean = _ => true,
+      sizeKnobs: Long => (Int, Int) = v20SizeKnobs)
+      : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val nAll = quantized(s, d)
     val n = nAll.filter(baseFilter) // the searchable base corpus
@@ -2281,7 +2324,7 @@ object SimilarityQueries {
     val gd = (if (defineSnap) StageSnapshots.define(s, d, snapName)(build())
       else StageSnapshots.snapshot(s, d, snapName)(build()))
       .select(col("vec_id"), col("neighbor_id"))
-    beamWalkCore(s, n, qrows, gd, knobsRef, maxQ)
+    beamWalkCore(s, n, qrows, gd, knobsRef, maxQ, resultKeep, sizeKnobs)
   }
 
   /** The walk itself, decoupled from WHERE queries come from: the
@@ -2294,7 +2337,16 @@ object SimilarityQueries {
       qrows: Array[(Long, Array[Long], Long)],
       gdIn: org.apache.spark.sql.DataFrame,
       knobsRef: java.util.concurrent.atomic.AtomicReference[(Int, Int)],
-      maxQ: Int): org.apache.spark.sql.DataFrame = {
+      maxQ: Int,
+      // v26 (filtered search): the walk's FRONTIER stays unfiltered
+      // (the standard filtered-graph-ANN rule — filtering expansions
+      // disconnects the walk at low selectivity), only the final
+      // top-3 selection keeps predicate-passing nodes, and the
+      // sizing rule widens the beam by the inverse selectivity so
+      // the visited set holds enough passing candidates.
+      resultKeep: Long => Boolean = _ => true,
+      sizeKnobs: Long => (Int, Int) = v20SizeKnobs)
+      : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     require(qrows.length <= maxQ, s"query set exceeds the $maxQ bound")
     if (qrows.isEmpty) // a drained stream's empty epoch walks nothing
@@ -2355,7 +2407,7 @@ object SimilarityQueries {
       // Option: max over zero groups is NULL (empty corpus)
       .agg(max("count").as("m")).as[Option[Long]].collect()
       .headOption.flatten.getOrElse(2L)
-    val (vH, vB) = v20SizeKnobs(maxCell)
+    val (vH, vB) = sizeKnobs(maxCell)
     knobsRef.set((vH, vB))
     val wEnt = Window.partitionBy("label").orderBy("vec_id")
     val seeds = n.filter(col("label").cast("long")
@@ -2418,7 +2470,7 @@ object SimilarityQueries {
       }
     }
     val out = visited.toSeq.flatMap { case (q, m) =>
-      m.toSeq.filter(_._1 != q)
+      m.toSeq.filter { case (node, _) => node != q && resultKeep(node) }
         .sortBy { case (node, c) => (-c, node) }.take(3)
         .zipWithIndex.map { case ((node, c), i) => (q, node, c, i + 1) }
     }

@@ -106,4 +106,36 @@ class Round12Spec extends AnyFunSuite {
       s"delete-repair search agreement $overlap/$total below 95% vs rebuild")
     info(s"search-after-delete vs rebuild-without-batch: $overlap/$total")
   }
+
+  test("v26: filtered graph search recalls 90%+ of the exhaustive " +
+      "in-cell FILTERED top-3 on sf0.1, and returns only passing nodes") {
+    val big = "/root/testdata/sf0.1"
+    val got = SparkEntry.queries("v26_filtered_graph_search")(spark, big)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    PersistRegistry.release()
+    assert(got.forall(_._2 % 3 == 0), "every neighbor passes the filter")
+    // exhaustive filtered truth: the query's best cell (the same
+    // integer-centroid probe rule), top-3 among its % 3 == 0 members
+    val emb = spark.read.parquet(s"$big/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(x => math.round(x.toDouble * 10000)).toArray))
+    def nn(v: Array[Long]) = v.map(x => x * x).sum
+    val cents = emb.groupBy(_._2).map { case (lb, vs) =>
+      lb -> (0 until 64).map(j => vs.map(_._3(j)).sum).toArray
+    }
+    val exact = emb.filter(_._1 < 20).flatMap { case (q, _, rq) =>
+      def cos(rc: Array[Long]) = rq.lazyZip(rc).map(_ * _).sum.toDouble /
+        math.sqrt(nn(rq).toDouble * nn(rc).toDouble)
+      val lb = cents.toSeq.map { case (l, c) => (-cos(c), l) }.min._2
+      emb.filter(v => v._2 == lb && v._1 % 3 == 0 && v._1 != q)
+        .map { case (id, _, rc) => (-cos(rc), id) }
+        .sorted.take(3).map { case (_, id) => (q, id) }
+    }.toSet
+    val overlap = (got.toSet & exact).size
+    assert(overlap * 10 >= exact.size * 9,
+      s"filtered recall@3 $overlap/${exact.size} below 90%")
+    info(s"filtered graph recall@3 = $overlap/${exact.size}")
+  }
 }
