@@ -2447,8 +2447,17 @@ object SimilarityQueries {
       val beamNodes = beams.values.flatten.toSet
       if (beamNodes.nonEmpty) {
         // ONE distributed probe per hop: beam nodes' edges joined
-        // with the neighbors' vectors, both sides filter-pushed
-        val ed = g.filter(col("vec_id").isInCollection(beamNodes))
+        // with the neighbors' vectors, both sides filter-pushed. The
+        // edge side carries an EXPLICIT broadcast hint: it is
+        // require()-bounded below to beam·512 rows of two longs (KBs
+        // — always broadcastable), but Catalyst only sees the scan's
+        // InSet-filtered size ESTIMATE, which scales with the number
+        // of IN literals — at v26's tripled beam the estimate crossed
+        // autoBroadcastJoinThreshold and the planner flipped this
+        // join to shuffle the CORPUS side every hop (measured: v26's
+        // 100× wall 94 s vs v20's 5.5 s at identical shuffle-visible
+        // work). The hint pins the plan to what the bound guarantees.
+        val ed = broadcast(g.filter(col("vec_id").isInCollection(beamNodes)))
           .join(n.select(col("vec_id").as("neighbor_id"),
             col("r"), col("nn")), Seq("neighbor_id"))
           .select(col("vec_id"), col("neighbor_id"), col("r"), col("nn"))
