@@ -1003,16 +1003,22 @@ object DedupQueries {
       // exploded corpus.
       // the gram key is INTERNAL (only per-doc counts reach the
       // output), so group on a 128-bit fingerprint of the token
-      // slice (two independent xxhash64 seeds) instead of the joined
-      // string: no string materialization, 16-byte shuffle keys
-      // (~5× narrower than the mean 8-token text). Collision would
-      // need two distinct grams agreeing on BOTH 64-bit hashes —
-      // ~1e-13 at the 1e13 grams of a 100 TB corpus.
+      // slice (two xxhash64 runs under DIFFERENT accumulated seeds)
+      // instead of the joined string: no string materialization,
+      // 16-byte shuffle keys (~5× narrower than the mean 8-token
+      // text). The salt literal must come FIRST in h2: XxHash64
+      // folds arguments left-to-right with the accumulated hash as
+      // seed, so a trailing salt would make h2 a pure function of h1
+      // (every h1 collision also an h2 collision — a 64-bit key in
+      // disguise). With the salt leading, h2 hashes the gram under a
+      // different running seed, so a collision needs two distinct
+      // grams agreeing on both independent 64-bit hashes — p ≈
+      // n²/2^129 ≈ 1e-13 at the 1e13 grams of a 100 TB corpus.
       val gd = t8.select(col("doc_id"),
           explode(transform(sequence(lit(1), size(col("w")) - 7),
             i => struct(
               xxhash64(slice(col("w"), i, lit(8))).as("h1"),
-              xxhash64(slice(col("w"), i, lit(8)), lit(1)).as("h2"))))
+              xxhash64(lit(1), slice(col("w"), i, lit(8))).as("h2"))))
             .as("gram"))
         .groupBy("gram", "doc_id").agg(count(lit(1)).as("c"))
       // distinct-doc count per gram as a window over the collapsed

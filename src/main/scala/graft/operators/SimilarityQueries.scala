@@ -2115,11 +2115,31 @@ object SimilarityQueries {
   private[graft] def deleteRepairedGraph(
       s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    GraftExtensions.register(s)
     val gd = StageSnapshots.snapshot(s, d, "knn-graph")(knnGraph(s, d))
       .select(col("vec_id"), col("neighbor_id"))
     val del = quantized(s, d).filter(v23DeleteFilter)
       .select(col("vec_id").as("del_id"))
+    deleteRepairCore(s, gd, del, quantized(s, d))
+  }
+
+  /** The prune + local-repair rule itself, decoupled from WHERE the
+    * graph and the delete set come from: v23 passes the committed
+    * full-graph snapshot and its fixture batch; the STREAMING delete
+    * path (StreamingGraphDelete) passes the same base graph with the
+    * CUMULATIVE tombstone set each epoch — which is what makes the
+    * stream's final state identical to the one-shot batch regardless
+    * of how arrivals were micro-batched (the per-source repair top-3
+    * is a global rule over the whole delete set, so it must be
+    * recomputed against the cumulative set, never unioned
+    * per-wave). All joins below are keyed and distributed; nothing
+    * collects. */
+  private[graft] def deleteRepairCore(
+      s: org.apache.spark.sql.SparkSession,
+      gd: org.apache.spark.sql.DataFrame,
+      del: org.apache.spark.sql.DataFrame,
+      vecs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    GraftExtensions.register(s)
     // pruned: both endpoints survive
     val pruned = gd
       .join(del.withColumnRenamed("del_id", "vec_id"), Seq("vec_id"),
@@ -2141,7 +2161,7 @@ object SimilarityQueries {
       .distinct()
     // repair candidates: ordered survivor pairs sharing a deleted
     // neighbor, ranked per source by true cosine
-    val n = quantized(s, d)
+    val n = vecs
     val a = n.select(col("vec_id").as("u"), col("r").as("ru"),
       col("nn").as("nnu"))
     val b = n.select(col("vec_id").as("w"), col("r").as("rw"),
@@ -2182,6 +2202,24 @@ object SimilarityQueries {
       knnGraph(s, d, !v21BatchFilter))
       .select(col("vec_id"), col("neighbor_id"))
     beamWalkCore(s, n, qrows, gd, v21Knobs, maxQ = 4096)
+  }
+
+  /** The STREAMING delete hook (StreamingGraphDelete): v23's
+    * prune+repair rule over the committed full graph, with the
+    * CUMULATIVE tombstone set `del` (one column `del_id`). Called
+    * once per micro-batch with all deletes so far — the output
+    * depends only on the cumulative set, which is what makes the
+    * maintained table order-independent and the drained stream
+    * row-identical to the one-shot batch delete. Fully distributed:
+    * anti joins for the prune, a keyed self-join + per-source window
+    * for the repair; no driver materialization at any batch size. */
+  private[graft] def streamDeleteEdges(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      del: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val gd = StageSnapshots.snapshot(s, d, "knn-graph")(knnGraph(s, d))
+      .select(col("vec_id"), col("neighbor_id"))
+    deleteRepairCore(s, gd, del, quantized(s, d))
   }
 
   // v26 (filtered graph search) knobs: depth from the standard

@@ -57,16 +57,40 @@ object StreamingGraphInsert {
       .start()
   }
 
+  /** Per-epoch coordinator budget: the walk's state is
+    * O(batch · (seeds + H·B·k)) on the driver; a production intake
+    * sizes maxFilesPerTrigger to hold this. */
+  val EpochCap = 4096
+
   /** One epoch: walk each arriving vector against the base graph,
     * append (vec_id, neighbor_id, cos_sim, rank) edges. Public so
     * the spec and a batch backfill drive the exact streaming code
-    * path. Caps the per-epoch batch at 4096 vectors — the walk's
-    * coordinator state is O(batch · (seeds + H·B·k)); a production
-    * intake sizes maxFilesPerTrigger to hold this. */
+    * path.
+    *
+    * The EpochCap bound is enforced DISTRIBUTED-SIDE, before any
+    * driver materialization: `limit(cap+1).count()` scans at most
+    * cap+1 rows and collects one long, so a misconfigured intake
+    * (maxFilesPerTrigger too high) fails loudly without first OOMing
+    * the driver on an unbounded collect. (Round 12 relied on
+    * beamWalkCore's require, which fired only AFTER the full batch
+    * was driver-resident.) */
   def insertEpoch(spark: SparkSession, batch: DataFrame, d: String,
       indexDir: String, batchId: Long): Unit = {
     import spark.implicits._
-    if (batch.isEmpty) return
+    // exactly-once: the epoch id is checked against EVERY committed
+    // version's meta (not just CURRENT's) — an interleaved commit on
+    // the same table (a compact, a delete epoch) can move the pointer
+    // between this epoch's first delivery and a late retry, and the
+    // pointer-only check would then re-append (round-12 advice).
+    val tab = s"$indexDir/edges"
+    val ledgerLine = s"batch=$batchId"
+    if (SnapshotTable.currentMeta(tab).contains(ledgerLine) ||
+        SnapshotTable.committedMetas(tab).contains(ledgerLine)) return
+    val n = batch.limit(EpochCap + 1).count()
+    if (n == 0) return
+    require(n <= EpochCap,
+      s"streaming insert epoch exceeds the $EpochCap-vector coordinator " +
+      "budget — size maxFilesPerTrigger so each micro-batch fits")
     val qrows = batch
       .select(col("vec_id"),
         transform(col("embedding"),
@@ -78,12 +102,7 @@ object StreamingGraphInsert {
       .as[(Long, Array[Long], Long)].collect()
     val edges = graft.operators.SimilarityQueries
       .streamInsertEdges(spark, d, qrows)
-    // exactly-once: the epoch id rides the commit meta; a retried
-    // epoch finds its id already CURRENT and skips the append
-    val tab = s"$indexDir/edges"
-    val ledger = Some(s"batch=$batchId")
-    if (SnapshotTable.currentMeta(tab) != ledger)
-      SnapshotTable.append(spark, edges, tab, ledger)
+    SnapshotTable.append(spark, edges, tab, Some(ledgerLine))
     ()
   }
 }

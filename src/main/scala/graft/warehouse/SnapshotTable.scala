@@ -53,6 +53,25 @@ object SnapshotTable {
       if (i < 0) None else Some(l.substring(i).trim)
     }
 
+  /** Every committed version's metadata (versions 0..CURRENT that
+    * carried one). CURRENT's meta alone protects only re-delivery of
+    * the LATEST epoch — any interleaved commit (a compact that drops
+    * meta, a maintenance overwrite) would reopen the double-append
+    * window for an older re-delivered epoch. Each commit therefore
+    * also persists its meta as `v<N>.meta` beside the manifest, and a
+    * streaming ingest checks its epoch id against ALL committed metas,
+    * not just the pointer. Orphaned metas past CURRENT (a crashed
+    * commit) are excluded — they never became visible. */
+  def committedMetas(dir: String): Seq[String] = {
+    val cur = currentVersion(dir).getOrElse(-1)
+    (0 to cur).flatMap { v =>
+      val p = versionsDir(dir).resolve(f"v$v%05d.meta")
+      if (Files.exists(p))
+        Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
+      else None
+    }
+  }
+
   private def manifestFiles(dir: String, v: Int): Seq[String] =
     Files.readAllLines(versionsDir(dir).resolve(f"v$v%05d.manifest"))
       .asScala.toSeq.filter(_.nonEmpty)
@@ -102,6 +121,16 @@ object SnapshotTable {
           files.mkString("\n").getBytes(StandardCharsets.UTF_8),
           java.nio.file.StandardOpenOption.CREATE_NEW,
           java.nio.file.StandardOpenOption.WRITE)
+        // durable per-version meta (see committedMetas): written after
+        // the manifest claims the version, before the pointer swap — a
+        // crash in between orphans both files together, and orphans
+        // past CURRENT are never read back as committed
+        meta.foreach { m =>
+          Files.write(vd.resolve(f"v$v%05d.meta"),
+            m.getBytes(StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+        }
         val tmp = vd.resolve(s"CURRENT.tmp.$v")
         val line = v.toString + meta.map(" " + _).getOrElse("")
         Files.write(tmp, line.getBytes(StandardCharsets.UTF_8))
@@ -208,7 +237,11 @@ object SnapshotTable {
     * expired manifests. Run OUT-OF-BAND of readers of expired
     * snapshots (like any format's vacuum, this is the one operation
     * that invalidates old readers — the retention window is the
-    * contract). Returns the number of data files deleted. */
+    * contract). Per-version `.meta` files are deliberately RETAINED:
+    * they are the streaming exactly-once ledger (committedMetas), and
+    * a vacuum that dropped them would reopen the double-append window
+    * for a late re-delivered epoch. They are one line each.
+    * Returns the number of data files deleted. */
   def vacuum(dir: String, keepVersions: Int = 1): Int = {
     val cur = currentVersion(dir).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $dir"))

@@ -69,5 +69,35 @@ class StreamingGraphInsertSpec extends AnyFunSuite {
     PersistRegistry.release()
     assert(SnapshotTable.read(spark, s"$idx/edges").count() === before,
       "a re-delivered epoch must be skipped by the ledger")
+
+    // ...and still skipped after an interleaved meta-less compact:
+    // the pointer's meta is gone, but the durable per-version ledger
+    // (committedMetas) retains every epoch id (round-12 advice)
+    SnapshotTable.compact(spark, s"$idx/edges")
+    assert(SnapshotTable.currentMeta(s"$idx/edges").isEmpty,
+      "compact without meta should clear the pointer meta")
+    StreamingGraphInsert.insertEpoch(spark, lastWave, sf, idx, lastId)
+    PersistRegistry.release()
+    assert(SnapshotTable.read(spark, s"$idx/edges").count() === before,
+      "a re-delivered epoch must be skipped by the durable ledger " +
+      "even after an interleaved meta-less compact")
+  }
+
+  test("an oversized insert epoch fails the distributed pre-check " +
+      "BEFORE the driver collect") {
+    val idx = tmp("graft-sgi-cap-")
+    // 4097 rows, embeddings deliberately null: the cap must fire on
+    // the distributed limit-count, before any row (or its embedding)
+    // is materialized driver-side — if the code collected first,
+    // this batch would NPE in the quantize transform instead of
+    // raising the budget error
+    val oversized = spark.range(StreamingGraphInsert.EpochCap + 1)
+      .select(col("id").as("vec_id"),
+        lit(null).cast("array<float>").as("embedding"),
+        lit(0).as("label"))
+    val e = intercept[IllegalArgumentException] {
+      StreamingGraphInsert.insertEpoch(spark, oversized, sf, idx, 0L)
+    }
+    assert(e.getMessage.contains("coordinator budget"))
   }
 }
