@@ -38,7 +38,12 @@ object Verify {
     // golden-verified; see BoatraceQueries). A missing dump must ABORT:
     // swallowing it would surface downstream as six cryptic DuckDB
     // file-not-found rows instead of one self-explanatory failure.
-    try if (subset.isEmpty)
+    // subset runs dump the base tables too when any selected query's
+    // oracle reads them (boatrace relational ops + the a05/a06 audits)
+    val needsBoatraceDump = subset.forall(_.exists(n =>
+      n.startsWith("boatrace") || n.startsWith("a05_") ||
+        n.startsWith("a06_")))
+    try if (needsBoatraceDump)
       graft.operators.BoatraceQueries.dumpBaseTables(spark, outDir)
     catch { case e: Throwable =>
       System.err.println(
@@ -46,6 +51,20 @@ object Verify {
         s"oracle rows cannot be checked: ${e.getMessage}")
       Files.writeString(Paths.get(s"$outDir/DUMP_FAILED"),
         s"boatrace base dump failed: ${e.getMessage}\n")
+      if (!preexisting) spark.stop()
+      return 1
+    }
+    // t08's expected-bytes dump (committed zlib fixture — see
+    // TextQueries.dumpT08Expected): same abort contract as above, its
+    // oracle cannot be checked without the dump.
+    try if (subset.forall(_.contains("t08_compression_ratio")))
+      graft.operators.TextQueries.dumpT08Expected(spark, sfDir, outDir)
+    catch { case e: Throwable =>
+      System.err.println(
+        s"[verify] FATAL: t08 expected-bytes dump failed — t08's " +
+        s"oracle row cannot be checked: ${e.getMessage}")
+      Files.writeString(Paths.get(s"$outDir/DUMP_FAILED"),
+        s"t08 fixture dump failed: ${e.getMessage}\n")
       if (!preexisting) spark.stop()
       return 1
     }

@@ -79,6 +79,37 @@ object BoatraceQueries {
        |  JOIN read_parquet('$OutDirToken/boatrace_base/schedule/*.parquet') s
        |    ON r."レースID" = s."レースID" AND r."選手登番" = s."選手登番")""".stripMargin
 
+  /** PK-uniqueness audit row (a05): same output shape as a04's
+    * (QualityQueries.uniq), over a parsed boatrace base table. */
+  private def uniqB(name: String, df: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val perKey = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+    df.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(perKey.agg(count(lit(1)).as("n_keys"),
+        max(col("c")).as("max_mult")))
+      .select(lit(name).as("table_name"), col("n_rows"), col("n_keys"),
+        (col("n_rows") - col("n_keys")).as("n_dup_rows"), col("max_mult"))
+  }
+
+  /** Referential audit row (a06): orphans of `child` with no
+    * matching `parent` on the (possibly composite) key — an anti
+    * join, dup-insensitive so the parent needs no distinct. The
+    * parent side is race- or entry-cardinality here; AQE broadcasts
+    * the smaller side, and at warehouse scale the key is the date-
+    * partitioned レースID prefix so the join prunes partitions. */
+  private def orphanEdge(name: String, child: DataFrame,
+      parent: DataFrame, keys: Seq[String]): DataFrame = {
+    val nn = keys.map(col(_).isNotNull).reduce(_ && _)
+    val orphans = child.filter(nn)
+      .join(parent.select(keys.map(col): _*), keys, "left_anti")
+    child.agg(count(lit(1)).as("n_child"))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_orphan")))
+      .select(lit(name).as("edge"), col("n_child"), col("n_orphan"))
+  }
+
+  private def baseTableSql(t: String): String =
+    s"read_parquet('$OutDirToken/boatrace_base/$t/*.parquet')"
+
   val all: Seq[QueryDef] = Seq(
 
     // The reference's flagship artifact: the denormalized race table
@@ -316,6 +347,103 @@ object BoatraceQueries {
         .filter(col("date") === lit("2020-08-28").cast("date"))
         .select("レースID", "順位", "選手登番", "艇番", "展示")
         .orderBy("レースID", "順位")
+    },
+
+    // Data-quality audits over the boatrace domain (round 13): the
+    // a01-a04 family covered the synthetic schema only, but the
+    // reference's ACTUAL data-quality story is here — its composite
+    // PK (レースID, 選手登番) and the rows its inner join silently
+    // drops (main.py:262). a05 audits the declared PKs of all four
+    // parsed base tables; same shape and mechanics as a04 (one
+    // partial-aggregated groupBy per table).
+    QueryDef(
+      "a05_boatrace_pk",
+      s"""SELECT table_name, n_rows, n_keys, n_rows - n_keys AS n_dup_rows,
+         |       max_mult FROM (
+         |  SELECT 'env' AS table_name,
+         |    (SELECT count(*) FROM ${baseTableSql("env")}) AS n_rows,
+         |    (SELECT count(*) FROM (SELECT DISTINCT "レースID"
+         |       FROM ${baseTableSql("env")})) AS n_keys,
+         |    (SELECT max(c) FROM (SELECT count(*) AS c
+         |       FROM ${baseTableSql("env")} GROUP BY "レースID")) AS max_mult
+         |  UNION ALL
+         |  SELECT 'odds',
+         |    (SELECT count(*) FROM ${baseTableSql("odds")}),
+         |    (SELECT count(*) FROM (SELECT DISTINCT "レースID"
+         |       FROM ${baseTableSql("odds")})),
+         |    (SELECT max(c) FROM (SELECT count(*) AS c
+         |       FROM ${baseTableSql("odds")} GROUP BY "レースID"))
+         |  UNION ALL
+         |  SELECT 'result',
+         |    (SELECT count(*) FROM ${baseTableSql("result")}),
+         |    (SELECT count(*) FROM (SELECT DISTINCT "レースID", "選手登番"
+         |       FROM ${baseTableSql("result")})),
+         |    (SELECT max(c) FROM (SELECT count(*) AS c
+         |       FROM ${baseTableSql("result")}
+         |       GROUP BY "レースID", "選手登番"))
+         |  UNION ALL
+         |  SELECT 'schedule',
+         |    (SELECT count(*) FROM ${baseTableSql("schedule")}),
+         |    (SELECT count(*) FROM (SELECT DISTINCT "レースID", "選手登番"
+         |       FROM ${baseTableSql("schedule")})),
+         |    (SELECT max(c) FROM (SELECT count(*) AS c
+         |       FROM ${baseTableSql("schedule")}
+         |       GROUP BY "レースID", "選手登番"))
+         |) u ORDER BY table_name""".stripMargin) { (s, _) =>
+      val (env, result, odds, schedule) = tables(s)
+      uniqB("env", env, Seq("レースID"))
+        .unionAll(uniqB("odds", odds, Seq("レースID")))
+        .unionAll(uniqB("result", result, Seq("レースID", "選手登番")))
+        .unionAll(uniqB("schedule", schedule, Seq("レースID", "選手登番")))
+        .orderBy("table_name")
+    },
+
+    // a06: the orphan edges the reference's inner joins drop without
+    // a trace — env races with no finishers (cancelled races that
+    // still printed an env header), finishers missing from the
+    // schedule and vice versa (the 2-finisher race / absent-race
+    // corpus edge cases, SURVEY §5), and odds rows with no env.
+    // Anti joins, mirroring a02's mechanics.
+    QueryDef(
+      "a06_boatrace_orphans",
+      s"""WITH e AS (SELECT * FROM ${baseTableSql("env")}),
+         |r AS (SELECT * FROM ${baseTableSql("result")}),
+         |s AS (SELECT * FROM ${baseTableSql("schedule")}),
+         |o AS (SELECT * FROM ${baseTableSql("odds")})
+         |SELECT edge, n_child, n_orphan FROM (
+         |  SELECT 'env->result' AS edge,
+         |    (SELECT count(*) FROM e) AS n_child,
+         |    (SELECT count(*) FROM e WHERE NOT EXISTS
+         |      (SELECT 1 FROM r WHERE r."レースID" = e."レースID"))
+         |      AS n_orphan
+         |  UNION ALL
+         |  SELECT 'odds->env', (SELECT count(*) FROM o),
+         |    (SELECT count(*) FROM o WHERE NOT EXISTS
+         |      (SELECT 1 FROM e WHERE e."レースID" = o."レースID"))
+         |  UNION ALL
+         |  SELECT 'result->env', (SELECT count(*) FROM r),
+         |    (SELECT count(*) FROM r WHERE NOT EXISTS
+         |      (SELECT 1 FROM e WHERE e."レースID" = r."レースID"))
+         |  UNION ALL
+         |  SELECT 'result->schedule', (SELECT count(*) FROM r),
+         |    (SELECT count(*) FROM r r2 WHERE NOT EXISTS
+         |      (SELECT 1 FROM s WHERE s."レースID" = r2."レースID"
+         |         AND s."選手登番" = r2."選手登番"))
+         |  UNION ALL
+         |  SELECT 'schedule->result', (SELECT count(*) FROM s),
+         |    (SELECT count(*) FROM s s2 WHERE NOT EXISTS
+         |      (SELECT 1 FROM r WHERE r."レースID" = s2."レースID"
+         |         AND r."選手登番" = s2."選手登番"))
+         |) x ORDER BY edge""".stripMargin) { (s, _) =>
+      val (env, result, odds, schedule) = tables(s)
+      orphanEdge("env->result", env, result, Seq("レースID"))
+        .unionAll(orphanEdge("odds->env", odds, env, Seq("レースID")))
+        .unionAll(orphanEdge("result->env", result, env, Seq("レースID")))
+        .unionAll(orphanEdge("result->schedule", result, schedule,
+          Seq("レースID", "選手登番")))
+        .unionAll(orphanEdge("schedule->result", schedule, result,
+          Seq("レースID", "選手登番")))
+        .orderBy("edge")
     },
   )
 }

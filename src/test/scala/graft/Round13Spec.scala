@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 additions: the boatrace data-quality audits (a05/a06 —
+  * the reference's ACTUAL data-quality story: composite PK and the
+  * rows main.py:262's inner join silently drops) and the committed
+  * t08 expected-bytes fixture (the DuckDB-computable form of the
+  * deflate oracle, so the driver's gate gets real booleans).
+  */
+class Round13Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("a05: every parsed boatrace base table's declared PK is " +
+      "unique on the golden corpus") {
+    val rows = SparkEntry.queries("a05_boatrace_pk")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    PersistRegistry.release()
+    assert(rows.map(_._1).toSeq ===
+      Seq("env", "odds", "result", "schedule"))
+    rows.foreach { case (t, nRows, nKeys, nDup, maxMult) =>
+      assert(nRows === nKeys, s"$t PK not unique: $nDup dup rows")
+      assert(maxMult === 1L, s"$t worst key multiplicity $maxMult")
+      assert(nRows > 0, s"$t is empty")
+    }
+  }
+
+  test("a06 quantifies exactly what the reference's inner join drops: " +
+      "result rows minus schedule-orphans = race table rows") {
+    val edges = SparkEntry.queries("a06_boatrace_orphans")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val raceRows = SparkEntry.queries("boatrace_race_table")(spark, sf)
+      .count()
+    PersistRegistry.release()
+    // every env race has finishers, every finisher has an env header,
+    // every odds row has a race — the corpus's clean edges
+    assert(edges("env->result")._2 === 0L)
+    assert(edges("result->env")._2 === 0L)
+    assert(edges("odds->env")._2 === 0L)
+    // the two documented drop edges (SURVEY §5): finishers missing
+    // from the schedule and scheduled entries that never finished —
+    // the audit's counts must reconcile exactly with the join output
+    val (nResult, schedOrphans) = edges("result->schedule")
+    assert(schedOrphans > 0, "expected the corpus's known drop rows")
+    assert(nResult - schedOrphans === raceRows,
+      "result rows minus schedule-orphans must equal the inner-join " +
+      "race table rows — the audit and the join must tell one story")
+  }
+
+  test("the committed t08 fixture matches the live corpus's deflate " +
+      "byte counts (engine Deflater == committed CPython zlib)") {
+    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val base = new java.io.File(sfDir).getName
+      val res = getClass.getResourceAsStream(s"/graft/t08/$base.csv")
+      assert(res != null, s"missing committed fixture for $base")
+      val fixture = scala.io.Source.fromInputStream(res, "UTF-8")
+        .getLines().drop(1)
+        .map { l => val Array(a, b) = l.split(",", 2); (a.toLong, b.toInt) }
+        .toMap
+      val live = SparkEntry.queries("t08_compression_ratio")(spark, sfDir)
+        .select("doc_id", "n_compressed")
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      PersistRegistry.release()
+      assert(live.length === fixture.size, s"$base row count drifted — " +
+        "regenerate with tools/gen_t08_fixture.py")
+      live.foreach { case (id, z) =>
+        assert(fixture(id) === z, s"$base doc $id: fixture ${fixture(id)} " +
+          s"!= live $z — documents fixture changed; regenerate with " +
+          "tools/gen_t08_fixture.py")
+      }
+    }
+  }
+
+  test("Verify dumps t08_expected from the committed fixture and the " +
+      "oracle join is total (every doc joins)") {
+    val out = Files.createTempDirectory("graft-t08-dump-").toString
+    graft.operators.TextQueries.dumpT08Expected(spark, sf, out)
+    val dumped = spark.read.parquet(s"$out/t08_expected")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id")
+    assert(dumped.count() === docs.count())
+    assert(dumped.join(docs, "doc_id").count() === docs.count(),
+      "every document must join an expected-bytes row")
+    assert(dumped.schema.map(f => (f.name, f.dataType.typeName)).toSet ===
+      Set(("doc_id", "long"), ("n_compressed", "integer")))
+  }
+}

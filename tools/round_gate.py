@@ -1,6 +1,8 @@
 #!/usr/bin/env python3
 """End-of-round artifact gate (round-12, verdict 6: round 11 ended on
-a red BENCH artifact committed as the round's record).
+a red BENCH artifact committed as the round's record; round-13,
+verdict 2: two straight rounds committed COVERAGE.md prose numbers
+that contradicted the committed bench_detail.json).
 
 Run before the round closes:
 
@@ -11,14 +13,22 @@ exits nonzero with a reason if any would stamp a red or stale state:
 
   * bench_detail.json — errors, regressions, tripped suite drift,
     and unused accept names must all be empty/false;
+  * COVERAGE.md — its machine-readable bench marker AND every
+    "suite total <N> s" prose claim must match bench_detail.json
+    (the round-11/12 failure mode: prose citing an intra-round run
+    that is not the committed evidence);
   * BENCH_adopt_r*.json (latest) — adopt_regressions must be empty;
-  * SCALE_r*.json (latest, if present) — must parse, every row with
-    both factors' siblings sharing a query name where expected.
+  * SCALE_r*.json (latest, if present) — must parse non-empty;
+    duplicate (query, factor) rows are deduped keeping the LAST
+    occurrence (re-runs append) and reported, so a stale row can
+    never silently shadow a fresh one.
 
 The driver stamps BENCH_r{N}.json itself; this gate cannot veto that
 commit, but a green bench_detail at round end is the same run the
 driver re-executes, so a green local gate is the strongest available
 predictor that the round's record is green.
+
+ROUND_GATE_REPO overrides the repo root (spec harness only).
 """
 import glob
 import json
@@ -26,12 +36,72 @@ import os
 import re
 import sys
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REPO = os.environ.get(
+    "ROUND_GATE_REPO",
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def fail(msg):
     print(f"ROUND GATE RED: {msg}")
     sys.exit(1)
+
+
+def round_key(path):
+    # the round number lives in the BASENAME; matching the full path
+    # would latch onto any r<digits> directory segment and degrade
+    # the 'latest round' selection to glob order (round-12 advice)
+    m = re.search(r"r(\d+)", os.path.basename(path))
+    return int(m.group(1)) if m else -1
+
+
+def check_coverage_claims(bd):
+    """COVERAGE.md's bench claims must match the committed artifact.
+
+    Two layers:
+      1. a REQUIRED marker line
+         `<!-- bench: total_sec=<N> n_queries=<N> drift_ratio=<N> -->`
+         that must equal bench_detail.json (total within 0.05 s,
+         ratio within 0.005 — the artifact's own print precision);
+      2. every prose phrase `suite total <N> s` must be within 0.15 s
+         of the artifact's total (catches a stale narrative number
+         even when the marker was dutifully updated).
+    """
+    cov_path = os.path.join(REPO, "COVERAGE.md")
+    if not os.path.exists(cov_path):
+        fail("COVERAGE.md missing")
+    cov = open(cov_path).read()
+    m = re.search(
+        r"<!--\s*bench:\s*total_sec=([\d.]+)\s+n_queries=(\d+)"
+        r"\s+drift_ratio=([\d.]+|none)\s*-->", cov)
+    if not m:
+        fail("COVERAGE.md lacks the bench marker line "
+             "'<!-- bench: total_sec=… n_queries=… drift_ratio=… -->' "
+             "— add it next to the perf note so this gate can verify "
+             "the prose against bench_detail.json")
+    total, nq = float(m.group(1)), int(m.group(2))
+    bd_total = bd.get("total_sec")
+    bd_nq = bd.get("n_queries")
+    drift = (bd.get("suite_drift") or {}).get("ratio")
+    if bd_total is None or abs(total - bd_total) > 0.05:
+        fail(f"COVERAGE.md bench marker total_sec={total} != "
+             f"bench_detail total_sec={bd_total}")
+    if nq != bd_nq:
+        fail(f"COVERAGE.md bench marker n_queries={nq} != "
+             f"bench_detail n_queries={bd_nq}")
+    if m.group(3) != "none":
+        if drift is None or abs(float(m.group(3)) - drift) > 0.005:
+            fail(f"COVERAGE.md bench marker drift_ratio={m.group(3)} != "
+                 f"bench_detail suite_drift.ratio={drift}")
+    elif drift is not None:
+        fail(f"COVERAGE.md bench marker drift_ratio=none but "
+             f"bench_detail records suite_drift.ratio={drift}")
+    for claim in re.finditer(r"suite total ([\d.]+)\s*s", cov):
+        v = float(claim.group(1))
+        if abs(v - bd_total) > 0.15:
+            fail(f"COVERAGE.md prose claims 'suite total {v} s' but the "
+                 f"committed bench_detail.json records {bd_total} s — "
+                 f"update the prose to the committed artifact (the "
+                 f"round-11/12 doc-vs-evidence failure)")
 
 
 def main():
@@ -50,8 +120,10 @@ def main():
     if bd.get("unused_accept_names"):
         fail(f"stale accept names: {bd['unused_accept_names']}")
 
+    check_coverage_claims(bd)
+
     adopts = sorted(glob.glob(os.path.join(REPO, "BENCH_adopt_r*.json")),
-                    key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+                    key=round_key)
     if adopts:
         ad = json.load(open(adopts[-1]))
         if ad.get("adopt_regressions"):
@@ -59,17 +131,30 @@ def main():
                  f"{[r['name'] for r in ad['adopt_regressions']]}")
 
     scales = sorted(glob.glob(os.path.join(REPO, "SCALE_r*.json")),
-                    key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+                    key=round_key)
+    dupes = 0
     if scales:
         with open(scales[-1]) as f:
             rows = [json.loads(l) for l in f if l.strip()]
         if not rows:
             fail(f"{os.path.basename(scales[-1])} is empty")
+        # keep-last dedupe on (query, factor): ScaleCheck APPENDS, so a
+        # re-run leaves stale siblings in the file; last wins, and the
+        # count is surfaced so a re-stamp is a visible event
+        seen = {}
+        for r in rows:
+            seen[(r.get("query"), r.get("factor"))] = r
+        dupes = len(rows) - len(seen)
+        if dupes:
+            print(f"NOTE {os.path.basename(scales[-1])}: {dupes} stale "
+                  f"duplicate (query, factor) rows superseded by later "
+                  f"re-runs (kept last of each)")
 
     n = bd.get("n_queries")
     print(f"ROUND GATE GREEN: bench_detail {n} queries, "
           f"total {bd.get('total_sec')}s, drift "
           f"{(drift.get('ratio') if drift else None)}; "
+          f"COVERAGE.md claims consistent; "
           f"{os.path.basename(adopts[-1]) if adopts else 'no adopt file'}"
           f" clean; "
           f"{os.path.basename(scales[-1]) if scales else 'no scale file'}"
