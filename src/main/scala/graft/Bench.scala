@@ -293,6 +293,22 @@ object Bench {
         "SPARK_GRAFT_ACCEPT_REGRESSIONS entries matched no regression " +
         "this run (stale — remove them): " +
         unusedAccepts.toSeq.sorted.mkString(", "))
+    // Remove-me notice (round-12 advice): an accept entry whose only
+    // match was a tripped-then-cleared remeasurement stays GREEN (the
+    // pre-declared acceptance of a borderline trip was a correct
+    // call) but was NOT consumed — if the env var persists, the next
+    // REAL regression of that query would be silently auto-accepted.
+    // Say so loudly while keeping the run green, so operators flush it.
+    val remeasureOnlyAccepts = acceptNames.filter(n =>
+      remeasured.exists(_._1 == n) &&
+        !acceptedRegs.exists(_._1 == n) && !regressions.exists(_._1 == n))
+    if (remeasureOnlyAccepts.nonEmpty)
+      System.err.println(s"[bench] ${remeasureOnlyAccepts.size} " +
+        "SPARK_GRAFT_ACCEPT_REGRESSIONS entries matched only a noise " +
+        "trip the confirmation pass cleared — the acceptance was NOT " +
+        "consumed; remove these before the next run or a real " +
+        "regression of them will be silently auto-accepted: " +
+        remeasureOnlyAccepts.toSeq.sorted.mkString(", "))
     val total = if (finalTimes.nonEmpty) finalTimes.values.sum else 0.0
     // n_queries/mean: totals are only comparable across rounds at the
     // same query count — the suite grows every round

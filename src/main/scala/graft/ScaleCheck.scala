@@ -223,7 +223,20 @@ object ScaleCheck {
       "v23_graph_delete_search",
       // v26 (round 12): filtered graph search — v20's bounded walk
       // with a 3x beam; the filter costs nothing data-sized
-      "v26_filtered_graph_search")
+      "v26_filtered_graph_search",
+      // a01-a04 (round 13): the data-quality audit family. a01 is a
+      // two-phase distinct agg over orders; a02's lineitem→orders
+      // anti join is the declared 100 TB stress case (the q57 bloom
+      // prefilter is the lever if its shuffle tracks the fact side);
+      // a03 is map-only conditional counts; a04 one keyed groupBy
+      // per table
+      "a01_dq_profile", "a02_dq_referential", "a03_dq_rules",
+      "a04_dq_uniqueness",
+      // v24/v25 (round 13): the observability scans — the identical
+      // health rule runs over the streaming-maintained edge table
+      // (Round13Spec), so this row doubles as the maintained-index
+      // health scan's scale evidence; both are linear groupBy reports
+      "v24_graph_health", "v25_embedding_drift")
     val heavySuite = Seq("q07_multijoin_agg", "q44_star_join_q5",
       "d02_minhash_lsh", "q33_ranking_functions",
       "q10_window_topk_per_group", "d09_ivf_neardup")
@@ -268,6 +281,12 @@ object ScaleCheck {
       }
       (times.min, shMb)
     }
+    // Run identifier stamped on every JSON row (round-12 advice): the
+    // committed artifact APPENDS across chunked invocations, so
+    // without a tag a re-measured (query, factor) is indistinguishable
+    // from its stale sibling; with it, the gate's keep-last dedupe is
+    // auditable.
+    val runTag = f"x$factor-${System.currentTimeMillis() / 1000}%d"
     // warm codegen on the small side first
     queries.foreach(q => run(q, base))
     println(f"${"query"}%-28s ${"1x"}%7s ${s"${factor}x"}%8s ${"ratio"}%6s " +
@@ -282,7 +301,7 @@ object ScaleCheck {
       rows += f"""{"query":"$q","factor":$factor,"t1_sec":$t1%.3f,""" +
         f""""tn_sec":$tn%.3f,"wall_ratio":${tn / t1}%.2f,""" +
         f""""sh1_mb":$sh1%.3f,"shn_mb":$shn%.3f,""" +
-        f""""sh_per_copy_mb":${shn / factor}%.3f}"""
+        f""""sh_per_copy_mb":${shn / factor}%.3f,"run":"$runTag"}"""
     }
     // Machine-readable scale rows (SPARK_GRAFT_SCALE_JSON names the
     // file; rows APPEND so chunked runs — different factors or query

@@ -1991,39 +1991,9 @@ object SimilarityQueries {
          |  LEFT JOIN mdeg USING (label)
          |  LEFT JOIN snk USING (label)
          |ORDER BY label""".stripMargin) { (s, d) =>
-      val n = quantized(s, d)
       val gd = StageSnapshots.snapshot(s, d, "knn-graph")(knnGraph(s, d))
         .select(col("vec_id"), col("neighbor_id"))
-      val lab = n.select(col("vec_id"), col("label").cast("long").as("label"))
-      val e = gd.join(lab, "vec_id")
-      val rec = e.join(
-          gd.select(col("neighbor_id").as("vec_id"),
-            col("vec_id").as("neighbor_id")),
-          Seq("vec_id", "neighbor_id"), "left_semi")
-        .groupBy("label").agg(count(lit(1)).as("n_recip"))
-      val deg = gd.join(lab.withColumnRenamed("vec_id", "neighbor_id"),
-          "neighbor_id")
-        .groupBy(col("label"), col("neighbor_id").as("node"))
-        .agg(count(lit(1)).as("in_deg"))
-      val ecnt = e.groupBy("label").agg(count(lit(1)).as("n_edges"))
-      val ncnt = lab.groupBy("label").agg(count(lit(1)).as("n_nodes"))
-      val mdeg = deg.groupBy("label")
-        .agg(max("in_deg").cast("long").as("max_in_degree"))
-      val snk = lab.join(deg.select(col("label"), col("node").as("vec_id")),
-          Seq("label", "vec_id"), "left_anti")
-        .groupBy("label").agg(count(lit(1)).cast("long")
-          .as("n_unreferenced"))
-      ncnt.join(ecnt, Seq("label"), "left")
-        .join(rec, Seq("label"), "left")
-        .join(mdeg, Seq("label"), "left")
-        .join(snk, Seq("label"), "left")
-        .select(col("label"), col("n_nodes"),
-          coalesce(col("n_edges"), lit(0L)).cast("long").as("n_edges"),
-          coalesce(col("n_recip"), lit(0L)).cast("long")
-            .as("n_reciprocal"),
-          coalesce(col("max_in_degree"), lit(0L)).as("max_in_degree"),
-          coalesce(col("n_unreferenced"), lit(0L)).as("n_unreferenced"))
-        .orderBy("label")
+      graphHealth(s, d, gd)
     },
 
     // EMBEDDING DRIFT MONITOR — the data-drift op an ML platform
@@ -2098,6 +2068,51 @@ object SimilarityQueries {
         .orderBy("dim")
     },
   )
+
+  /** v24's health rule over ANY edge table (round 13): the same
+    * reciprocity / in-degree / sink report, decoupled from the
+    * committed "knn-graph" snapshot so the STREAMING-MAINTAINED edge
+    * table (insert-augmented, delete-repaired) gets the identical
+    * observability — Round13Spec pins the maintained graph's health
+    * inside the committed graph's envelope. Nodes are the corpus
+    * labels; a maintained graph's deleted nodes simply show as
+    * absent label members only if the caller restricts `nodeFilter`.
+    * All linear: one semi-join + two groupBys. */
+  private[graft] def graphHealth(s: org.apache.spark.sql.SparkSession,
+      d: String, gd: org.apache.spark.sql.DataFrame,
+      nodeFilter: Column = lit(true)): org.apache.spark.sql.DataFrame = {
+    val n = quantized(s, d).filter(nodeFilter)
+    val lab = n.select(col("vec_id"), col("label").cast("long").as("label"))
+    val e = gd.join(lab, "vec_id")
+    val rec = e.join(
+        gd.select(col("neighbor_id").as("vec_id"),
+          col("vec_id").as("neighbor_id")),
+        Seq("vec_id", "neighbor_id"), "left_semi")
+      .groupBy("label").agg(count(lit(1)).as("n_recip"))
+    val deg = gd.join(lab.withColumnRenamed("vec_id", "neighbor_id"),
+        "neighbor_id")
+      .groupBy(col("label"), col("neighbor_id").as("node"))
+      .agg(count(lit(1)).as("in_deg"))
+    val ecnt = e.groupBy("label").agg(count(lit(1)).as("n_edges"))
+    val ncnt = lab.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+    val mdeg = deg.groupBy("label")
+      .agg(max("in_deg").cast("long").as("max_in_degree"))
+    val snk = lab.join(deg.select(col("label"), col("node").as("vec_id")),
+        Seq("label", "vec_id"), "left_anti")
+      .groupBy("label").agg(count(lit(1)).cast("long")
+        .as("n_unreferenced"))
+    ncnt.join(ecnt, Seq("label"), "left")
+      .join(rec, Seq("label"), "left")
+      .join(mdeg, Seq("label"), "left")
+      .join(snk, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).cast("long").as("n_edges"),
+        coalesce(col("n_recip"), lit(0L)).cast("long")
+          .as("n_reciprocal"),
+        coalesce(col("max_in_degree"), lit(0L)).as("max_in_degree"),
+        coalesce(col("n_unreferenced"), lit(0L)).as("n_unreferenced"))
+      .orderBy("label")
+  }
 
   /** v23's delete batch: every 97th vec_id, pinned to copy 0 —
     * same bounded-batch contract as v21's inserts. */

@@ -45,7 +45,13 @@ object SnapshotBench {
       "v21_graph_insert")
     val consumers = Seq("d15_semantic_dedup", "v10_pq_adc_topk",
       "v11_ivfpq_search", "v20_graph_beam_search",
-      "v22_insert_commit_search")
+      "v22_insert_commit_search",
+      // round 13: the two remaining lifecycle ops join the gate.
+      // v23 adopts "knn-graph" (the prune+repair is recomputed by
+      // design — it IS the op's cost — but the underlying full graph
+      // build is what adopt saves); v26 walks the committed
+      // "knn-graph" directly, v20's shape at a 3x beam.
+      "v23_graph_delete_search", "v26_filtered_graph_search")
 
     def time(name: String): Double = {
       val t0 = System.nanoTime()

@@ -89,4 +89,43 @@ class Round13Spec extends AnyFunSuite {
     assert(dumped.schema.map(f => (f.name, f.dataType.typeName)).toSet ===
       Set(("doc_id", "long"), ("n_compressed", "integer")))
   }
+
+  test("v24's health rule over the MAINTAINED graphs (insert-augmented " +
+      "and delete-repaired) stays within the committed graph's envelope") {
+    import graft.operators.SimilarityQueries
+    def agg(df: org.apache.spark.sql.DataFrame)
+        : (Double, Double, Long) = {
+      val r = df.agg(sum("n_edges"), sum("n_reciprocal"),
+        sum("n_nodes"), sum("n_unreferenced"), max("max_in_degree"))
+        .collect().head
+      val (e, rc, n, u, m) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      (rc.toDouble / e, u.toDouble / n, m)
+    }
+    val committed = agg(SparkEntry.queries("v24_graph_health")(spark, sf))
+    // insert-augmented: the graph the streaming-insert path maintains
+    val ins = agg(SimilarityQueries.graphHealth(spark, sf,
+      SimilarityQueries.insertAugmentedGraph(spark, sf)))
+    // delete-repaired: the graph the streaming-delete path maintains
+    // (nodes restricted to survivors — deleted ids are gone, not sinks)
+    val del = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("del_id"))
+    val deld = agg(SimilarityQueries.graphHealth(spark, sf,
+      SimilarityQueries.streamDeleteEdges(spark, sf, del),
+      nodeFilter = !(col("vec_id") % 97 === 0)))
+    PersistRegistry.release()
+    for ((name, (recip, sink, maxDeg)) <- Seq("insert" -> ins,
+        "delete" -> deld)) {
+      assert(recip >= committed._1 - 0.15,
+        s"$name-maintained reciprocity $recip collapsed vs " +
+        s"committed ${committed._1}")
+      assert(sink <= committed._2 + 0.05,
+        s"$name-maintained sink fraction $sink grew vs " +
+        s"committed ${committed._2}")
+      assert(maxDeg <= committed._3 * 2 + 4,
+        s"$name-maintained hub degree $maxDeg blew past " +
+        s"committed ${committed._3}")
+    }
+  }
 }
