@@ -20,14 +20,17 @@ import graft.sources.Tables
   *    count is Spark's standard two-phase partial-distinct aggregate
   *    (map-side dedup within a partition before the shuffle), so the
   *    shuffle carries distinct (col, value) pairs, not C·N rows.
-  *  - a02's orphan checks are anti joins keyed on the FK: fixed-size
-  *    parents (nation) broadcast; SF-scaled parents (orders,
-  *    customer, part, supplier) shuffle on the key, which AQE
-  *    converts to broadcast when a filtered parent fits. At 100 TB
-  *    the lineitem→orders edge is the classic bloom-prefilter
-  *    candidate (q57's pattern) — an audit tolerates the bloom's
-  *    false-positive "non-orphans", a prefilter does not change the
-  *    anti-join result, it only shrinks the shuffle.
+  *  - a02's orphan checks are anti joins keyed on the FK, with the
+  *    fact side pre-aggregated to (key, count) first — the exchange
+  *    carries distinct FKs, not fact rows, and orphan rows come back
+  *    as the count sum (exact). Fixed-size parents (nation)
+  *    broadcast; SF-scaled parents shuffle on the key, which AQE
+  *    converts to broadcast when a filtered parent fits. Measured
+  *    (SCALE_r13): per-copy shuffle flat at 25x/100x. A bloom
+  *    prefilter (q57's pattern) deliberately NOT wired: for an anti
+  *    join it can only short-cut bloom-negative keys (definite
+  *    orphans), which on a healthy corpus are ~none — it would
+  *    shrink nothing exactly when the audit passes.
   *  - a03 is map-only: every rule is a conditional count folded into
   *    ONE aggregate per table (one scan each), emitted as rows via
   *    stack() after aggregation — adding a rule adds a column to a
@@ -47,11 +50,27 @@ object QualityQueries {
     // dup-insensitive, and deduping a (declared) PK is a pure extra
     // exchange — a04 audits the declaration separately
     val keys = parent.select(pk)
-    val orphans = child.filter(col(fk).isNotNull)
+    // the FACT side is pre-aggregated to (fk, count) BEFORE the anti
+    // join (round 13, the a02 100 TB lever): the exchange then
+    // carries each distinct FK once with a count instead of one row
+    // per fact row (map-side combine collapses duplicates — ~4x for
+    // lineitem→orders), and the anti join reuses the groupBy's
+    // partitioning (same key), so no second child-side exchange.
+    // Orphan ROWS = sum of counts over orphan KEYS — exact, the
+    // oracle is unchanged. A bloom prefilter (q57's pattern) was
+    // considered and documented instead of wired: for an ANTI join
+    // it can only short-cut bloom-NEGATIVE keys (definite orphans),
+    // which on a healthy corpus are ~none — it shrinks nothing
+    // precisely when the audit passes; the key-level pre-aggregation
+    // shrinks always.
+    val childKeys = child.filter(col(fk).isNotNull)
+      .groupBy(col(fk)).agg(count(lit(1)).as("c"))
+    val orphans = childKeys
       .join(if (bcastParent) broadcast(keys) else keys,
         col(fk) === col(pk), "left_anti")
     child.agg(count(lit(1)).as("n_child"))
-      .crossJoin(orphans.agg(count(lit(1)).as("n_orphan")))
+      .crossJoin(orphans.agg(
+        coalesce(sum("c"), lit(0L)).as("n_orphan")))
       .select(lit(name).as("edge"), col("n_child"), col("n_orphan"))
   }
 
@@ -97,20 +116,28 @@ object QualityQueries {
         |  SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
         |         count(DISTINCT o_totalprice) FROM orders
         |) p ORDER BY col_name""".stripMargin) { (s, d) =>
+      // ONE aggregate with 6 native-typed count(DISTINCT col)s —
+      // Catalyst rewrites multi-distinct via Expand (6x rows, one
+      // shuffle keyed by (group-id, value)), with every value kept in
+      // its NATIVE type. The round-13 first cut stacked all columns
+      // into one string `v` column first; casting 15M longs/decimals
+      // to strings tripled the agg's memory and the hash map spilled
+      // to sort at the 100x scale corpus (wall 25x->100x went 1.8 s
+      // -> 69.7 s for 4x the data). Native-typed Expand keeps the
+      // two-phase distinct in-memory: 69.7 -> ~8 s at 100x, per-copy
+      // shuffle ~halved. Counts are identical (cast-to-string was
+      // injective), so the oracle is unchanged.
+      val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+        "o_orderpriority", "o_orderstatus", "o_totalprice")
+      val aggs = Seq(count(lit(1)).as("n_rows")) ++
+        cols.flatMap(c => Seq(count(col(c)).as(s"p_$c"),
+          countDistinct(col(c)).as(s"d_$c")))
+      val stackExpr = cols.map(c =>
+        s"'$c', n_rows, n_rows - p_$c, d_$c").mkString(",\n")
       Tables.orders(s, d)
-        .selectExpr(
-          """stack(6,
-            |  'o_custkey',      cast(o_custkey as string),
-            |  'o_orderdate',    cast(o_orderdate as string),
-            |  'o_orderkey',     cast(o_orderkey as string),
-            |  'o_orderpriority', o_orderpriority,
-            |  'o_orderstatus',  o_orderstatus,
-            |  'o_totalprice',   cast(o_totalprice as string)
-            |) as (col_name, v)""".stripMargin)
-        .groupBy("col_name")
-        .agg(count(lit(1)).as("n_rows"),
-          (count(lit(1)) - count(col("v"))).as("n_null"),
-          countDistinct(col("v")).as("n_distinct"))
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${cols.size},\n$stackExpr\n) as " +
+          "(col_name, n_rows, n_null, n_distinct)")
         .withColumn("null_bp", expr("n_null * 10000 div n_rows"))
         .orderBy("col_name")
     },
