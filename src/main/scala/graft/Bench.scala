@@ -361,8 +361,25 @@ object Bench {
     }
     val unusedJson = unusedAccepts.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Environment context at stamp time (round-13 verdict 1): two
+    // straight rounds saw broad sub-2x suite drift with no way to
+    // attribute it afterwards (bench-session load vs engine cost).
+    // Load average and free memory at stamp time make the next
+    // round's drift attributable from the artifact alone.
+    val envJson = {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      val load = os.getSystemLoadAverage
+      val freeMb = try {
+        val lines = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/meminfo"))
+        import scala.jdk.CollectionConverters._
+        lines.asScala.find(_.startsWith("MemAvailable:"))
+          .map(_.split("\\s+")(1).toLong / 1024).getOrElse(-1L)
+      } catch { case _: Throwable => -1L }
+      f"""{"load_avg":$load%.2f,"mem_available_mb":$freeMb,"cpus":${Runtime.getRuntime.availableProcessors}}"""
+    }
     val detail =
-      f"""{"metric":"bench_detail","sf":"$sfDir","fixture_fp":"$fixtureFp","total_sec":$total%.3f,"n_queries":${results.size},"mean_per_query":$mean%.4f,"queries":$bqs,"baselines":$blJson,"pass_totals":$passJson,"suite_drift":$driftJson,"shuffle_mb":$shJson,"errors":$errJson,"regressions":$regJson,"accepted_regressions":$accJson,"unused_accept_names":$unusedJson,"remeasured":$remJson}"""
+      f"""{"metric":"bench_detail","sf":"$sfDir","fixture_fp":"$fixtureFp","total_sec":$total%.3f,"n_queries":${results.size},"mean_per_query":$mean%.4f,"queries":$bqs,"baselines":$blJson,"pass_totals":$passJson,"suite_drift":$driftJson,"shuffle_mb":$shJson,"errors":$errJson,"regressions":$regJson,"accepted_regressions":$accJson,"unused_accept_names":$unusedJson,"remeasured":$remJson,"env":$envJson}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath), detail + "\n")
     catch { case e: Throwable =>
