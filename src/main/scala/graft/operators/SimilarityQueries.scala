@@ -610,6 +610,83 @@ object SimilarityQueries {
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  // v27 (full-lifecycle search) records its own search knobs: its
+  // probed cells are the delete-survivor corpus's.
+  private[graft] val v27Knobs =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int)](
+      v20SizeKnobs(2))
+
+  /** v27's oracle: the ENTIRE index lifecycle in one statement —
+    * base (insert-free) graph, insert walk (prefix `i`, v22's
+    * chain), union, prune + local repair against the delete batch
+    * (v23's CTEs, over the POST-INSERT graph), then the survivor
+    * query set walks the maintained graph (prefix `s`). What a
+    * production index looks like after both maintenance verbs have
+    * run, recomputed exactly. */
+  private def v27Sql: String = {
+    val insPred = s"vec_id % 89 = 0 AND vec_id < $ScaleShift"
+    val delPred = s"vec_id % 97 = 0 AND vec_id < $ScaleShift"
+    val (ictes, iFin) = walkCtes("i",
+      s"q.vec_id % 89 = 0 AND q.vec_id < $ScaleShift", "ib", "ig",
+      v21Knobs.get())
+    val (sctes, sFin) = walkCtes("s",
+      s"q.vec_id < $Q AND NOT (q.vec_id % 97 = 0 AND q.vec_id < $ScaleShift)",
+      "bd", "g", v27Knobs.get())
+    s"""WITH n AS MATERIALIZED ($quantizedSql),
+       |ib AS MATERIALIZED (SELECT * FROM n WHERE NOT ($insPred)),
+       |igd AS MATERIALIZED (${knnGdSql("ib")}),
+       |ig AS MATERIALIZED (SELECT vec_id, neighbor_id FROM igd
+       |       UNION
+       |       SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM igd),
+       |$ictes,
+       |ie AS MATERIALIZED (SELECT query_id AS vec_id, node AS neighbor_id FROM (
+       |        SELECT query_id, node, row_number() OVER (
+       |            PARTITION BY query_id
+       |            ORDER BY cos_sim DESC, node) AS rank
+       |        FROM $iFin WHERE node <> query_id) t WHERE rank <= 3),
+       |pgd AS MATERIALIZED (SELECT vec_id, neighbor_id FROM igd
+       |        UNION ALL SELECT vec_id, neighbor_id FROM ie),
+       |bd AS MATERIALIZED (SELECT * FROM n WHERE NOT ($delPred)),
+       |pruned AS MATERIALIZED (SELECT vec_id, neighbor_id FROM pgd
+       |        WHERE NOT (vec_id % 97 = 0 AND vec_id < $ScaleShift)
+       |          AND NOT (neighbor_id % 97 = 0
+       |                   AND neighbor_id < $ScaleShift)),
+       |inc AS MATERIALIZED (SELECT DISTINCT del_id, node FROM (
+       |        SELECT vec_id AS del_id, neighbor_id AS node FROM pgd
+       |        WHERE vec_id % 97 = 0 AND vec_id < $ScaleShift
+       |        UNION ALL
+       |        SELECT neighbor_id AS del_id, vec_id AS node FROM pgd
+       |        WHERE neighbor_id % 97 = 0 AND neighbor_id < $ScaleShift) t
+       |      WHERE NOT (node % 97 = 0 AND node < $ScaleShift)),
+       |rp AS MATERIALIZED (SELECT u AS vec_id, w AS neighbor_id FROM (
+       |        SELECT p.u, p.w,
+       |               row_number() OVER (PARTITION BY p.u ORDER BY
+       |                 CAST(list_sum(list_transform(
+       |                        generate_series(1, len(x.r)),
+       |                        i -> x.r[i] * y.r[i])) AS DOUBLE)
+       |                   / sqrt(CAST(x.nn AS DOUBLE)
+       |                          * CAST(y.nn AS DOUBLE)) DESC,
+       |                 p.w) AS rn
+       |        FROM (SELECT DISTINCT a.node AS u, b.node AS w
+       |              FROM inc a JOIN inc b ON a.del_id = b.del_id
+       |                AND a.node <> b.node) p
+       |          JOIN bd x ON x.vec_id = p.u
+       |          JOIN bd y ON y.vec_id = p.w) t
+       |      WHERE rn <= 3),
+       |mgd AS MATERIALIZED (SELECT vec_id, neighbor_id FROM pruned
+       |        UNION ALL SELECT vec_id, neighbor_id FROM rp),
+       |g AS MATERIALIZED (SELECT vec_id, neighbor_id FROM mgd
+       |      UNION
+       |      SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM mgd),
+       |$sctes
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT query_id, node AS neighbor_id, cos_sim,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |             ORDER BY cos_sim DESC, node) AS INT) AS rank
+       |  FROM $sFin WHERE node <> query_id) t
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** One walk's CTE chain under a NAME PREFIX `p`, so two walks can
     * coexist in a single statement (v22 chains the insert walk's
     * output graph into a second search walk). Queries always come
@@ -1945,6 +2022,31 @@ object SimilarityQueries {
         sizeKnobs = v26SizeKnobs)
     },
 
+    // FULL-LIFECYCLE SEARCH — both maintenance verbs composed on ONE
+    // index (round 13; v22 showed insert-commit, v23 delete-repair,
+    // each against a pristine base): a production index has BOTH
+    // streams running, and the composed state must not depend on how
+    // they interleave. It doesn't, by construction — insert edges
+    // are computed against the immutable base only, so the
+    // maintained graph is prune+repair(base ∪ insert-edges, delete
+    // set), a pure function of the three sets; vec 0 is inserted AND
+    // deleted (89·97 both divide 0), exercising the delete-wins
+    // path. Committed as "knn-graph-live" (defining query — its
+    // bench number is the true both-verbs maintenance cost); the
+    // survivor query set searches it over the survivor corpus. The
+    // oracle replays base graph → insert walk → union → prune →
+    // repair → search in ONE DuckDB statement. Round13Spec pins
+    // agreement vs a full rebuild over the survivor corpus and zero
+    // deleted endpoints.
+    QueryDef(
+      "v27_lifecycle_search",
+      v27Sql) { (s, d) =>
+      graphBeamWalk(s, d, col("vec_id") < Q && !v23DeleteFilter,
+        !v23DeleteFilter, "knn-graph-live", v27Knobs, maxQ = Q,
+        graphBuilder = Some(() => lifecycleMaintainedGraph(s, d)),
+        defineSnap = true)
+    },
+
     // GRAPH HEALTH REPORT — the observability op an index operator
     // runs nightly (round 12): per coarse cell, node/edge counts,
     // RECIPROCITY (fraction of directed edges whose reverse also
@@ -2336,6 +2438,21 @@ object SimilarityQueries {
       knnGraph(s, d, !v21BatchFilter))
       .select(col("vec_id"), col("neighbor_id"))
       .unionByName(inserts)
+  }
+
+  /** v27's maintained graph — BOTH lifecycle verbs applied to one
+    * index: the insert-augmented graph (v22's product) pruned and
+    * locally repaired against the delete batch (v23's rule). Insert
+    * edges are computed against the immutable base only, so the
+    * composed state is a pure function of (corpus, insert set,
+    * delete set) — order-independent under any interleaving of the
+    * two maintenance streams. */
+  private[graft] def lifecycleMaintainedGraph(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val del = quantized(s, d).filter(v23DeleteFilter)
+      .select(col("vec_id").as("del_id"))
+    deleteRepairCore(s, insertAugmentedGraph(s, d), del, quantized(s, d))
   }
 
   /** Coordinator-side closed-set beam walk, shared by v20 (search:

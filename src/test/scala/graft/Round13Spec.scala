@@ -90,6 +90,41 @@ class Round13Spec extends AnyFunSuite {
       Set(("doc_id", "long"), ("n_compressed", "integer")))
   }
 
+  test("v27: the both-verbs maintained graph (insert + delete on ONE " +
+      "index) serves search in agreement with a full survivor rebuild, " +
+      "with zero deleted endpoints and every live insert wired in") {
+    import graft.operators.SimilarityQueries
+    val big = "/root/testdata/sf0.1"
+    val v27 = SparkEntry.queries("v27_lifecycle_search")(spark, big)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val reb = SimilarityQueries.deleteRebuildSearch(spark, big)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val agree = v27.toSet.intersect(reb.toSet).size
+    info(s"lifecycle vs survivor-rebuild agreement: $agree/${reb.length}")
+    assert(agree >= (reb.length * 0.9).toInt,
+      s"maintained-index search agreement $agree/${reb.length} below 90%")
+
+    val edges = SimilarityQueries.lifecycleMaintainedGraph(spark, big)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    PersistRegistry.release()
+    def deleted(id: Long) = id % 97 == 0 && id < 1000000000L
+    assert(!edges.exists { case (u, w) => deleted(u) || deleted(w) },
+      "a deleted id survived as a maintained-graph endpoint")
+    // every live insert (in the 89-batch, not in the 97-batch) must
+    // have its walk edges present — the insert verb survived the
+    // delete verb's republish
+    val liveInserts = spark.read.parquet(s"$big/embeddings.parquet")
+      .filter(col("vec_id") % 89 === 0 && !(col("vec_id") % 97 === 0))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val sources = edges.map(_._1).toSet
+    val unwired = liveInserts -- sources
+    assert(unwired.isEmpty,
+      s"live inserts lost their edges in the composed maintenance: " +
+      unwired.take(5).mkString(", "))
+  }
+
   test("v24's health rule over the MAINTAINED graphs (insert-augmented " +
       "and delete-repaired) stays within the committed graph's envelope") {
     import graft.operators.SimilarityQueries
