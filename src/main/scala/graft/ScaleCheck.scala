@@ -236,7 +236,15 @@ object ScaleCheck {
       // health rule runs over the streaming-maintained edge table
       // (Round13Spec), so this row doubles as the maintained-index
       // health scan's scale evidence; both are linear groupBy reports
-      "v24_graph_health", "v25_embedding_drift")
+      "v24_graph_health", "v25_embedding_drift",
+      // d18 (round 13): PassJoin segment blocking — 3 keys per doc,
+      // shuffle on (segment, idx, len-bucket); token-salted copies
+      // make cross-copy titles disjoint, so N independent corpora
+      "d18_editdistance_neardup",
+      // v27 (round 13): both lifecycle verbs on one index — base
+      // graph build is the data-sized part; insert/delete/search all
+      // batch-bounded
+      "v27_lifecycle_search")
     val heavySuite = Seq("q07_multijoin_agg", "q44_star_join_q5",
       "d02_minhash_lsh", "q33_ranking_functions",
       "q10_window_topk_per_group", "d09_ivf_neardup")

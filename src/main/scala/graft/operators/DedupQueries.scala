@@ -972,6 +972,88 @@ object DedupQueries {
     // tokens. At 100 TB the gram key would be a 64-bit fingerprint
     // (xxhash64) to cut shuffle width ~5×; the string key here
     // keeps the oracle bit-exact.
+    // EDIT-DISTANCE NEAR-DUP (round 13) — the fuzzy-string matcher a
+    // catalog/title dedup runs, complementing the set-based detectors
+    // (d02 token sets, d03/d07 hashed profiles, d04 shingles): a
+    // one-character typo defeats exact and shingle equality but is
+    // edit distance 1. Keys are short derived titles (first 4
+    // tokens), candidates come from PassJoin-style SEGMENT blocking —
+    // each title splits into 3 equal-position segments and a pair is
+    // a candidate iff some segment matches exactly at the same index
+    // (pigeonhole: ≤2 substitutions cannot touch all 3 segments, so
+    // substitution-distance ≤2 pairs are found with certainty;
+    // insertions that shift segment boundaries can escape, the
+    // documented approximation — the oracle runs the identical
+    // algorithm). Exact Levenshtein (both engines' builtin, the
+    // standard DP) verifies candidates at threshold 3.
+    // Scale: 3 keys per doc explode linearly; the shuffle is keyed on
+    // (segment_idx, segment, length-bucket) — d02's band-join shape,
+    // never the pair space. A hot segment (shared boilerplate
+    // prefix) is the skew risk; the production lever is the same
+    // salt-split d02 documents for band skew.
+    QueryDef(
+      "d18_editdistance_neardup",
+      """WITH t AS (SELECT doc_id,
+        |            array_to_string(list_slice(
+        |              string_split_regex(trim(text), '\s+'), 1, 4), ' ')
+        |              AS title
+        |          FROM documents),
+        |tt AS (SELECT doc_id, title, length(title) AS len,
+        |              length(title) // 3 AS dv
+        |       FROM t WHERE length(title) >= 9),
+        |segs AS (
+        |  SELECT doc_id, title, len, 1 AS i, substr(title, 1, dv) AS seg
+        |  FROM tt
+        |  UNION ALL
+        |  SELECT doc_id, title, len, 2, substr(title, dv + 1, dv) FROM tt
+        |  UNION ALL
+        |  SELECT doc_id, title, len, 3, substr(title, 2 * dv + 1,
+        |    len - 2 * dv) FROM tt),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |                a.title AS title_a, b.title AS title_b
+        |         FROM segs a JOIN segs b
+        |           ON a.i = b.i AND a.seg = b.seg
+        |          AND a.len // 8 = b.len // 8
+        |          AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |       CAST(levenshtein(title_a, title_b) AS INT) AS edit_dist
+        |FROM cand WHERE levenshtein(title_a, title_b) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 4))
+            .as("title"))
+        .withColumn("len", length(col("title")))
+        .filter(col("len") >= 9)
+        .withColumn("dv", expr("len div 3"))
+      val segs = t.select(col("doc_id"), col("title"), col("len"),
+          explode(array(
+            struct(lit(1).as("i"),
+              expr("substr(title, 1, dv)").as("seg")),
+            struct(lit(2).as("i"),
+              expr("substr(title, dv + 1, dv)").as("seg")),
+            struct(lit(3).as("i"),
+              expr("substr(title, 2 * dv + 1, len - 2 * dv)").as("seg"))))
+            .as("sg"))
+        .select(col("doc_id"), col("title"), col("len"),
+          col("sg.i").as("i"), col("sg.seg").as("seg"))
+      val a = segs.select(col("doc_id").as("doc_a"),
+        col("title").as("title_a"), col("i"), col("seg"),
+        expr("len div 8").as("lb"))
+      val b = segs.select(col("doc_id").as("doc_b"),
+        col("title").as("title_b"), col("i"), col("seg"),
+        expr("len div 8").as("lb"))
+      a.join(b, Seq("i", "seg", "lb"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "title_a", "title_b").distinct()
+        .withColumn("edit_dist",
+          levenshtein(col("title_a"), col("title_b")))
+        .filter(col("edit_dist") <= 3)
+        .select(col("doc_a"), col("doc_b"),
+          col("edit_dist").cast("int").as("edit_dist"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     QueryDef(
       "d16_substring_dedup",
       """WITH t8 AS (SELECT doc_id, w FROM

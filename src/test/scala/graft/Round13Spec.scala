@@ -90,6 +90,34 @@ class Round13Spec extends AnyFunSuite {
       Set(("doc_id", "long"), ("n_compressed", "integer")))
   }
 
+  test("d18: segment blocking finds every exact-title duplicate pair " +
+      "(the ed=0 floor), and every reported pair is within threshold") {
+    val titles = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 4))
+          .as("title"))
+      .filter(length(col("title")) >= 9)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // ground truth: all same-title pairs (edit distance 0 — the
+    // pigeonhole guarantee's easiest certificate: all 3 segments match)
+    val exactPairs = titles.groupBy(_._2).values.filter(_.length > 1)
+      .flatMap(g => g.map(_._1).sorted.combinations(2)
+        .map(p => (p(0), p(1))))
+      .toSet
+    val out = SparkEntry.queries("d18_editdistance_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    PersistRegistry.release()
+    assert(out.nonEmpty, "expected near-dup pairs in the corpus")
+    assert(out.forall { case (a, b, ed) => a < b && ed >= 0 && ed <= 3 },
+      "a reported pair violates ordering or the threshold")
+    val reported = out.map { case (a, b, _) => (a, b) }.toSet
+    assert(exactPairs.subsetOf(reported),
+      s"missed ${(exactPairs -- reported).size} exact-duplicate pairs " +
+      "— the segment blocking must never lose an ed=0 pair")
+    assert(out.filter(_._3 == 0).map(p => (p._1, p._2)).toSet === exactPairs,
+      "ed=0 output must be exactly the same-title pairs")
+  }
+
   test("v27: the both-verbs maintained graph (insert + delete on ONE " +
       "index) serves search in agreement with a full survivor rebuild, " +
       "with zero deleted endpoints and every live insert wired in") {
