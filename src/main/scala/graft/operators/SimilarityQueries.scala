@@ -2322,19 +2322,24 @@ object SimilarityQueries {
   }
 
   /** The STREAMING delete hook (StreamingGraphDelete): v23's
-    * prune+repair rule over the committed full graph, with the
-    * CUMULATIVE tombstone set `del` (one column `del_id`). Called
+    * prune+repair rule over the base graph, with the CUMULATIVE
+    * (post-fold) tombstone set `del` (one column `del_id`). Called
     * once per micro-batch with all deletes so far — the output
-    * depends only on the cumulative set, which is what makes the
-    * maintained table order-independent and the drained stream
-    * row-identical to the one-shot batch delete. Fully distributed:
+    * depends only on the base and the cumulative set, which is what
+    * makes the maintained table order-independent and the drained
+    * stream row-identical to the one-shot batch delete. `baseGd`
+    * overrides the base graph after a tombstone FOLD (the folded
+    * edge table replaces the fixture snapshot as the prune target);
+    * None = the committed full-corpus graph. Fully distributed:
     * anti joins for the prune, a keyed self-join + per-source window
     * for the repair; no driver materialization at any batch size. */
   private[graft] def streamDeleteEdges(
       s: org.apache.spark.sql.SparkSession, d: String,
-      del: org.apache.spark.sql.DataFrame)
+      del: org.apache.spark.sql.DataFrame,
+      baseGd: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
-    val gd = StageSnapshots.snapshot(s, d, "knn-graph")(knnGraph(s, d))
+    val gd = baseGd.getOrElse(
+      StageSnapshots.snapshot(s, d, "knn-graph")(knnGraph(s, d)))
       .select(col("vec_id"), col("neighbor_id"))
     deleteRepairCore(s, gd, del, quantized(s, d))
   }

@@ -92,13 +92,65 @@ object StreamingGraphDelete {
       SnapshotTable.append(spark, batch.select("vec_id"), delTab,
         Some(ledgerLine))
     // republish: a pure derivation of (base graph, cumulative
-    // tombstones) — idempotent, so a crashed epoch's retry lands the
-    // identical table
+    // post-fold tombstones) — idempotent, so a crashed epoch's retry
+    // lands the identical table. The base is the FOLDED edge table
+    // when a compaction has run (see foldTombstones), else the
+    // committed full-corpus graph.
     val del = SnapshotTable.read(spark, delTab)
       .select(col("vec_id").as("del_id")).distinct()
     val repaired = graft.operators.SimilarityQueries
-      .streamDeleteEdges(spark, d, del)
+      .streamDeleteEdges(spark, d, del, foldedBase(spark, indexDir))
     SnapshotTable.overwrite(spark, repaired, edgesTab, Some(ledgerLine))
+    ()
+  }
+
+  private def foldedBase(spark: SparkSession,
+      indexDir: String): Option[DataFrame] = {
+    val baseTab = s"$indexDir/base"
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(baseTab, "_versions", "CURRENT")))
+      Some(SnapshotTable.read(spark, baseTab))
+    else None
+  }
+
+  /** TOMBSTONE FOLD — the compaction that keeps the per-epoch repair
+    * cost bounded: the cumulative tombstone set grows forever and
+    * each epoch's repair is O(|D_cum|·deg²), so a long-lived index
+    * periodically FOLDS the maintained state into a new base — the
+    * current (already prune+repaired) edge table becomes the prune
+    * target for future epochs and the tombstone list restarts empty.
+    * Exactly the pattern by which table formats fold delete vectors
+    * into data files: a scheduled rewrite, amortized across epochs,
+    * leaving the per-epoch path rebuild-free.
+    *
+    * Semantics: the fold CHANGES NOTHING observable at fold time
+    * (the edge table's rows are untouched — spec-pinned); post-fold
+    * epochs are exact w.r.t. the FOLDED base (prune+repair is
+    * recomputed from it), which differs from never-folding only in
+    * that pre-fold repair edges are now first-class base edges
+    * rather than re-derived each epoch — the compaction contract,
+    * not an approximation of it.
+    *
+    * Exactly-once survives the fold: per-version `.meta` ledger
+    * files persist through overwrites (committedMetas scans ALL
+    * versions), so a re-delivered pre-fold epoch still skips both
+    * the tombstone append and the edge republish. */
+  def foldTombstones(spark: SparkSession, indexDir: String): Unit = {
+    val edgesTab = s"$indexDir/edges"
+    val delTab = s"$indexDir/deleted"
+    val baseTab = s"$indexDir/base"
+    val edges = SnapshotTable.read(spark, edgesTab)
+      .select("vec_id", "neighbor_id")
+    // the fold ledger records WHICH epoch's state became the base
+    val through = SnapshotTable.committedMetas(edgesTab).lastOption
+      .map(m => s"folded-$m")
+    SnapshotTable.overwrite(spark, edges, baseTab, through)
+    import spark.implicits._
+    // repartition(1) forces one write task so the empty tombstone
+    // table still commits a (0-row) data file — a fileless manifest
+    // would make the next epoch's read throw
+    SnapshotTable.overwrite(spark,
+      Seq.empty[Long].toDF("vec_id").repartition(1), delTab, through)
     ()
   }
 }

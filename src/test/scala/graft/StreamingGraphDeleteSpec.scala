@@ -82,6 +82,59 @@ class StreamingGraphDeleteSpec extends AnyFunSuite {
       "even after an interleaved meta-less compact")
   }
 
+  test("tombstone fold: nothing observable changes at fold time, the " +
+      "tombstone list restarts empty, post-fold epochs are exact " +
+      "against the folded base, and pre-fold re-delivery still skips") {
+    import graft.operators.SimilarityQueries
+    val idx = tmp("graft-sgd-fold-")
+    val dels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") % 97 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    val (pre, post) = dels.splitAt(dels.length * 2 / 3)
+    import spark.implicits._
+    // two pre-fold epochs
+    pre.grouped(math.max(pre.length / 2, 1)).zipWithIndex
+      .foreach { case (chunk, i) =>
+        StreamingGraphDelete.deleteEpoch(spark,
+          chunk.toSeq.toDF("vec_id"), sf, idx, i.toLong)
+      }
+    val beforeFold = SnapshotTable.read(spark, s"$idx/edges")
+      .select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    StreamingGraphDelete.foldTombstones(spark, idx)
+    // fold is observationally silent on the edge table
+    val afterFold = SnapshotTable.read(spark, s"$idx/edges")
+      .select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(afterFold === beforeFold, "a fold must not change the edges")
+    assert(SnapshotTable.read(spark, s"$idx/deleted").count() === 0L,
+      "the tombstone list must restart empty after a fold")
+    // a pre-fold epoch re-delivered post-fold is still a no-op
+    val versions = SnapshotTable.versions(s"$idx/edges").size
+    StreamingGraphDelete.deleteEpoch(spark,
+      pre.take(2).toSeq.toDF("vec_id"), sf, idx, 0L)
+    assert(SnapshotTable.versions(s"$idx/edges").size === versions,
+      "pre-fold epoch re-delivery must skip via the persistent ledger")
+    // post-fold epoch: exact prune+repair against the FOLDED base
+    StreamingGraphDelete.deleteEpoch(spark,
+      post.toSeq.toDF("vec_id"), sf, idx, 99L)
+    val got = SnapshotTable.read(spark, s"$idx/edges")
+      .select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = SimilarityQueries.streamDeleteEdges(spark, sf,
+        post.toSeq.toDF("vec_id").select(col("vec_id").as("del_id")),
+        Some(SnapshotTable.read(spark, s"$idx/base")))
+      .select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    PersistRegistry.release()
+    assert(got === want,
+      "post-fold epoch must equal prune+repair over the folded base")
+    // no deleted id from ANY wave survives
+    val delSet = dels.toSet
+    assert(!got.exists { case (u, w) => delSet(u) || delSet(w) },
+      "a tombstoned id reappeared after the fold")
+  }
+
   test("an oversized delete epoch fails the distributed pre-check " +
       "before any work") {
     val idx = tmp("graft-sgd-cap-")
