@@ -403,7 +403,11 @@ object BoatraceQueries {
     // still printed an env header), finishers missing from the
     // schedule and vice versa (the 2-finisher race / absent-race
     // corpus edge cases, SURVEY §5), and odds rows with no env.
-    // Anti joins, mirroring a02's mechanics.
+    // Anti joins, mirroring a02's mechanics. The orphan count's
+    // child side carries the same IS NOT NULL predicate as the Scala
+    // anti join (orphanEdge's `nn` filter): a NULL key never matches
+    // under NOT EXISTS, so without it the two sides would disagree on
+    // any null-keyed child row (round-13 advice).
     QueryDef(
       "a06_boatrace_orphans",
       s"""WITH e AS (SELECT * FROM ${baseTableSql("env")}),
@@ -413,25 +417,30 @@ object BoatraceQueries {
          |SELECT edge, n_child, n_orphan FROM (
          |  SELECT 'env->result' AS edge,
          |    (SELECT count(*) FROM e) AS n_child,
-         |    (SELECT count(*) FROM e WHERE NOT EXISTS
+         |    (SELECT count(*) FROM e WHERE e."レースID" IS NOT NULL
+         |      AND NOT EXISTS
          |      (SELECT 1 FROM r WHERE r."レースID" = e."レースID"))
          |      AS n_orphan
          |  UNION ALL
          |  SELECT 'odds->env', (SELECT count(*) FROM o),
-         |    (SELECT count(*) FROM o WHERE NOT EXISTS
+         |    (SELECT count(*) FROM o WHERE o."レースID" IS NOT NULL
+         |      AND NOT EXISTS
          |      (SELECT 1 FROM e WHERE e."レースID" = o."レースID"))
          |  UNION ALL
          |  SELECT 'result->env', (SELECT count(*) FROM r),
-         |    (SELECT count(*) FROM r WHERE NOT EXISTS
+         |    (SELECT count(*) FROM r WHERE r."レースID" IS NOT NULL
+         |      AND NOT EXISTS
          |      (SELECT 1 FROM e WHERE e."レースID" = r."レースID"))
          |  UNION ALL
          |  SELECT 'result->schedule', (SELECT count(*) FROM r),
-         |    (SELECT count(*) FROM r r2 WHERE NOT EXISTS
+         |    (SELECT count(*) FROM r r2 WHERE r2."レースID" IS NOT NULL
+         |      AND r2."選手登番" IS NOT NULL AND NOT EXISTS
          |      (SELECT 1 FROM s WHERE s."レースID" = r2."レースID"
          |         AND s."選手登番" = r2."選手登番"))
          |  UNION ALL
          |  SELECT 'schedule->result', (SELECT count(*) FROM s),
-         |    (SELECT count(*) FROM s s2 WHERE NOT EXISTS
+         |    (SELECT count(*) FROM s s2 WHERE s2."レースID" IS NOT NULL
+         |      AND s2."選手登番" IS NOT NULL AND NOT EXISTS
          |      (SELECT 1 FROM r WHERE r."レースID" = s2."レースID"
          |         AND r."選手登番" = s2."選手登番"))
          |) x ORDER BY edge""".stripMargin) { (s, _) =>

@@ -72,6 +72,47 @@ class RoundGateSpec extends AnyFunSuite {
     assert(out2.contains("total_sec=89.7"), out2)
   }
 
+  test("round OPEN: a pending driver re-stamp (working-tree bench " +
+      "disagrees, marker matches the COMMITTED artifact) is green " +
+      "with a note") {
+    // reproduce round-14's open state: HEAD holds the bench the
+    // marker cites; the driver's post-snapshot rerun overwrote the
+    // working tree with a slightly different total
+    val cov = """<!-- bench: total_sec=100.5 n_queries=169 drift_ratio=1.01 -->
+      |""".stripMargin
+    val dir = repo(greenBench, cov)
+    def git(args: String*): Unit =
+      assert(Process("git" +: args.toSeq, dir.toFile).!(
+        ProcessLogger(_ => ())) === 0)
+    git("init", "-q")
+    git("add", "-A")
+    git("-c", "user.email=t@t", "-c", "user.name=t", "commit", "-q",
+      "-m", "snapshot")
+    Files.writeString(dir.resolve("bench_detail.json"),
+      greenBench.replace("100.5", "99.8"))
+    val (rc, out) = run(dir)
+    assert(rc === 0, out)
+    assert(out.contains("re-stamp is pending"), out)
+  }
+
+  test("round CLOSE: a committed bench the marker contradicts stays " +
+      "red — the HEAD fallback cannot launder a stale marker") {
+    val cov = """<!-- bench: total_sec=89.7 n_queries=169 drift_ratio=1.01 -->
+      |""".stripMargin
+    val dir = repo(greenBench, cov)
+    def git(args: String*): Unit =
+      assert(Process("git" +: args.toSeq, dir.toFile).!(
+        ProcessLogger(_ => ())) === 0)
+    git("init", "-q")
+    git("add", "-A")
+    git("-c", "user.email=t@t", "-c", "user.name=t", "commit", "-q",
+      "-m", "snapshot")
+    // HEAD and working tree agree (both 100.5); the marker cites 89.7
+    val (rc, out) = run(dir)
+    assert(rc === 1, out)
+    assert(out.contains("total_sec=89.7"), out)
+  }
+
   test("gate dedupes stale SCALE rows keeping the last and says so") {
     val cov = """<!-- bench: total_sec=100.5 n_queries=169 drift_ratio=1.01 -->
       |""".stripMargin

@@ -34,6 +34,7 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 
 REPO = os.environ.get(
@@ -54,8 +55,8 @@ def round_key(path):
     return int(m.group(1)) if m else -1
 
 
-def check_coverage_claims(bd):
-    """COVERAGE.md's bench claims must match the committed artifact.
+def coverage_claim_errors(bd):
+    """COVERAGE.md's bench-claim mismatches vs one bench_detail dict.
 
     Two layers:
       1. a REQUIRED marker line
@@ -65,43 +66,91 @@ def check_coverage_claims(bd):
       2. every prose phrase `suite total <N> s` must be within 0.15 s
          of the artifact's total (catches a stale narrative number
          even when the marker was dutifully updated).
+
+    Returns a list of error strings (empty = consistent) so the caller
+    can retry the same checks against the COMMITTED artifact before
+    going red (see committed_bench_detail).
     """
     cov_path = os.path.join(REPO, "COVERAGE.md")
     if not os.path.exists(cov_path):
-        fail("COVERAGE.md missing")
+        return ["COVERAGE.md missing"]
     cov = open(cov_path).read()
     m = re.search(
         r"<!--\s*bench:\s*total_sec=([\d.]+)\s+n_queries=(\d+)"
         r"\s+drift_ratio=([\d.]+|none)\s*-->", cov)
     if not m:
-        fail("COVERAGE.md lacks the bench marker line "
-             "'<!-- bench: total_sec=… n_queries=… drift_ratio=… -->' "
-             "— add it next to the perf note so this gate can verify "
-             "the prose against bench_detail.json")
+        return ["COVERAGE.md lacks the bench marker line "
+                "'<!-- bench: total_sec=… n_queries=… drift_ratio=… -->' "
+                "— add it next to the perf note so this gate can verify "
+                "the prose against bench_detail.json"]
+    errs = []
     total, nq = float(m.group(1)), int(m.group(2))
     bd_total = bd.get("total_sec")
     bd_nq = bd.get("n_queries")
     drift = (bd.get("suite_drift") or {}).get("ratio")
     if bd_total is None or abs(total - bd_total) > 0.05:
-        fail(f"COVERAGE.md bench marker total_sec={total} != "
-             f"bench_detail total_sec={bd_total}")
+        errs.append(f"COVERAGE.md bench marker total_sec={total} != "
+                    f"bench_detail total_sec={bd_total}")
     if nq != bd_nq:
-        fail(f"COVERAGE.md bench marker n_queries={nq} != "
-             f"bench_detail n_queries={bd_nq}")
+        errs.append(f"COVERAGE.md bench marker n_queries={nq} != "
+                    f"bench_detail n_queries={bd_nq}")
     if m.group(3) != "none":
         if drift is None or abs(float(m.group(3)) - drift) > 0.005:
-            fail(f"COVERAGE.md bench marker drift_ratio={m.group(3)} != "
-                 f"bench_detail suite_drift.ratio={drift}")
+            errs.append(f"COVERAGE.md bench marker drift_ratio={m.group(3)}"
+                        f" != bench_detail suite_drift.ratio={drift}")
     elif drift is not None:
-        fail(f"COVERAGE.md bench marker drift_ratio=none but "
-             f"bench_detail records suite_drift.ratio={drift}")
-    for claim in re.finditer(r"suite total ([\d.]+)\s*s", cov):
-        v = float(claim.group(1))
-        if abs(v - bd_total) > 0.15:
-            fail(f"COVERAGE.md prose claims 'suite total {v} s' but the "
-                 f"committed bench_detail.json records {bd_total} s — "
-                 f"update the prose to the committed artifact (the "
-                 f"round-11/12 doc-vs-evidence failure)")
+        errs.append(f"COVERAGE.md bench marker drift_ratio=none but "
+                    f"bench_detail records suite_drift.ratio={drift}")
+    if bd_total is not None:
+        for claim in re.finditer(r"suite total ([\d.]+)\s*s", cov):
+            v = float(claim.group(1))
+            if abs(v - bd_total) > 0.15:
+                errs.append(
+                    f"COVERAGE.md prose claims 'suite total {v} s' but the "
+                    f"committed bench_detail.json records {bd_total} s — "
+                    f"update the prose to the committed artifact (the "
+                    f"round-11/12 doc-vs-evidence failure)")
+    return errs
+
+
+def committed_bench_detail():
+    """bench_detail.json as committed at HEAD, or None.
+
+    Round-14 fix (round-13 verdict 3): the driver's post-snapshot
+    bench overwrites the WORKING-TREE bench_detail.json at round open,
+    so a marker that faithfully matches the committed evidence read as
+    red through no builder fault. When the working-tree artifact
+    disagrees with COVERAGE.md, the gate retries against the committed
+    copy: marker == HEAD artifact means only an uncommitted re-stamp
+    is pending (green with a loud note). If the new bench is later
+    committed without re-stamping the marker, HEAD disagrees too and
+    the gate goes red — the fallback cannot launder a stale marker
+    past a round close, because closing commits the artifact.
+    """
+    try:
+        out = subprocess.run(
+            ["git", "-C", REPO, "show", "HEAD:bench_detail.json"],
+            capture_output=True, text=True, timeout=30)
+        if out.returncode == 0 and out.stdout.strip():
+            return json.loads(out.stdout)
+    except Exception:
+        pass
+    return None
+
+
+def check_coverage_claims(bd):
+    errs = coverage_claim_errors(bd)
+    if not errs:
+        return
+    head_bd = committed_bench_detail()
+    if head_bd is not None and not coverage_claim_errors(head_bd):
+        print("NOTE: working-tree bench_detail.json disagrees with "
+              "COVERAGE.md, but the marker matches the COMMITTED "
+              "artifact at HEAD — a post-snapshot driver re-stamp is "
+              "pending. Green at round open; re-stamp the COVERAGE "
+              "marker before committing the new bench_detail.")
+        return
+    fail(errs[0])
 
 
 def main():
