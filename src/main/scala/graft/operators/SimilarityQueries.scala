@@ -2296,7 +2296,23 @@ object SimilarityQueries {
       .withColumn("rn", row_number().over(wnd))
       .filter(col("rn") <= 3)
       .select(col("u").as("vec_id"), col("w").as("neighbor_id"))
-    pruned.unionByName(repairs)
+    // SET semantics: a top-3 repair candidate that is ALREADY a live
+    // edge (u was a neighbor of both the deleted node and w) is a
+    // no-op — drop it, so the maintained table is duplicate-free and
+    // a fold's re-materialization is row-identical to the read-time
+    // derivation (round 14; the duplicates were invisible to the
+    // search, which symmetrize-distincts, but made the fold
+    // observably collapse multiplicity). Ranking is untouched — the
+    // anti join runs AFTER the top-3, preserving the exact edge SET
+    // of the pre-round-14 rule. Scale: gd is narrowed map-side by a
+    // broadcast semi join on the repair-source set (O(|D|·deg) ids,
+    // bounded by the fold policy) before the anti join, so the read
+    // path shuffles repair-neighborhood edges only, never O(|E|).
+    val srcs = inc.select(col("node").as("vec_id")).distinct()
+    val existing = gd.join(broadcast(srcs), Seq("vec_id"), "left_semi")
+    val freshRepairs = repairs.join(existing,
+      Seq("vec_id", "neighbor_id"), "left_anti")
+    pruned.unionByName(freshRepairs)
   }
 
   // v23 search-walk knobs, recorded like v20/v22's.
@@ -2315,11 +2331,29 @@ object SimilarityQueries {
       qrows: Array[(Long, Array[Long], Long)])
       : org.apache.spark.sql.DataFrame = {
     val n = quantized(s, d).filter(!v21BatchFilter)
-    val gd = StageSnapshots.snapshot(s, d, "knn-graph-base")(
+    beamWalkCore(s, n, qrows, insertFreeBaseGraph(s, d), v21Knobs,
+      maxQ = 4096)
+  }
+
+  /** The committed INSERT-FREE base graph ("knn-graph-base") — the
+    * graph the streaming insert walk targets and, therefore, the base
+    * a COMPOSED lifecycle index (insert + delete streams on one
+    * indexDir) must prune and repair: exactly v27's batch rule
+    * (lifecycleMaintainedGraph). Snapshot-committed compute-if-absent. */
+  private[graft] def insertFreeBaseGraph(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    StageSnapshots.snapshot(s, d, "knn-graph-base")(
       knnGraph(s, d, !v21BatchFilter))
       .select(col("vec_id"), col("neighbor_id"))
-    beamWalkCore(s, n, qrows, gd, v21Knobs, maxQ = 4096)
-  }
+
+  /** The committed FULL-CORPUS graph ("knn-graph") — the base of a
+    * delete-only index (v23's rule). */
+  private[graft] def fullCorpusGraph(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    StageSnapshots.snapshot(s, d, "knn-graph")(knnGraph(s, d))
+      .select(col("vec_id"), col("neighbor_id"))
 
   /** The STREAMING delete hook (StreamingGraphDelete): v23's
     * prune+repair rule over the base graph, with the CUMULATIVE
@@ -2338,8 +2372,7 @@ object SimilarityQueries {
       del: org.apache.spark.sql.DataFrame,
       baseGd: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
-    val gd = baseGd.getOrElse(
-      StageSnapshots.snapshot(s, d, "knn-graph")(knnGraph(s, d)))
+    val gd = baseGd.getOrElse(fullCorpusGraph(s, d))
       .select(col("vec_id"), col("neighbor_id"))
     deleteRepairCore(s, gd, del, quantized(s, d))
   }
@@ -2439,10 +2472,7 @@ object SimilarityQueries {
     val inserts = graphBeamWalk(s, d, v21BatchFilter, !v21BatchFilter,
       "knn-graph-base", v21Knobs, maxQ = 64)
       .select(col("query_id").as("vec_id"), col("neighbor_id"))
-    StageSnapshots.snapshot(s, d, "knn-graph-base")(
-      knnGraph(s, d, !v21BatchFilter))
-      .select(col("vec_id"), col("neighbor_id"))
-      .unionByName(inserts)
+    insertFreeBaseGraph(s, d).unionByName(inserts)
   }
 
   /** v27's maintained graph — BOTH lifecycle verbs applied to one

@@ -26,9 +26,16 @@ import graft.warehouse.SnapshotTable
   * row-for-row against v21's oracle-checked output.
   *
   * Exactly-once: each epoch's append commits through SnapshotTable
-  * with the epoch id in the commit meta; a retried foreachBatch
-  * epoch sees its id already committed and skips — re-delivery
-  * cannot double-append (same ledger contract as StreamingDedup).
+  * with the epoch id in the commit meta (namespaced `ins:batch=<id>`
+  * — see insertEpoch); a retried foreachBatch epoch sees its id
+  * already committed and skips — re-delivery cannot double-append
+  * (same ledger contract as StreamingDedup).
+  *
+  * Composition: `indexDir/edges` is the insert-edge table of
+  * [[LifecycleIndex]] — a concurrent delete stream on the same
+  * indexDir appends tombstones to its OWN table and readers resolve
+  * prune+repair(base ∪ these edges, tombstones) at read time, so the
+  * two verbs compose on one live index (round-14; v27's batch rule).
   *
   * Scale: per-epoch cost is O(batch · walk) — the bounded serving
   * contract — plus one append of |batch|·3 edge rows. The base
@@ -79,11 +86,15 @@ object StreamingGraphInsert {
     import spark.implicits._
     // exactly-once: the epoch id is checked against EVERY committed
     // version's meta (not just CURRENT's) — an interleaved commit on
-    // the same table (a compact, a delete epoch) can move the pointer
+    // the same table (a compact, a fold) can move the pointer
     // between this epoch's first delivery and a late retry, and the
     // pointer-only check would then re-append (round-12 advice).
-    val tab = s"$indexDir/edges"
-    val ledgerLine = s"batch=$batchId"
+    // Namespaced `ins:` (round-13 advice): Spark batch ids start at
+    // 0 PER QUERY, so a composed index's delete stream also counts
+    // from 0 — un-namespaced ledger lines would let one stream's
+    // epoch N shadow the other's.
+    val tab = LifecycleIndex.edgesTab(indexDir)
+    val ledgerLine = s"ins:batch=$batchId"
     if (SnapshotTable.currentMeta(tab).contains(ledgerLine) ||
         SnapshotTable.committedMetas(tab).contains(ledgerLine)) return
     val n = batch.limit(EpochCap + 1).count()

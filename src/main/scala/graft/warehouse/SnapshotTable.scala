@@ -109,13 +109,18 @@ object SnapshotTable {
     * is the no-corruption property this guard exists for. */
   private def commit(dir: String, files: Seq[String],
       meta: Option[String] = None,
-      retryOnCollision: Boolean = false): Int = {
+      retryOnCollision: Boolean = false,
+      pinnedVersion: Option[Int] = None): Int = {
     val vd = versionsDir(dir)
     Files.createDirectories(vd)
     val maxRetries = 20
     var attempt = 0
     while (true) {
-      val v = currentVersion(dir).map(_ + 1).getOrElse(0)
+      // a PINNED commit claims exactly the caller's expected next
+      // version (optimistic CAS — see overwriteFrom); an interleaved
+      // commit that took it first fails the CREATE_NEW below loudly
+      val v = pinnedVersion.getOrElse(
+        currentVersion(dir).map(_ + 1).getOrElse(0))
       try {
         Files.write(vd.resolve(f"v$v%05d.manifest"),
           files.mkString("\n").getBytes(StandardCharsets.UTF_8),
@@ -177,6 +182,29 @@ object SnapshotTable {
   def overwrite(spark: SparkSession, df: DataFrame, dir: String,
       meta: Option[String] = None): Int =
     commit(dir, writeData(df, dir), meta, retryOnCollision = true)
+
+  /** Overwrite PINNED to a parent version (optimistic CAS): the new
+    * content was derived from `expectedCurrent` (None = table did not
+    * exist yet), so the commit claims exactly version expected+1 and
+    * NEVER retries — any interleaved commit (a streaming epoch's
+    * append, another maintenance pass) that moved the table first
+    * makes this throw IllegalStateException instead of silently
+    * clobbering the interleaved rows. This is the multi-table fold's
+    * in-flight guard (LifecycleIndex.foldTombstones, round-13
+    * advice): a fold racing a live epoch fails loudly and is retried
+    * in a quiet window, rather than capturing a stale base and
+    * dropping the epoch's tombstones. */
+  def overwriteFrom(spark: SparkSession, df: DataFrame, dir: String,
+      expectedCurrent: Option[Int], meta: Option[String] = None): Int = {
+    val pin = expectedCurrent.map(_ + 1).getOrElse(0)
+    commit(dir, writeData(df, dir), meta,
+      retryOnCollision = false, pinnedVersion = Some(pin))
+  }
+
+  /** CURRENT version number of the table, if any committed — exposed
+    * for optimistic-CAS callers of overwriteFrom to capture the
+    * version their derivation read. */
+  def currentVersionOf(dir: String): Option[Int] = currentVersion(dir)
 
   /** Compaction: rewrite the CURRENT rows into `numFiles` files and
     * commit — row-identical by construction, and old snapshots keep
