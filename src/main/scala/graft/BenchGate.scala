@@ -71,6 +71,48 @@ object BenchGate {
     * baselines' total over common queries. */
   val SuiteDriftMax = 1.2
 
+  /** Cap on how far the calibration probe may RAISE the drift trip:
+    * a pathological probe reading (or a 2x-slow host, which deserves
+    * a human look regardless) must not disarm the gate entirely. */
+  val CalibScaleCap = 1.5
+
+  /** Env-normalized drift trip threshold (round-13 verdict 4): the
+    * anchored baselines are best-ever minima, so a host that is
+    * uniformly slow for purely environmental reasons (this container
+    * measured ~12-14% slow two rounds running) rides permanently
+    * near the 1.2 trip with no engine change. The CPU-bound
+    * calibration probe measures the HOST, not the engine — scaling
+    * the trip by the probe's ratio to its own ratchet-down anchor
+    * lets uniform host slowness pass while a real regression (which
+    * moves query time but not probe time) still trips at the
+    * unscaled threshold. Only ever scales UP (a fast host must not
+    * tighten the gate into noise), capped at CalibScaleCap. */
+  def effectiveDriftMax(calibRatio: Double): Double =
+    SuiteDriftMax * math.min(math.max(calibRatio, 1.0), CalibScaleCap)
+
+  /** The CPU-bound calibration probe: a fixed xorshift64* loop — no
+    * I/O, no allocation, no Spark — whose wall time tracks the
+    * host's effective single-thread speed (CPU contention, cgroup
+    * throttling, thermal state). Returns (seconds, checksum); the
+    * checksum is both a dead-code-elimination guard and a
+    * determinism pin (spec'd). Three runs, min kept, same as query
+    * timings. */
+  def calibrationProbe(iters: Long = 150000000L): (Double, Long) = {
+    def once(): (Double, Long) = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      val t0 = System.nanoTime()
+      while (i < iters) {
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+        x *= 0x2545F4914F6CDD1DL
+        i += 1
+      }
+      ((System.nanoTime() - t0) / 1e9, x)
+    }
+    val runs = (1 to 3).map(_ => once())
+    (runs.map(_._1).min, runs.head._2)
+  }
+
   /** Accept names that matched no regression this run — a stale
     * SPARK_GRAFT_ACCEPT_REGRESSIONS entry left in the environment
     * would otherwise silently auto-accept any FUTURE regression of

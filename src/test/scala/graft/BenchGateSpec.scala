@@ -110,4 +110,42 @@ class BenchGateSpec extends AnyFunSuite {
       failed = Set("dead"), trippedUnaccepted = Set("cliff"))
     assert(next === Map("ok" -> 1.4, "cliff" -> 1.0, "dead" -> 2.0))
   }
+
+  test("calibrated drift trip: a uniformly slow host (probe ratio " +
+      "tracks the suite ratio) does not trip; a single-query real " +
+      "regression on a normal host still does") {
+    val prev = (1 to 20).map(i => s"q$i" -> 1.0).toMap
+    // uniformly slow host: every query 1.3x, probe also 1.3x — the
+    // suite ratio exceeds the unscaled 1.2 trip but not the
+    // calibrated one (1.2 * 1.3 = 1.56)
+    val uniform = prev.map { case (k, _) => k -> 1.3 }
+    val rUniform = BenchGate.suiteDrift(prev, uniform).get._3
+    assert(rUniform > BenchGate.SuiteDriftMax)
+    assert(rUniform <= BenchGate.effectiveDriftMax(1.3),
+      "uniform host slowness matching the probe must not trip")
+    // real regression: probe at 1.0 (host fine), one query +6s —
+    // suite ratio 1.3 vs the UNSCALED trip
+    val oneCliff = prev + ("q1" -> 7.0)
+    val rCliff = BenchGate.suiteDrift(prev, oneCliff).get._3
+    assert(rCliff > BenchGate.effectiveDriftMax(1.0),
+      "a real regression on a normal host must still trip")
+  }
+
+  test("calibration scaling is bounded: never below the unscaled " +
+      "trip, capped at CalibScaleCap") {
+    // a FAST host must not tighten the gate below 1.2
+    assert(BenchGate.effectiveDriftMax(0.7) === BenchGate.SuiteDriftMax)
+    // a pathologically slow probe must not disarm the gate
+    assert(BenchGate.effectiveDriftMax(5.0) ===
+      BenchGate.SuiteDriftMax * BenchGate.CalibScaleCap)
+    assert(BenchGate.effectiveDriftMax(1.0) === BenchGate.SuiteDriftMax)
+  }
+
+  test("the calibration probe is CPU-deterministic (fixed checksum) " +
+      "and returns a positive wall time") {
+    val (sec, sum) = BenchGate.calibrationProbe(1000000L)
+    assert(sec > 0.0)
+    val (_, sum2) = BenchGate.calibrationProbe(1000000L)
+    assert(sum === sum2, "the probe must compute a fixed function")
+  }
 }
