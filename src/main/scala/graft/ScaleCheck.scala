@@ -27,27 +27,15 @@ object ScaleCheck {
     "region" -> Seq.empty,
     "nation" -> Seq.empty)
 
-  def main(args: Array[String]): Unit = {
-    val factor = args.headOption.map(_.toInt).getOrElse(5)
-    // "reuse" second arg: skip the (expensive) corpus rebuild when the
-    // N× copy already exists — lets long runs resume timing-only
-    val reuse = args.lift(1).contains("reuse")
-    val base = "/root/testdata/sf0.1"
-    val out = s"/tmp/graft_scale_x$factor"
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
+  /** Build (or reuse) the N× key-shifted corpus copy under `out` —
+    * shared by the query scale harness (main) and the streaming-
+    * maintenance scale measurement (StreamMaintenanceScale), so both
+    * measure against the SAME decorrelated replication discipline.
+    * `reuse` skips any table whose _SUCCESS marker already exists. */
+  private[graft] def buildScaledTables(spark: SparkSession, base: String,
+      out: String, factor: Int, tableSubset: Option[Set[String]],
+      reuse: Boolean): Unit = {
     val shift = 1000000000L
-    // SPARK_GRAFT_SCALE_TABLES=embeddings,documents restricts the N×
-    // build to the tables the selected queries actually read — a
-    // single-family measurement (e.g. v19 over embeddings only) must
-    // not pay a 50× lineitem rebuild it never scans
-    val tableSubset = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // reuse requires the _SUCCESS marker, not mere directory existence:
     // a crashed prior build leaves a partial directory that would be
     // silently timed against, producing wrong scale ratios
@@ -123,6 +111,29 @@ object ScaleCheck {
         }.reduce(_ unionByName _)
       scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(5)
+    // "reuse" second arg: skip the (expensive) corpus rebuild when the
+    // N× copy already exists — lets long runs resume timing-only
+    val reuse = args.lift(1).contains("reuse")
+    val base = "/root/testdata/sf0.1"
+    val out = s"/tmp/graft_scale_x$factor"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    // SPARK_GRAFT_SCALE_TABLES=embeddings,documents restricts the N×
+    // build to the tables the selected queries actually read — a
+    // single-family measurement (e.g. v19 over embeddings only) must
+    // not pay a 50× lineitem rebuild it never scans
+    val tableSubset = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    buildScaledTables(spark, base, out, factor, tableSubset, reuse)
 
     // q31 vs q43 compares the as-of composition against the custom exec
     // under identical growth. d02 runs over the token-salted copies (see
@@ -232,6 +243,11 @@ object ScaleCheck {
       // per table
       "a01_dq_profile", "a02_dq_referential", "a03_dq_rules",
       "a04_dq_uniqueness",
+      // a05/a06 (round 14): the boatrace audits over N×-replicated
+      // parsed base tables (per-copy レースID suffix, routed via
+      // spark.graft.boatraceBaseDir) — a05 one partial-agg groupBy
+      // per table, a06 five anti joins, both linear by shape
+      "a05_boatrace_pk", "a06_boatrace_orphans",
       // v24/v25 (round 13): the observability scans — the identical
       // health rule runs over the streaming-maintained edge table
       // (Round13Spec), so this row doubles as the maintained-index
@@ -261,6 +277,33 @@ object ScaleCheck {
     // time scales below it is parallelism absorbing the growth — the
     // healthy signature. Shuffle volume growing ABOVE the data ratio
     // is the true super-linearity alarm, immune to timing noise.
+    // ---- boatrace audit scale path (round 14; round-13 verdict:
+    // a05/a06 had no 25×/100× rows). The audits read the parsed
+    // fixture corpus, not the sf dir, so the N× copy replicates the
+    // PARSED base tables with a per-copy レースID suffix — all four
+    // tables transformed identically, so within-copy PK/join
+    // structure is exactly the original's and cross-copy key spaces
+    // are disjoint (the same disjoint-copies discipline as the
+    // synthetic tables' key shift). The audits are pointed at the
+    // copies via spark.graft.boatraceBaseDir.
+    val boatraceSel = queries.exists(_.contains("boatrace"))
+    val bt1 = s"$out/boatrace_x1/boatrace_base"
+    val btN = s"$out/boatrace_x$factor"
+    if (boatraceSel && !(reuse &&
+        new java.io.File(s"$btN/env/_SUCCESS").exists())) {
+      graft.operators.BoatraceQueries
+        .dumpBaseTables(spark, s"$out/boatrace_x1")
+      for (t <- Seq("env", "result", "odds", "schedule")) {
+        val src = spark.read.parquet(s"$bt1/$t")
+        (0 until factor).map { i =>
+          if (i == 0) src
+          else src.withColumn("レースID",
+            concat(col("レースID"), lit(s"#$i")))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$btN/$t")
+      }
+    }
+
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
@@ -270,6 +313,11 @@ object ScaleCheck {
             sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
       })
     def run(name: String, dir: String): (Double, Double) = {
+      // boatrace audits ignore the sf dir — route them at the 1×/N×
+      // replicated parsed tables instead (see the build above)
+      if (name.contains("boatrace"))
+        spark.conf.set("spark.graft.boatraceBaseDir",
+          if (dir == base) bt1 else btN)
       var shMb = 0.0
       val times = (1 to 2).map { i =>
         val t0 = System.nanoTime()

@@ -34,11 +34,24 @@ object BoatraceQueries {
       org.apache.spark.sql.Dataset[BoatracePipeline.ParsedFile]]()
 
   private def tables(s: SparkSession) = {
-    val parsed = parsedCache.computeIfAbsent(s,
-      sess => BoatracePipeline.parseDir(sess, txtDir))
-    (BoatracePipeline.envDf(s, parsed), BoatracePipeline.resultDf(s, parsed),
-      BoatracePipeline.oddsDf(s, parsed),
-      BoatracePipeline.scheduleDf(s, parsed))
+    // `spark.graft.boatraceBaseDir` points the audits at an already-
+    // materialized set of base tables instead of the parsed fixture
+    // corpus — the scale harness (ScaleCheck) uses it to run a05/a06
+    // over N×-replicated parsed tables (round-13 verdict: the
+    // boatrace audits had no 25×/100× scale rows). Empty = parse the
+    // golden fixtures, as always.
+    val overrideDir = s.conf.get("spark.graft.boatraceBaseDir", "")
+    if (overrideDir.nonEmpty) {
+      def rd(t: String) = s.read.parquet(s"$overrideDir/$t")
+      (rd("env"), rd("result"), rd("odds"), rd("schedule"))
+    } else {
+      val parsed = parsedCache.computeIfAbsent(s,
+        sess => BoatracePipeline.parseDir(sess, txtDir))
+      (BoatracePipeline.envDf(s, parsed),
+        BoatracePipeline.resultDf(s, parsed),
+        BoatracePipeline.oddsDf(s, parsed),
+        BoatracePipeline.scheduleDf(s, parsed))
+    }
   }
 
   /** Write the string-typed parsed base tables for the DuckDB oracle

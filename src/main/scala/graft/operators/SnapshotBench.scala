@@ -51,7 +51,13 @@ object SnapshotBench {
       // design — it IS the op's cost — but the underlying full graph
       // build is what adopt saves); v26 walks the committed
       // "knn-graph" directly, v20's shape at a 3x beam.
-      "v23_graph_delete_search", "v26_filtered_graph_search")
+      "v23_graph_delete_search", "v26_filtered_graph_search",
+      // round 14: v27 is the suite's single most expensive query
+      // (round-13 verdict: it had no adopt row). It adopts
+      // "knn-graph-base" (committed by v21 above) — the composed
+      // prune+repair itself is recomputed by design (it IS the
+      // lifecycle cost); the base build is what adopt saves.
+      "v27_lifecycle_search")
 
     def time(name: String): Double = {
       val t0 = System.nanoTime()

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale measurement for the STREAMING index-maintenance path —
+  * the write-amplification evidence behind the round-14 redesign
+  * (round-13 verdict: a delete epoch republished O(|E|) edges per
+  * micro-batch; now an epoch commits O(|batch|) rows and readers
+  * resolve prune+repair at read time, folding periodically).
+  *
+  * For factor 1 and N (default 25) over the SAME decorrelated corpus
+  * replication ScaleCheck uses, it measures per component:
+  * {{{
+  *   bootstrap    build + commit the base graph     (data-sized, once)
+  *   insert_epoch one streamed insert micro-batch   (claim: flat)
+  *   delete_epoch one streamed delete micro-batch   (claim: flat)
+  *   read_resolve derive the maintained graph       (data-sized scan,
+  *                repair term bounded by fold policy)
+  *   fold         compact tombstones into the base  (data-sized, the
+  *                amortized cost the epochs no longer pay)
+  * }}}
+  * reporting wall seconds and MB WRITTEN TO THE INDEX DIR. The
+  * headline claim is structural and should reproduce exactly: epoch
+  * write volume tracks the (copy-0-pinned, constant) batch — never
+  * the corpus — while bootstrap/fold write volume tracks the corpus.
+  * At a 1B-vector index that is the difference between a delete
+  * epoch committing kilobytes and it rewriting a 3B-edge table.
+  *
+  * Usage: runMain graft.streaming.StreamMaintenanceScale [factor]
+  * JSON rows append to SPARK_GRAFT_STREAM_SCALE_JSON when set.
+  */
+object StreamMaintenanceScale {
+
+  private def dirMb(p: String): Double = {
+    val root = Paths.get(p)
+    if (!Files.exists(root)) 0.0
+    else {
+      val s = Files.walk(root)
+      try s.filter(q => Files.isRegularFile(q))
+        .mapToLong(q => Files.size(q)).sum / 1e6
+      finally s.close()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(25)
+    val base = "/root/testdata/sf0.1"
+    val scaled = s"/tmp/graft_scale_x$factor"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    // the streaming path reads embeddings only — reuse ScaleCheck's
+    // N× copy when present, build just that table otherwise
+    graft.ScaleCheck.buildScaledTables(spark, base, scaled, factor,
+      Some(Set("embeddings")), reuse = true)
+
+    val rows = scala.collection.mutable.ListBuffer.empty[String]
+    val runTag = f"x$factor-${System.currentTimeMillis() / 1000}%d"
+    for ((f, d) <- Seq(1 -> base, factor -> scaled)) {
+      val wh = Files.createTempDirectory(s"graft-smsc-wh-x$f-").toString
+      spark.conf.set("spark.graft.snapshotWarehouse", wh)
+      val idx = Files.createTempDirectory(s"graft-smsc-idx-x$f-").toString
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      // the copy-0-pinned fixtures: constant batch sizes while the
+      // searched corpus grows N× — the production arrival shape
+      val insBatch = emb.filter(pmod(col("vec_id"), lit(89)) === 0 &&
+        col("vec_id") < 1000000000L)
+        .select("vec_id", "embedding", "label")
+      val delBatch = emb.filter(pmod(col("vec_id"), lit(97)) === 0 &&
+        col("vec_id") < 1000000000L).select("vec_id")
+
+      def step(name: String, extra: String = "")(body: => Unit): Unit = {
+        val m0 = dirMb(idx)
+        val t0 = System.nanoTime()
+        body
+        val sec = (System.nanoTime() - t0) / 1e9
+        graft.PersistRegistry.release()
+        val mb = dirMb(idx) - m0
+        println(f"STREAMSCALE x$f $name%-14s $sec%8.2f s  $mb%10.4f MB$extra")
+        rows += f"""{"component":"$name","factor":$f,"sec":$sec%.3f,""" +
+          f""""index_write_mb":$mb%.4f$extra,"run":"$runTag"}"""
+      }
+
+      step("bootstrap") {
+        LifecycleIndex.bootstrap(spark, idx,
+          graft.operators.SimilarityQueries.insertFreeBaseGraph(spark, d))
+      }
+      val nIns = insBatch.count()
+      step("insert_epoch", f""","batch_rows":$nIns""") {
+        StreamingGraphInsert.insertEpoch(spark, insBatch, d, idx, 0L)
+      }
+      val nDel = delBatch.count()
+      step("delete_epoch", f""","batch_rows":$nDel""") {
+        StreamingGraphDelete.deleteEpoch(spark, delBatch, d, idx, 0L)
+      }
+      step("read_resolve") {
+        LifecycleIndex.maintainedEdges(spark, d, idx)
+          .write.format("noop").mode("overwrite").save()
+      }
+      step("fold") {
+        LifecycleIndex.foldTombstones(spark, d, idx)
+      }
+      step("read_post_fold") {
+        LifecycleIndex.maintainedEdges(spark, d, idx)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    sys.env.get("SPARK_GRAFT_STREAM_SCALE_JSON").filter(_.nonEmpty)
+      .foreach { p =>
+        Files.writeString(Paths.get(p), rows.map(_ + "\n").mkString,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
+    spark.stop()
+  }
+}
