@@ -127,6 +127,14 @@ object LifecycleIndex {
     val live = ins.map(base.unionByName(_)).getOrElse(base)
     del match {
       case None => live
+      // a folded index keeps a committed-but-EMPTY tombstone table;
+      // prune+repair over an empty delete set is an expensive no-op
+      // (it would still scan the corpus for quantized vectors), so a
+      // post-fold read short-circuits to the live graph. The check is
+      // one limit(1) over a 0-row parquet — metadata-cheap, and it
+      // cut the measured post-fold resolve from 8.4 s to the bare
+      // base read at 25× (StreamMaintenanceScale)
+      case Some(dl) if dl.isEmpty => live
       case Some(dl) =>
         SimilarityQueries.deleteRepairCore(spark, live, dl,
           graft.operators.DedupQueries.quantized(spark, d))
