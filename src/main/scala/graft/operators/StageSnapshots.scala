@@ -48,7 +48,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * duplicate build work is not prevented; coordinate builders
   * externally if that cost matters.
   */
-private[operators] object StageSnapshots {
+// graft-wide (not operators-private) since round 14: the streaming
+// lifecycle index's serving path (LifecycleIndex.search) materializes
+// its read-time maintained graph through the same snapshot machinery.
+private[graft] object StageSnapshots {
 
   private val snapshots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -141,6 +141,59 @@ object LifecycleIndex {
     }
   }
 
+  /** Knobs (H, B) recorded by the last [[search]] walk —
+    * observability, mirroring the batch ops' knob refs. */
+  val searchKnobs =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+
+  /** SERVE top-3 search over the LIVE index — the user-facing verb
+    * the two maintenance streams exist for. The caller's query
+    * vectors (vec_id, embedding) are quantized by the intake's exact
+    * rule, and v20's budget-bounded beam walks the READ-TIME
+    * maintained graph over the corpus minus tombstones — so results
+    * can include streamed inserts and can never include a deleted
+    * id. Row-identical to v27's batch search on the drained state
+    * (spec-pinned, StreamingLifecycleSpec).
+    *
+    * Scale: the maintained graph is materialized ONCE per
+    * (base, edges, deleted) version triple — repeated searches on an
+    * unchanged index adopt the same snapshot (the serving shape: an
+    * epoch commit changes the triple and the next search derives
+    * fresh, paying the prune+repair bounded by the fold policy).
+    * The walk itself is the committed Q-bounded coordinator contract:
+    * one broadcast-pinned pushed-filter probe per hop, nothing
+    * data-sized on the driver. */
+  def search(spark: SparkSession, d: String, indexDir: String,
+      queries: DataFrame, maxQ: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val qrows = queries
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 10000).cast("long")).as("r"))
+      .withColumn("nn", aggregate(transform(col("r"), x => x * x),
+        lit(0L), (acc, v) => acc + v))
+      .select("vec_id", "r", "nn")
+      .as[(Long, Array[Long], Long)].collect()
+    val nAll = graft.operators.DedupQueries.quantized(spark, d)
+    // post-fold the tombstone table is committed-but-empty — same
+    // short-circuit as maintainedFrom, sparing a no-op anti join on
+    // the per-hop probe path
+    val n = tombstones(spark, indexDir).filterNot(_.isEmpty)
+      .map(dl => nAll.join(dl.withColumnRenamed("del_id", "vec_id"),
+        Seq("vec_id"), "left_anti"))
+      .getOrElse(nAll)
+    val verTag =
+      Seq(baseTab(indexDir), edgesTab(indexDir), delTab(indexDir))
+        .map(t => SnapshotTable.currentVersionOf(t)
+          .map(_.toString).getOrElse("-")).mkString("_")
+    val gd = graft.operators.StageSnapshots
+      .snapshot(spark, d, s"lifecycle-live-$verTag")(
+        maintainedEdges(spark, d, indexDir))
+      .select(col("vec_id"), col("neighbor_id"))
+    SimilarityQueries.beamWalkCore(spark, n, qrows, gd, searchKnobs,
+      maxQ)
+  }
+
   /** TOMBSTONE FOLD — the compaction bounding read-time repair cost:
     * materialize the maintained graph as the new base, then restart
     * the insert-edge and tombstone tables empty. Post-fold reads are
@@ -188,10 +241,16 @@ object LifecycleIndex {
     // crash-recovery window where base already holds folded ins edges
     val maintained =
       maintainedFrom(spark, d, base, ins, del).distinct()
-    // the fold ledger records WHICH delete epoch's state became the
-    // base — pinned commits, base first (see concurrency note)
+    // the fold ledger records WHICH epoch's state became the base —
+    // the delete table's last epoch when tombstones exist, else the
+    // insert table's (an insert-only fold is a pure compaction, and
+    // the marker is what resets the insert stream's epochs-since-
+    // fold counter) — pinned commits, base first (concurrency note)
     val through = vDel.flatMap(_ =>
-      SnapshotTable.committedMetas(dTab).lastOption).map(m => s"folded-$m")
+        SnapshotTable.committedMetas(dTab).lastOption)
+      .orElse(vIns.flatMap(_ =>
+        SnapshotTable.committedMetas(eTab).lastOption))
+      .map(m => s"folded-$m")
     SnapshotTable.overwriteFrom(spark, maintained, bTab, vBase, through)
     // repartition(1) forces one write task so the empty tables still
     // commit a (0-row) data file — a fileless manifest would make the

@@ -69,6 +69,16 @@ object StreamingGraphInsert {
     * sizes maxFilesPerTrigger to hold this. */
   val EpochCap = 4096
 
+  /** Fold the index once this many insert epochs have committed
+    * since the last fold (round 14): an insert-only stream never
+    * crosses the delete side's tombstone-count trigger, so without
+    * this its edges table accumulates one append commit per epoch
+    * forever — the classic streaming-sink small-files failure, plus
+    * an ever-longer manifest every read resolves. The fold bakes the
+    * accumulated insert edges into the base (a pure compaction when
+    * no tombstones exist) and restarts the append log empty. */
+  val FoldEveryEpochs = 64
+
   /** One epoch: walk each arriving vector against the base graph,
     * append (vec_id, neighbor_id, cos_sim, rank) edges. Public so
     * the spec and a batch backfill drive the exact streaming code
@@ -82,7 +92,8 @@ object StreamingGraphInsert {
     * beamWalkCore's require, which fired only AFTER the full batch
     * was driver-resident.) */
   def insertEpoch(spark: SparkSession, batch: DataFrame, d: String,
-      indexDir: String, batchId: Long): Unit = {
+      indexDir: String, batchId: Long,
+      foldEvery: Int = FoldEveryEpochs): Unit = {
     import spark.implicits._
     // exactly-once: the epoch id is checked against EVERY committed
     // version's meta (not just CURRENT's) — an interleaved commit on
@@ -114,6 +125,23 @@ object StreamingGraphInsert {
     val edges = graft.operators.SimilarityQueries
       .streamInsertEdges(spark, d, qrows)
     SnapshotTable.append(spark, edges, tab, Some(ledgerLine))
+    // AUTO-FOLD (round 14): symmetric with the delete stream's
+    // tombstone-count trigger. Epochs since the last fold = ledger
+    // entries after the last `folded-…` marker (the fold stamps one
+    // on this table — see LifecycleIndex.foldTombstones); serial
+    // with insert epochs by construction here, and a racing DELETE
+    // epoch makes the fold's pinned commits throw — caught and
+    // retried at the next trigger, the epoch itself already durable.
+    val sinceFold = SnapshotTable.committedMetas(tab)
+      .reverse.takeWhile(!_.startsWith("folded-")).length
+    if (sinceFold >= foldEvery) {
+      try LifecycleIndex.foldTombstones(spark, d, indexDir)
+      catch {
+        case e: IllegalStateException =>
+          System.err.println(s"[stream-insert] auto-fold deferred " +
+            s"(concurrent commit on the index): ${e.getMessage}")
+      }
+    }
     ()
   }
 }

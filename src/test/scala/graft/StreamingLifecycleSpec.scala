@@ -82,20 +82,23 @@ class StreamingLifecycleSpec extends AnyFunSuite {
     idx
   }
 
+  // order A: strict alternation starting with an insert;
+  // order B: all deletes except the last, then all inserts, then
+  // the final delete — a delete epoch lands BEFORE any insert and
+  // more inserts land after deletes (both round-13 failure shapes)
+  private lazy val orderA: Seq[(Boolean, Int)] =
+    (0 until math.max(insertWaves.length, deleteWaves.length))
+      .flatMap(i =>
+        Seq(true -> i).filter(_ => i < insertWaves.length) ++
+          Seq(false -> i).filter(_ => i < deleteWaves.length))
+  private lazy val orderB: Seq[(Boolean, Int)] =
+    (0 until deleteWaves.length - 1).map(false -> _) ++
+      (0 until insertWaves.length).map(true -> _) :+
+      (false -> (deleteWaves.length - 1))
+
   test("interleaved insert+delete epochs drain to v27's batch rule, " +
       "for two different interleavings (order independence), with " +
       "delete-wins on a streamed insert and no lost insert edges") {
-    val nI = insertWaves.length
-    val nD = deleteWaves.length
-    // order A: strict alternation starting with an insert;
-    // order B: all deletes except the last, then all inserts, then
-    // the final delete — a delete epoch lands BEFORE any insert and
-    // more inserts land after deletes (both round-13 failure shapes)
-    val orderA = (0 until math.max(nI, nD)).flatMap(i =>
-      Seq(true -> i).filter(_ => i < nI) ++
-        Seq(false -> i).filter(_ => i < nD))
-    val orderB = (0 until nD - 1).map(false -> _) ++
-      (0 until nI).map(true -> _) :+ (false -> (nD - 1))
     val idxA = drive(orderA)
     val idxB = drive(orderB)
     val gotA = edgeSet(LifecycleIndex.maintainedEdges(spark, sf, idxA))
@@ -218,6 +221,69 @@ class StreamingLifecycleSpec extends AnyFunSuite {
     assert(SnapshotTable.versions(
       LifecycleIndex.delTab(idx)).size === vDel,
       "pre-fold delete epoch re-delivery must skip")
+  }
+
+  test("insert-side auto-fold: an insert-only stream folds after " +
+      "foldEvery epochs — accumulated edges bake into the base, the " +
+      "append log restarts with a folded marker, the maintained " +
+      "graph is unchanged, and pre-fold epochs still re-deliver as " +
+      "no-ops") {
+    val idxA = newIndex() // folds after every 2nd epoch
+    val idxB = newIndex() // never folds (control)
+    insertWaves.indices.foreach { i =>
+      StreamingGraphInsert.insertEpoch(spark, insertWaves(i), sf,
+        idxA, i.toLong, foldEvery = 2)
+      StreamingGraphInsert.insertEpoch(spark, insertWaves(i), sf,
+        idxB, i.toLong, foldEvery = Int.MaxValue)
+    }
+    val eTabA = LifecycleIndex.edgesTab(idxA)
+    assert(SnapshotTable.committedMetas(eTabA)
+      .exists(_.startsWith("folded-ins:batch=")),
+      "the insert-only fold must stamp its marker on the append log")
+    // the fold emptied the log; only post-fold epochs re-accumulated
+    assert(SnapshotTable.read(spark, eTabA).count() <
+      SnapshotTable.read(spark,
+        LifecycleIndex.edgesTab(idxB)).count(),
+      "the folded index must carry fewer append-log rows than the " +
+      "control")
+    val gotA = edgeSet(LifecycleIndex.maintainedEdges(spark, sf, idxA))
+    val gotB = edgeSet(LifecycleIndex.maintainedEdges(spark, sf, idxB))
+    assert(gotA === gotB,
+      "the insert-side fold must not change the maintained graph")
+    // a pre-fold epoch re-delivered post-fold is still a no-op
+    val v = SnapshotTable.versions(eTabA).size
+    StreamingGraphInsert.insertEpoch(spark, insertWaves(0), sf, idxA,
+      0L, foldEvery = Int.MaxValue)
+    PersistRegistry.release()
+    assert(SnapshotTable.versions(eTabA).size === v,
+      "pre-fold insert epoch re-delivery must skip post-fold")
+  }
+
+  test("search() serves the LIVE index: row-identical to v27's " +
+      "batch search on the drained state, results include no " +
+      "tombstoned id, and a second search adopts the same snapshot") {
+    val idx = drive(orderA)
+    // v27's query set: vec_id < 20, surviving (not tombstoned)
+    val queries = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 20 && pmod(col("vec_id"), lit(97)) =!= 0)
+      .select("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSeq.sorted
+    val got = rows(LifecycleIndex.search(spark, sf, idx, queries))
+    val want = rows(graft.SparkEntry
+      .queries("v27_lifecycle_search")(spark, sf))
+    val delSet = deleteWaves.flatMap(_.collect().map(_.getLong(0))).toSet
+    val again = rows(LifecycleIndex.search(spark, sf, idx, queries))
+    PersistRegistry.release()
+    assert(got.nonEmpty, "the live search must return results")
+    assert(got === want,
+      "live-index search must equal v27's batch search row-for-row")
+    assert(!got.exists { case (_, nb, _) => delSet(nb) },
+      "a tombstoned id surfaced in live search results")
+    assert(again === got,
+      "a repeat search on an unchanged index must be deterministic")
   }
 
   test("overwriteFrom is an optimistic CAS: an interleaved commit " +
