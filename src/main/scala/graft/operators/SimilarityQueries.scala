@@ -2532,6 +2532,26 @@ object SimilarityQueries {
     beamWalkCore(s, n, qrows, gd, knobsRef, maxQ, resultKeep, sizeKnobs)
   }
 
+  /** The centroid table of a (possibly tombstone-filtered) quantized
+    * corpus — v03's exact-integer rule, collected to nlist
+    * coordinator rows. Factored out of beamWalkCore (round 14) so
+    * the serving path can compute it ONCE per index-version triple
+    * and hand it back on every subsequent search. */
+  private[graft] def centroidTable(s: org.apache.spark.sql.SparkSession,
+      n: org.apache.spark.sql.DataFrame): Array[(Long, Array[Long])] = {
+    import s.implicits._
+    n.select(col("label"), col("r"),
+        explode(sequence(lit(1), lit(64))).as("j"))
+      .select(col("label"), col("j"),
+        element_at(col("r"), col("j")).as("rj"))
+      .groupBy("label", "j").agg(sum("rj").as("cj"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
+        x => x.getField("cj")).as("c"))
+      .select(col("label").cast("long"), col("c"))
+      .as[(Long, Array[Long])].collect()
+  }
+
   /** The walk itself, decoupled from WHERE queries come from: the
     * batch ops pass a corpus predicate above; the STREAMING insert
     * path (StreamingGraphInsert) passes each arriving micro-batch's
@@ -2550,7 +2570,13 @@ object SimilarityQueries {
       // sizing rule widens the beam by the inverse selectivity so
       // the visited set holds enough passing candidates.
       resultKeep: Long => Boolean = _ => true,
-      sizeKnobs: Long => (Int, Int) = v20SizeKnobs)
+      sizeKnobs: Long => (Int, Int) = v20SizeKnobs,
+      // a SERVING caller (LifecycleIndex.search) passes the centroid
+      // table it cached per index-version triple — repeated searches
+      // on an unchanged index then skip this call's one corpus-sized
+      // aggregation. None (every batch op) computes it here, so no
+      // existing caller's measured cost or oracle changes.
+      centsIn: Option[Array[(Long, Array[Long])]] = None)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     require(qrows.length <= maxQ, s"query set exceeds the $maxQ bound")
@@ -2569,16 +2595,7 @@ object SimilarityQueries {
     // component-wise sum; best cell by cosine, ties to the smaller
     // label); the centroid table is the IVF coordinator state
     // (nlist rows, the same table v03/v05/v11 broadcast)
-    val cents = n.select(col("label"), col("r"),
-        explode(sequence(lit(1), lit(64))).as("j"))
-      .select(col("label"), col("j"),
-        element_at(col("r"), col("j")).as("rj"))
-      .groupBy("label", "j").agg(sum("rj").as("cj"))
-      .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
-        x => x.getField("cj")).as("c"))
-      .select(col("label").cast("long"), col("c"))
-      .as[(Long, Array[Long])].collect()
+    val cents = centsIn.getOrElse(centroidTable(s, n))
     require(cents.length <= 1000000, "centroid table exceeds the " +
       "coordinator bound — shard the coarse quantizer")
     // overflow guard, consistent with the other require()'d bounds:

@@ -146,6 +146,13 @@ object LifecycleIndex {
   val searchKnobs =
     new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
 
+  // centroid coordinator state per (application, index, version
+  // triple): nlist rows — KBs, never corpus-sized. Bounded require()
+  // lives in the walk; entries for superseded versions are garbage
+  // the JVM's lifetime bounds (a serving process pins one index).
+  private val centsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(Long, Array[Long])]]()
+
   /** SERVE top-3 search over the LIVE index — the user-facing verb
     * the two maintenance streams exist for. The caller's query
     * vectors (vec_id, embedding) are quantized by the intake's exact
@@ -190,8 +197,15 @@ object LifecycleIndex {
       .snapshot(spark, d, s"lifecycle-live-$verTag")(
         maintainedEdges(spark, d, indexDir))
       .select(col("vec_id"), col("neighbor_id"))
+    // the centroid coordinator table is index state too: computed
+    // once per version triple (one corpus-sized agg), adopted by
+    // every subsequent search on the unchanged index — serving
+    // latency is then probe-bound, not scan-bound
+    val cents = centsCache.computeIfAbsent(
+      spark.sparkContext.applicationId + "|" + indexDir + "|" + verTag,
+      _ => SimilarityQueries.centroidTable(spark, n))
     SimilarityQueries.beamWalkCore(spark, n, qrows, gd, searchKnobs,
-      maxQ)
+      maxQ, centsIn = Some(cents))
   }
 
   /** TOMBSTONE FOLD — the compaction bounding read-time repair cost:

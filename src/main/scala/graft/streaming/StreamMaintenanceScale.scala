@@ -104,6 +104,24 @@ object StreamMaintenanceScale {
         LifecycleIndex.maintainedEdges(spark, d, idx)
           .write.format("noop").mode("overwrite").save()
       }
+      // the serving verb: a COLD search pays the maintained-graph
+      // materialization + the centroid aggregation once per index
+      // version; a WARM search on the unchanged index adopts both
+      // (content-addressed by the version triple) and should be
+      // probe-bound — the claim behind LifecycleIndex.search's
+      // caching, measured rather than argued
+      val queries = emb
+        .filter(pmod(col("vec_id"), lit(997)) === 0 &&
+          col("vec_id") < 1000000000L)
+        .select("vec_id", "embedding")
+      step("search_cold") {
+        LifecycleIndex.search(spark, d, idx, queries)
+          .write.format("noop").mode("overwrite").save()
+      }
+      step("search_warm") {
+        LifecycleIndex.search(spark, d, idx, queries)
+          .write.format("noop").mode("overwrite").save()
+      }
       step("fold") {
         LifecycleIndex.foldTombstones(spark, d, idx)
       }

@@ -91,10 +91,13 @@ class SnapshotTableSpec extends AnyFunSuite {
     race.unpersist()
   }
 
-  test("vacuum deletes files only expired snapshots reference") {
+  test("vacuum deletes files only expired snapshots reference, and " +
+      "the per-version metas — the streaming exactly-once ledger — " +
+      "survive the sweep") {
     import spark.implicits._
     val dir = freshDir
-    SnapshotTable.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    SnapshotTable.append(spark, Seq((1L, "a")).toDF("id", "v"), dir,
+      Some("ins:batch=7"))
     SnapshotTable.overwrite(spark, Seq((2L, "b")).toDF("id", "v"), dir)
     val deleted = SnapshotTable.vacuum(dir, keepVersions = 1)
     assert(deleted > 0, "v0's files should have been removed")
@@ -104,6 +107,12 @@ class SnapshotTableSpec extends AnyFunSuite {
     intercept[Exception] {
       SnapshotTable.read(spark, dir, 0).collect()
     }
+    // the vacuumed epoch's ledger line is still visible — a late
+    // re-delivered streaming epoch must keep skipping after ANY
+    // retention policy runs (a vacuum that dropped metas would
+    // silently reopen the double-append window)
+    assert(SnapshotTable.committedMetas(dir).contains("ins:batch=7"),
+      "vacuum must retain per-version .meta files")
   }
 
   test("compaction rewrites many small files into one, row-identical") {
