@@ -21,8 +21,13 @@ import graft.warehouse.SnapshotTable
   *              foldTombstones — NEVER touched by an epoch
   *   edges/     streamed INSERT edges, append-only, one append per
   *              insert epoch (ledger meta `ins:batch=<id>`)
-  *   deleted/   tombstone ids, append-only, one append per delete
-  *              epoch (ledger meta `del:batch=<id>`)
+  *   deleted/   tombstone ids SINCE THE LAST FOLD (the repair
+  *              delta), append-only, one append per delete epoch
+  *              (ledger meta `del:batch=<id>`), restarted empty by
+  *              the fold
+  *   retired/   ALL ids ever deleted (the vector-level delete
+  *              vector — see retiredTab), append-only, one append
+  *              per delete epoch, never restarted
   * }}}
   *
   * The delete-vector pattern: an epoch WRITES only its own delta —
@@ -60,6 +65,21 @@ object LifecycleIndex {
   def baseTab(indexDir: String): String = s"$indexDir/base"
   def edgesTab(indexDir: String): String = s"$indexDir/edges"
   def delTab(indexDir: String): String = s"$indexDir/deleted"
+
+  /** The CUMULATIVE retired-id set — the index's vector-level delete
+    * vector, distinct from `deleted/` (the repair DELTA the fold
+    * restarts): the corpus parquet under `d` is immutable and shared,
+    * so the index itself must remember which vectors are dead
+    * forever, or a fold would resurrect them into the search's
+    * centroid/seed corpus (spec-caught, round 14: post-fold searches
+    * diverged because n was rebuilt from the unfiltered corpus). A
+    * delete epoch appends here first; the fold never touches it. In
+    * a production deployment the fold would instead push these into
+    * the vector table's own delete vectors at compaction — with a
+    * read-only corpus the index carries them. O(|D_total|) single-id
+    * rows; re-inserting a retired id is not modeled (the reference
+    * lifecycle has no re-insert either). */
+  def retiredTab(indexDir: String): String = s"$indexDir/retired"
 
   /** Fold when the cumulative tombstone count exceeds this (2 intake
     * epochs' worth): bounds every reader's repair pair space at
@@ -103,13 +123,22 @@ object LifecycleIndex {
         .select(col("query_id").as("vec_id"), col("neighbor_id")))
     else None
 
-  /** Cumulative committed tombstones as one `del_id` column, or None
-    * when no delete epoch has committed. */
+  /** Committed tombstones SINCE THE LAST FOLD as one `del_id` column
+    * (the repair delta), or None when no delete epoch has committed. */
   def tombstones(spark: SparkSession,
       indexDir: String): Option[DataFrame] =
     if (committed(delTab(indexDir)))
       Some(SnapshotTable.read(spark, delTab(indexDir))
         .select(col("vec_id").as("del_id")).distinct())
+    else None
+
+  /** ALL ids ever retired from this index (see [[retiredTab]]), or
+    * None when no delete epoch has committed. */
+  def retiredIds(spark: SparkSession,
+      indexDir: String): Option[DataFrame] =
+    if (committed(retiredTab(indexDir)))
+      Some(SnapshotTable.read(spark, retiredTab(indexDir))
+        .select("vec_id").distinct())
     else None
 
   /** READ-TIME RESOLUTION: the maintained graph, derived from the
@@ -182,15 +211,16 @@ object LifecycleIndex {
       .select("vec_id", "r", "nn")
       .as[(Long, Array[Long], Long)].collect()
     val nAll = graft.operators.DedupQueries.quantized(spark, d)
-    // post-fold the tombstone table is committed-but-empty — same
-    // short-circuit as maintainedFrom, sparing a no-op anti join on
-    // the per-hop probe path
-    val n = tombstones(spark, indexDir).filterNot(_.isEmpty)
-      .map(dl => nAll.join(dl.withColumnRenamed("del_id", "vec_id"),
-        Seq("vec_id"), "left_anti"))
+    // the search corpus excludes everything EVER retired — the
+    // cumulative set, NOT the fold-bounded repair delta: filtering by
+    // the delta alone would let a fold resurrect dead vectors into
+    // the centroid/seed corpus (the spec-caught round-14 bug)
+    val n = retiredIds(spark, indexDir)
+      .map(rt => nAll.join(rt, Seq("vec_id"), "left_anti"))
       .getOrElse(nAll)
     val verTag =
-      Seq(baseTab(indexDir), edgesTab(indexDir), delTab(indexDir))
+      Seq(baseTab(indexDir), edgesTab(indexDir), delTab(indexDir),
+          retiredTab(indexDir))
         .map(t => SnapshotTable.currentVersionOf(t)
           .map(_.toString).getOrElse("-")).mkString("_")
     val gd = graft.operators.StageSnapshots
@@ -223,11 +253,18 @@ object LifecycleIndex {
     * CAS) — an interleaved epoch commit makes the fold throw
     * IllegalStateException with nothing clobbered; retry in a quiet
     * window (the auto-fold path retries on the next delete epoch).
-    * Crash between the three commits leaves base already folded with
-    * ins/del still populated — re-reads stay CORRECT (pruning an
-    * already-pruned base is a no-op; duplicate base∪ins edges
-    * collapse in the fold's distinct and in the search's
-    * symmetrize-distinct) and re-running the fold heals the state.
+    * Crash between the base commit and the delta restarts leaves
+    * base already folded with ins/del still populated — reads and
+    * searches of that state stay CORRECT (pruning an already-pruned
+    * base is a no-op; duplicate base∪ins edges collapse in the
+    * search's symmetrize-distinct), and re-running the fold DETECTS
+    * the state (the base's CURRENT meta is the very `folded-…`
+    * marker this fold would stamp) and completes the delta restarts
+    * without re-deriving — a re-derivation from the folded base
+    * would mint extra repair edges, because the still-populated ins
+    * table re-induces only a subset of the original repair pair
+    * space and the top-3 window re-ranks over it (spec-pinned in
+    * the crash-window test).
     *
     * Exactly-once survives the fold: per-version `.meta` ledger
     * files persist through overwrites (committedMetas scans ALL
@@ -241,20 +278,6 @@ object LifecycleIndex {
     val vBase = SnapshotTable.currentVersionOf(bTab)
     val vIns = SnapshotTable.currentVersionOf(eTab)
     val vDel = SnapshotTable.currentVersionOf(dTab)
-    val base = vBase.map(v => SnapshotTable.read(spark, bTab, v)
-        .select(col("vec_id"), col("neighbor_id")))
-      .getOrElse(
-        if (vIns.isDefined) SimilarityQueries.insertFreeBaseGraph(spark, d)
-        else SimilarityQueries.fullCorpusGraph(spark, d))
-    val ins = vIns.map(v => SnapshotTable.read(spark, eTab, v)
-      .select(col("query_id").as("vec_id"), col("neighbor_id")))
-    val del = vDel.map(v => SnapshotTable.read(spark, dTab, v)
-      .select(col("vec_id").as("del_id")).distinct())
-    // distinct: normal operation has no dupes (insert edges source
-    // from ids absent in the base); this heals the documented
-    // crash-recovery window where base already holds folded ins edges
-    val maintained =
-      maintainedFrom(spark, d, base, ins, del).distinct()
     // the fold ledger records WHICH epoch's state became the base —
     // the delete table's last epoch when tombstones exist, else the
     // insert table's (an insert-only fold is a pure compaction, and
@@ -265,20 +288,53 @@ object LifecycleIndex {
       .orElse(vIns.flatMap(_ =>
         SnapshotTable.committedMetas(eTab).lastOption))
       .map(m => s"folded-$m")
+    // restart both delta tables empty, each commit PINNED to the
+    // version this fold read (optimistic CAS). repartition(1) forces
+    // one write task so the empty tables still commit a (0-row) data
+    // file — a fileless manifest would make the next epoch's read
+    // throw
+    def restartDeltas(): Unit = {
+      vIns.foreach { v =>
+        SnapshotTable.overwriteFrom(spark,
+          SnapshotTable.read(spark, eTab, v).limit(0).repartition(1),
+          eTab, Some(v), through)
+      }
+      vDel.foreach { v =>
+        SnapshotTable.overwriteFrom(spark,
+          Seq.empty[Long].toDF("vec_id").repartition(1), dTab,
+          Some(v), through)
+      }
+    }
+    // CRASH RECOVERY (round 14 — spec-caught): a fold that died
+    // between its base commit and the delta restarts left the base
+    // already folded through EXACTLY these epochs. Re-deriving from
+    // that base would be wrong, not just wasteful: the folded base
+    // has no edges incident to the tombstones, so the still-populated
+    // ins table re-induces only a SUBSET of the original repair pair
+    // space, and the per-source top-3 window over the smaller
+    // candidate set mints repair edges the healthy rule never ranked
+    // in (caught by StreamingLifecycleSpec's crash-window test). The
+    // base's own ledger makes the state detectable — its CURRENT meta
+    // is the very marker this fold would stamp — so recovery just
+    // completes the delta restarts, deriving nothing.
+    if (vBase.isDefined && through.isDefined &&
+        SnapshotTable.currentMeta(bTab) == through) {
+      restartDeltas()
+      return
+    }
+    val base = vBase.map(v => SnapshotTable.read(spark, bTab, v)
+        .select(col("vec_id"), col("neighbor_id")))
+      .getOrElse(
+        if (vIns.isDefined) SimilarityQueries.insertFreeBaseGraph(spark, d)
+        else SimilarityQueries.fullCorpusGraph(spark, d))
+    val ins = vIns.map(v => SnapshotTable.read(spark, eTab, v)
+      .select(col("query_id").as("vec_id"), col("neighbor_id")))
+    val del = vDel.map(v => SnapshotTable.read(spark, dTab, v)
+      .select(col("vec_id").as("del_id")).distinct())
+    val maintained =
+      maintainedFrom(spark, d, base, ins, del).distinct()
     SnapshotTable.overwriteFrom(spark, maintained, bTab, vBase, through)
-    // repartition(1) forces one write task so the empty tables still
-    // commit a (0-row) data file — a fileless manifest would make the
-    // next epoch's read throw
-    vIns.foreach { v =>
-      SnapshotTable.overwriteFrom(spark,
-        SnapshotTable.read(spark, eTab, v).limit(0).repartition(1),
-        eTab, Some(v), through)
-    }
-    vDel.foreach { v =>
-      SnapshotTable.overwriteFrom(spark,
-        Seq.empty[Long].toDF("vec_id").repartition(1), dTab,
-        Some(v), through)
-    }
+    restartDeltas()
     ()
   }
 }

@@ -89,6 +89,16 @@ object StreamingGraphDelete {
     require(n <= EpochCap,
       s"streaming delete epoch exceeds the $EpochCap-tombstone intake " +
       "budget — size maxFilesPerTrigger so each micro-batch fits")
+    // the CUMULATIVE retired set first (never folded — the search
+    // corpus filter; see LifecycleIndex.retiredTab), then the repair
+    // delta whose ledger line certifies the whole epoch. A crash
+    // between the two re-delivers: the retired append skips via its
+    // own meta, the delta append lands — same two-commit recovery
+    // discipline as the fold's.
+    val retTab = LifecycleIndex.retiredTab(indexDir)
+    if (!SnapshotTable.committedMetas(retTab).contains(ledgerLine))
+      SnapshotTable.append(spark, batch.select("vec_id"), retTab,
+        Some(ledgerLine))
     SnapshotTable.append(spark, batch.select("vec_id"), delTab,
       Some(ledgerLine))
     // AUTO-FOLD (round-13 verdict stretch): compact once the

@@ -259,18 +259,23 @@ class StreamingLifecycleSpec extends AnyFunSuite {
       "pre-fold insert epoch re-delivery must skip post-fold")
   }
 
+  // v27's query set: vec_id < 20, surviving (not tombstoned)
+  private def searchQueries = spark.read
+    .parquet(s"$sf/embeddings.parquet")
+    .filter(col("vec_id") < 20 && pmod(col("vec_id"), lit(97)) =!= 0)
+    .select("vec_id", "embedding")
+
+  private def searchRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSeq.sorted
+
   test("search() serves the LIVE index: row-identical to v27's " +
       "batch search on the drained state, results include no " +
       "tombstoned id, and a second search adopts the same snapshot") {
     val idx = drive(orderA)
-    // v27's query set: vec_id < 20, surviving (not tombstoned)
-    val queries = spark.read.parquet(s"$sf/embeddings.parquet")
-      .filter(col("vec_id") < 20 && pmod(col("vec_id"), lit(97)) =!= 0)
-      .select("vec_id", "embedding")
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.select("query_id", "neighbor_id", "rank")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-        .toSeq.sorted
+    val queries = searchQueries
+    def rows(df: org.apache.spark.sql.DataFrame) = searchRows(df)
     val got = rows(LifecycleIndex.search(spark, sf, idx, queries))
     val want = rows(graft.SparkEntry
       .queries("v27_lifecycle_search")(spark, sf))
@@ -284,6 +289,51 @@ class StreamingLifecycleSpec extends AnyFunSuite {
       "a tombstoned id surfaced in live search results")
     assert(again === got,
       "a repeat search on an unchanged index must be deterministic")
+  }
+
+  test("fold crash window: with the folded base committed but the " +
+      "delta tables not yet cleared, searches stay correct, and " +
+      "re-running the fold heals the state") {
+    val idx = drive(orderA)
+    val healthy = searchRows(
+      LifecycleIndex.search(spark, sf, idx, searchQueries))
+    // simulate the documented crash: the fold's FIRST commit (the
+    // folded base, stamped with the real `folded-<last epoch>`
+    // marker) landed, the ins/del restarts did not. Re-reads must
+    // stay SEARCH-correct (duplicate base∪ins edges collapse in the
+    // walk's symmetrize-distinct; pruning an already-pruned base is
+    // a no-op) — the LifecycleIndex.foldTombstones doc contract.
+    val maintained =
+      LifecycleIndex.maintainedEdges(spark, sf, idx).distinct()
+    val through = "folded-" + SnapshotTable
+      .committedMetas(LifecycleIndex.delTab(idx)).last
+    SnapshotTable.overwrite(spark, maintained,
+      LifecycleIndex.baseTab(idx), Some(through))
+    val crashed = searchRows(
+      LifecycleIndex.search(spark, sf, idx, searchQueries))
+    assert(crashed === healthy,
+      "a half-folded index must keep serving the same results")
+    // re-running the fold heals by DETECTION (the base's meta is the
+    // marker this fold would stamp): it completes the delta restarts
+    // without re-deriving — a re-derivation from the folded base
+    // would mint extra repair edges (the still-populated ins table
+    // re-induces only a subset of the repair pair space and the
+    // top-3 window re-ranks over it), which is exactly how this test
+    // first failed
+    val vBase = SnapshotTable.versions(LifecycleIndex.baseTab(idx)).size
+    LifecycleIndex.foldTombstones(spark, sf, idx)
+    assert(SnapshotTable.versions(
+      LifecycleIndex.baseTab(idx)).size === vBase,
+      "crash recovery must not rewrite the already-folded base")
+    assert(SnapshotTable.read(spark,
+      LifecycleIndex.delTab(idx)).count() === 0L)
+    assert(SnapshotTable.read(spark,
+      LifecycleIndex.edgesTab(idx)).count() === 0L)
+    val healed = searchRows(
+      LifecycleIndex.search(spark, sf, idx, searchQueries))
+    PersistRegistry.release()
+    assert(healed === healthy,
+      "re-running the fold must heal the crash window unchanged")
   }
 
   test("overwriteFrom is an optimistic CAS: an interleaved commit " +
