@@ -320,6 +320,7 @@ object LifecycleIndex {
     if (vBase.isDefined && through.isDefined &&
         SnapshotTable.currentMeta(bTab) == through) {
       restartDeltas()
+      compactRetired(spark, indexDir)
       return
     }
     val base = vBase.map(v => SnapshotTable.read(spark, bTab, v)
@@ -335,6 +336,30 @@ object LifecycleIndex {
       maintainedFrom(spark, d, base, ins, del).distinct()
     SnapshotTable.overwriteFrom(spark, maintained, bTab, vBase, through)
     restartDeltas()
+    compactRetired(spark, indexDir)
     ()
+  }
+
+  /** Best-effort retired-set compaction, run at fold time: the
+    * cumulative table accrues one small append per delete epoch
+    * forever, so the fold rewrites it as one distinct file.
+    * Correctness-neutral (the set is only ever read distinct) and
+    * deliberately NON-fatal: it runs after the fold's own commits,
+    * and a CAS collision with a racing delete epoch's append just
+    * leaves the compaction for the next fold — the fold itself
+    * already completed. */
+  private def compactRetired(spark: SparkSession,
+      indexDir: String): Unit = {
+    val rTab = retiredTab(indexDir)
+    SnapshotTable.currentVersionOf(rTab).foreach { v =>
+      try SnapshotTable.overwriteFrom(spark,
+        SnapshotTable.read(spark, rTab, v).distinct().repartition(1),
+        rTab, Some(v), Some("retired-compaction"))
+      catch {
+        case e: IllegalStateException =>
+          System.err.println(s"[lifecycle-fold] retired compaction " +
+            s"deferred (concurrent commit): ${e.getMessage}")
+      }
+    }
   }
 }

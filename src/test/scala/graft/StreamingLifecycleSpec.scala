@@ -221,6 +221,29 @@ class StreamingLifecycleSpec extends AnyFunSuite {
     assert(SnapshotTable.versions(
       LifecycleIndex.delTab(idx)).size === vDel,
       "pre-fold delete epoch re-delivery must skip")
+    // SECOND fold cycle: a normal later fold must take the derive
+    // path (base version advances — the crash-recovery detection must
+    // NOT false-trigger on a healthy index), stay observationally
+    // silent, and compact the retired set without losing its ledger
+    val vBase2 = SnapshotTable.versions(LifecycleIndex.baseTab(idx)).size
+    val before2 = edgeSet(LifecycleIndex.maintainedEdges(spark, sf, idx))
+    LifecycleIndex.foldTombstones(spark, sf, idx)
+    assert(SnapshotTable.versions(
+      LifecycleIndex.baseTab(idx)).size === vBase2 + 1,
+      "a healthy second fold must rewrite the base (no false recovery)")
+    assert(SnapshotTable.read(spark,
+      LifecycleIndex.delTab(idx)).count() === 0L)
+    val after2 = edgeSet(LifecycleIndex.maintainedEdges(spark, sf, idx))
+    assert(after2 === before2,
+      "the second fold must not change the maintained graph")
+    // retired: compacted to the distinct cumulative set, with the
+    // exactly-once ledger intact through the compaction overwrite
+    val rTab = LifecycleIndex.retiredTab(idx)
+    assert(SnapshotTable.read(spark, rTab).count() === delSet.size.toLong,
+      "retired must hold exactly the distinct cumulative delete set")
+    assert(SnapshotTable.committedMetas(rTab).contains("del:batch=0"),
+      "the retired ledger must survive its compaction")
+    PersistRegistry.release()
   }
 
   test("insert-side auto-fold: an insert-only stream folds after " +
