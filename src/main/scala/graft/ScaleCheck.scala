@@ -289,8 +289,12 @@ object ScaleCheck {
     val boatraceSel = queries.exists(_.contains("boatrace"))
     val bt1 = s"$out/boatrace_x1/boatrace_base"
     val btN = s"$out/boatrace_x$factor"
+    // reuse requires EVERY table's _SUCCESS marker (review-caught:
+    // checking only the first-written table silently reused a build
+    // that crashed mid-way through the later tables)
     if (boatraceSel && !(reuse &&
-        new java.io.File(s"$btN/env/_SUCCESS").exists())) {
+        Seq("env", "result", "odds", "schedule").forall(t =>
+          new java.io.File(s"$btN/$t/_SUCCESS").exists()))) {
       graft.operators.BoatraceQueries
         .dumpBaseTables(spark, s"$out/boatrace_x1")
       for (t <- Seq("env", "result", "odds", "schedule")) {

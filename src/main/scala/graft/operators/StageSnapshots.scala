@@ -48,10 +48,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * duplicate build work is not prevented; coordinate builders
   * externally if that cost matters.
   */
-// graft-wide (not operators-private) since round 14: the streaming
-// lifecycle index's serving path (LifecycleIndex.search) materializes
-// its read-time maintained graph through the same snapshot machinery.
-private[graft] object StageSnapshots {
+private[operators] object StageSnapshots {
 
   private val snapshots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

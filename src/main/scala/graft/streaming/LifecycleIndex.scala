@@ -18,9 +18,13 @@ import graft.warehouse.SnapshotTable
   * {{{
   *   base/      the committed base edge table (vec_id, neighbor_id):
   *              bootstrap()'d at index creation, replaced by
-  *              foldTombstones — NEVER touched by an epoch
+  *              foldTombstones — NEVER touched by an epoch. A folded
+  *              base's commit meta carries the FOLD CUT
+  *              `…@ins=<v>,del=<v>`: the exact delta-table versions
+  *              whose content it folded (see foldCut)
   *   edges/     streamed INSERT edges, append-only, one append per
-  *              insert epoch (ledger meta `ins:batch=<id>`)
+  *              insert epoch (ledger meta `ins:batch=<id>`),
+  *              restarted empty by the fold
   *   deleted/   tombstone ids SINCE THE LAST FOLD (the repair
   *              delta), append-only, one append per delete epoch
   *              (ledger meta `del:batch=<id>`), restarted empty by
@@ -28,6 +32,8 @@ import graft.warehouse.SnapshotTable
   *   retired/   ALL ids ever deleted (the vector-level delete
   *              vector — see retiredTab), append-only, one append
   *              per delete epoch, never restarted
+  *   serving/   the materialized maintained graph the search adopts,
+  *              one version per index state, vacuumed to the last 2
   * }}}
   *
   * The delete-vector pattern: an epoch WRITES only its own delta —
@@ -48,10 +54,26 @@ import graft.warehouse.SnapshotTable
   * so the drained composed state is row-identical to v27's batch rule
   * (lifecycleMaintainedGraph) under ANY interleaving of the two
   * streams — spec-pinned, two different interleavings compared.
-  * Readers pay O(|D_cum|·deg²) repair compute per read, bounded by
+  * Readers pay O(|D_delta|·deg²) repair compute per read, bounded by
   * the fold policy (deletes fold at DefaultFoldAt tombstones), the
   * same way table-format readers apply delete vectors until a
   * compaction folds them into data files.
+  *
+  * THE FOLD CUT (round 14, second iteration — the first recovery
+  * design had two review-caught flaws): a fold can die or lose its
+  * CAS between committing the folded base and restarting the delta
+  * tables. The folded base's meta records the exact delta versions
+  * it consumed (`@ins=<v>,del=<v>`), and EVERY reader and every later
+  * fold subtracts that folded prefix from the delta tables
+  * (insertEdges/tombstones). Consequences, all spec-pinned:
+  * epochs committed AFTER a half-completed fold are never lost (the
+  * old recovery branch restarted the CURRENT delta tables — wiping
+  * them), and a later fold over the half-folded state derives from
+  * exactly the un-folded remainder instead of re-ranking the repair
+  * top-3 over a subset pair space (which minted edges the healthy
+  * rule never emitted). The cut versions must outlive any vacuum of
+  * the delta tables while un-restarted — the fold window is short
+  * and vacuum is out-of-band by contract.
   *
   * Base resolution (explicit first, inference as fallback): the
   * committed `base/` table if bootstrap() or a fold stamped one;
@@ -73,13 +95,17 @@ object LifecycleIndex {
     * forever, or a fold would resurrect them into the search's
     * centroid/seed corpus (spec-caught, round 14: post-fold searches
     * diverged because n was rebuilt from the unfiltered corpus). A
-    * delete epoch appends here first; the fold never touches it. In
-    * a production deployment the fold would instead push these into
-    * the vector table's own delete vectors at compaction — with a
-    * read-only corpus the index carries them. O(|D_total|) single-id
-    * rows; re-inserting a retired id is not modeled (the reference
+    * delete epoch appends here first; the fold never restarts it
+    * (only compacts it to one distinct file). In a production
+    * deployment the fold would instead push these into the vector
+    * table's own delete vectors at compaction — with a read-only
+    * corpus the index carries them. O(|D_total|) single-id rows;
+    * re-inserting a retired id is not modeled (the reference
     * lifecycle has no re-insert either). */
   def retiredTab(indexDir: String): String = s"$indexDir/retired"
+
+  /** The search's materialized maintained graph (see [[search]]). */
+  def servingTab(indexDir: String): String = s"$indexDir/serving"
 
   /** Fold when the cumulative tombstone count exceeds this (2 intake
     * epochs' worth): bounds every reader's repair pair space at
@@ -104,33 +130,91 @@ object LifecycleIndex {
     ()
   }
 
+  private val CutRe = "@ins=(-?\\d+),del=(-?\\d+)$".r
+
+  /** The FOLD CUT recorded by the base version `vB`'s commit meta —
+    * the (ins, del) delta-table versions whose content that base
+    * already folded (−1 = the table did not exist at fold time).
+    * None for a bootstrapped or inferred base. */
+  private def foldCutAt(indexDir: String,
+      vB: Option[Int]): Option[(Int, Int)] =
+    vB.flatMap(v => SnapshotTable.metaOf(baseTab(indexDir), v))
+      .flatMap(m => CutRe.findFirstMatchIn(m)
+        .map(mm => (mm.group(1).toInt, mm.group(2).toInt)))
+
+  private def projIns(df: DataFrame): DataFrame =
+    df.select(col("query_id").as("vec_id"), col("neighbor_id"))
+
+  private def projDel(df: DataFrame): DataFrame =
+    df.select(col("vec_id").as("del_id")).distinct()
+
+  /** Streamed-insert edges BEYOND the base's fold cut, as
+    * (vec_id, neighbor_id), pinned to edges-table version `vI`.
+    * After a completed fold the current delta is disjoint from the
+    * folded prefix, so the subtraction is a content no-op; in the
+    * fold's crash window (base folded, deltas not yet restarted) it
+    * is what keeps reads and later folds exact. */
+  private def insertEdgesAt(spark: SparkSession, indexDir: String,
+      vI: Option[Int], cut: Option[(Int, Int)]): Option[DataFrame] =
+    vI.map { v =>
+      val all = projIns(SnapshotTable.read(spark, edgesTab(indexDir), v))
+      cut match {
+        case Some((ci, _)) if ci >= 0 =>
+          all.except(projIns(
+            SnapshotTable.read(spark, edgesTab(indexDir), ci)))
+        case _ => all
+      }
+    }
+
+  /** Tombstones BEYOND the base's fold cut as one `del_id` column,
+    * pinned to delete-table version `vD` (see [[insertEdgesAt]]). */
+  private def tombstonesAt(spark: SparkSession, indexDir: String,
+      vD: Option[Int], cut: Option[(Int, Int)]): Option[DataFrame] =
+    vD.map { v =>
+      val all = projDel(SnapshotTable.read(spark, delTab(indexDir), v))
+      cut match {
+        case Some((_, cd)) if cd >= 0 =>
+          all.except(projDel(
+            SnapshotTable.read(spark, delTab(indexDir), cd)))
+        case _ => all
+      }
+    }
+
+  private def baseEdgesAt(spark: SparkSession, d: String,
+      indexDir: String, vB: Option[Int],
+      vI: Option[Int]): DataFrame =
+    vB.map(v => SnapshotTable.read(spark, baseTab(indexDir), v)
+        .select(col("vec_id"), col("neighbor_id")))
+      .getOrElse(
+        if (vI.isDefined) SimilarityQueries.insertFreeBaseGraph(spark, d)
+        else SimilarityQueries.fullCorpusGraph(spark, d))
+
   /** The base edge table this index prunes/repairs (see class doc). */
   def baseEdges(spark: SparkSession, d: String,
       indexDir: String): DataFrame =
-    if (committed(baseTab(indexDir)))
-      SnapshotTable.read(spark, baseTab(indexDir))
-        .select(col("vec_id"), col("neighbor_id"))
-    else if (committed(edgesTab(indexDir)))
-      SimilarityQueries.insertFreeBaseGraph(spark, d)
-    else SimilarityQueries.fullCorpusGraph(spark, d)
+    baseEdgesAt(spark, d, indexDir,
+      SnapshotTable.currentVersionOf(baseTab(indexDir)),
+      SnapshotTable.currentVersionOf(edgesTab(indexDir)))
 
-  /** Committed streamed-insert edges as (vec_id, neighbor_id), or
-    * None when no insert epoch has committed. */
+  /** Committed streamed-insert edges beyond the fold cut, or None
+    * when no insert epoch has committed. */
   def insertEdges(spark: SparkSession,
-      indexDir: String): Option[DataFrame] =
-    if (committed(edgesTab(indexDir)))
-      Some(SnapshotTable.read(spark, edgesTab(indexDir))
-        .select(col("query_id").as("vec_id"), col("neighbor_id")))
-    else None
+      indexDir: String): Option[DataFrame] = {
+    val vB = SnapshotTable.currentVersionOf(baseTab(indexDir))
+    insertEdgesAt(spark, indexDir,
+      SnapshotTable.currentVersionOf(edgesTab(indexDir)),
+      foldCutAt(indexDir, vB))
+  }
 
-  /** Committed tombstones SINCE THE LAST FOLD as one `del_id` column
-    * (the repair delta), or None when no delete epoch has committed. */
+  /** Committed tombstones beyond the fold cut (the repair delta) as
+    * one `del_id` column, or None when no delete epoch committed. */
   def tombstones(spark: SparkSession,
-      indexDir: String): Option[DataFrame] =
-    if (committed(delTab(indexDir)))
-      Some(SnapshotTable.read(spark, delTab(indexDir))
-        .select(col("vec_id").as("del_id")).distinct())
-    else None
+      indexDir: String): Option[DataFrame] = {
+    val vB = SnapshotTable.currentVersionOf(baseTab(indexDir))
+    tombstonesAt(spark, indexDir,
+      SnapshotTable.currentVersionOf(delTab(indexDir)),
+      foldCutAt(indexDir, vB))
+  }
 
   /** ALL ids ever retired from this index (see [[retiredTab]]), or
     * None when no delete epoch has committed. */
@@ -142,13 +226,27 @@ object LifecycleIndex {
     else None
 
   /** READ-TIME RESOLUTION: the maintained graph, derived from the
-    * three committed sets (see class doc). All distributed — anti
-    * joins for the prune, a keyed self-join + per-source window for
-    * the repair; nothing collects at any index size. */
+    * committed sets (see class doc). All distributed — anti joins
+    * for the prune, a keyed self-join + per-source window for the
+    * repair; nothing collects at any index size. */
   def maintainedEdges(spark: SparkSession, d: String,
       indexDir: String): DataFrame =
-    maintainedFrom(spark, d, baseEdges(spark, d, indexDir),
-      insertEdges(spark, indexDir), tombstones(spark, indexDir))
+    maintainedAt(spark, d, indexDir,
+      SnapshotTable.currentVersionOf(baseTab(indexDir)),
+      SnapshotTable.currentVersionOf(edgesTab(indexDir)),
+      SnapshotTable.currentVersionOf(delTab(indexDir)))
+
+  /** [[maintainedEdges]] with every table read PINNED to a version —
+    * the serving path and the fold derive from a consistent snapshot
+    * of the index regardless of concurrent epoch commits. */
+  private def maintainedAt(spark: SparkSession, d: String,
+      indexDir: String, vB: Option[Int], vI: Option[Int],
+      vD: Option[Int]): DataFrame = {
+    val cut = foldCutAt(indexDir, vB)
+    maintainedFrom(spark, d, baseEdgesAt(spark, d, indexDir, vB, vI),
+      insertEdgesAt(spark, indexDir, vI, cut),
+      tombstonesAt(spark, indexDir, vD, cut))
+  }
 
   private def maintainedFrom(spark: SparkSession, d: String,
       base: DataFrame, ins: Option[DataFrame],
@@ -156,13 +254,13 @@ object LifecycleIndex {
     val live = ins.map(base.unionByName(_)).getOrElse(base)
     del match {
       case None => live
-      // a folded index keeps a committed-but-EMPTY tombstone table;
+      // a folded index keeps a committed-but-EMPTY tombstone delta;
       // prune+repair over an empty delete set is an expensive no-op
       // (it would still scan the corpus for quantized vectors), so a
       // post-fold read short-circuits to the live graph. The check is
-      // one limit(1) over a 0-row parquet — metadata-cheap, and it
-      // cut the measured post-fold resolve from 8.4 s to the bare
-      // base read at 25× (StreamMaintenanceScale)
+      // one small job over a 0-row delta — metadata-cheap, and it cut
+      // the measured post-fold resolve from 8.4 s to the bare base
+      // read at 25× (StreamMaintenanceScale)
       case Some(dl) if dl.isEmpty => live
       case Some(dl) =>
         SimilarityQueries.deleteRepairCore(spark, live, dl,
@@ -175,33 +273,50 @@ object LifecycleIndex {
   val searchKnobs =
     new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
 
-  // centroid coordinator state per (application, index, version
-  // triple): nlist rows — KBs, never corpus-sized. Bounded require()
-  // lives in the walk; entries for superseded versions are garbage
-  // the JVM's lifetime bounds (a serving process pins one index).
+  // centroid coordinator state, ONE entry per (application, index):
+  // nlist rows (require()-bounded in the walk), replaced whenever the
+  // index's version tag advances — a long-running serving process
+  // holds exactly one live centroid table per index it serves, not
+  // one per historical version (review-caught: the version-keyed form
+  // grew heap linearly with epoch count).
   private val centsCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Array[(Long, Array[Long])]]()
+    String, (String, Array[(Long, Array[Long])])]()
 
   /** SERVE top-3 search over the LIVE index — the user-facing verb
     * the two maintenance streams exist for. The caller's query
     * vectors (vec_id, embedding) are quantized by the intake's exact
-    * rule, and v20's budget-bounded beam walks the READ-TIME
-    * maintained graph over the corpus minus tombstones — so results
-    * can include streamed inserts and can never include a deleted
-    * id. Row-identical to v27's batch search on the drained state
+    * rule, and v20's budget-bounded beam walks the maintained graph
+    * over the corpus minus ALL retired ids — so results can include
+    * streamed inserts and can never include a deleted id.
+    * Row-identical to v27's batch search on the drained state
     * (spec-pinned, StreamingLifecycleSpec).
     *
-    * Scale: the maintained graph is materialized ONCE per
-    * (base, edges, deleted) version triple — repeated searches on an
-    * unchanged index adopt the same snapshot (the serving shape: an
-    * epoch commit changes the triple and the next search derives
-    * fresh, paying the prune+repair bounded by the fold policy).
-    * The walk itself is the committed Q-bounded coordinator contract:
-    * one broadcast-pinned pushed-filter probe per hop, nothing
-    * data-sized on the driver. */
+    * Consistency: all four table versions are captured ONCE up front
+    * and every read is pinned to them, so a maintenance epoch
+    * committing mid-search cannot tear the view (review-caught: the
+    * unpinned form could return a just-retired id and poison the
+    * per-version caches). A search serves the index state as of its
+    * version capture — the streaming-read contract.
+    *
+    * Scale: the maintained graph is materialized into the index's
+    * own `serving/` snapshot table keyed by the version tag —
+    * repeated searches on an unchanged index adopt it, an epoch
+    * commit invalidates it content-addressed, and a vacuum to the
+    * last 2 versions bounds the disk footprint (the ONLY data-sized
+    * serving cost, paid once per index state). The centroid
+    * coordinator table is likewise computed once per state. The walk
+    * itself is the committed Q-bounded coordinator contract: one
+    * broadcast-pinned pushed-filter probe per hop, nothing
+    * data-sized on the driver — the query intake is bounded by a
+    * distributed pre-check BEFORE any driver materialization, the
+    * same discipline as the insert epoch's. */
   def search(spark: SparkSession, d: String, indexDir: String,
       queries: DataFrame, maxQ: Int = 4096): DataFrame = {
     import spark.implicits._
+    // bounded intake, checked distributed-side before any collect
+    val nq = queries.limit(maxQ + 1).count()
+    require(nq <= maxQ,
+      s"query set exceeds the $maxQ serving bound — page the request")
     val qrows = queries
       .select(col("vec_id"),
         transform(col("embedding"),
@@ -210,41 +325,71 @@ object LifecycleIndex {
         lit(0L), (acc, v) => acc + v))
       .select("vec_id", "r", "nn")
       .as[(Long, Array[Long], Long)].collect()
+    // ONE consistent version capture; every read below is pinned
+    val vB = SnapshotTable.currentVersionOf(baseTab(indexDir))
+    val vI = SnapshotTable.currentVersionOf(edgesTab(indexDir))
+    val vD = SnapshotTable.currentVersionOf(delTab(indexDir))
+    val vR = SnapshotTable.currentVersionOf(retiredTab(indexDir))
+    val verTag = Seq(vB, vI, vD, vR)
+      .map(_.map(_.toString).getOrElse("-")).mkString("_")
     val nAll = graft.operators.DedupQueries.quantized(spark, d)
     // the search corpus excludes everything EVER retired — the
     // cumulative set, NOT the fold-bounded repair delta: filtering by
     // the delta alone would let a fold resurrect dead vectors into
     // the centroid/seed corpus (the spec-caught round-14 bug)
-    val n = retiredIds(spark, indexDir)
-      .map(rt => nAll.join(rt, Seq("vec_id"), "left_anti"))
+    val n = vR.map(v => nAll.join(
+        SnapshotTable.read(spark, retiredTab(indexDir), v)
+          .select("vec_id").distinct(),
+        Seq("vec_id"), "left_anti"))
       .getOrElse(nAll)
-    val verTag =
-      Seq(baseTab(indexDir), edgesTab(indexDir), delTab(indexDir),
-          retiredTab(indexDir))
-        .map(t => SnapshotTable.currentVersionOf(t)
-          .map(_.toString).getOrElse("-")).mkString("_")
-    val gd = graft.operators.StageSnapshots
-      .snapshot(spark, d, s"lifecycle-live-$verTag")(
-        maintainedEdges(spark, d, indexDir))
+    val sTab = servingTab(indexDir)
+    if (!SnapshotTable.currentMeta(sTab).contains(verTag)) {
+      SnapshotTable.overwrite(spark,
+        maintainedAt(spark, d, indexDir, vB, vI, vD), sTab,
+        Some(verTag))
+      // bound the serving table's disk to the last 2 states (2, not
+      // 1, so an in-flight reader of the previous state survives)
+      SnapshotTable.vacuum(sTab, keepVersions = 2)
+    }
+    val gd = SnapshotTable.read(spark, sTab)
       .select(col("vec_id"), col("neighbor_id"))
-    // the centroid coordinator table is index state too: computed
-    // once per version triple (one corpus-sized agg), adopted by
-    // every subsequent search on the unchanged index — serving
-    // latency is then probe-bound, not scan-bound
-    val cents = centsCache.computeIfAbsent(
-      spark.sparkContext.applicationId + "|" + indexDir + "|" + verTag,
-      _ => SimilarityQueries.centroidTable(spark, n))
+    val ck = spark.sparkContext.applicationId + "|" + indexDir
+    val cents = centsCache.compute(ck, (_, old) =>
+      if (old != null && old._1 == verTag) old
+      else (verTag, SimilarityQueries.centroidTable(spark, n)))._2
     SimilarityQueries.beamWalkCore(spark, n, qrows, gd, searchKnobs,
       maxQ, centsIn = Some(cents))
   }
 
+  /** The fold marker the NEXT fold of this index would stamp on every
+    * table it commits: `folded-<last epoch meta>@ins=<v>,del=<v>`,
+    * where the trailing cut records the delta-table versions the fold
+    * consumes. None when the index has no delta tables yet. Exposed
+    * (package-private) so the crash-window specs can reproduce the
+    * fold's first commit byte-for-byte. */
+  private[graft] def pendingFoldMarker(
+      indexDir: String): Option[String] = {
+    val (eTab, dTab) = (edgesTab(indexDir), delTab(indexDir))
+    val vIns = SnapshotTable.currentVersionOf(eTab)
+    val vDel = SnapshotTable.currentVersionOf(dTab)
+    def lastEpochMeta(tab: String): Option[String] =
+      SnapshotTable.committedMetas(tab).reverse.find(m =>
+        m.startsWith("del:batch=") || m.startsWith("ins:batch="))
+    val m = vDel.flatMap(_ => lastEpochMeta(dTab))
+      .orElse(vIns.flatMap(_ => lastEpochMeta(eTab)))
+    if (vIns.isEmpty && vDel.isEmpty) None
+    else Some(s"folded-${m.getOrElse("none")}" +
+      s"@ins=${vIns.getOrElse(-1)},del=${vDel.getOrElse(-1)}")
+  }
+
   /** TOMBSTONE FOLD — the compaction bounding read-time repair cost:
-    * materialize the maintained graph as the new base, then restart
-    * the insert-edge and tombstone tables empty. Post-fold reads are
-    * prune+repair over the FOLDED base — pre-fold repair edges become
-    * first-class base edges instead of being re-derived per read (the
-    * compaction contract; spec-pinned that the fold changes nothing
-    * observable in the maintained graph at fold time).
+    * materialize the maintained graph as the new base (its meta
+    * carrying the fold cut), then restart the insert-edge and
+    * tombstone delta tables empty. Post-fold reads are prune+repair
+    * over the FOLDED base — pre-fold repair edges become first-class
+    * base edges instead of being re-derived per read (the compaction
+    * contract; spec-pinned that the fold changes nothing observable
+    * in the maintained graph at fold time).
     *
     * Concurrency (round-13 advice — a fold racing a live epoch must
     * not capture a stale base and then drop the epoch's rows): every
@@ -252,19 +397,18 @@ object LifecycleIndex {
     * commit is PINNED to it (SnapshotTable.overwriteFrom, optimistic
     * CAS) — an interleaved epoch commit makes the fold throw
     * IllegalStateException with nothing clobbered; retry in a quiet
-    * window (the auto-fold path retries on the next delete epoch).
-    * Crash between the base commit and the delta restarts leaves
-    * base already folded with ins/del still populated — reads and
-    * searches of that state stay CORRECT (pruning an already-pruned
-    * base is a no-op; duplicate base∪ins edges collapse in the
-    * search's symmetrize-distinct), and re-running the fold DETECTS
-    * the state (the base's CURRENT meta is the very `folded-…`
-    * marker this fold would stamp) and completes the delta restarts
-    * without re-deriving — a re-derivation from the folded base
-    * would mint extra repair edges, because the still-populated ins
-    * table re-induces only a subset of the original repair pair
-    * space and the top-3 window re-ranks over it (spec-pinned in
-    * the crash-window test).
+    * window (the auto-fold paths retry at their next trigger).
+    *
+    * Crash/abort recovery is BY CONSTRUCTION via the fold cut (class
+    * doc): a fold that died between its base commit and the delta
+    * restarts leaves a base whose meta records exactly what it
+    * folded; readers and this method subtract that prefix, so a
+    * retry folds only the un-folded remainder — epochs committed
+    * after the aborted fold are preserved (review-caught: the
+    * previous exact-marker recovery wiped them), and no repair edge
+    * is ever re-ranked against a subset pair space. When nothing
+    * advanced since the aborted fold, the marker matches exactly and
+    * the retry just completes the delta restarts.
     *
     * Exactly-once survives the fold: per-version `.meta` ledger
     * files persist through overwrites (committedMetas scans ALL
@@ -278,16 +422,7 @@ object LifecycleIndex {
     val vBase = SnapshotTable.currentVersionOf(bTab)
     val vIns = SnapshotTable.currentVersionOf(eTab)
     val vDel = SnapshotTable.currentVersionOf(dTab)
-    // the fold ledger records WHICH epoch's state became the base —
-    // the delete table's last epoch when tombstones exist, else the
-    // insert table's (an insert-only fold is a pure compaction, and
-    // the marker is what resets the insert stream's epochs-since-
-    // fold counter) — pinned commits, base first (concurrency note)
-    val through = vDel.flatMap(_ =>
-        SnapshotTable.committedMetas(dTab).lastOption)
-      .orElse(vIns.flatMap(_ =>
-        SnapshotTable.committedMetas(eTab).lastOption))
-      .map(m => s"folded-$m")
+    val through = pendingFoldMarker(indexDir)
     // restart both delta tables empty, each commit PINNED to the
     // version this fold read (optimistic CAS). repartition(1) forces
     // one write task so the empty tables still commit a (0-row) data
@@ -305,35 +440,21 @@ object LifecycleIndex {
           Some(v), through)
       }
     }
-    // CRASH RECOVERY (round 14 — spec-caught): a fold that died
-    // between its base commit and the delta restarts left the base
-    // already folded through EXACTLY these epochs. Re-deriving from
-    // that base would be wrong, not just wasteful: the folded base
-    // has no edges incident to the tombstones, so the still-populated
-    // ins table re-induces only a SUBSET of the original repair pair
-    // space, and the per-source top-3 window over the smaller
-    // candidate set mints repair edges the healthy rule never ranked
-    // in (caught by StreamingLifecycleSpec's crash-window test). The
-    // base's own ledger makes the state detectable — its CURRENT meta
-    // is the very marker this fold would stamp — so recovery just
-    // completes the delta restarts, deriving nothing.
+    // fast path: nothing advanced since an aborted fold's base
+    // commit — the marker matches exactly, so just complete the
+    // delta restarts
     if (vBase.isDefined && through.isDefined &&
         SnapshotTable.currentMeta(bTab) == through) {
       restartDeltas()
       compactRetired(spark, indexDir)
       return
     }
-    val base = vBase.map(v => SnapshotTable.read(spark, bTab, v)
-        .select(col("vec_id"), col("neighbor_id")))
-      .getOrElse(
-        if (vIns.isDefined) SimilarityQueries.insertFreeBaseGraph(spark, d)
-        else SimilarityQueries.fullCorpusGraph(spark, d))
-    val ins = vIns.map(v => SnapshotTable.read(spark, eTab, v)
-      .select(col("query_id").as("vec_id"), col("neighbor_id")))
-    val del = vDel.map(v => SnapshotTable.read(spark, dTab, v)
-      .select(col("vec_id").as("del_id")).distinct())
+    // derive the new base from the pinned versions, folded prefix
+    // subtracted (maintainedAt) — under a half-folded base this is
+    // exactly the un-folded remainder; under a healthy base the
+    // subtraction is a content no-op
     val maintained =
-      maintainedFrom(spark, d, base, ins, del).distinct()
+      maintainedAt(spark, d, indexDir, vBase, vIns, vDel).distinct()
     SnapshotTable.overwriteFrom(spark, maintained, bTab, vBase, through)
     restartDeltas()
     compactRetired(spark, indexDir)

@@ -53,6 +53,16 @@ object SnapshotTable {
       if (i < 0) None else Some(l.substring(i).trim)
     }
 
+  /** Meta line of ONE committed version, if it carried one — for
+    * callers that pin reads to a version and need the matching
+    * ledger line (LifecycleIndex's fold-cut parsing). */
+  def metaOf(dir: String, v: Int): Option[String] = {
+    val p = versionsDir(dir).resolve(f"v$v%05d.meta")
+    if (Files.exists(p))
+      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
+    else None
+  }
+
   /** Every committed version's metadata (versions 0..CURRENT that
     * carried one). CURRENT's meta alone protects only re-delivery of
     * the LATEST epoch — any interleaved commit (a compact that drops

@@ -328,8 +328,7 @@ class StreamingLifecycleSpec extends AnyFunSuite {
     // a no-op) — the LifecycleIndex.foldTombstones doc contract.
     val maintained =
       LifecycleIndex.maintainedEdges(spark, sf, idx).distinct()
-    val through = "folded-" + SnapshotTable
-      .committedMetas(LifecycleIndex.delTab(idx)).last
+    val through = LifecycleIndex.pendingFoldMarker(idx).get
     SnapshotTable.overwrite(spark, maintained,
       LifecycleIndex.baseTab(idx), Some(through))
     val crashed = searchRows(
@@ -357,6 +356,74 @@ class StreamingLifecycleSpec extends AnyFunSuite {
     PersistRegistry.release()
     assert(healed === healthy,
       "re-running the fold must heal the crash window unchanged")
+  }
+
+  /** Reproduce the fold's first commit on `idx` (the crash window:
+    * folded base landed, delta restarts did not). */
+  private def halfFold(idx: String): Unit = {
+    val maintained =
+      LifecycleIndex.maintainedEdges(spark, sf, idx).distinct()
+    SnapshotTable.overwrite(spark, maintained,
+      LifecycleIndex.baseTab(idx),
+      Some(LifecycleIndex.pendingFoldMarker(idx).get))
+  }
+
+  test("fold crash window + LATER INSERT EPOCHS: the retry folds " +
+      "only the un-folded remainder — post-abort insert epochs are " +
+      "NOT wiped, and the result equals a clean-fold index") {
+    // idxA: ins0+del0, fold ABORTS half-way, then ins1, ins2, retry
+    // fold. idxB (reference): ins0+del0, CLEAN fold, then ins1, ins2.
+    val idxA = newIndex(); val idxB = newIndex()
+    for (idx <- Seq(idxA, idxB)) {
+      StreamingGraphInsert.insertEpoch(spark, insertWaves(0), sf, idx, 0L)
+      StreamingGraphDelete.deleteEpoch(spark, deleteWaves(0), sf, idx, 0L)
+    }
+    halfFold(idxA)
+    LifecycleIndex.foldTombstones(spark, sf, idxB)
+    for (idx <- Seq(idxA, idxB); i <- 1 until insertWaves.length)
+      StreamingGraphInsert.insertEpoch(spark, insertWaves(i), sf, idx,
+        i.toLong)
+    // the retry fold on the half-folded index must preserve the
+    // post-abort epochs (the review-caught data-loss shape: the old
+    // recovery branch emptied the CURRENT edges table, wiping them)
+    LifecycleIndex.foldTombstones(spark, sf, idxA)
+    LifecycleIndex.foldTombstones(spark, sf, idxB)
+    val gotA = edgeSet(LifecycleIndex.maintainedEdges(spark, sf, idxA))
+    val gotB = edgeSet(LifecycleIndex.maintainedEdges(spark, sf, idxB))
+    val lateIns = (1 until insertWaves.length)
+      .flatMap(i => insertWaves(i).collect().map(_.getLong(0))).toSet
+    val sources = gotA.map(_._1).toSet
+    PersistRegistry.release()
+    assert(lateIns.nonEmpty && lateIns.forall(sources),
+      s"post-abort insert epochs lost by the fold retry: " +
+      s"missing ${(lateIns -- sources).toSeq.sorted}")
+    assert(gotA === gotB,
+      "crash-then-retry must converge to the clean-fold index")
+  }
+
+  test("fold crash window + a LATER DELETE EPOCH: the retry derives " +
+      "from the un-folded remainder (no repair re-ranked against a " +
+      "subset pair space) and equals a clean-fold index") {
+    val idxA = newIndex(); val idxB = newIndex()
+    for (idx <- Seq(idxA, idxB)) {
+      StreamingGraphInsert.insertEpoch(spark, insertWaves(0), sf, idx, 0L)
+      StreamingGraphDelete.deleteEpoch(spark, deleteWaves(0), sf, idx, 0L)
+    }
+    halfFold(idxA)
+    LifecycleIndex.foldTombstones(spark, sf, idxB)
+    // a delete epoch lands BEFORE the fold retry — the review-caught
+    // shape where the exact-marker detection could never match again
+    // and the old code fell into the wrong re-derivation
+    for (idx <- Seq(idxA, idxB))
+      StreamingGraphDelete.deleteEpoch(spark, deleteWaves(1), sf, idx, 1L)
+    LifecycleIndex.foldTombstones(spark, sf, idxA)
+    LifecycleIndex.foldTombstones(spark, sf, idxB)
+    val gotA = edgeSet(LifecycleIndex.maintainedEdges(spark, sf, idxA))
+    val gotB = edgeSet(LifecycleIndex.maintainedEdges(spark, sf, idxB))
+    PersistRegistry.release()
+    assert(gotA === gotB,
+      "crash + interleaved delete epoch + retry must converge to " +
+      "the clean-fold index (no minted repair edges)")
   }
 
   test("overwriteFrom is an optimistic CAS: an interleaved commit " +
