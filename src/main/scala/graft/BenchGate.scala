@@ -113,6 +113,32 @@ object BenchGate {
     (runs.map(_._1).min, runs.head._2)
   }
 
+  /** Confirmation-time per-query trip factor (round-14 verdict 1):
+    * the suite probe runs once at bench START, so a load spike that
+    * begins DURING the confirmation re-measure window red-stamps an
+    * untouched query with no recorded attribution (round 14: q66 at
+    * 2.07x in a session whose probe read 0.96 at start but whose
+    * load average was 2.94 by stamp time). The caller re-runs the
+    * probe ADJACENT to each still-regressed re-measure and scales the
+    * 2x factor by that confirmation-time ratio — same bounds as the
+    * suite trip: never below 2x (a fast host must not tighten the
+    * gate into noise), capped at CalibScaleCap (a host >1.5x slow
+    * deserves a human look regardless). A REAL regression moves query
+    * time but not probe time, so its ratio is ~1 and it trips at the
+    * unscaled 2x. */
+  def effectiveRegressionFactor(probeRatio: Double): Double =
+    2.0 * math.min(math.max(probeRatio, 1.0), CalibScaleCap)
+
+  /** [[regressed]] with the trip factor scaled by the
+    * confirmation-time probe ratio. The absolute +0.5 s arm is NOT
+    * scaled: it exists to mute sub-second noise, and host slowness
+    * only widens sub-second noise — scaling it would loosen exactly
+    * the wrong arm. */
+  def regressedCalibrated(baseline: Double, cur: Double,
+      probeRatio: Double): Boolean =
+    cur > effectiveRegressionFactor(probeRatio) * baseline &&
+      cur - baseline > 0.5
+
   /** Accept names that matched no regression this run — a stale
     * SPARK_GRAFT_ACCEPT_REGRESSIONS entry left in the environment
     * would otherwise silently auto-accept any FUTURE regression of

@@ -141,6 +141,37 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.effectiveDriftMax(1.0) === BenchGate.SuiteDriftMax)
   }
 
+  test("confirmation-time calibration (round-14 q66 replay): a spiked " +
+      "re-measure with probe ratio > 1 attributes instead of tripping; " +
+      "a real single-query regression (probe flat) still trips") {
+    // round 14's exact numbers: anchor 0.837, driver stamp 1.732
+    // (2.07x) in a session at load_avg 2.94 — the unscaled rule trips
+    assert(BenchGate.regressed(0.837, 1.732))
+    // a confirmation-time probe reading the host ~1.2x slow scales the
+    // trip to 2.4x: 1.732 < 2.4 * 0.837 — attributed, not a regression
+    assert(!BenchGate.regressedCalibrated(0.837, 1.732, probeRatio = 1.2))
+    // probe flat (a REAL regression moves query time, not probe time):
+    // trips at the unscaled 2x exactly as before
+    assert(BenchGate.regressedCalibrated(0.837, 1.732, probeRatio = 1.0))
+    assert(BenchGate.regressedCalibrated(0.837, 1.732, probeRatio = 0.8),
+      "a fast host must not tighten or loosen the unscaled trip")
+  }
+
+  test("confirmation calibration is bounded: the scaled factor never " +
+      "drops below 2x and caps at 2x * CalibScaleCap") {
+    assert(BenchGate.effectiveRegressionFactor(0.5) === 2.0)
+    assert(BenchGate.effectiveRegressionFactor(1.0) === 2.0)
+    assert(BenchGate.effectiveRegressionFactor(1.2) === 2.4)
+    assert(BenchGate.effectiveRegressionFactor(10.0) ===
+      2.0 * BenchGate.CalibScaleCap)
+    // a 4x cliff is never attributable: even a pathologically slow
+    // probe caps the factor at 3x
+    assert(BenchGate.regressedCalibrated(1.0, 4.0, probeRatio = 10.0))
+    // the +0.5s absolute arm is NOT scaled — sub-second blips stay
+    // muted on any host, and a 0.1->0.4s 'trip' never fires at all
+    assert(!BenchGate.regressedCalibrated(0.1, 0.4, probeRatio = 1.0))
+  }
+
   test("the calibration probe is CPU-deterministic (fixed checksum) " +
       "and returns a positive wall time") {
     val (sec, sum) = BenchGate.calibrationProbe(1000000L)

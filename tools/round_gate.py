@@ -168,6 +168,14 @@ def main():
         fail(f"bench_detail suite drift tripped: {drift}")
     if bd.get("unused_accept_names"):
         fail(f"stale accept names: {bd['unused_accept_names']}")
+    # attributed trips stay green (the confirmation-time probe showed
+    # the HOST slowed, not the query — round-14 q66) but must be
+    # loudly visible in the round record, never silent
+    for a in bd.get("attributed_regressions") or []:
+        print(f"NOTE: {a['name']} tripped the per-query gate "
+              f"({a['prev_sec']}s -> {a['cur_sec']}s) but was attributed "
+              f"to confirmation-time host load (probe ratio "
+              f"{a['probe_ratio']}x); anchor carried unchanged")
 
     check_coverage_claims(bd)
 
