@@ -82,6 +82,22 @@ object SnapshotTable {
     }
   }
 
+  /** Highest committed version whose meta equals `meta` and whose
+    * manifest is still retained (not vacuumed) — for callers that
+    * cache content-addressed by a tag and must PIN their read to the
+    * version they matched (LifecycleIndex.search's serving table): a
+    * concurrent writer can advance CURRENT between the match and the
+    * read, and `vacuum(keepVersions)` can then delete the matched
+    * version's files; resolving by meta and reading that exact
+    * version makes the miss explicit (None) instead of a torn view. */
+  def versionWithMeta(dir: String, meta: String): Option[Int] =
+    currentVersion(dir).flatMap { cur =>
+      (cur to 0 by -1).find { v =>
+        metaOf(dir, v).contains(meta) &&
+          Files.exists(versionsDir(dir).resolve(f"v$v%05d.manifest"))
+      }
+    }
+
   private def manifestFiles(dir: String, v: Int): Seq[String] =
     Files.readAllLines(versionsDir(dir).resolve(f"v$v%05d.manifest"))
       .asScala.toSeq.filter(_.nonEmpty)
@@ -117,6 +133,39 @@ object SnapshotTable {
     * order, leaving it on the lower of two fully-committed versions
     * — every manifest is still intact and readable by version, which
     * is the no-corruption property this guard exists for. */
+  /** How old an orphaned manifest PAST CURRENT must be before a
+    * colliding commit may reclaim its version number. A crash between
+    * the manifest CREATE_NEW and the CURRENT swap leaves an orphan
+    * that permanently claims that version — without reclamation every
+    * later commit (pinned or not) throws forever and the table is
+    * bricked (round-14 advice). But a manifest past CURRENT is ALSO
+    * what an in-flight concurrent commit looks like for the
+    * milliseconds between its CREATE_NEW and its pointer swap, so
+    * only a STALE orphan is reclaimed: in-flight commits finish in
+    * milliseconds, crashed ones stay orphaned forever. */
+  private[warehouse] val OrphanGraceMs = 5000L
+
+  /** Reclaim a crashed commit's orphaned manifest+meta at version
+    * `v` (see OrphanGraceMs). True = reclaimed, caller may retry the
+    * same version. Orphans past CURRENT were never published
+    * (committedMetas' own rule), so deleting them loses nothing a
+    * reader could ever have seen. */
+  private def reclaimOrphan(dir: String, v: Int): Boolean = {
+    val vd = versionsDir(dir)
+    val man = vd.resolve(f"v$v%05d.manifest")
+    try {
+      val cur = currentVersion(dir).getOrElse(-1)
+      if (v <= cur || !Files.exists(man)) false
+      else if (System.currentTimeMillis() -
+          Files.getLastModifiedTime(man).toMillis < OrphanGraceMs) false
+      else {
+        Files.deleteIfExists(vd.resolve(f"v$v%05d.meta"))
+        Files.delete(man)
+        true
+      }
+    } catch { case _: java.nio.file.NoSuchFileException => false }
+  }
+
   private def commit(dir: String, files: Seq[String],
       meta: Option[String] = None,
       retryOnCollision: Boolean = false,
@@ -125,6 +174,7 @@ object SnapshotTable {
     Files.createDirectories(vd)
     val maxRetries = 20
     var attempt = 0
+    var reclaims = 0
     while (true) {
       // a PINNED commit claims exactly the caller's expected next
       // version (optimistic CAS — see overwriteFrom); an interleaved
@@ -154,21 +204,30 @@ object SnapshotTable {
         return v
       } catch {
         case e: java.nio.file.FileAlreadyExistsException =>
-          if (!retryOnCollision)
-            throw new IllegalStateException(
-              s"concurrent commit collision on $dir at version $v — " +
-              "this commit's file list was derived from a version that " +
-              "is no longer CURRENT (retrying would lose the winning " +
-              "commit's rows); this table is single-writer, coordinate " +
-              "writers externally", e)
-          if (attempt >= maxRetries)
-            throw new IllegalStateException(
-              s"concurrent commits to $dir exceeded $maxRetries version " +
-              "collisions — this table is single-writer; coordinate " +
-              "writers externally", e)
-          attempt += 1
-          // the winner is mid-commit; give its CURRENT swap a beat
-          Thread.sleep(20L * attempt)
+          // a STALE manifest past CURRENT is a crashed commit's orphan
+          // (never published) — reclaim it and retry the SAME version,
+          // for pinned and unpinned commits alike; a fresh one is an
+          // in-flight concurrent commit and falls through to the
+          // single-writer collision handling below
+          if (reclaims < 3 && reclaimOrphan(dir, v)) {
+            reclaims += 1 // retry the same version immediately
+          } else {
+            if (!retryOnCollision)
+              throw new IllegalStateException(
+                s"concurrent commit collision on $dir at version $v — " +
+                "this commit's file list was derived from a version that " +
+                "is no longer CURRENT (retrying would lose the winning " +
+                "commit's rows); this table is single-writer, coordinate " +
+                "writers externally", e)
+            if (attempt >= maxRetries)
+              throw new IllegalStateException(
+                s"concurrent commits to $dir exceeded $maxRetries version " +
+                "collisions — this table is single-writer; coordinate " +
+                "writers externally", e)
+            attempt += 1
+            // the winner is mid-commit; give its CURRENT swap a beat
+            Thread.sleep(20L * attempt)
+          }
       }
     }
     -1 // unreachable
