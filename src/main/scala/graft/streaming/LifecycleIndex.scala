@@ -99,9 +99,21 @@ object LifecycleIndex {
     * (only compacts it to one distinct file). In a production
     * deployment the fold would instead push these into the vector
     * table's own delete vectors at compaction — with a read-only
-    * corpus the index carries them. O(|D_total|) single-id rows;
-    * re-inserting a retired id is not modeled (the reference
-    * lifecycle has no re-insert either). */
+    * corpus the index carries them. O(|D_total|) single-id rows.
+    *
+    * RE-INSERT SEMANTICS (round-15, previously unmodeled): a retired
+    * id arriving in a later insert epoch is ACCEPTED at intake and
+    * stays retired — DELETE-WINS SET SEMANTICS, the only rule
+    * consistent with the index's order-independence contract: the
+    * drained state is a pure function of (corpus, insert set, delete
+    * set), so a cross-stream arrival-order rule (latest-wins) would
+    * make two interleavings of the same epochs drain differently,
+    * breaking the spec-pinned v27 equivalence (and the two streams
+    * share no ordering a latest-wins rule could even be defined on).
+    * The epoch's edges commit normally and are pruned at read time;
+    * search never returns the id (spec-pinned). Genuine re-ingest is
+    * an explicit OPERATOR action: [[unretire]] + a fresh insert
+    * epoch. */
   def retiredTab(indexDir: String): String = s"$indexDir/retired"
 
   /** The search's materialized maintained graph (see [[search]]). */
@@ -132,15 +144,18 @@ object LifecycleIndex {
 
   private val CutRe = "@ins=(-?\\d+),del=(-?\\d+)$".r
 
-  /** The FOLD CUT recorded by the base version `vB`'s commit meta —
-    * the (ins, del) delta-table versions whose content that base
-    * already folded (−1 = the table did not exist at fold time).
-    * None for a bootstrapped or inferred base. */
+  /** The FOLD CUT recorded by the base version `vB`'s commit meta:
+    * (the full marker string, ins cut version, del cut version) —
+    * the delta-table versions whose content that base already folded
+    * (−1 = the table did not exist at fold time). The marker string
+    * is what the fold's delta RESTART commits carry as THEIR meta,
+    * which is how a reader detects the restart landed (see
+    * [[insertEdgesAt]]). None for a bootstrapped or inferred base. */
   private def foldCutAt(indexDir: String,
-      vB: Option[Int]): Option[(Int, Int)] =
+      vB: Option[Int]): Option[(String, Int, Int)] =
     vB.flatMap(v => SnapshotTable.metaOf(baseTab(indexDir), v))
       .flatMap(m => CutRe.findFirstMatchIn(m)
-        .map(mm => (mm.group(1).toInt, mm.group(2).toInt)))
+        .map(mm => (m, mm.group(1).toInt, mm.group(2).toInt)))
 
   private def projIns(df: DataFrame): DataFrame =
     df.select(col("query_id").as("vec_id"), col("neighbor_id"))
@@ -150,33 +165,48 @@ object LifecycleIndex {
 
   /** Streamed-insert edges BEYOND the base's fold cut, as
     * (vec_id, neighbor_id), pinned to edges-table version `vI`.
-    * After a completed fold the current delta is disjoint from the
-    * folded prefix, so the subtraction is a content no-op; in the
-    * fold's crash window (base folded, deltas not yet restarted) it
-    * is what keeps reads and later folds exact. */
+    *
+    * The prefix subtraction is applied ONLY inside the fold's crash
+    * window (round-14 verdict 4 / advice: the first cut paid an
+    * `except` — a full scan + distinct-shuffle of the folded prefix —
+    * on EVERY post-fold read forever, and pinned the pre-fold
+    * manifest against vacuum). Detection is by the fold's own
+    * protocol: the delta RESTART commits at version cut+1 carrying
+    * the base's fold marker as its meta, so
+    *   - restart landed (healthy post-fold index): the current delta
+    *     holds only post-restart appends — read it directly;
+    *   - pinned at the cut itself: the delta beyond the cut is empty
+    *     by definition — no scan at all;
+    *   - crash window (versions past the cut whose restart never
+    *     committed): subtract the folded prefix, the exactness rule. */
   private def insertEdgesAt(spark: SparkSession, indexDir: String,
-      vI: Option[Int], cut: Option[(Int, Int)]): Option[DataFrame] =
-    vI.map { v =>
-      val all = projIns(SnapshotTable.read(spark, edgesTab(indexDir), v))
-      cut match {
-        case Some((ci, _)) if ci >= 0 =>
-          all.except(projIns(
-            SnapshotTable.read(spark, edgesTab(indexDir), ci)))
-        case _ => all
-      }
-    }
+      vI: Option[Int], cut: Option[(String, Int, Int)]): Option[DataFrame] =
+    deltaBeyondCut(spark, edgesTab(indexDir), vI,
+      cut.map { case (m, ci, _) => (m, ci) }, projIns)
 
   /** Tombstones BEYOND the base's fold cut as one `del_id` column,
     * pinned to delete-table version `vD` (see [[insertEdgesAt]]). */
   private def tombstonesAt(spark: SparkSession, indexDir: String,
-      vD: Option[Int], cut: Option[(Int, Int)]): Option[DataFrame] =
-    vD.map { v =>
-      val all = projDel(SnapshotTable.read(spark, delTab(indexDir), v))
+      vD: Option[Int], cut: Option[(String, Int, Int)]): Option[DataFrame] =
+    deltaBeyondCut(spark, delTab(indexDir), vD,
+      cut.map { case (m, _, cd) => (m, cd) }, projDel)
+
+  private def deltaBeyondCut(spark: SparkSession, tab: String,
+      vCur: Option[Int], cut: Option[(String, Int)],
+      proj: DataFrame => DataFrame): Option[DataFrame] =
+    vCur.map { v =>
+      val all = proj(SnapshotTable.read(spark, tab, v))
       cut match {
-        case Some((_, cd)) if cd >= 0 =>
-          all.except(projDel(
-            SnapshotTable.read(spark, delTab(indexDir), cd)))
-        case _ => all
+        case Some((_, c)) if c >= 0 && v == c =>
+          // pinned AT the cut: nothing beyond it — skip the scan too
+          all.limit(0)
+        case Some((marker, c)) if c >= 0 &&
+            !SnapshotTable.metaOf(tab, c + 1).contains(marker) =>
+          // crash window: the restart at cut+1 never committed (the
+          // version either does not exist or is a post-abort epoch's
+          // append) — subtract the folded prefix for exactness
+          all.except(proj(SnapshotTable.read(spark, tab, c)))
+        case _ => all // no cut, or the restart landed: read directly
       }
     }
 
@@ -343,16 +373,33 @@ object LifecycleIndex {
         Seq("vec_id"), "left_anti"))
       .getOrElse(nAll)
     val sTab = servingTab(indexDir)
-    if (!SnapshotTable.currentMeta(sTab).contains(verTag)) {
-      SnapshotTable.overwrite(spark,
+    // PINNED serving read (round-14 advice): resolve the serving
+    // version whose meta equals THIS search's verTag and read exactly
+    // it — reading CURRENT would let a concurrent search for a newer
+    // index state overwrite serving/ between the tag match and the
+    // read (walking the newer graph against the older pinned retired
+    // filter: a torn view), and its vacuum(keepVersions=2) could
+    // delete the files a slower in-flight search was about to adopt
+    // after two quick state advances. A missing/vacuumed match is a
+    // cache miss: rematerialize under the same tag and pin to the
+    // returned version.
+    def materialize(): Int = {
+      val v = SnapshotTable.overwrite(spark,
         maintainedAt(spark, d, indexDir, vB, vI, vD), sTab,
         Some(verTag))
       // bound the serving table's disk to the last 2 states (2, not
       // 1, so an in-flight reader of the previous state survives)
       SnapshotTable.vacuum(sTab, keepVersions = 2)
+      v
     }
-    val gd = SnapshotTable.read(spark, sTab)
-      .select(col("vec_id"), col("neighbor_id"))
+    val sv = SnapshotTable.versionWithMeta(sTab, verTag)
+      .getOrElse(materialize())
+    val gd = (try SnapshotTable.read(spark, sTab, sv)
+      catch {
+        // the matched version raced a newer search's vacuum between
+        // resolve and read — rematerialize and pin to OUR commit
+        case _: Exception => SnapshotTable.read(spark, sTab, materialize())
+      }).select(col("vec_id"), col("neighbor_id"))
     val ck = spark.sparkContext.applicationId + "|" + indexDir
     val cents = centsCache.compute(ck, (_, old) =>
       if (old != null && old._1 == verTag) old
@@ -377,9 +424,47 @@ object LifecycleIndex {
         m.startsWith("del:batch=") || m.startsWith("ins:batch="))
     val m = vDel.flatMap(_ => lastEpochMeta(dTab))
       .orElse(vIns.flatMap(_ => lastEpochMeta(eTab)))
+    // BASE-PROVENANCE tag (round-14 advice): a fold on a
+    // never-bootstrapped index with NO committed insert epochs bakes
+    // the INFERRED full-corpus base (v23's delete-only rule) into
+    // base/ — a base no insert epoch's walk ever targeted. Stamp the
+    // inference in the marker (and propagate it through later folds
+    // of the same poisoned base) so requireInsertCompatibleBase can
+    // reject insert epochs loudly instead of silently diverging from
+    // v27's composed rule. bootstrap() cures it: its overwrite
+    // replaces the meta.
+    val inferredFull =
+      (SnapshotTable.currentVersionOf(baseTab(indexDir)), vIns) match {
+        case (None, None) => true
+        case (Some(vb), _) => SnapshotTable.metaOf(baseTab(indexDir), vb)
+          .exists(_.contains(InferredFullTag))
+        case _ => false
+      }
     if (vIns.isEmpty && vDel.isEmpty) None
     else Some(s"folded-${m.getOrElse("none")}" +
+      (if (inferredFull) InferredFullTag else "") +
       s"@ins=${vIns.getOrElse(-1)},del=${vDel.getOrElse(-1)}")
+  }
+
+  private[graft] val InferredFullTag = "#base=inferred-full"
+
+  /** Loud guard for the round-14 advice hazard: an un-bootstrapped
+    * delete-only index whose auto-fold baked the INFERRED full-corpus
+    * base into `base/` must not accept insert epochs — their walk
+    * targeted the insert-free graph, so composing them against the
+    * full-corpus base silently diverges from v27's rule (the class
+    * doc's acknowledged hazard, previously unenforced). Called by
+    * StreamingGraphInsert.insertEpoch before any work. */
+  def requireInsertCompatibleBase(indexDir: String): Unit = {
+    val poisoned = SnapshotTable.currentVersionOf(baseTab(indexDir))
+      .flatMap(v => SnapshotTable.metaOf(baseTab(indexDir), v))
+      .exists(_.contains(InferredFullTag))
+    require(!poisoned,
+      s"the committed base of index $indexDir was INFERRED from the " +
+      "full corpus by a delete-only fold — insert epochs would compose " +
+      "against a base their walk never targeted; bootstrap() the index " +
+      "with the insert-free base graph (or start a fresh index) before " +
+      "inserting")
   }
 
   /** TOMBSTONE FOLD — the compaction bounding read-time repair cost:
@@ -459,6 +544,33 @@ object LifecycleIndex {
     restartDeltas()
     compactRetired(spark, indexDir)
     ()
+  }
+
+  /** UN-RETIRE — the explicit administrative verb for genuine
+    * re-ingest (see [[retiredTab]]'s delete-wins contract: a retired
+    * id in an insert batch stays dead, by design; resurrecting one is
+    * an OPERATOR decision, not an arrival-order accident). Removes
+    * `ids` (one `vec_id` column, require()-bounded driver-side
+    * nowhere — all joins) from BOTH the cumulative retired set and
+    * the tombstone repair delta via pinned CAS overwrites, so a
+    * racing epoch makes it throw with nothing clobbered rather than
+    * losing the epoch's rows. O(|retired| + |delta|) rewrite —
+    * administrative-path cost, never the epoch hot path. The ids'
+    * pre-retirement base edges are gone if a fold pruned them, so a
+    * resurrection is completed by a NORMAL insert epoch re-linking
+    * the vectors (exactly a fresh insert — which is what a re-ingest
+    * is). Run in a quiet window, like the fold. */
+  def unretire(spark: SparkSession, indexDir: String,
+      ids: DataFrame): Unit = {
+    val keep = ids.select(col("vec_id")).distinct()
+    for (tab <- Seq(retiredTab(indexDir), delTab(indexDir))) {
+      SnapshotTable.currentVersionOf(tab).foreach { v =>
+        SnapshotTable.overwriteFrom(spark,
+          SnapshotTable.read(spark, tab, v).select("vec_id")
+            .join(keep, Seq("vec_id"), "left_anti").repartition(1),
+          tab, Some(v), Some("unretire"))
+      }
+    }
   }
 
   /** Best-effort retired-set compaction, run at fold time: the

@@ -108,6 +108,12 @@ object StreamingGraphInsert {
     val ledgerLine = s"ins:batch=$batchId"
     if (SnapshotTable.currentMeta(tab).contains(ledgerLine) ||
         SnapshotTable.committedMetas(tab).contains(ledgerLine)) return
+    // round-14 advice: refuse to compose against a base a delete-only
+    // auto-fold INFERRED from the full corpus — this walk targets the
+    // insert-free graph, and baking its edges onto the wrong base
+    // would silently diverge from v27's rule (fail loudly instead;
+    // bootstrap() cures the index)
+    LifecycleIndex.requireInsertCompatibleBase(indexDir)
     val n = batch.limit(EpochCap + 1).count()
     if (n == 0) return
     require(n <= EpochCap,
