@@ -16,7 +16,8 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     RelationalQueries.all ++ BoatraceQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ StreamQueries.all ++
-      MediaQueries.all ++ SamplingQueries.all ++ QualityQueries.all
+      MediaQueries.all ++ SamplingQueries.all ++ QualityQueries.all ++
+      ServingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A 3-way join + grouped aggregate — exercises scan, pushdown,

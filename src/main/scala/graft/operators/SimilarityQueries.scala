@@ -27,7 +27,7 @@ import graft.plans.GraftExtensions
   */
 object SimilarityQueries {
 
-  private val Q = 20 // query set = vec_id < 20
+  private[graft] val Q = 20 // query set = vec_id < 20
   // ScaleCheck's per-copy key shift: ids below it are copy 0, the
   // fixture's original rows. Bounded query/batch sets pin to copy 0
   // (vec_id < ScaleShift) so they stay CONSTANT while a scaled
@@ -623,7 +623,13 @@ object SimilarityQueries {
     * query set walks the maintained graph (prefix `s`). What a
     * production index looks like after both maintenance verbs have
     * run, recomputed exactly. */
-  private def v27Sql: String = {
+  private def v27Sql: String = lifecycleSearchSql(v27Knobs.get())
+
+  /** v27's composed statement with the SEARCH walk's knobs as a
+    * parameter — shared with v28 (the streaming-serving entry), whose
+    * drained index state is spec-identical to the batch rule but
+    * whose search records its own knobs (LifecycleIndex.searchKnobs). */
+  private[graft] def lifecycleSearchSql(searchKnobs: (Int, Int)): String = {
     val insPred = s"vec_id % 89 = 0 AND vec_id < $ScaleShift"
     val delPred = s"vec_id % 97 = 0 AND vec_id < $ScaleShift"
     val (ictes, iFin) = walkCtes("i",
@@ -631,7 +637,7 @@ object SimilarityQueries {
       v21Knobs.get())
     val (sctes, sFin) = walkCtes("s",
       s"q.vec_id < $Q AND NOT (q.vec_id % 97 = 0 AND q.vec_id < $ScaleShift)",
-      "bd", "g", v27Knobs.get())
+      "bd", "g", searchKnobs)
     s"""WITH n AS MATERIALIZED ($quantizedSql),
        |ib AS MATERIALIZED (SELECT * FROM n WHERE NOT ($insPred)),
        |igd AS MATERIALIZED (${knnGdSql("ib")}),
@@ -2218,7 +2224,7 @@ object SimilarityQueries {
 
   /** v23's delete batch: every 97th vec_id, pinned to copy 0 —
     * same bounded-batch contract as v21's inserts. */
-  private def v23DeleteFilter: Column =
+  private[graft] def v23DeleteFilter: Column =
     pmod(col("vec_id"), lit(97)) === 0 && col("vec_id") < ScaleShift
 
   /** The DELETE-REPAIRED graph: the committed full graph (v13's
@@ -2458,7 +2464,7 @@ object SimilarityQueries {
   /** v21/v22's insert batch: every 89th vec_id, pinned to copy 0 of
     * any scaled corpus (vec_id < ScaleShift) so the batch stays
     * constant while the searchable base grows. */
-  private def v21BatchFilter: Column =
+  private[graft] def v21BatchFilter: Column =
     pmod(col("vec_id"), lit(89)) === 0 && col("vec_id") < ScaleShift
 
   /** The POST-INSERT graph: the committed base (insert-free) k-NN
