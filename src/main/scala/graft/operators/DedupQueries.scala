@@ -972,25 +972,38 @@ object DedupQueries {
     // tokens. At 100 TB the gram key would be a 64-bit fingerprint
     // (xxhash64) to cut shuffle width ~5×; the string key here
     // keeps the oracle bit-exact.
-    // EDIT-DISTANCE NEAR-DUP (round 13) — the fuzzy-string matcher a
-    // catalog/title dedup runs, complementing the set-based detectors
-    // (d02 token sets, d03/d07 hashed profiles, d04 shingles): a
-    // one-character typo defeats exact and shingle equality but is
-    // edit distance 1. Keys are short derived titles (first 4
-    // tokens), candidates come from PassJoin-style SEGMENT blocking —
-    // each title splits into 3 equal-position segments and a pair is
-    // a candidate iff some segment matches exactly at the same index
-    // (pigeonhole: ≤2 substitutions cannot touch all 3 segments, so
-    // substitution-distance ≤2 pairs are found with certainty;
-    // insertions that shift segment boundaries can escape, the
-    // documented approximation — the oracle runs the identical
-    // algorithm). Exact Levenshtein (both engines' builtin, the
-    // standard DP) verifies candidates at threshold 3.
-    // Scale: 3 keys per doc explode linearly; the shuffle is keyed on
-    // (segment_idx, segment, length-bucket) — d02's band-join shape,
-    // never the pair space. A hot segment (shared boilerplate
-    // prefix) is the skew risk; the production lever is the same
-    // salt-split d02 documents for band skew.
+    // EDIT-DISTANCE NEAR-DUP (round 13; EXACT per PassJoin since
+    // round 15) — the fuzzy-string matcher a catalog/title dedup
+    // runs, complementing the set-based detectors (d02 token sets,
+    // d03/d07 hashed profiles, d04 shingles): a one-character typo
+    // defeats exact and shingle equality but is edit distance 1.
+    // Keys are short derived titles (first 4 tokens); candidates
+    // come from PassJoin segment blocking, now with the full
+    // position-shifted probe (round-14 verdict 3 closed the carried
+    // approximation — the old 3-equal-position-segment rule was
+    // exact for ≤2 substitutions but boundary-shifting INSERTIONS
+    // could escape candidate generation):
+    //   - SEGMENT side: every title of length m splits into τ+1 = 4
+    //     balanced segments (pigeonhole: ≤3 edits touch ≤3 of them,
+    //     so one survives verbatim);
+    //   - PROBE side: every title of length l emits, for each
+    //     possible SHORTER partner length m ∈ [l−3, l] (m ≥ 9), each
+    //     segment index's substrings of the partner's segment LENGTH
+    //     at start positions within ±3 of the partner's segment
+    //     position (an unedited segment's occurrence shifts by at
+    //     most the number of edits before it, ≤ τ = 3);
+    //   - candidate iff (partner_len, seg_idx, segment) matches —
+    //     guaranteed to fire for every pair at edit distance ≤ 3,
+    //     spec-pinned against brute force with planted
+    //     insertion/deletion/substitution typos (Round13Spec).
+    // Exact Levenshtein (both engines' builtin) verifies candidates
+    // at threshold 3; the oracle runs the identical rule.
+    // Scale: ≤ 4 + 4·4·7 keys per doc — linear explode, constant
+    // factor ~30× the old 3-key rule but still NEVER the pair space;
+    // the shuffle is keyed on (partner_len, seg_idx, segment), d02's
+    // band-join shape. A hot segment (shared boilerplate prefix) is
+    // the skew risk; the production lever is the same salt-split d02
+    // documents for band skew.
     QueryDef(
       "d18_editdistance_neardup",
       """WITH t AS (SELECT doc_id,
@@ -998,23 +1011,39 @@ object DedupQueries {
         |              string_split_regex(trim(text), '\s+'), 1, 4), ' ')
         |              AS title
         |          FROM documents),
-        |tt AS (SELECT doc_id, title, length(title) AS len,
-        |              length(title) // 3 AS dv
-        |       FROM t WHERE length(title) >= 9),
-        |segs AS (
-        |  SELECT doc_id, title, len, 1 AS i, substr(title, 1, dv) AS seg
-        |  FROM tt
-        |  UNION ALL
-        |  SELECT doc_id, title, len, 2, substr(title, dv + 1, dv) FROM tt
-        |  UNION ALL
-        |  SELECT doc_id, title, len, 3, substr(title, 2 * dv + 1,
-        |    len - 2 * dv) FROM tt),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |                a.title AS title_a, b.title AS title_b
-        |         FROM segs a JOIN segs b
-        |           ON a.i = b.i AND a.seg = b.seg
-        |          AND a.len // 8 = b.len // 8
-        |          AND a.doc_id < b.doc_id)
+        |tt AS (SELECT doc_id, title, length(title) AS len FROM t
+        |       WHERE length(title) >= 9),
+        |seg AS (SELECT doc_id, title, len AS m, i,
+        |          substr(title,
+        |            (i - 1) * (len // 4)
+        |              + greatest(0, (i - 1) - (4 - len % 4)) + 1,
+        |            (len // 4)
+        |              + (CASE WHEN i > 4 - len % 4 THEN 1 ELSE 0 END))
+        |            AS seg
+        |        FROM tt, generate_series(1, 4) g(i)),
+        |sx AS (SELECT doc_id, title, len, len - dl AS m, i,
+        |         ((len - dl) // 4)
+        |           + (CASE WHEN i > 4 - (len - dl) % 4
+        |              THEN 1 ELSE 0 END) AS li,
+        |         (i - 1) * ((len - dl) // 4)
+        |           + greatest(0, (i - 1) - (4 - (len - dl) % 4)) + 1 AS pi
+        |       FROM tt, generate_series(0, 3) gd(dl),
+        |            generate_series(1, 4) gi(i)
+        |       WHERE len - dl >= 9),
+        |sub AS (SELECT doc_id, title, m, i, substr(title, w, li) AS seg
+        |        FROM (SELECT *, unnest(range(greatest(1, pi - 3),
+        |                 least(len - li + 1, pi + 3) + 1)) AS w
+        |              FROM sx) u),
+        |cand AS (SELECT DISTINCT
+        |           least(a.doc_id, b.doc_id) AS doc_a,
+        |           greatest(a.doc_id, b.doc_id) AS doc_b,
+        |           CASE WHEN a.doc_id < b.doc_id THEN a.title
+        |                ELSE b.title END AS title_a,
+        |           CASE WHEN a.doc_id < b.doc_id THEN b.title
+        |                ELSE a.title END AS title_b
+        |         FROM seg a JOIN sub b
+        |           ON a.m = b.m AND a.i = b.i AND a.seg = b.seg
+        |          AND a.doc_id <> b.doc_id)
         |SELECT doc_a, doc_b,
         |       CAST(levenshtein(title_a, title_b) AS INT) AS edit_dist
         |FROM cand WHERE levenshtein(title_a, title_b) <= 3
@@ -1025,27 +1054,48 @@ object DedupQueries {
             .as("title"))
         .withColumn("len", length(col("title")))
         .filter(col("len") >= 9)
-        .withColumn("dv", expr("len div 3"))
-      val segs = t.select(col("doc_id"), col("title"), col("len"),
-          explode(array(
-            struct(lit(1).as("i"),
-              expr("substr(title, 1, dv)").as("seg")),
-            struct(lit(2).as("i"),
-              expr("substr(title, dv + 1, dv)").as("seg")),
-            struct(lit(3).as("i"),
-              expr("substr(title, 2 * dv + 1, len - 2 * dv)").as("seg"))))
-            .as("sg"))
-        .select(col("doc_id"), col("title"), col("len"),
-          col("sg.i").as("i"), col("sg.seg").as("seg"))
-      val a = segs.select(col("doc_id").as("doc_a"),
-        col("title").as("title_a"), col("i"), col("seg"),
-        expr("len div 8").as("lb"))
-      val b = segs.select(col("doc_id").as("doc_b"),
-        col("title").as("title_b"), col("i"), col("seg"),
-        expr("len div 8").as("lb"))
-      a.join(b, Seq("i", "seg", "lb"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "title_a", "title_b").distinct()
+      // τ+1 = 4 balanced segments: segment i (1-based) of an
+      // m-char string has length base + (i > 4 − rem ? 1 : 0) and
+      // the closed-form start below (the last `rem` segments carry
+      // the remainder) — the SAME arithmetic on both sides and in
+      // the oracle, or the join keys silently diverge
+      val segSide = t
+        .withColumn("i", explode(sequence(lit(1), lit(4))))
+        .select(col("doc_id").as("sdoc"), col("title").as("stitle"),
+          col("len").as("m"), col("i"),
+          expr("""substr(title,
+                    (i - 1) * (len div 4)
+                      + greatest(0, (i - 1) - (4 - len % 4)) + 1,
+                    (len div 4)
+                      + (case when i > 4 - len % 4 then 1 else 0 end))""")
+            .as("seg"))
+      val subSide = t
+        .withColumn("dl", explode(sequence(lit(0), lit(3))))
+        .withColumn("m", col("len") - col("dl"))
+        .filter(col("m") >= 9)
+        .withColumn("i", explode(sequence(lit(1), lit(4))))
+        .withColumn("li",
+          expr("(m div 4) + (case when i > 4 - m % 4 then 1 else 0 end)"))
+        .withColumn("pi",
+          expr("(i - 1) * (m div 4) + greatest(0, (i - 1) - (4 - m % 4)) + 1"))
+        .withColumn("lo", expr("greatest(1, pi - 3)"))
+        .withColumn("hi", expr("least(len - li + 1, pi + 3)"))
+        // sequence(lo, hi) DESCENDS when lo > hi — guard, never wrap
+        .filter(col("lo") <= col("hi"))
+        .withColumn("w", explode(expr("sequence(lo, hi)")))
+        .select(col("doc_id").as("ldoc"), col("title").as("ltitle"),
+          col("m"), col("i"), expr("substr(title, w, li)").as("seg"))
+      val cand = segSide.join(subSide, Seq("m", "i", "seg"))
+        .filter(col("sdoc") =!= col("ldoc"))
+        .select(
+          least(col("sdoc"), col("ldoc")).as("doc_a"),
+          greatest(col("sdoc"), col("ldoc")).as("doc_b"),
+          when(col("sdoc") < col("ldoc"), col("stitle"))
+            .otherwise(col("ltitle")).as("title_a"),
+          when(col("sdoc") < col("ldoc"), col("ltitle"))
+            .otherwise(col("stitle")).as("title_b"))
+        .distinct()
+      cand
         .withColumn("edit_dist",
           levenshtein(col("title_a"), col("title_b")))
         .filter(col("edit_dist") <= 3)
