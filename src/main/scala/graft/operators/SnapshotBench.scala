@@ -87,8 +87,46 @@ object SnapshotBench {
         println(f"SNAPBENCH $q $mode round$round $t%.2f s")
       }
     }
+    // round 15 (round-14 verdict stretch): the SERVING cache's
+    // cold-vs-warm asymmetry joins the adopt gate. A live index's
+    // first search after an epoch pays the maintained-graph
+    // materialization into serving/ plus the centroid aggregation
+    // (the one data-sized serving cost); repeats adopt both,
+    // content-addressed by the index version tag. Stamping
+    // cold = rebuild_sec / warm = adopt_sec puts a serving-cache
+    // regression (warm collapsing to cold — e.g. a tag or pinning
+    // bug forcing rematerialization per search) under the same
+    // >2x-and->0.5s adopt gate as the warehouse snapshots.
+    {
+      import org.apache.spark.sql.functions._
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-snapbench-idx-").toString
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      graft.streaming.LifecycleIndex.bootstrap(spark, idx,
+        SimilarityQueries.insertFreeBaseGraph(spark, sfDir))
+      graft.streaming.StreamingGraphInsert.insertEpoch(spark,
+        emb.filter(SimilarityQueries.v21BatchFilter)
+          .select("vec_id", "embedding", "label"), sfDir, idx, 0L)
+      graft.streaming.StreamingGraphDelete.deleteEpoch(spark,
+        emb.filter(SimilarityQueries.v23DeleteFilter)
+          .select("vec_id"), sfDir, idx, 0L)
+      val qs = emb.filter(col("vec_id") < 20 &&
+          !SimilarityQueries.v23DeleteFilter)
+        .select("vec_id", "embedding")
+      def t(): Double = {
+        val t0 = System.nanoTime()
+        graft.streaming.LifecycleIndex.search(spark, sfDir, idx, qs)
+          .write.format("noop").mode("overwrite").save()
+        graft.PersistRegistry.release()
+        (System.nanoTime() - t0) / 1e9
+      }
+      rebuild("serving_search") = t() // cold: materialize + centroids
+      adopt("serving_search") = math.min(t(), t()) // warm: adopt both
+      println(f"SNAPBENCH serving_search cold ${rebuild("serving_search")}%.2f s warm ${adopt("serving_search")}%.2f s")
+    }
+    val rows = consumers :+ "serving_search"
     println(f"${"query"}%-22s ${"rebuild"}%8s ${"adopt"}%8s ${"saved"}%7s")
-    for (q <- consumers) {
+    for (q <- rows) {
       val (r, a) = (rebuild(q), adopt(q))
       println(f"$q%-22s $r%8.2f $a%8.2f ${r - a}%6.2fs")
     }
@@ -124,7 +162,7 @@ object SnapshotBench {
         } else Map.empty[String, Double]
       } catch { case _: Throwable => Map.empty[String, Double] }
     }.getOrElse(Map.empty)
-    val adoptRegs = consumers.flatMap { q =>
+    val adoptRegs = rows.flatMap { q =>
       prior.get(q).collect {
         case p if graft.BenchGate.regressed(p, adopt(q)) => (q, p, adopt(q))
       }
@@ -135,7 +173,7 @@ object SnapshotBench {
         adoptRegs.map { case (q, p, c) => f"$q ($p%.2fs -> $c%.2fs)" }
           .mkString(", "))
     outPath.foreach { p =>
-      val qj = consumers.map { q =>
+      val qj = rows.map { q =>
         f""""$q":{"rebuild_sec":${rebuild(q)}%.3f,"adopt_sec":${adopt(q)}%.3f,"saved_sec":${rebuild(q) - adopt(q)}%.3f}"""
       }.mkString("{", ",", "}")
       val rj = adoptRegs.map { case (q, pr, c) =>
