@@ -1083,19 +1083,41 @@ object DedupQueries {
         // sequence(lo, hi) DESCENDS when lo > hi — guard, never wrap
         .filter(col("lo") <= col("hi"))
         .withColumn("w", explode(expr("sequence(lo, hi)")))
-        .select(col("doc_id").as("ldoc"), col("title").as("ltitle"),
+        // multi-match-aware tightening (PassJoin's substring
+        // selection, output-invariant): an untouched segment's shift
+        // Δ = w − pi needs ≥ |Δ| edits before it and ≥ |δ − Δ| after
+        // it (the suffix length gap), so |Δ| + |δ − Δ| ≤ τ — halves
+        // the probe rows vs the plain ±τ window (δ = 0 keeps 3 of 7
+        // starts). The oracle keeps the loose window: candidate sets
+        // differ, the verified ed ≤ 3 OUTPUT cannot
+        .filter(expr("abs(w - pi) + abs(dl - (w - pi)) <= 3"))
+        .select(col("doc_id").as("ldoc"),
           col("m"), col("i"), expr("substr(title, w, li)").as("seg"))
-      val cand = segSide.join(subSide, Seq("m", "i", "seg"))
-        .filter(col("sdoc") =!= col("ldoc"))
-        .select(
-          least(col("sdoc"), col("ldoc")).as("doc_a"),
-          greatest(col("sdoc"), col("ldoc")).as("doc_b"),
-          when(col("sdoc") < col("ldoc"), col("stitle"))
-            .otherwise(col("ltitle")).as("title_a"),
-          when(col("sdoc") < col("ldoc"), col("ltitle"))
-            .otherwise(col("stitle")).as("title_b"))
+        // overlapping shift windows re-derive the same substring —
+        // collapse before the join, not after the pair blow-up
         .distinct()
-      cand
+      // the join key is INTERNAL (only pairs reach the output), so
+      // hash (m, i, seg) to one 64-bit key: ~5x narrower shuffle than
+      // the string segment, and collisions are SAFE — equal keys
+      // still hash equal (no candidate lost), and a spurious
+      // colliding candidate is dropped by the exact Levenshtein
+      // filter below, leaving the output (and the oracle match)
+      // bit-identical
+      def keyed(df: org.apache.spark.sql.DataFrame, doc: String) =
+        df.select(col(doc),
+          xxhash64(col("m"), col("i"), col("seg")).as("k"))
+      val pairs = keyed(segSide, "sdoc").join(keyed(subSide, "ldoc"), "k")
+        .filter(col("sdoc") =!= col("ldoc"))
+        .select(least(col("sdoc"), col("ldoc")).as("doc_a"),
+          greatest(col("sdoc"), col("ldoc")).as("doc_b"))
+        // id-only dedupe (16-byte rows); titles rejoin AFTER the
+        // pair space has collapsed to its distinct survivors
+        .distinct()
+      pairs
+        .join(t.select(col("doc_id").as("doc_a"),
+          col("title").as("title_a")), "doc_a")
+        .join(t.select(col("doc_id").as("doc_b"),
+          col("title").as("title_b")), "doc_b")
         .withColumn("edit_dist",
           levenshtein(col("title_a"), col("title_b")))
         .filter(col("edit_dist") <= 3)
