@@ -412,8 +412,13 @@ object Bench {
     //                 modes both die here).
     val nextBaselines =
       if (driftAccepted)
+        // attributed trips are KNOWN load-spiked readings — a
+        // suite-level acceptance must not re-anchor them at the
+        // inflated time (they carry the prior anchor like any
+        // unaccepted trip)
         BenchGate.driftAcceptedBaselines(prevQueries, finalTimes,
-          errors.distinct.toSet, regressions.map(_._1).toSet)
+          errors.distinct.toSet,
+          (regressions ++ attributed).map(_._1).toSet)
       else BenchGate.nextBaselines(prevQueries, finalTimes,
         acceptNames & acceptedRegs.map(_._1).toSet, errors.distinct.toSet)
     val bqs = finalTimes.toSeq.sortBy(_._1)

@@ -139,7 +139,25 @@ object LifecycleIndex {
     SnapshotTable.overwrite(spark,
       base.select(col("vec_id"), col("neighbor_id")),
       baseTab(indexDir), Some("bootstrap"))
-    ()
+    // RE-BASE coherence (round 15, review-caught): bootstrapping over
+    // an EXISTING index (the inferred-base cure path, or an operator
+    // re-basing a live index) replaces a base that may have FOLDED
+    // earlier tombstones into it — and the new base meta carries no
+    // fold cut, so the restarted (empty-ish) tombstone delta would no
+    // longer prune them: re-basing would resurrect every folded
+    // deletion's edges. Reseed the delta with the CUMULATIVE retired
+    // set (prune is idempotent for ids the new base never mentions;
+    // repair over their incident edges is exactly v23's rule over the
+    // new base). A fresh index has no retired/ — no-op. The reseed
+    // preserves the per-version epoch ledger, so pre-bootstrap epochs
+    // still re-deliver as no-ops.
+    if (committed(retiredTab(indexDir))) {
+      SnapshotTable.overwrite(spark,
+        SnapshotTable.read(spark, retiredTab(indexDir))
+          .select("vec_id").distinct().repartition(1),
+        delTab(indexDir), Some("bootstrap-reseed"))
+      ()
+    }
   }
 
   private val CutRe = "@ins=(-?\\d+),del=(-?\\d+)$".r

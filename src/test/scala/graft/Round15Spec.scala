@@ -337,6 +337,16 @@ class Round15Spec extends AnyFunSuite {
     StreamingGraphInsert.insertEpoch(spark, insBatch, sf, idx, 0L)
     assert(SnapshotTable.committedMetas(LifecycleIndex.edgesTab(idx))
       .contains("ins:batch=0"))
+    // and the CURE IS COHERENT (review-caught): the replaced base had
+    // FOLDED the tombstones into itself; the fresh base contains
+    // their edges again, so bootstrap must reseed the delta from
+    // retired/ or re-basing silently resurrects every folded deletion
+    val delSet = delBatch.collect().map(_.getLong(0)).toSet
+    val maintained = LifecycleIndex.maintainedEdges(spark, sf, idx)
+      .select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!maintained.exists { case (u, w) => delSet(u) || delSet(w) },
+      "re-basing resurrected folded tombstones into the maintained graph")
     PersistRegistry.release()
   }
 
