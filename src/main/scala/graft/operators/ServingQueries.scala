@@ -41,27 +41,44 @@ object ServingQueries {
       SimilarityQueries.lifecycleSearchSql(
         LifecycleIndex.searchKnobs.get())) { (s, d) =>
       val idx = Files.createTempDirectory("graft-v28-idx-").toString
-      LifecycleIndex.bootstrap(s, idx,
-        SimilarityQueries.insertFreeBaseGraph(s, d))
-      val emb = Tables.embeddings(s, d)
-      val ins = emb.filter(SimilarityQueries.v21BatchFilter)
-        .select("vec_id", "embedding", "label")
-      val del = emb.filter(SimilarityQueries.v23DeleteFilter)
-        .select("vec_id")
-      // 3 deterministic micro-batches per stream (splitting is
-      // correctness-neutral by the order-independence contract —
-      // it exists to exercise real multi-epoch ledgers)
-      (0 until 3).foreach { i =>
-        StreamingGraphInsert.insertEpoch(s,
-          ins.filter(pmod(col("vec_id"), lit(3)) === i), d, idx, i.toLong)
-        StreamingGraphDelete.deleteEpoch(s,
-          del.filter(pmod(col("vec_id"), lit(3)) === i), d, idx, i.toLong)
-      }
-      val queries = emb
-        .filter(col("vec_id") < SimilarityQueries.Q &&
-          !SimilarityQueries.v23DeleteFilter)
-        .select("vec_id", "embedding")
-      LifecycleIndex.search(s, d, idx, queries)
+      try {
+        LifecycleIndex.bootstrap(s, idx,
+          SimilarityQueries.insertFreeBaseGraph(s, d))
+        val emb = Tables.embeddings(s, d)
+        val ins = emb.filter(SimilarityQueries.v21BatchFilter)
+          .select("vec_id", "embedding", "label")
+        val del = emb.filter(SimilarityQueries.v23DeleteFilter)
+          .select("vec_id")
+        // 3 deterministic micro-batches per stream (splitting is
+        // correctness-neutral by the order-independence contract —
+        // it exists to exercise real multi-epoch ledgers)
+        (0 until 3).foreach { i =>
+          StreamingGraphInsert.insertEpoch(s,
+            ins.filter(pmod(col("vec_id"), lit(3)) === i), d, idx, i.toLong)
+          StreamingGraphDelete.deleteEpoch(s,
+            del.filter(pmod(col("vec_id"), lit(3)) === i), d, idx, i.toLong)
+        }
+        val queries = emb
+          .filter(col("vec_id") < SimilarityQueries.Q &&
+            !SimilarityQueries.v23DeleteFilter)
+          .select("vec_id", "embedding")
+        LifecycleIndex.search(s, d, idx, queries)
+      } finally deleteRec(idx)
+      // the returned frame is driver-local (the walk collects its
+      // bounded state), so the index files are droppable BEFORE the
+      // caller evaluates it — without the cleanup every bench sweep
+      // left a full throwaway index (base + serving graph) in /tmp
     },
   )
+
+  private def deleteRec(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    if (Files.exists(root)) {
+      val s = java.nio.file.Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+  }
 }

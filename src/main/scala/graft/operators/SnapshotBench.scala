@@ -123,6 +123,14 @@ object SnapshotBench {
       rebuild("serving_search") = t() // cold: materialize + centroids
       adopt("serving_search") = math.min(t(), t()) // warm: adopt both
       println(f"SNAPBENCH serving_search cold ${rebuild("serving_search")}%.2f s warm ${adopt("serving_search")}%.2f s")
+      // drop the throwaway index (base + serving graph are data-sized)
+      val s2 = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+      try {
+        import scala.jdk.CollectionConverters._
+        s2.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally s2.close()
     }
     val rows = consumers :+ "serving_search"
     println(f"${"query"}%-22s ${"rebuild"}%8s ${"adopt"}%8s ${"saved"}%7s")

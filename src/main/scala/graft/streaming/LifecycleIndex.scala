@@ -136,6 +136,28 @@ object LifecycleIndex {
     * wrong inference in). */
   def bootstrap(spark: SparkSession, indexDir: String,
       base: DataFrame): Unit = {
+    // Refuse a re-base that would DROP folded insert epochs
+    // (review-caught, the symmetric hazard to the tombstone reseed
+    // below): edges a fold baked into the committed base live ONLY
+    // there — the delta was restarted and the ins: ledger blocks
+    // re-delivery forever — so replacing such a base silently loses
+    // every pre-fold streamed insert. The retired/ reseed has no
+    // insert-side analog (the index retains tombstone IDS forever,
+    // but folded edges only inside the base), so this is a loud
+    // contract, not a repair: supply a base that already includes
+    // the streamed inserts, or start a fresh index. The inferred-base
+    // cure path (delete-only, no insert epoch ever) passes.
+    val foldedIns = SnapshotTable.currentVersionOf(baseTab(indexDir))
+      .flatMap(v => foldCutAt(indexDir, Some(v))).exists {
+        case (_, ci, _) => ci >= 0 && (0 to ci).exists(v =>
+          SnapshotTable.metaOf(edgesTab(indexDir), v)
+            .exists(_.startsWith("ins:batch=")))
+      }
+    require(!foldedIns,
+      s"re-basing index $indexDir would drop insert epochs already " +
+      "FOLDED into the committed base (their edges live only there and " +
+      "the epoch ledger blocks re-delivery) — supply a base that " +
+      "already includes the streamed inserts, or start a fresh index")
     SnapshotTable.overwrite(spark,
       base.select(col("vec_id"), col("neighbor_id")),
       baseTab(indexDir), Some("bootstrap"))
@@ -412,11 +434,19 @@ object LifecycleIndex {
     }
     val sv = SnapshotTable.versionWithMeta(sTab, verTag)
       .getOrElse(materialize())
+    // Retry ONLY the missing-version shapes (the matched version
+    // raced a newer search's vacuum between resolve and read) — a
+    // blanket catch would silently rematerialize over real failures.
+    // Residual, accepted as the vacuum contract (same as any table
+    // format's): a vacuum landing while THIS search's walk jobs are
+    // already scanning the pinned files fails the search loudly
+    // (crash, never a torn result); keepVersions=2 means two full
+    // newer-state materializations must complete inside one walk.
     val gd = (try SnapshotTable.read(spark, sTab, sv)
       catch {
-        // the matched version raced a newer search's vacuum between
-        // resolve and read — rematerialize and pin to OUR commit
-        case _: Exception => SnapshotTable.read(spark, sTab, materialize())
+        case _: IllegalArgumentException | _: java.io.FileNotFoundException
+            | _: org.apache.spark.sql.AnalysisException =>
+          SnapshotTable.read(spark, sTab, materialize())
       }).select(col("vec_id"), col("neighbor_id"))
     val ck = spark.sparkContext.applicationId + "|" + indexDir
     val cents = centsCache.compute(ck, (_, old) =>

@@ -92,10 +92,16 @@ object SnapshotTable {
     * version makes the miss explicit (None) instead of a torn view. */
   def versionWithMeta(dir: String, meta: String): Option[Int] =
     currentVersion(dir).flatMap { cur =>
-      (cur to 0 by -1).find { v =>
-        metaOf(dir, v).contains(meta) &&
-          Files.exists(versionsDir(dir).resolve(f"v$v%05d.manifest"))
-      }
+      // vacuum retains a CONTIGUOUS suffix of manifests (and every
+      // .meta file — the exactly-once ledger), so stop at the first
+      // missing manifest instead of scanning metaOf down to version
+      // 0: on a long-lived index that scan is thousands of file
+      // reads per cache miss for versions that could never be read
+      // anyway (review-caught)
+      (cur to 0 by -1).iterator
+        .takeWhile(v =>
+          Files.exists(versionsDir(dir).resolve(f"v$v%05d.manifest")))
+        .find(v => metaOf(dir, v).contains(meta))
     }
 
   private def manifestFiles(dir: String, v: Int): Seq[String] =
@@ -142,8 +148,14 @@ object SnapshotTable {
     * what an in-flight concurrent commit looks like for the
     * milliseconds between its CREATE_NEW and its pointer swap, so
     * only a STALE orphan is reclaimed: in-flight commits finish in
-    * milliseconds, crashed ones stay orphaned forever. */
-  private[warehouse] val OrphanGraceMs = 5000L
+    * milliseconds, crashed ones stay orphaned forever. 30 s rather
+    * than seconds: a committer STALLED past the grace (GC pause,
+    * filesystem hiccup) whose manifest gets reclaimed must not then
+    * publish the reclaimer's manifest under its own meta — the
+    * pre-swap ownership read-back in commit() catches that too, but
+    * the grace is the first line. Recovery normally happens at
+    * process restart, minutes later, so a long grace costs nothing. */
+  private[warehouse] val OrphanGraceMs = 30000L
 
   /** Reclaim a crashed commit's orphaned manifest+meta at version
     * `v` (see OrphanGraceMs). True = reclaimed, caller may retry the
@@ -196,6 +208,24 @@ object SnapshotTable {
             java.nio.file.StandardOpenOption.CREATE_NEW,
             java.nio.file.StandardOpenOption.WRITE)
         }
+        // ownership read-back (review-caught): a committer STALLED
+        // past OrphanGraceMs between its manifest write and this swap
+        // can have lost the version to a reclaiming collider — the
+        // manifest on disk would then be the OTHER commit's (data
+        // paths embed a fresh per-commit UUID, so content equality is
+        // an identity test), and swapping CURRENT would publish the
+        // other commit's files under THIS commit's meta: silent row
+        // loss with a lying ledger. Verify and fail loudly instead;
+        // nothing has been published. The read-back-to-move window is
+        // milliseconds against a 30 s reclaim grace.
+        val onDisk = new String(
+          Files.readAllBytes(vd.resolve(f"v$v%05d.manifest")),
+          StandardCharsets.UTF_8)
+        if (onDisk != files.mkString("\n"))
+          throw new IllegalStateException(
+            s"commit to $dir at version $v lost its manifest to a " +
+            "reclaiming collider while stalled — nothing was " +
+            "published; retry the operation")
         val tmp = vd.resolve(s"CURRENT.tmp.$v")
         val line = v.toString + meta.map(" " + _).getOrElse("")
         Files.write(tmp, line.getBytes(StandardCharsets.UTF_8))

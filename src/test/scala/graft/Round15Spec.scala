@@ -307,6 +307,36 @@ class Round15Spec extends AnyFunSuite {
     PersistRegistry.release()
   }
 
+  test("re-basing an index whose fold already baked insert epochs " +
+      "into the base is REFUSED loudly — those edges exist nowhere " +
+      "else and the epoch ledger blocks re-delivery (review-caught)") {
+    val idx = smallIndex() // bootstrap + ins epoch 0 + del epoch 0
+    LifecycleIndex.foldTombstones(spark, sf, idx)
+    val e = intercept[IllegalArgumentException] {
+      LifecycleIndex.bootstrap(spark, idx,
+        SimilarityQueries.insertFreeBaseGraph(spark, sf))
+    }
+    assert(e.getMessage.contains("FOLDED"),
+      s"the refusal must name the hazard, got: ${e.getMessage}")
+    // an UN-folded live index re-bases fine (delta edges survive the
+    // swap, and the reseed keeps the tombstones applied)
+    val idx2 = smallIndex()
+    LifecycleIndex.bootstrap(spark, idx2,
+      SimilarityQueries.insertFreeBaseGraph(spark, sf))
+    val got = LifecycleIndex.maintainedEdges(spark, sf, idx2)
+      .select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = edgeSetOf(
+      operators.SimilarityQueries.lifecycleMaintainedGraph(spark, sf))
+    PersistRegistry.release()
+    assert(got === want,
+      "a re-base of an un-folded index must preserve the composed state")
+  }
+
+  private def edgeSetOf(df: org.apache.spark.sql.DataFrame) =
+    df.select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
   // ---------------------------------------------------------------
   // inferred-full-corpus base rejects insert epochs
   // ---------------------------------------------------------------
