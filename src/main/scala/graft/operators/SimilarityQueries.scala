@@ -2337,9 +2337,30 @@ object SimilarityQueries {
       qrows: Array[(Long, Array[Long], Long)])
       : org.apache.spark.sql.DataFrame = {
     val n = quantized(s, d).filter(!v21BatchFilter)
+    // PROCESS-HELD coarse quantizer (round 15): the walk's centroid
+    // table is an aggregation over the ENTIRE base corpus — paying it
+    // on every micro-batch is a data-sized compute per epoch at scale,
+    // the compute-side analog of the delete side's old O(|E|) write
+    // per epoch. The base corpus is immutable for the life of the
+    // stream (v21's rule: inserts never join the walk's base), so the
+    // nlist-row table is computed once per (application, corpus) and
+    // held — exactly what a resident maintenance process does with its
+    // IVF quantizer. Deterministic either way: cached vs recomputed
+    // centroids are identical, so stream ≡ batch is unaffected
+    // (StreamingGraphInsertSpec). Batch entries keep recomputing by
+    // the bench's full-computation contract.
     beamWalkCore(s, n, qrows, insertFreeBaseGraph(s, d), v21Knobs,
-      maxQ = 4096)
+      maxQ = 4096, centsIn = Some(streamCents(s, d, n)))
   }
+
+  private val streamCentsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(Long, Array[Long])]]()
+
+  private def streamCents(s: org.apache.spark.sql.SparkSession, d: String,
+      n: org.apache.spark.sql.DataFrame): Array[(Long, Array[Long])] =
+    streamCentsCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + d + "|insert-free",
+      _ => centroidTable(s, n))
 
   /** The committed INSERT-FREE base graph ("knn-graph-base") — the
     * graph the streaming insert walk targets and, therefore, the base

@@ -96,6 +96,15 @@ object StreamMaintenanceScale {
       step("insert_epoch", f""","batch_rows":$nIns""") {
         StreamingGraphInsert.insertEpoch(spark, insBatch, d, idx, 0L)
       }
+      // steady-state epoch (round 15): the FIRST epoch above pays the
+      // one-time coarse-quantizer build the process then holds
+      // (streamInsertEdges' centroid cache); this second, disjoint
+      // batch is what every later epoch of a long-lived stream costs
+      val insBatch2 = insBatch
+        .withColumn("vec_id", col("vec_id") + 3000000000L)
+      step("insert_epoch_warm", f""","batch_rows":$nIns""") {
+        StreamingGraphInsert.insertEpoch(spark, insBatch2, d, idx, 1L)
+      }
       val nDel = delBatch.count()
       step("delete_epoch", f""","batch_rows":$nDel""") {
         StreamingGraphDelete.deleteEpoch(spark, delBatch, d, idx, 0L)
