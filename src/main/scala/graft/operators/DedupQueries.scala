@@ -1091,38 +1091,42 @@ object DedupQueries {
         // starts). The oracle keeps the loose window: candidate sets
         // differ, the verified ed ≤ 3 OUTPUT cannot
         .filter(expr("abs(w - pi) + abs(dl - (w - pi)) <= 3"))
-        .select(col("doc_id").as("ldoc"),
+        .select(col("doc_id").as("ldoc"), col("title").as("ltitle"),
           col("m"), col("i"), expr("substr(title, w, li)").as("seg"))
         // overlapping shift windows re-derive the same substring —
-        // collapse before the join, not after the pair blow-up
+        // collapse before the join, not after the candidate blow-up
         .distinct()
-      // the join key is INTERNAL (only pairs reach the output), so
-      // hash (m, i, seg) to one 64-bit key: ~5x narrower shuffle than
-      // the string segment, and collisions are SAFE — equal keys
-      // still hash equal (no candidate lost), and a spurious
-      // colliding candidate is dropped by the exact Levenshtein
-      // filter below, leaving the output (and the oracle match)
-      // bit-identical
-      def keyed(df: org.apache.spark.sql.DataFrame, doc: String) =
-        df.select(col(doc),
+      // the join key is INTERNAL (only verified pairs reach the
+      // output), so hash (m, i, seg) to one 64-bit key — narrower
+      // shuffle than the string segment, and collisions are SAFE:
+      // equal keys still hash equal (no candidate lost), and a
+      // spurious colliding candidate is dropped by the exact
+      // Levenshtein filter, leaving the output (and the oracle
+      // match) bit-identical.
+      // Both sides CARRY their title so verification runs MAP-SIDE on
+      // the join output, before any exchange of the candidate-pair
+      // space: at 100x the candidates are ~60M rows (measured flat
+      // per copy — the linearity evidence) while the verified
+      // survivors are ~1e-3 of that, so the only pair-shaped exchange
+      // (the distinct below) moves the survivors, not the candidates.
+      // The earlier id-only-distinct + title-rejoin form exchanged
+      // the full candidate table 2-3x and its per-copy shuffle
+      // DOUBLED when the title dimension crossed the broadcast
+      // threshold at 100x; this shape has no such regime change.
+      def keyed(df: org.apache.spark.sql.DataFrame, doc: String,
+          title: String) =
+        df.select(col(doc), col(title),
           xxhash64(col("m"), col("i"), col("seg")).as("k"))
-      val pairs = keyed(segSide, "sdoc").join(keyed(subSide, "ldoc"), "k")
+      keyed(segSide, "sdoc", "stitle")
+        .join(keyed(subSide, "ldoc", "ltitle"), "k")
         .filter(col("sdoc") =!= col("ldoc"))
-        .select(least(col("sdoc"), col("ldoc")).as("doc_a"),
-          greatest(col("sdoc"), col("ldoc")).as("doc_b"))
-        // id-only dedupe (16-byte rows); titles rejoin AFTER the
-        // pair space has collapsed to its distinct survivors
-        .distinct()
-      pairs
-        .join(t.select(col("doc_id").as("doc_a"),
-          col("title").as("title_a")), "doc_a")
-        .join(t.select(col("doc_id").as("doc_b"),
-          col("title").as("title_b")), "doc_b")
         .withColumn("edit_dist",
-          levenshtein(col("title_a"), col("title_b")))
-        .filter(col("edit_dist") <= 3)
-        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("stitle"), col("ltitle")))
+        .filter(col("edit_dist") <= 3) // map-side, pre-exchange
+        .select(least(col("sdoc"), col("ldoc")).as("doc_a"),
+          greatest(col("sdoc"), col("ldoc")).as("doc_b"),
           col("edit_dist").cast("int").as("edit_dist"))
+        .distinct() // edit distance is symmetric, so the triple dedupes
         .orderBy("doc_a", "doc_b")
     },
 
