@@ -2357,10 +2357,25 @@ object SimilarityQueries {
     String, Array[(Long, Array[Long])]]()
 
   private def streamCents(s: org.apache.spark.sql.SparkSession, d: String,
-      n: org.apache.spark.sql.DataFrame): Array[(Long, Array[Long])] =
+      n: org.apache.spark.sql.DataFrame): Array[(Long, Array[Long])] = {
+    // drop entries whose corpus dir is gone (spec/bench throwaway
+    // fixtures) — the same unbounded-growth class as the serving
+    // path's centsCache (round-15 advice low 3); keys are
+    // `<appId>|<corpusDir>|insert-free`
+    streamCentsCache.keySet.removeIf { k =>
+      val dir = k.substring(k.indexOf('|') + 1, k.lastIndexOf('|'))
+      !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir))
+    }
     streamCentsCache.computeIfAbsent(
       s.sparkContext.applicationId + "|" + d + "|insert-free",
       _ => centroidTable(s, n))
+  }
+
+  /** Live stream-quantizer cache keys — for the eviction spec. */
+  private[graft] def streamCentsCacheKeys: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    streamCentsCache.keySet.asScala.toSet
+  }
 
   /** The committed INSERT-FREE base graph ("knn-graph-base") — the
     * graph the streaming insert walk targets and, therefore, the base

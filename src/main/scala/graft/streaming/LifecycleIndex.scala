@@ -125,8 +125,10 @@ object LifecycleIndex {
     * amortized over the epochs between folds. */
   val DefaultFoldAt: Long = 2L * 4096
 
+  // via SnapshotTable so the check is backend-agnostic (round 16 —
+  // the control plane may live on an object store, not the local FS)
   private def committed(tab: String): Boolean =
-    Files.exists(Paths.get(tab, "_versions", "CURRENT"))
+    SnapshotTable.currentVersionOf(tab).isDefined
 
   /** Commit the index's base graph explicitly at creation time —
     * the production bootstrap (build index, then maintain). A
@@ -158,9 +160,6 @@ object LifecycleIndex {
       "FOLDED into the committed base (their edges live only there and " +
       "the epoch ledger blocks re-delivery) — supply a base that " +
       "already includes the streamed inserts, or start a fresh index")
-    SnapshotTable.overwrite(spark,
-      base.select(col("vec_id"), col("neighbor_id")),
-      baseTab(indexDir), Some("bootstrap"))
     // RE-BASE coherence (round 15, review-caught): bootstrapping over
     // an EXISTING index (the inferred-base cure path, or an operator
     // re-basing a live index) replaces a base that may have FOLDED
@@ -173,6 +172,20 @@ object LifecycleIndex {
     // new base). A fresh index has no retired/ — no-op. The reseed
     // preserves the per-version epoch ledger, so pre-bootstrap epochs
     // still re-deliver as no-ops.
+    //
+    // ORDER (round-16, closing the round-15 advice crash window): the
+    // reseed commits BEFORE the base overwrite. The two commits are
+    // necessarily non-atomic (two tables), so the design makes EITHER
+    // crash point consistent by construction: a crash after the
+    // reseed leaves the OLD base with an over-complete tombstone
+    // delta — retired/ is a superset of every un-folded tombstone
+    // (delete epochs append there first) and pruning an id the old
+    // base already folded out is a no-op, so the maintained graph is
+    // unchanged; re-running bootstrap completes the re-base. The
+    // REVERSE order (base first, the round-15 shape) left a crash
+    // window where the new base's folded-deletion edges were live
+    // with no tombstone listing them — exactly the resurrection the
+    // reseed exists to prevent.
     if (committed(retiredTab(indexDir))) {
       SnapshotTable.overwrite(spark,
         SnapshotTable.read(spark, retiredTab(indexDir))
@@ -180,6 +193,10 @@ object LifecycleIndex {
         delTab(indexDir), Some("bootstrap-reseed"))
       ()
     }
+    SnapshotTable.overwrite(spark,
+      base.select(col("vec_id"), col("neighbor_id")),
+      baseTab(indexDir), Some("bootstrap"))
+    ()
   }
 
   private val CutRe = "@ins=(-?\\d+),del=(-?\\d+)$".r
@@ -352,6 +369,25 @@ object LifecycleIndex {
   private val centsCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Array[(Long, Array[Long])])]()
 
+  /** Drop cache entries whose index directory no longer exists —
+    * the bench's throwaway per-sweep indexes (v28, SnapshotBench)
+    * otherwise leave one dead nlist-row entry each for the life of
+    * the application, the same unbounded-growth class the round-14
+    * version-keyed fix removed (round-15 advice low 3). Keys are
+    * `<appId>|<indexDir>`; one stat per live entry per search —
+    * the map holds one entry per index this process serves. */
+  private def evictDeadIndexEntries(): Unit =
+    centsCache.keySet.removeIf { k =>
+      val dir = k.substring(k.indexOf('|') + 1)
+      !Files.isDirectory(Paths.get(dir))
+    }
+
+  /** Live cache keys — observability for the eviction spec. */
+  private[graft] def centsCacheKeys: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    centsCache.keySet.asScala.toSet
+  }
+
   /** SERVE top-3 search over the LIVE index — the user-facing verb
     * the two maintenance streams exist for. The caller's query
     * vectors (vec_id, embedding) are quantized by the intake's exact
@@ -381,7 +417,55 @@ object LifecycleIndex {
     * distributed pre-check BEFORE any driver materialization, the
     * same discipline as the insert epoch's. */
   def search(spark: SparkSession, d: String, indexDir: String,
-      queries: DataFrame, maxQ: Int = 4096): DataFrame = {
+      queries: DataFrame, maxQ: Int = 4096): DataFrame =
+    try searchAttempt(spark, d, indexDir, queries, maxQ)
+    catch {
+      // RETRY-ONCE on the vacuum-contract residual (round-15 verdict
+      // 4): a vacuum landing while THIS search's walk jobs are already
+      // scanning its pinned files kills those jobs with a
+      // missing-file failure — never a torn result, but previously a
+      // loud crash the caller had to retry. keepVersions=2 means two
+      // full newer-state materializations completed inside one walk,
+      // so the retried attempt (a fresh version capture of the
+      // then-current state) pays exactly a cache-miss cost and is
+      // consistent by the same pinning argument as any first attempt.
+      // The walk's result set is driver-built (beamWalkCore returns a
+      // localized DataFrame), so every pinned-file read happens inside
+      // the attempt — one retry covers the whole search. Guarded to
+      // the missing-file cause shapes only: bound violations
+      // (IllegalArgumentException) and real failures propagate, and a
+      // second missing-file failure propagates too (two vacuums
+      // racing two attempts means the caller's polling is slower than
+      // the index's entire state turnover — page the operator).
+      case e: Throwable if isMissingFileFailure(e) =>
+        searchAttempt(spark, d, indexDir, queries, maxQ)
+    }
+
+  /** True when the failure's cause chain is a missing-data-file shape
+    * — what a concurrent vacuum leaves behind — and nothing else.
+    * Spark wraps executor-side FileNotFoundException in
+    * SparkException; in-process reads throw NoSuchFileException (the
+    * java.nio shape `Files.readAllLines` uses, which does NOT extend
+    * FileNotFoundException — the round-15 advice catch gap). */
+  private[graft] def isMissingFileFailure(t: Throwable): Boolean = {
+    val seen = scala.collection.mutable.Set[Throwable]()
+    Iterator.iterate(t)(_.getCause)
+      .takeWhile(c => c != null && seen.add(c))
+      .exists {
+        case _: java.io.FileNotFoundException => true
+        case _: java.nio.file.NoSuchFileException => true
+        // executor-serialized failures can lose the typed cause; the
+        // message keeps the shape (Spark's own REFRESH TABLE hint)
+        case c: org.apache.spark.SparkException =>
+          val m = Option(c.getMessage).getOrElse("")
+          m.contains("FileNotFoundException") ||
+            m.contains("does not exist")
+        case _ => false
+      }
+  }
+
+  private def searchAttempt(spark: SparkSession, d: String,
+      indexDir: String, queries: DataFrame, maxQ: Int): DataFrame = {
     import spark.implicits._
     // bounded intake, checked distributed-side before any collect
     val nq = queries.limit(maxQ + 1).count()
@@ -442,19 +526,36 @@ object LifecycleIndex {
     // already scanning the pinned files fails the search loudly
     // (crash, never a torn result); keepVersions=2 means two full
     // newer-state materializations must complete inside one walk.
+    // NoSuchFileException is the shape SnapshotTable.read's own
+    // manifest read (Files.readAllLines) throws on a vacuumed version
+    // — it does NOT extend FileNotFoundException (round-15 advice:
+    // the primary race this retry targets escaped the catch).
     val gd = (try SnapshotTable.read(spark, sTab, sv)
       catch {
         case _: IllegalArgumentException | _: java.io.FileNotFoundException
+            | _: java.nio.file.NoSuchFileException
             | _: org.apache.spark.sql.AnalysisException =>
           SnapshotTable.read(spark, sTab, materialize())
       }).select(col("vec_id"), col("neighbor_id"))
     val ck = spark.sparkContext.applicationId + "|" + indexDir
+    evictDeadIndexEntries()
     val cents = centsCache.compute(ck, (_, old) =>
       if (old != null && old._1 == verTag) old
       else (verTag, SimilarityQueries.centroidTable(spark, n)))._2
+    // test seam: lets the vacuum-race spec land a full
+    // advance+advance+vacuum AFTER this attempt pinned and read its
+    // serving version but BEFORE the walk's jobs scan it — the
+    // mid-walk window that is otherwise nondeterministic to hit
+    midSearchTestHook.foreach(h => h())
     SimilarityQueries.beamWalkCore(spark, n, qrows, gd, searchKnobs,
       maxQ, centsIn = Some(cents))
   }
+
+  /** Spec-only injection point between the serving read and the walk
+    * (see [[search]]'s retry-once contract). Always None outside
+    * tests. */
+  @volatile private[graft] var midSearchTestHook: Option[() => Unit] =
+    None
 
   /** The fold marker the NEXT fold of this index would stamp on every
     * table it commits: `folded-<last epoch meta>@ins=<v>,del=<v>`,

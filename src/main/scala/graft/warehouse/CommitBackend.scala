@@ -1,0 +1,207 @@
+package graft.warehouse
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+/** The storage primitives [[SnapshotTable]]'s commit protocol actually
+  * needs, factored out of the POSIX calls it grew up on (round-15
+  * verdict 1: the protocol leaned on `CREATE_NEW`, `ATOMIC_MOVE` and
+  * manifest mtimes — none of which hold on the object stores a real
+  * 100 TB cluster reads from). Everything here governs only the
+  * CONTROL PLANE (`_versions/` manifests, metas, CURRENT); data files
+  * are immutable, UUID-pathed, write-once parquet — safe on any store
+  * with no primitives at all.
+  *
+  * The contract each primitive maps to on real storage:
+  *
+  *  - [[putIfAbsent]] — atomic create-if-absent, the version claim.
+  *    Local FS: `CREATE_NEW`. S3: `PUT If-None-Match: *` (conditional
+  *    writes, GA since 2024). GCS: `ifGenerationMatch=0`. Azure Blob:
+  *    `If-None-Match: *`. HDFS: `create(path, overwrite=false)`.
+  *  - [[put]] — atomic whole-object publish (readers see the old or
+  *    the new content, never a prefix). Local FS: write-temp +
+  *    `ATOMIC_MOVE`. Every object store gives this per-object for
+  *    free (a PUT is atomic); HDFS: temp + rename.
+  *  - [[readIfExists]] / [[exists]] / [[delete]] — plain GET / HEAD /
+  *    DELETE everywhere.
+  *  - [[ageMs]] — object age, used ONLY for the orphan-reclaim grace
+  *    heuristic (never for correctness: the pre-swap ownership
+  *    read-back in commit() is what actually prevents a stalled
+  *    committer publishing reclaimed files). Local FS: mtime
+  *    (advisory — mtimes can be coarse). Object stores: the
+  *    store-authoritative creation timestamp from object metadata,
+  *    which is MORE reliable than an FS mtime.
+  *
+  * The protocol built on these five is backend-agnostic: claim the
+  * version with putIfAbsent (the manifest doubles as a lock file),
+  * persist the ledger meta, read the manifest back to prove ownership
+  * survived any orphan reclaim, then publish with one atomic put of
+  * CURRENT. The orphan-reclaim and stalled-committer races are spec'd
+  * against BOTH shipped backends (Round16Spec).
+  */
+trait CommitBackend {
+
+  /** Atomically create `path` with `bytes` iff absent.
+    * True = this caller claimed it; false = it already exists. */
+  def putIfAbsent(path: String, bytes: Array[Byte]): Boolean
+
+  /** Atomically publish `bytes` at `path`, replacing any existing
+    * content — concurrent readers see old or new, never partial. */
+  def put(path: String, bytes: Array[Byte]): Unit
+
+  def readIfExists(path: String): Option[Array[Byte]]
+
+  def exists(path: String): Boolean = readIfExists(path).isDefined
+
+  /** Delete if present; true = this caller deleted it. */
+  def delete(path: String): Boolean
+
+  /** Age of the object in milliseconds, None if missing. Advisory —
+    * used only for the orphan grace window. */
+  def ageMs(path: String): Option[Long]
+
+  /** Create the control directory if the backend has directories
+    * (object stores don't — default no-op). */
+  def ensureDir(dir: String): Unit = ()
+}
+
+/** The local-filesystem backend — today's semantics, verbatim:
+  * CREATE_NEW claims, temp-file + ATOMIC_MOVE publishes, mtime ages.
+  * Correct on any POSIX FS and on HDFS-like stores with atomic
+  * rename. */
+final class LocalFsCommitBackend extends CommitBackend {
+
+  override def putIfAbsent(path: String, bytes: Array[Byte]): Boolean =
+    try {
+      Files.write(Paths.get(path), bytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+
+  override def put(path: String, bytes: Array[Byte]): Unit = {
+    val p = Paths.get(path)
+    val tmp = p.resolveSibling(
+      p.getFileName.toString + ".tmp." +
+        java.util.UUID.randomUUID().toString.take(8))
+    Files.write(tmp, bytes)
+    Files.move(tmp, p,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def readIfExists(path: String): Option[Array[Byte]] =
+    try Some(Files.readAllBytes(Paths.get(path)))
+    catch {
+      case _: java.nio.file.NoSuchFileException => None
+      case _: java.io.FileNotFoundException => None
+    }
+
+  override def exists(path: String): Boolean =
+    Files.exists(Paths.get(path))
+
+  override def delete(path: String): Boolean =
+    try Files.deleteIfExists(Paths.get(path))
+    catch { case _: java.nio.file.NoSuchFileException => false }
+
+  override def ageMs(path: String): Option[Long] =
+    try Some(System.currentTimeMillis() -
+      Files.getLastModifiedTime(Paths.get(path)).toMillis)
+    catch {
+      case _: java.nio.file.NoSuchFileException => None
+      case _: java.io.IOException => None
+    }
+
+  override def ensureDir(dir: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    ()
+  }
+}
+
+/** An object-store-shaped backend: a flat key → (bytes, created-at)
+  * map with CONDITIONAL-PUT semantics and no rename, no directories,
+  * no FS mtimes — exactly the primitive set S3 (`If-None-Match`),
+  * GCS (`ifGenerationMatch=0`) and Azure (`If-None-Match`) expose.
+  * [[putIfAbsent]] is the map's own atomic putIfAbsent, the same
+  * store-side atomicity a conditional PUT gives; [[put]] is a plain
+  * PUT (atomic per object); [[ageMs]] is the store-authoritative
+  * creation timestamp. Used by Round16Spec to prove the commit
+  * protocol (orphan reclaim, stalled-committer read-back, pinned
+  * CAS) holds with NO POSIX primitive available; a production S3/GCS
+  * backend is this class with the map swapped for the store's HTTP
+  * calls. Data files still live wherever Spark wrote them — the
+  * backend governs only `_versions/` control objects. */
+final class ObjectStoreSimBackend extends CommitBackend {
+
+  private val store = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Byte], Long)]()
+
+  override def putIfAbsent(path: String, bytes: Array[Byte]): Boolean =
+    store.putIfAbsent(path, (bytes, System.currentTimeMillis())) == null
+
+  override def put(path: String, bytes: Array[Byte]): Unit = {
+    store.put(path, (bytes, System.currentTimeMillis()))
+    ()
+  }
+
+  override def readIfExists(path: String): Option[Array[Byte]] =
+    Option(store.get(path)).map(_._1)
+
+  override def delete(path: String): Boolean =
+    store.remove(path) != null
+
+  override def ageMs(path: String): Option[Long] =
+    Option(store.get(path))
+      .map(e => System.currentTimeMillis() - e._2)
+
+  /** Test hook: age an object backwards so specs can cross the orphan
+    * grace without sleeping (the FS analog is setLastModifiedTime). */
+  def backdate(path: String, byMs: Long): Unit = {
+    store.computeIfPresent(path, (_, e) => (e._1, e._2 - byMs))
+    ()
+  }
+
+  /** Control objects currently stored (spec observability). */
+  def keys: Set[String] = store.keySet().asScala.toSet
+}
+
+/** Backend registry: tables resolve their backend by directory
+  * prefix, defaulting to the local FS — production behavior is
+  * byte-identical to the pre-trait code. Specs (and a real
+  * deployment's bootstrap) register an alternative backend for a
+  * warehouse root. */
+object CommitBackends {
+
+  val localFs: CommitBackend = new LocalFsCommitBackend
+
+  private val overrides =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitBackend]()
+
+  def register(dirPrefix: String, backend: CommitBackend): Unit = {
+    overrides.put(dirPrefix, backend)
+    ()
+  }
+
+  def unregister(dirPrefix: String): Unit = {
+    overrides.remove(dirPrefix)
+    ()
+  }
+
+  def forDir(dir: String): CommitBackend = {
+    var best: Option[(String, CommitBackend)] = None
+    overrides.forEach { (p, b) =>
+      if (dir.startsWith(p) &&
+          best.forall(_._1.length < p.length)) best = Some((p, b))
+    }
+    best.map(_._2).getOrElse(localFs)
+  }
+
+  private[warehouse] def utf8(s: String): Array[Byte] =
+    s.getBytes(StandardCharsets.UTF_8)
+
+  private[warehouse] def str(b: Array[Byte]): String =
+    new String(b, StandardCharsets.UTF_8)
+}

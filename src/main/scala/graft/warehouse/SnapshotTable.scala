@@ -1,11 +1,12 @@
 package graft.warehouse
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import CommitBackends.{str, utf8}
 
 /** Minimal snapshot-versioned table on plain Parquet — the storage
   * property a long-lived warehouse needs that a bare directory cannot
@@ -18,8 +19,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * that rewrites the same rows into fewer files. The same layout is
   * what production table formats (Iceberg/Delta) industrialize; this
   * is the from-scratch, dependency-free core of the idea, scoped to a
-  * single writer (commits do not contend; a real multi-writer needs a
-  * CAS on CURRENT, which a local filesystem cannot provide).
+  * single writer per table (commits do not contend by contract; a
+  * violated contract fails loudly through the claim/read-back
+  * protocol below).
+  *
+  * STORAGE PRIMITIVES (round-16): every control-plane access goes
+  * through a [[CommitBackend]] — five primitives (conditional put,
+  * atomic put, get, delete, age) that exist on the local FS, HDFS
+  * AND the conditional-put object stores (S3/GCS/Azure), so the
+  * commit protocol no longer assumes POSIX `CREATE_NEW`/
+  * `ATOMIC_MOVE`/mtime semantics (round-15 verdict 1). The DATA
+  * plane needs no primitives at all: immutable UUID-pathed parquet,
+  * written once, never renamed. Production default is the local-FS
+  * backend — byte-identical behavior to the pre-trait code.
   *
   * Layout:
   * {{{
@@ -30,20 +42,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SnapshotTable {
 
-  private def versionsDir(dir: String): Path = Paths.get(dir, "_versions")
+  private def be(dir: String): CommitBackend = CommitBackends.forDir(dir)
 
-  private def currentLine(dir: String): Option[String] = {
-    val cur = versionsDir(dir).resolve("CURRENT")
-    if (Files.exists(cur))
-      Some(new String(Files.readAllBytes(cur), StandardCharsets.UTF_8).trim)
-    else None
-  }
+  private def ctl(dir: String, name: String): String =
+    s"$dir/_versions/$name"
+
+  private def manifestPath(dir: String, v: Int): String =
+    ctl(dir, f"v$v%05d.manifest")
+
+  private def metaPath(dir: String, v: Int): String =
+    ctl(dir, f"v$v%05d.meta")
+
+  private def currentLine(dir: String): Option[String] =
+    be(dir).readIfExists(ctl(dir, "CURRENT")).map(b => str(b).trim)
 
   private def currentVersion(dir: String): Option[Int] =
     currentLine(dir).map(_.split("\\s+").head.toInt)
 
   /** Commit metadata riding the CURRENT pointer (e.g. the streaming
-    * ledger `batch=<id>`): swapped in the SAME atomic move as the
+    * ledger `batch=<id>`): swapped in the SAME atomic put as the
     * version — a reader can never observe version and metadata out of
     * sync, which is what makes the streaming skip-if-applied check
     * exactly-once rather than merely idempotent-in-practice. */
@@ -56,12 +73,8 @@ object SnapshotTable {
   /** Meta line of ONE committed version, if it carried one — for
     * callers that pin reads to a version and need the matching
     * ledger line (LifecycleIndex's fold-cut parsing). */
-  def metaOf(dir: String, v: Int): Option[String] = {
-    val p = versionsDir(dir).resolve(f"v$v%05d.meta")
-    if (Files.exists(p))
-      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
-    else None
-  }
+  def metaOf(dir: String, v: Int): Option[String] =
+    be(dir).readIfExists(metaPath(dir, v)).map(b => str(b).trim)
 
   /** Every committed version's metadata (versions 0..CURRENT that
     * carried one). CURRENT's meta alone protects only re-delivery of
@@ -74,12 +87,7 @@ object SnapshotTable {
     * commit) are excluded — they never became visible. */
   def committedMetas(dir: String): Seq[String] = {
     val cur = currentVersion(dir).getOrElse(-1)
-    (0 to cur).flatMap { v =>
-      val p = versionsDir(dir).resolve(f"v$v%05d.meta")
-      if (Files.exists(p))
-        Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
-      else None
-    }
+    (0 to cur).flatMap(v => metaOf(dir, v))
   }
 
   /** Highest committed version whose meta equals `meta` and whose
@@ -99,16 +107,21 @@ object SnapshotTable {
       // reads per cache miss for versions that could never be read
       // anyway (review-caught)
       (cur to 0 by -1).iterator
-        .takeWhile(v =>
-          Files.exists(versionsDir(dir).resolve(f"v$v%05d.manifest")))
+        .takeWhile(v => be(dir).exists(manifestPath(dir, v)))
         .find(v => metaOf(dir, v).contains(meta))
     }
 
   private def manifestFiles(dir: String, v: Int): Seq[String] =
-    Files.readAllLines(versionsDir(dir).resolve(f"v$v%05d.manifest"))
-      .asScala.toSeq.filter(_.nonEmpty)
+    be(dir).readIfExists(manifestPath(dir, v))
+      .map(b => str(b).split("\n", -1).toSeq.filter(_.nonEmpty))
+      // preserve the pre-trait failure shape (Files.readAllLines on a
+      // vacuumed manifest): callers' missing-version retries key on it
+      .getOrElse(throw new java.nio.file.NoSuchFileException(
+        manifestPath(dir, v)))
 
-  /** Write df's rows as new immutable files; return their paths. */
+  /** Write df's rows as new immutable files; return their paths.
+    * DATA PLANE — plain write-once parquet wherever Spark writes,
+    * deliberately not behind the backend (no primitive needed). */
   private def writeData(df: DataFrame, dir: String): Seq[String] = {
     val sub = Paths.get(dir, "data",
       java.util.UUID.randomUUID().toString).toString
@@ -117,43 +130,44 @@ object SnapshotTable {
       .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
   }
 
-  /** Manifest write + ATOMIC pointer swap: a crash before the move
-    * leaves the table at the previous version with only orphaned data
-    * files (garbage, not corruption).
+  /** Manifest claim + ATOMIC pointer publish: a crash before the
+    * publish leaves the table at the previous version with only
+    * orphaned control objects and data files (garbage, not
+    * corruption).
     *
-    * The table is SINGLE-WRITER by contract (a local filesystem has
-    * no CAS for CURRENT), but a violated contract must fail loudly,
-    * not corrupt: the manifest is claimed with CREATE_NEW — the
-    * version number doubles as a lock file — so two sessions racing
-    * the same version can never both stamp v N. What the loser does
-    * depends on whether its file list was derived from the previous
-    * version: a BASE-INDEPENDENT commit (overwrite, compact-of-fresh-
-    * read) simply re-reads CURRENT and retries on the next number
-    * (`retryOnCollision = true`); a base-DEPENDENT commit (append,
-    * upsert — whose file list embeds the parent manifest) must NOT
-    * retry against a now-stale base (it would silently drop the
-    * winner's rows — a lost update) and throws instead. Either way,
-    * concurrent commits serialize or error; a bare write would have
-    * let both stamp the same manifest. Residual (inherent without
-    * CAS): two racing RETRYING committers can swap CURRENT out of
-    * order, leaving it on the lower of two fully-committed versions
-    * — every manifest is still intact and readable by version, which
-    * is the no-corruption property this guard exists for. */
+    * The table is SINGLE-WRITER by contract, but a violated contract
+    * must fail loudly, not corrupt: the manifest is claimed with the
+    * backend's conditional put — the version number doubles as a lock
+    * object — so two sessions racing the same version can never both
+    * stamp v N. What the loser does depends on whether its file list
+    * was derived from the previous version: a BASE-INDEPENDENT commit
+    * (overwrite, compact-of-fresh-read) simply re-reads CURRENT and
+    * retries on the next number (`retryOnCollision = true`); a
+    * base-DEPENDENT commit (append, upsert — whose file list embeds
+    * the parent manifest) must NOT retry against a now-stale base (it
+    * would silently drop the winner's rows — a lost update) and
+    * throws instead. Either way, concurrent commits serialize or
+    * error; a bare write would have let both stamp the same manifest.
+    * Residual (inherent without a CAS on CURRENT itself): two racing
+    * RETRYING committers can publish CURRENT out of order, leaving it
+    * on the lower of two fully-committed versions — every manifest is
+    * still intact and readable by version, which is the no-corruption
+    * property this guard exists for. */
   /** How old an orphaned manifest PAST CURRENT must be before a
     * colliding commit may reclaim its version number. A crash between
-    * the manifest CREATE_NEW and the CURRENT swap leaves an orphan
+    * the manifest claim and the CURRENT publish leaves an orphan
     * that permanently claims that version — without reclamation every
     * later commit (pinned or not) throws forever and the table is
     * bricked (round-14 advice). But a manifest past CURRENT is ALSO
     * what an in-flight concurrent commit looks like for the
-    * milliseconds between its CREATE_NEW and its pointer swap, so
+    * milliseconds between its claim and its pointer publish, so
     * only a STALE orphan is reclaimed: in-flight commits finish in
     * milliseconds, crashed ones stay orphaned forever. 30 s rather
     * than seconds: a committer STALLED past the grace (GC pause,
-    * filesystem hiccup) whose manifest gets reclaimed must not then
+    * storage hiccup) whose manifest gets reclaimed must not then
     * publish the reclaimer's manifest under its own meta — the
-    * pre-swap ownership read-back in commit() catches that too, but
-    * the grace is the first line. Recovery normally happens at
+    * pre-publish ownership read-back in commit() catches that too,
+    * but the grace is the first line. Recovery normally happens at
     * process restart, minutes later, so a long grace costs nothing. */
   private[warehouse] val OrphanGraceMs = 30000L
 
@@ -163,110 +177,110 @@ object SnapshotTable {
     * (committedMetas' own rule), so deleting them loses nothing a
     * reader could ever have seen. */
   private def reclaimOrphan(dir: String, v: Int): Boolean = {
-    val vd = versionsDir(dir)
-    val man = vd.resolve(f"v$v%05d.manifest")
-    try {
-      val cur = currentVersion(dir).getOrElse(-1)
-      if (v <= cur || !Files.exists(man)) false
-      else if (System.currentTimeMillis() -
-          Files.getLastModifiedTime(man).toMillis < OrphanGraceMs) false
-      else {
-        Files.deleteIfExists(vd.resolve(f"v$v%05d.meta"))
-        Files.delete(man)
-        true
-      }
-    } catch { case _: java.nio.file.NoSuchFileException => false }
+    val man = manifestPath(dir, v)
+    val cur = currentVersion(dir).getOrElse(-1)
+    if (v <= cur) false
+    else be(dir).ageMs(man) match {
+      case Some(age) if age >= OrphanGraceMs =>
+        be(dir).delete(metaPath(dir, v))
+        // false = another reclaimer deleted it first — ITS caller
+        // retries this version; this one re-enters the claim loop
+        be(dir).delete(man)
+      case _ => false
+    }
   }
 
-  private def commit(dir: String, files: Seq[String],
+  /** Spec-only injection point between a commit's version claim and
+    * its ownership read-back (see commit()). Always None outside
+    * tests. */
+  @volatile private[warehouse] var prePublishTestHook:
+      Option[(String, Int) => Unit] = None
+
+  private[warehouse] def commit(dir: String, files: Seq[String],
       meta: Option[String] = None,
       retryOnCollision: Boolean = false,
       pinnedVersion: Option[Int] = None): Int = {
-    val vd = versionsDir(dir)
-    Files.createDirectories(vd)
+    val backend = be(dir)
+    backend.ensureDir(s"$dir/_versions")
     val maxRetries = 20
     var attempt = 0
     var reclaims = 0
     while (true) {
       // a PINNED commit claims exactly the caller's expected next
       // version (optimistic CAS — see overwriteFrom); an interleaved
-      // commit that took it first fails the CREATE_NEW below loudly
+      // commit that took it first fails the conditional put below
+      // loudly
       val v = pinnedVersion.getOrElse(
         currentVersion(dir).map(_ + 1).getOrElse(0))
-      try {
-        Files.write(vd.resolve(f"v$v%05d.manifest"),
-          files.mkString("\n").getBytes(StandardCharsets.UTF_8),
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-        // durable per-version meta (see committedMetas): written after
-        // the manifest claims the version, before the pointer swap — a
-        // crash in between orphans both files together, and orphans
-        // past CURRENT are never read back as committed
-        meta.foreach { m =>
-          Files.write(vd.resolve(f"v$v%05d.meta"),
-            m.getBytes(StandardCharsets.UTF_8),
-            java.nio.file.StandardOpenOption.CREATE_NEW,
-            java.nio.file.StandardOpenOption.WRITE)
-        }
+      val manifestBody = files.mkString("\n")
+      // claim the version: conditional put of the manifest, then the
+      // durable per-version meta (see committedMetas) — written after
+      // the manifest claims the version, before the pointer publish;
+      // a crash in between orphans both objects together, and orphans
+      // past CURRENT are never read back as committed
+      val claimed = backend.putIfAbsent(manifestPath(dir, v),
+        utf8(manifestBody)) &&
+        meta.forall(m => backend.putIfAbsent(metaPath(dir, v), utf8(m)))
+      if (claimed) {
+        // test seam: lets the stalled-committer spec park THIS commit
+        // between its claim and its read-back while a reclaiming
+        // collider runs — the stall that is otherwise
+        // nondeterministic to reproduce. Always None outside tests.
+        prePublishTestHook.foreach(h => h(dir, v))
         // ownership read-back (review-caught): a committer STALLED
-        // past OrphanGraceMs between its manifest write and this swap
-        // can have lost the version to a reclaiming collider — the
-        // manifest on disk would then be the OTHER commit's (data
-        // paths embed a fresh per-commit UUID, so content equality is
-        // an identity test), and swapping CURRENT would publish the
-        // other commit's files under THIS commit's meta: silent row
-        // loss with a lying ledger. Verify and fail loudly instead;
-        // nothing has been published. The read-back-to-move window is
-        // milliseconds against a 30 s reclaim grace.
-        val onDisk = new String(
-          Files.readAllBytes(vd.resolve(f"v$v%05d.manifest")),
-          StandardCharsets.UTF_8)
-        if (onDisk != files.mkString("\n"))
+        // past OrphanGraceMs between its manifest claim and this
+        // publish can have lost the version to a reclaiming collider
+        // — the manifest in the store would then be the OTHER
+        // commit's (data paths embed a fresh per-commit UUID, so
+        // content equality is an identity test), and publishing
+        // CURRENT would expose the other commit's files under THIS
+        // commit's meta: silent row loss with a lying ledger. Verify
+        // and fail loudly instead; nothing has been published. The
+        // read-back-to-publish window is milliseconds against a 30 s
+        // reclaim grace.
+        val onDisk = backend.readIfExists(manifestPath(dir, v)).map(str)
+        if (!onDisk.contains(manifestBody))
           throw new IllegalStateException(
             s"commit to $dir at version $v lost its manifest to a " +
             "reclaiming collider while stalled — nothing was " +
             "published; retry the operation")
-        val tmp = vd.resolve(s"CURRENT.tmp.$v")
         val line = v.toString + meta.map(" " + _).getOrElse("")
-        Files.write(tmp, line.getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp, vd.resolve("CURRENT"),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        backend.put(ctl(dir, "CURRENT"), utf8(line))
         return v
-      } catch {
-        case e: java.nio.file.FileAlreadyExistsException =>
-          // a STALE manifest past CURRENT is a crashed commit's orphan
-          // (never published) — reclaim it and retry the SAME version,
-          // for pinned and unpinned commits alike; a fresh one is an
-          // in-flight concurrent commit and falls through to the
-          // single-writer collision handling below
-          if (reclaims < 3 && reclaimOrphan(dir, v)) {
-            reclaims += 1 // retry the same version immediately
-          } else {
-            if (!retryOnCollision)
-              throw new IllegalStateException(
-                s"concurrent commit collision on $dir at version $v — " +
-                "this commit's file list was derived from a version that " +
-                "is no longer CURRENT (retrying would lose the winning " +
-                "commit's rows); this table is single-writer, coordinate " +
-                "writers externally", e)
-            if (attempt >= maxRetries)
-              throw new IllegalStateException(
-                s"concurrent commits to $dir exceeded $maxRetries version " +
-                "collisions — this table is single-writer; coordinate " +
-                "writers externally", e)
-            attempt += 1
-            // the winner is mid-commit; give its CURRENT swap a beat
-            Thread.sleep(20L * attempt)
-          }
+      } else {
+        // a STALE manifest past CURRENT is a crashed commit's orphan
+        // (never published) — reclaim it and retry the SAME version,
+        // for pinned and unpinned commits alike; a fresh one is an
+        // in-flight concurrent commit and falls through to the
+        // single-writer collision handling below
+        if (reclaims < 3 && reclaimOrphan(dir, v)) {
+          reclaims += 1 // retry the same version immediately
+        } else {
+          if (!retryOnCollision)
+            throw new IllegalStateException(
+              s"concurrent commit collision on $dir at version $v — " +
+              "this commit's file list was derived from a version that " +
+              "is no longer CURRENT (retrying would lose the winning " +
+              "commit's rows); this table is single-writer, coordinate " +
+              "writers externally")
+          if (attempt >= maxRetries)
+            throw new IllegalStateException(
+              s"concurrent commits to $dir exceeded $maxRetries version " +
+              "collisions — this table is single-writer; coordinate " +
+              "writers externally")
+          attempt += 1
+          // the winner is mid-commit; give its CURRENT publish a beat
+          Thread.sleep(20L * attempt)
+        }
       }
     }
     -1 // unreachable
   }
 
   /** Append: new version = previous live files + the new ones. `meta`
-    * rides the atomic pointer swap (see currentMeta) — that is what
-    * lets a streaming ingest make appends exactly-once (skip when the
-    * committed meta already names this batch id). */
+    * rides the atomic pointer publish (see currentMeta) — that is
+    * what lets a streaming ingest make appends exactly-once (skip
+    * when the committed meta already names this batch id). */
   def append(spark: SparkSession, df: DataFrame, dir: String,
       meta: Option[String] = None): Int = {
     val prev = currentVersion(dir).map(manifestFiles(dir, _)).getOrElse(Seq.empty)
@@ -275,7 +289,7 @@ object SnapshotTable {
 
   /** Overwrite: new version = only the new files (old files stay on
     * disk serving old snapshots until a retention sweep). `meta`
-    * rides the atomic pointer swap (see currentMeta). The new
+    * rides the atomic pointer publish (see currentMeta). The new
     * content does not depend on the previous version, so a commit
     * collision retries on the next version number (see commit). */
   def overwrite(spark: SparkSession, df: DataFrame, dir: String,
@@ -383,7 +397,7 @@ object SnapshotTable {
         .foreach { p => Files.delete(p); deleted += 1 }
     }
     (0 until keep.head).foreach { v =>
-      Files.deleteIfExists(versionsDir(dir).resolve(f"v$v%05d.manifest"))
+      be(dir).delete(manifestPath(dir, v))
     }
     deleted
   }

@@ -1,0 +1,219 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SimilarityQueries
+import graft.streaming.{LifecycleIndex, StreamingGraphDelete, StreamingGraphInsert}
+import graft.warehouse.SnapshotTable
+
+/** Round-16 items, each pinned to the verdict/advice finding it
+  * closes:
+  *   - the serving-read vacuum-race catch now includes
+  *     java.nio.file.NoSuchFileException — the shape
+  *     SnapshotTable.read actually throws on a vacuumed manifest,
+  *     which does NOT extend FileNotFoundException (advice medium 1);
+  *   - search() retries ONCE when a vacuum kills its pinned files
+  *     MID-WALK (not just at read-resolve), returning a consistent
+  *     newer-state result instead of a loud crash (verdict 4);
+  *   - bootstrap()'s tombstone reseed commits BEFORE the base
+  *     overwrite, so a crash between the two non-atomic commits can
+  *     never resurrect folded deletions (advice low 2);
+  *   - centsCache evicts entries whose index directory is gone — the
+  *     bench's throwaway indexes no longer accrue dead coordinator
+  *     state for the application's life (advice low 3 / verdict 6).
+  *
+  * The commit-backend abstraction (verdict 1) and cross-process
+  * evidence (verdict 3) live in warehouse.CommitBackendSpec.
+  */
+class Round16Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(p: String): String =
+    Files.createTempDirectory(p).toString
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private lazy val insBatch = emb
+    .filter(SimilarityQueries.v21BatchFilter)
+    .select("vec_id", "embedding", "label")
+  private lazy val delBatch = emb
+    .filter(SimilarityQueries.v23DeleteFilter)
+    .select("vec_id")
+
+  private def smallIndex(): String = {
+    val idx = tmp("graft-r16-idx-")
+    LifecycleIndex.bootstrap(spark, idx,
+      SimilarityQueries.insertFreeBaseGraph(spark, sf))
+    StreamingGraphInsert.insertEpoch(spark, insBatch, sf, idx, 0L)
+    StreamingGraphDelete.deleteEpoch(spark, delBatch, sf, idx, 0L)
+    idx
+  }
+
+  private def searchQueries = emb
+    .filter(col("vec_id") < 20 && pmod(col("vec_id"), lit(97)) =!= 0)
+    .select("vec_id", "embedding")
+
+  private def searchRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSeq.sorted
+
+  // ---------------------------------------------------------------
+  // advice medium: the vacuumed-manifest read shape is caught
+  // ---------------------------------------------------------------
+
+  test("SnapshotTable.read on a vacuumed version throws " +
+      "NoSuchFileException (not FileNotFoundException) and the " +
+      "serving retry classifier recognizes it — bare, wrapped, and " +
+      "nested; bound violations and real failures stay un-retried") {
+    import spark.implicits._
+    val tab = tmp("graft-r16-nsf-") + "/t"
+    SnapshotTable.overwrite(spark, Seq(1L).toDF("x"), tab, Some("a"))
+    SnapshotTable.overwrite(spark, Seq(2L).toDF("x"), tab, Some("b"))
+    SnapshotTable.vacuum(tab, keepVersions = 1)
+    val e = intercept[Exception] { SnapshotTable.read(spark, tab, 0) }
+    assert(e.isInstanceOf[java.nio.file.NoSuchFileException],
+      s"the vacuumed-manifest read shape changed: ${e.getClass}")
+    assert(LifecycleIndex.isMissingFileFailure(e),
+      "the retry classifier must catch the shape reads actually throw")
+    // executor-wrapped shapes (what a mid-walk task failure looks like)
+    assert(LifecycleIndex.isMissingFileFailure(
+      new org.apache.spark.SparkException("job aborted",
+        new java.io.FileNotFoundException("part-0000.parquet"))))
+    assert(LifecycleIndex.isMissingFileFailure(
+      new RuntimeException("outer",
+        new java.nio.file.NoSuchFileException("v00000.manifest"))))
+    // NON-missing-file failures must propagate, not retry
+    assert(!LifecycleIndex.isMissingFileFailure(
+      new IllegalArgumentException("query set exceeds the 4096 bound")))
+    assert(!LifecycleIndex.isMissingFileFailure(
+      new org.apache.spark.SparkException("arithmetic overflow")))
+  }
+
+  // ---------------------------------------------------------------
+  // verdict 4: retry-once on a vacuum landing MID-WALK
+  // ---------------------------------------------------------------
+
+  test("a vacuum that deletes the pinned serving files MID-WALK " +
+      "(after the attempt resolved and read its version) fails the " +
+      "attempt, and search() retries once against the then-current " +
+      "state — identical rows, no loud crash") {
+    import spark.implicits._
+    val idx = smallIndex()
+    val first = searchRows(
+      LifecycleIndex.search(spark, sf, idx, searchQueries))
+    val sTab = LifecycleIndex.servingTab(idx)
+    val junk = Seq((0L, 0L), (1L, 0L)).toDF("vec_id", "neighbor_id")
+    val fired = new AtomicBoolean(false)
+    // the race, landed deterministically through the seam: the NEXT
+    // attempt pins and reads its serving version, then two newer
+    // states commit and the vacuum deletes the pinned files before
+    // the walk's first job scans them
+    LifecycleIndex.midSearchTestHook = Some { () =>
+      if (fired.compareAndSet(false, true)) {
+        SnapshotTable.overwrite(spark, junk, sTab, Some("newer-state-1"))
+        SnapshotTable.overwrite(spark, junk, sTab, Some("newer-state-2"))
+        SnapshotTable.vacuum(sTab, keepVersions = 2)
+        ()
+      }
+    }
+    try {
+      val again = searchRows(
+        LifecycleIndex.search(spark, sf, idx, searchQueries))
+      assert(fired.get(), "the race never fired — the seam moved")
+      assert(again === first,
+        "the retried search must rematerialize the SAME index state " +
+        "and return identical rows")
+    } finally LifecycleIndex.midSearchTestHook = None
+    PersistRegistry.release()
+  }
+
+  // ---------------------------------------------------------------
+  // advice low: bootstrap's two commits are crash-consistent
+  // ---------------------------------------------------------------
+
+  test("bootstrap() reseeds the tombstone delta BEFORE swapping the " +
+      "base: the reseed alone (a bootstrap that crashed between its " +
+      "two commits) leaves the maintained graph unchanged, and " +
+      "re-running bootstrap completes the re-base with every folded " +
+      "deletion still dead") {
+    val idx = tmp("graft-r16-boot-")
+    // delete-only index whose auto-fold BAKED the tombstones into the
+    // (inferred) base — the state where a base swap without a reseed
+    // resurrects them
+    StreamingGraphDelete.deleteEpoch(spark, delBatch, sf, idx, 0L,
+      foldAt = 1L)
+    val pre = LifecycleIndex.maintainedEdges(spark, sf, idx)
+      .select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // CRASH WINDOW: exactly what bootstrap() commits first — the
+    // delta reseed from the cumulative retired set — with the base
+    // swap never landing. Pruning ids the current base already folded
+    // out must be a no-op (the order's safety argument).
+    SnapshotTable.overwrite(spark,
+      SnapshotTable.read(spark, LifecycleIndex.retiredTab(idx))
+        .select("vec_id").distinct().repartition(1),
+      LifecycleIndex.delTab(idx), Some("bootstrap-reseed"))
+    val mid = LifecycleIndex.maintainedEdges(spark, sf, idx)
+      .select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(mid === pre,
+      "the reseed-first crash window must not change the maintained " +
+      "graph (over-complete tombstones are idempotent)")
+    // recovery = re-run bootstrap (the documented cure): the re-base
+    // completes, folded deletions stay dead, inserts flow again
+    LifecycleIndex.bootstrap(spark, idx,
+      SimilarityQueries.insertFreeBaseGraph(spark, sf))
+    val delSet = delBatch.collect().map(_.getLong(0)).toSet
+    val cured = LifecycleIndex.maintainedEdges(spark, sf, idx)
+      .select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!cured.exists { case (u, w) => delSet(u) || delSet(w) },
+      "the completed re-base resurrected folded deletions")
+    StreamingGraphInsert.insertEpoch(spark, insBatch, sf, idx, 0L)
+    assert(SnapshotTable.committedMetas(LifecycleIndex.edgesTab(idx))
+      .contains("ins:batch=0"))
+    PersistRegistry.release()
+  }
+
+  // ---------------------------------------------------------------
+  // advice low / verdict 6: centsCache bounded by live index dirs
+  // ---------------------------------------------------------------
+
+  test("the serving centroid cache evicts entries whose index " +
+      "directory was deleted: two throwaway-index sweeps leave no " +
+      "dead entries, only the surviving index's one") {
+    def deleteRec(dir: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(dir)).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+    def freshIndex(): String = {
+      val idx = tmp("graft-r16-cache-")
+      LifecycleIndex.bootstrap(spark, idx,
+        SimilarityQueries.insertFreeBaseGraph(spark, sf))
+      idx
+    }
+    // two throwaway sweeps (what v28/SnapshotBench leave behind)
+    val dead = (1 to 2).map { _ =>
+      val idx = freshIndex()
+      LifecycleIndex.search(spark, sf, idx, searchQueries).count()
+      assert(LifecycleIndex.centsCacheKeys.exists(_.endsWith(idx)),
+        "a served index must hold a centroid entry")
+      deleteRec(idx)
+      idx
+    }
+    // the next search on a LIVE index sweeps the dead entries
+    val live = freshIndex()
+    LifecycleIndex.search(spark, sf, live, searchQueries).count()
+    val keys = LifecycleIndex.centsCacheKeys
+    assert(dead.forall(d => !keys.exists(_.endsWith(d))),
+      s"dead index entries survived eviction: $keys")
+    assert(keys.exists(_.endsWith(live)),
+      "the live index's entry must survive")
+    PersistRegistry.release()
+  }
+}
