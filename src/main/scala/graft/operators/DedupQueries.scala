@@ -1117,8 +1117,68 @@ object DedupQueries {
           title: String) =
         df.select(col(doc), col(title),
           xxhash64(col("m"), col("i"), col("seg")).as("k"))
-      keyed(segSide, "sdoc", "stitle")
-        .join(keyed(subSide, "ldoc", "ltitle"), "k")
+      val seg = keyed(segSide, "sdoc", "stitle")
+      val probe = keyed(subSide, "ldoc", "ltitle")
+      // HOT-BAND SALT SPLIT (round 16 — the skew lever the class of
+      // banded joins documents, now implemented and drilled): a
+      // shared boilerplate title prefix puts thousands of docs in one
+      // (m, i, seg) band, and in the SMJ regime every candidate of
+      // that band lands on ONE reducer whose map-side Levenshtein
+      // verification is |band|² — a COMPUTE straggler that byte-based
+      // AQE skew-split cannot see (the reducer's input is kilobytes;
+      // the blow-up is the join's output, consumed in the same task).
+      // One narrow count per side finds keys past the threshold; when
+      // any exist, the segment side's hot rows salt-split into 32
+      // buckets by doc id and only the probe side's hot rows
+      // replicate 32×, so the band's pair space spreads over 32
+      // tasks. The salted join's shuffle is pinned with an EXPLICIT
+      // user repartition on (k, salt): the buckets are byte-tiny, and
+      // AQE's advisory-size coalescing would merge them straight back
+      // onto one task (drilled: with planner-owned exchanges the
+      // planted band's straggler only shrank 35 s → 21 s because
+      // coalescing re-fused the buckets; with the pinned repartition
+      // it drops to the per-bucket cost). Output-invariant: every
+      // (seg row, probe row) pair of a key meets in exactly one
+      // bucket, so candidates, verification, and the oracle match are
+      // unchanged. Healthy corpora detect ZERO hot keys and take the
+      // plain-join branch — same plan as before the lever, AQE free
+      // to coalesce — paying only the two narrow counts (drilled in
+      // D18SkewDrill: a planted 2000-doc boilerplate band at 50×).
+      // Disable for A/B drills via spark.graft.d18.saltHotBands=false.
+      val hotKeys =
+        if (!s.conf.getOption("spark.graft.d18.saltHotBands")
+            .forall(_.toBoolean)) Seq.empty[Long]
+        else {
+          val hotT = 256
+          import s.implicits._
+          // bounded driver intake: ≤ |rows|/hotT keys can exceed the
+          // threshold, and real corpora have a handful; guard anyway
+          seg.groupBy("k").count().filter(col("count") > hotT)
+            .select("k")
+            .union(probe.groupBy("k").count()
+              .filter(col("count") > hotT).select("k"))
+            .distinct().limit(100001).as[Long].collect().toSeq
+        }
+      require(hotKeys.size <= 100000,
+        "hot-band set exceeds the coordinator bound — raise the " +
+        "threshold or pre-split the corpus")
+      val joined = if (hotKeys.isEmpty) {
+        seg.join(probe, Seq("k"))
+      } else {
+        val saltN = 32
+        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val isHot = col("k").isInCollection(hotKeys)
+        val segS = seg.withColumn("__salt",
+            when(isHot, pmod(xxhash64(col("sdoc")), lit(saltN))
+              .cast("int")).otherwise(lit(0)))
+          .repartition(nPart, col("k"), col("__salt"))
+        val probeS = probe.withColumn("__salt",
+            explode(when(isHot, sequence(lit(0), lit(saltN - 1)))
+              .otherwise(array(lit(0)))))
+          .repartition(nPart, col("k"), col("__salt"))
+        segS.join(probeS, Seq("k", "__salt"))
+      }
+      joined
         .filter(col("sdoc") =!= col("ldoc"))
         .withColumn("edit_dist",
           levenshtein(col("stitle"), col("ltitle")))

@@ -180,6 +180,58 @@ class Round16Spec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // verdict stretch 8: d18's hot-band salt split is output-invariant
+  // ---------------------------------------------------------------
+
+  test("d18's hot-band salt split engages on a planted boilerplate " +
+      "band (above the 256-doc threshold) and is OUTPUT-INVARIANT: " +
+      "salted and unsalted runs equal each other and brute force") {
+    import spark.implicits._
+    // 300 docs sharing the 3-token boilerplate prefix + equal-length
+    // unique 4th tokens — one (m, i, seg) band of 300 for the
+    // boilerplate segments, the exact adversary D18SkewDrill plants
+    // at 50x scale
+    val planted = (0 until 300).map { i =>
+      val tok = f"u$i%07d"
+      (1000L + i, s"terms of service $tok trailing words here")
+    }
+    val organic = Seq(
+      (1L, "alpha beta gamma delta tail"),
+      (2L, "quick brown fox jumps over"))
+    val docs = (planted ++ organic).toDF("doc_id", "text")
+    val dir = tmp("graft-r16-d18skew-")
+    docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    def run(salt: Boolean) = {
+      spark.conf.set("spark.graft.d18.saltHotBands", salt.toString)
+      try SparkEntry.queries("d18_editdistance_neardup")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSeq.sorted
+      finally spark.conf.set("spark.graft.d18.saltHotBands", "true")
+    }
+    val salted = run(salt = true)
+    val unsalted = run(salt = false)
+    assert(salted === unsalted,
+      "the salt lever must not change the output")
+    // brute force over the planted corpus
+    val t = docs.select(col("doc_id"),
+        concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 4))
+          .as("title"))
+      .filter(length(col("title")) >= 9)
+    val want = t.as("a").crossJoin(t.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.title"), col("b.title")).cast("int").as("ed"))
+      .filter(col("ed") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSeq.sorted
+    assert(salted === want,
+      "the salted path must stay EXACT for ed <= 3")
+    assert(salted.nonEmpty,
+      "zero-padded planted tokens must yield some ed<=3 pairs — the " +
+      "band must actually exercise the verification")
+  }
+
+  // ---------------------------------------------------------------
   // advice low / verdict 6: centsCache bounded by live index dirs
   // ---------------------------------------------------------------
 
