@@ -36,14 +36,24 @@ object PlanDump {
     for (dir <- dirs) {
       val df = SparkEntry.queries(name)(spark, dir)
       val s0 = shuffleBytes.get()
-      val nRows = df.count()
+      // execute df's OWN QueryExecution: df.count()/noop-write build a
+      // DERIVED execution, leaving df.queryExecution.executedPlan the
+      // static pre-AQE guess (isFinalPlan=false) — the exact
+      // non-evidence this tool must never print (review-caught,
+      // verified against the shipped runtime). toRdd is the executed
+      // plan's RDD, so counting it finalizes adaptive re-planning in
+      // THIS QueryExecution without materializing rows on the driver.
+      val nRows = df.queryExecution.toRdd.count()
       Thread.sleep(1000) // listener events lag job completion
       val shMb = (shuffleBytes.get() - s0) / 1e6
       PersistRegistry.release()
       println(s"==== PLANDUMP $name @ $dir rows=$nRows " +
         f"shuffleMB=$shMb%.2f ====")
-      // executedPlan AFTER the action = the AQE final plan
-      println(df.queryExecution.executedPlan.toString)
+      val plan = df.queryExecution.executedPlan.toString
+      require(!plan.contains("isFinalPlan=false"),
+        "executed plan still carries isFinalPlan=false — the dump " +
+        "would be the static guess, not evidence")
+      println(plan)
       println(s"==== END $name @ $dir ====")
     }
     spark.stop()

@@ -1093,9 +1093,9 @@ object DedupQueries {
         .filter(expr("abs(w - pi) + abs(dl - (w - pi)) <= 3"))
         .select(col("doc_id").as("ldoc"), col("title").as("ltitle"),
           col("m"), col("i"), expr("substr(title, w, li)").as("seg"))
-        // overlapping shift windows re-derive the same substring —
-        // collapse before the join, not after the candidate blow-up
-        .distinct()
+      // overlapping shift windows re-derive the same substring —
+      // collapse before the join, not after the candidate blow-up
+      val subDistinct = subSide.distinct()
       // the join key is INTERNAL (only verified pairs reach the
       // output), so hash (m, i, seg) to one 64-bit key — narrower
       // shuffle than the string segment, and collisions are SAFE:
@@ -1118,7 +1118,7 @@ object DedupQueries {
         df.select(col(doc), col(title),
           xxhash64(col("m"), col("i"), col("seg")).as("k"))
       val seg = keyed(segSide, "sdoc", "stitle")
-      val probe = keyed(subSide, "ldoc", "ltitle")
+      val probe = keyed(subDistinct, "ldoc", "ltitle")
       // HOT-BAND SALT SPLIT (round 16 — the skew lever the class of
       // banded joins documents, now implemented and drilled): a
       // shared boilerplate title prefix puts thousands of docs in one
@@ -1142,12 +1142,38 @@ object DedupQueries {
       // bucket, so candidates, verification, and the oracle match are
       // unchanged. Healthy corpora detect ZERO hot keys and take the
       // plain-join branch — same plan as before the lever, AQE free
-      // to coalesce — paying only the two narrow counts (drilled in
-      // D18SkewDrill: a planted 2000-doc boilerplate band at 50×).
-      // Disable for A/B drills via spark.graft.d18.saltHotBands=false.
+      // to coalesce.
+      //
+      // REGIME GUARD (review round 2 — executed-plan evidence): the
+      // reducer-skew straggler only EXISTS in the shuffled-join
+      // regime; a broadcast hash join has no reducers — a hot band's
+      // verification distributes across whatever partitions hold its
+      // probe rows. So when either side's optimizer estimate fits
+      // under autoBroadcastJoinThreshold (the same statistic Catalyst
+      // broadcasts on), the lever disengages COMPLETELY: no forced
+      // repartition (engaging it at 25× replaced the executed
+      // BroadcastHashJoin with a both-sides exchange — 209 → 464 MB
+      // shuffle for zero skew benefit) and no detection jobs (query
+      // construction stays lazy at bench scale). The detection's cost
+      // in the shuffled regime is one extra LINEAR derivation of each
+      // side into a map-side-combined count — the probe side counted
+      // PRE-distinct via approx_count_distinct over doc ids
+      // (review-caught twice: counting the deduped side re-runs its
+      // wide distinct shuffle; counting raw ROWS over-fires on
+      // window-duplicate substrings — distinct DOCS is the band size
+      // that matters, and HLL error only moves the threshold a few
+      // percent). Disable for A/B drills via
+      // spark.graft.d18.saltHotBands=false.
+      val bcast = org.apache.spark.sql.internal.SQLConf.get
+        .autoBroadcastJoinThreshold
+      val broadcastable = bcast > 0 &&
+        Seq(seg, probe).exists(
+          _.queryExecution.optimizedPlan.stats.sizeInBytes <=
+            BigInt(bcast))
       val hotKeys =
-        if (!s.conf.getOption("spark.graft.d18.saltHotBands")
-            .forall(_.toBoolean)) Seq.empty[Long]
+        if (broadcastable ||
+            !s.conf.getOption("spark.graft.d18.saltHotBands")
+              .forall(_.toBoolean)) Seq.empty[Long]
         else {
           val hotT = 256
           import s.implicits._
@@ -1155,8 +1181,9 @@ object DedupQueries {
           // threshold, and real corpora have a handful; guard anyway
           seg.groupBy("k").count().filter(col("count") > hotT)
             .select("k")
-            .union(probe.groupBy("k").count()
-              .filter(col("count") > hotT).select("k"))
+            .union(keyed(subSide, "ldoc", "ltitle")
+              .groupBy("k").agg(approx_count_distinct("ldoc").as("c"))
+              .filter(col("c") > hotT).select("k"))
             .distinct().limit(100001).as[Long].collect().toSeq
         }
       require(hotKeys.size <= 100000,

@@ -2361,10 +2361,16 @@ object SimilarityQueries {
     // drop entries whose corpus dir is gone (spec/bench throwaway
     // fixtures) — the same unbounded-growth class as the serving
     // path's centsCache (round-15 advice low 3); keys are
-    // `<appId>|<corpusDir>|insert-free`
+    // `<appId>|<corpusDir>|insert-free`. Existence goes through the
+    // Hadoop FS of the corpus PATH, not java.nio (review-caught: the
+    // corpus is whatever spark.read.parquet resolves — an
+    // s3a://-shaped dir is never a local directory, and a local stat
+    // would evict the live entry every epoch and recompute the
+    // corpus-sized quantizer the cache exists to hold).
     streamCentsCache.keySet.removeIf { k =>
       val dir = k.substring(k.indexOf('|') + 1, k.lastIndexOf('|'))
-      !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir))
+      val p = new org.apache.hadoop.fs.Path(dir)
+      !p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
     }
     streamCentsCache.computeIfAbsent(
       s.sparkContext.applicationId + "|" + d + "|insert-free",

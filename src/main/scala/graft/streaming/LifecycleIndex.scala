@@ -369,17 +369,24 @@ object LifecycleIndex {
   private val centsCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Array[(Long, Array[Long])])]()
 
-  /** Drop cache entries whose index directory no longer exists —
-    * the bench's throwaway per-sweep indexes (v28, SnapshotBench)
-    * otherwise leave one dead nlist-row entry each for the life of
-    * the application, the same unbounded-growth class the round-14
-    * version-keyed fix removed (round-15 advice low 3). Keys are
-    * `<appId>|<indexDir>`; one stat per live entry per search —
-    * the map holds one entry per index this process serves. */
+  /** Drop cache entries whose index no longer exists — the bench's
+    * throwaway per-sweep indexes (v28, SnapshotBench) otherwise leave
+    * one dead nlist-row entry each for the life of the application,
+    * the same unbounded-growth class the round-14 version-keyed fix
+    * removed (round-15 advice low 3). Keys are `<appId>|<indexDir>`;
+    * a few control-plane reads per live entry per search — the map
+    * holds one entry per index this process serves. Liveness goes
+    * through the SnapshotTable control plane, NOT Files.isDirectory
+    * (review-caught: an object-store-addressed index dir is never a
+    * local directory, so an FS stat would evict the LIVE entry every
+    * search and silently recompute the corpus-sized centroid
+    * aggregation the cache exists to amortize): an index is live iff
+    * ANY of its four tables has a committed CURRENT. */
   private def evictDeadIndexEntries(): Unit =
     centsCache.keySet.removeIf { k =>
       val dir = k.substring(k.indexOf('|') + 1)
-      !Files.isDirectory(Paths.get(dir))
+      !Seq(baseTab(dir), edgesTab(dir), delTab(dir), retiredTab(dir))
+        .exists(committed)
     }
 
   /** Live cache keys — observability for the eviction spec. */
@@ -454,12 +461,20 @@ object LifecycleIndex {
       .exists {
         case _: java.io.FileNotFoundException => true
         case _: java.nio.file.NoSuchFileException => true
-        // executor-serialized failures can lose the typed cause; the
-        // message keeps the shape (Spark's own REFRESH TABLE hint)
+        // a mid-walk task failure surfaces as SparkException with the
+        // TYPED error condition FAILED_READ_FILE.FILE_NOT_EXIST
+        // (Spark 4's FileDataSourceV2.attachFilePath shape) — match
+        // the condition, never prose like "does not exist"
+        // (review-caught: an AnalysisException over a mis-wired path
+        // carries that phrase too, and retrying a deterministic
+        // misconfiguration doubles its time-to-error). The message
+        // fallback covers executor-serialized failures that lose the
+        // condition but leak the cause's class name.
         case c: org.apache.spark.SparkException =>
-          val m = Option(c.getMessage).getOrElse("")
-          m.contains("FileNotFoundException") ||
-            m.contains("does not exist")
+          Option(c.getCondition)
+            .contains("FAILED_READ_FILE.FILE_NOT_EXIST") ||
+            Option(c.getMessage)
+              .exists(_.contains("FileNotFoundException"))
         case _ => false
       }
   }

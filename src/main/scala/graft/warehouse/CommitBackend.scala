@@ -58,6 +58,28 @@ trait CommitBackend {
   /** Delete if present; true = this caller deleted it. */
   def delete(path: String): Boolean
 
+  /** Delete `path` only if its CURRENT content equals `expected`;
+    * true = this caller deleted it. Guards orphan reclamation
+    * (review-caught, round 16): a reclaimer that stalls between
+    * deciding an orphan is stale and deleting it can wake AFTER
+    * another process reclaimed the version, re-claimed it, and
+    * published — an unconditional delete would then destroy the
+    * COMMITTED manifest (bricked reads) or its ledger meta (reopened
+    * double-apply window). Conditioning the delete on the
+    * decision-time content turns that into a no-op: the re-claimed
+    * manifest embeds a fresh per-commit UUID, so content equality is
+    * an identity test. Object stores provide this ATOMICALLY (S3
+    * DELETE If-Match, GCS ifGenerationMatch, Azure ETag); the
+    * local-FS default is read-compare-delete — a microseconds TOCTOU
+    * window, versus the unbounded-stall window it replaces, behind a
+    * reclaim path that also re-validates age and CURRENT first. */
+  def deleteIfMatches(path: String, expected: Array[Byte]): Boolean =
+    readIfExists(path) match {
+      case Some(cur) if java.util.Arrays.equals(cur, expected) =>
+        delete(path)
+      case _ => false
+    }
+
   /** Age of the object in milliseconds, None if missing. Advisory —
     * used only for the orphan grace window. */
   def ageMs(path: String): Option[Long]
@@ -152,6 +174,18 @@ final class ObjectStoreSimBackend extends CommitBackend {
 
   override def delete(path: String): Boolean =
     store.remove(path) != null
+
+  /** Store-side atomic conditional delete — what a real conditional
+    * DELETE (S3 If-Match / GCS generation precondition) gives. */
+  override def deleteIfMatches(path: String,
+      expected: Array[Byte]): Boolean = {
+    val removed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    store.computeIfPresent(path, (_, cur) =>
+      if (java.util.Arrays.equals(cur._1, expected)) {
+        removed.set(true); null
+      } else cur)
+    removed.get()
+  }
 
   override def ageMs(path: String): Option[Long] =
     Option(store.get(path))

@@ -178,17 +178,52 @@ object SnapshotTable {
     * reader could ever have seen. */
   private def reclaimOrphan(dir: String, v: Int): Boolean = {
     val man = manifestPath(dir, v)
-    val cur = currentVersion(dir).getOrElse(-1)
-    if (v <= cur) false
-    else be(dir).ageMs(man) match {
-      case Some(age) if age >= OrphanGraceMs =>
-        be(dir).delete(metaPath(dir, v))
-        // false = another reclaimer deleted it first — ITS caller
-        // retries this version; this one re-enters the claim loop
-        be(dir).delete(man)
-      case _ => false
+    val backend = be(dir)
+    if (v <= currentVersion(dir).getOrElse(-1)) return false
+    val manContent = backend.readIfExists(man) match {
+      case Some(c) => c
+      case None => return false
     }
+    val metaContent = backend.readIfExists(metaPath(dir, v))
+    if (!backend.ageMs(man).exists(_ >= OrphanGraceMs)) return false
+    // STALLED-RECLAIMER SAFETY (review-caught, round 16): a reclaimer
+    // descheduled HERE — between its staleness decision and its
+    // deletes — can wake after another process reclaimed this
+    // version, RE-claimed it, and published; an unconditional delete
+    // would then destroy the committed manifest (bricked reads) or
+    // its ledger meta (reopened double-apply window). Three lines of
+    // defense, innermost decisive: (1) CURRENT and age re-validated
+    // after the stall window; (2) the deletes are CONDITIONAL on the
+    // decision-time content (atomic on object stores,
+    // read-compare-delete on the local FS — CommitBackend
+    // .deleteIfMatches), and a re-claimed manifest always has fresh
+    // content (per-commit UUID data paths) so its conditional delete
+    // fails; (3) the MANIFEST deletes first and the meta only after
+    // that succeeds — a re-claimed META can coincidentally equal the
+    // ghost's (the same epoch retried carries the same ledger line),
+    // so it must never be deletable while a committed manifest lives.
+    if (v <= currentVersion(dir).getOrElse(-1)) return false
+    if (!backend.ageMs(man).exists(_ >= OrphanGraceMs)) return false
+    // the seam sits INSIDE the narrowest window — after every
+    // revalidation, immediately before the deletes — so the spec
+    // drives the conditional delete itself, not just the recheck
+    preReclaimTestHook.foreach(h => h(dir, v))
+    // false = another reclaimer (or a re-claiming committer) got here
+    // first — ITS caller owns the version; this one re-enters the
+    // claim loop and collides normally
+    if (!backend.deleteIfMatches(man, manContent)) return false
+    metaContent.foreach { mc =>
+      backend.deleteIfMatches(metaPath(dir, v), mc)
+      ()
+    }
+    true
   }
+
+  /** Spec-only injection point between a reclaimer's staleness
+    * decision and its deletes — the stall window the conditional
+    * deletes above exist for. Always None outside tests. */
+  @volatile private[warehouse] var preReclaimTestHook:
+      Option[(String, Int) => Unit] = None
 
   /** Spec-only injection point between a commit's version claim and
     * its ownership read-back (see commit()). Always None outside

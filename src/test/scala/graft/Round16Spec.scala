@@ -201,12 +201,21 @@ class Round16Spec extends AnyFunSuite {
     val docs = (planted ++ organic).toDF("doc_id", "text")
     val dir = tmp("graft-r16-d18skew-")
     docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    // the lever's regime guard correctly disengages when a side is
+    // broadcastable (a BHJ has no reducers to skew) — force the
+    // shuffled regime so this SMALL corpus actually exercises the
+    // salt path, exactly like the 50x drill corpus does naturally
     def run(salt: Boolean) = {
+      val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.graft.d18.saltHotBands", salt.toString)
       try SparkEntry.queries("d18_editdistance_neardup")(spark, dir)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
         .toSeq.sorted
-      finally spark.conf.set("spark.graft.d18.saltHotBands", "true")
+      finally {
+        spark.conf.set("spark.graft.d18.saltHotBands", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+      }
     }
     val salted = run(salt = true)
     val unsalted = run(salt = false)
@@ -235,14 +244,15 @@ class Round16Spec extends AnyFunSuite {
   // advice low / verdict 6: centsCache bounded by live index dirs
   // ---------------------------------------------------------------
 
+  private def deleteRec(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(Paths.get(dir)).iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
+  }
+
   test("the serving centroid cache evicts entries whose index " +
       "directory was deleted: two throwaway-index sweeps leave no " +
       "dead entries, only the surviving index's one") {
-    def deleteRec(dir: String): Unit = {
-      import scala.jdk.CollectionConverters._
-      Files.walk(Paths.get(dir)).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
-    }
     def freshIndex(): String = {
       val idx = tmp("graft-r16-cache-")
       LifecycleIndex.bootstrap(spark, idx,
@@ -266,6 +276,45 @@ class Round16Spec extends AnyFunSuite {
       s"dead index entries survived eviction: $keys")
     assert(keys.exists(_.endsWith(live)),
       "the live index's entry must survive")
+    PersistRegistry.release()
+  }
+
+  test("the streaming-insert quantizer cache evicts entries whose " +
+      "corpus dir is gone, keeping the live corpus's entry — the " +
+      "stream-side analog of the serving cache's bound") {
+    import scala.jdk.CollectionConverters._
+    // a throwaway COPY of the corpus: the quantizer cache is keyed by
+    // corpus dir, so a spec/bench fixture corpus leaves a dead entry
+    val corp = tmp("graft-r16-scorp-")
+    val src = Paths.get(s"$sf/embeddings.parquet")
+    val dst = Paths.get(s"$corp/embeddings.parquet")
+    if (Files.isDirectory(src)) {
+      Files.createDirectories(dst)
+      Files.list(src).iterator().asScala.foreach { p =>
+        Files.copy(p, dst.resolve(p.getFileName.toString))
+      }
+    } else Files.copy(src, dst) // single-file parquet fixture
+    val idx = tmp("graft-r16-scidx-")
+    LifecycleIndex.bootstrap(spark, idx,
+      SimilarityQueries.insertFreeBaseGraph(spark, corp))
+    val batch = spark.read.parquet(s"$corp/embeddings.parquet")
+      .filter(SimilarityQueries.v21BatchFilter)
+      .select("vec_id", "embedding", "label")
+    StreamingGraphInsert.insertEpoch(spark, batch, corp, idx, 0L)
+    assert(SimilarityQueries.streamCentsCacheKeys
+      .exists(_.contains(corp)),
+      "an insert epoch must hold its corpus's quantizer entry")
+    deleteRec(corp)
+    // an epoch against the LIVE corpus sweeps the dead entry
+    val idx2 = tmp("graft-r16-scidx2-")
+    LifecycleIndex.bootstrap(spark, idx2,
+      SimilarityQueries.insertFreeBaseGraph(spark, sf))
+    StreamingGraphInsert.insertEpoch(spark, insBatch, sf, idx2, 0L)
+    val keys = SimilarityQueries.streamCentsCacheKeys
+    assert(!keys.exists(_.contains(corp)),
+      s"dead corpus entry survived eviction: $keys")
+    assert(keys.exists(_.contains(sf)),
+      "the live corpus's entry must survive")
     PersistRegistry.release()
   }
 }

@@ -161,6 +161,84 @@ class CommitBackendSpec extends AnyFunSuite {
           "the stalled commit's meta must never enter the ledger")
       } finally SnapshotTable.prePublishTestHook = None
     }
+
+    test(s"[$fxName] a reclaimer STALLED between its staleness " +
+        "decision and its deletes cannot destroy a version another " +
+        "process reclaimed, re-claimed and PUBLISHED — the " +
+        "conditional delete refuses and the stalled commit fails " +
+        "loudly with the winner intact") {
+      import spark.implicits._
+      val fx = mk()
+      val tab = fx.mkTable()
+      val be = CommitBackends.forDir(tab)
+      SnapshotTable.overwrite(spark, Seq(1L).toDF("x"), tab, Some("v0"))
+      // the ghost: a crashed commit's claim at v1, aged past grace
+      assert(be.putIfAbsent(manPath(tab, 1), "phantom".getBytes("UTF-8")))
+      assert(be.putIfAbsent(metaPath(tab, 1), "epoch-7".getBytes("UTF-8")))
+      fx.age(manPath(tab, 1))
+      val reached = new CountDownLatch(1)
+      val release = new CountDownLatch(1)
+      val armed = new AtomicBoolean(true)
+      SnapshotTable.preReclaimTestHook = Some { (_, _) =>
+        if (armed.compareAndSet(true, false)) {
+          reached.countDown()
+          release.await(60, TimeUnit.SECONDS)
+          ()
+        }
+      }
+      try {
+        val rErr = new AtomicReference[Throwable](null)
+        // R2 collides at v1, decides the ghost is stale, and stalls
+        // at the narrowest point: AFTER its revalidation, BEFORE its
+        // deletes
+        val r2 = new Thread(() =>
+          try {
+            SnapshotTable.append(spark, Seq(2L).toDF("x"), tab,
+              Some("stalled-R2"))
+            ()
+          } catch { case t: Throwable => rErr.set(t) })
+        r2.start()
+        assert(reached.await(60, TimeUnit.SECONDS),
+          "R2 never reached its reclaim decision")
+        // R1 (hook disarmed): reclaims the same ghost, re-claims v1
+        // with its own files, and PUBLISHES — all while R2 is stalled
+        SnapshotTable.append(spark, Seq(3L).toDF("x"), tab,
+          Some("winner-R1"))
+        assert(SnapshotTable.currentVersionOf(tab) === Some(1))
+        release.countDown()
+        r2.join(60000)
+        // R2's conditional delete must refuse (the committed manifest
+        // is not the phantom it decided on) and its commit fail loudly
+        assert(rErr.get() != null &&
+          rErr.get().isInstanceOf[IllegalStateException],
+          s"the stalled reclaimer must fail loudly, got: ${rErr.get()}")
+        // the WINNER is untouched: rows, pointer, and ledger intact
+        assert(SnapshotTable.currentMeta(tab) === Some("winner-R1"))
+        assert(SnapshotTable.read(spark, tab)
+          .collect().map(_.getLong(0)).toSeq.sorted === Seq(1L, 3L))
+        assert(SnapshotTable.committedMetas(tab) ===
+          Seq("v0", "winner-R1"),
+          "the committed ledger must survive the stalled reclaimer")
+      } finally SnapshotTable.preReclaimTestHook = None
+    }
+  }
+
+  test("deleteIfMatches is content-conditional on both backends: " +
+      "wrong content refuses, matching content deletes exactly once") {
+    val objBe = new ObjectStoreSimBackend
+    val dir = tmp("graft-difm-")
+    for ((be, path) <- Seq(
+        (CommitBackends.localFs: CommitBackend, s"$dir/f"),
+        (objBe: CommitBackend, "mem/f"))) {
+      assert(be.putIfAbsent(path, "aaa".getBytes("UTF-8")))
+      assert(!be.deleteIfMatches(path, "bbb".getBytes("UTF-8")),
+        "mismatched content must refuse")
+      assert(be.exists(path))
+      assert(be.deleteIfMatches(path, "aaa".getBytes("UTF-8")))
+      assert(!be.exists(path))
+      assert(!be.deleteIfMatches(path, "aaa".getBytes("UTF-8")),
+        "a second delete must report false")
+    }
   }
 
   test("the FULL table lifecycle runs on the object-store backend " +
