@@ -2364,9 +2364,9 @@ object SimilarityQueries {
     // `<appId>|<corpusDir>|insert-free`. Existence goes through the
     // Hadoop FS of the corpus PATH, not java.nio (review-caught: the
     // corpus is whatever spark.read.parquet resolves — an
-    // s3a://-shaped dir is never a local directory, and a local stat
-    // would evict the live entry every epoch and recompute the
-    // corpus-sized quantizer the cache exists to hold).
+    // object-store-schemed dir is never a local directory, and a
+    // local stat would evict the live entry every epoch and recompute
+    // the corpus-sized quantizer the cache exists to hold).
     streamCentsCache.keySet.removeIf { k =>
       val dir = k.substring(k.indexOf('|') + 1, k.lastIndexOf('|'))
       val p = new org.apache.hadoop.fs.Path(dir)
