@@ -1189,8 +1189,29 @@ object DedupQueries {
       require(hotKeys.size <= 100000,
         "hot-band set exceeds the coordinator bound — raise the " +
         "threshold or pre-split the corpus")
-      val joined = if (hotKeys.isEmpty) {
+      // In the shuffled regime the join's partition count is ALWAYS
+      // pinned with an explicit user repartition on the join key
+      // (plus the salt when hot bands exist): the verification join
+      // is Levenshtein-DENSE and byte-LIGHT — measured at 50×, a
+      // 15 MB shuffle partition carries ~12 s of edit-distance
+      // compute — so AQE's advisory-size coalescing (a 64 MB byte
+      // target) under-partitions it: probed with the drill's
+      // partition knob, max task 12.9 s under planner-owned
+      // exchanges vs 4.4 s with the pin at 128 partitions, identical
+      // output. Pinning costs nothing (the join shuffles on k either
+      // way; the pin only forbids re-fusing) and makes
+      // spark.sql.shuffle.partitions the genuine parallelism knob a
+      // deployment sizes to its cluster. Broadcastable corpora never
+      // reach this branch.
+      val lever = s.conf.getOption("spark.graft.d18.saltHotBands")
+        .forall(_.toBoolean)
+      val nPartPin =
+        s.conf.get("spark.sql.shuffle.partitions").toInt
+      val joined = if (broadcastable || !lever) {
         seg.join(probe, Seq("k"))
+      } else if (hotKeys.isEmpty) {
+        seg.repartition(nPartPin, col("k"))
+          .join(probe.repartition(nPartPin, col("k")), Seq("k"))
       } else {
         val saltN = 32
         val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
