@@ -1170,21 +1170,38 @@ object DedupQueries {
         Seq(seg, probe).exists(
           _.queryExecution.optimizedPlan.stats.sizeInBytes <=
             BigInt(bcast))
+      // The hot criterion is the PAIR PRODUCT, not either side's
+      // count (review round 3): a band's straggler cost is
+      // seg_count × probe_count — an organic key with 13 segment
+      // docs × 1185 probe docs is 15 k pairs (harmless) yet a
+      // side-count rule salted it, replicating its probe rows 32×
+      // for nothing (~20% shuffle premium across the organic 50×
+      // corpus, measured). Both per-key counts come out of groupBy
+      // aggregations already hash-partitioned on k, so joining them
+      // adds NO exchange; the product threshold (default 10⁶ pairs ≈
+      // seconds of single-task Levenshtein — the straggler floor
+      // worth splitting) fires on the planted 2000² = 4 M band and on
+      // nothing in the organic corpus (max product 55 k, DuckDB
+      // replay).
+      val pairT =
+        s.conf.getOption("spark.graft.d18.saltPairThreshold")
+          .map(_.toLong).getOrElse(1000000L)
       val hotKeys =
         if (broadcastable ||
             !s.conf.getOption("spark.graft.d18.saltHotBands")
               .forall(_.toBoolean)) Seq.empty[Long]
         else {
-          val hotT = 256
           import s.implicits._
-          // bounded driver intake: ≤ |rows|/hotT keys can exceed the
-          // threshold, and real corpora have a handful; guard anyway
-          seg.groupBy("k").count().filter(col("count") > hotT)
+          // bounded driver intake: Σ nseg·nsub is corpus-linear per
+          // side, so ≤ pairs/pairT keys can exceed the threshold;
+          // guard anyway
+          seg.groupBy("k").count().withColumnRenamed("count", "nseg")
+            .join(keyed(subSide, "ldoc", "ltitle")
+              .groupBy("k").agg(approx_count_distinct("ldoc").as("nsub")),
+              Seq("k"))
+            .filter(col("nseg") * col("nsub") > pairT)
             .select("k")
-            .union(keyed(subSide, "ldoc", "ltitle")
-              .groupBy("k").agg(approx_count_distinct("ldoc").as("c"))
-              .filter(col("c") > hotT).select("k"))
-            .distinct().limit(100001).as[Long].collect().toSeq
+            .limit(100001).as[Long].collect().toSeq
         }
       require(hotKeys.size <= 100000,
         "hot-band set exceeds the coordinator bound — raise the " +

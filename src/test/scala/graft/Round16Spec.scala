@@ -203,17 +203,21 @@ class Round16Spec extends AnyFunSuite {
     docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
     // the lever's regime guard correctly disengages when a side is
     // broadcastable (a BHJ has no reducers to skew) — force the
-    // shuffled regime so this SMALL corpus actually exercises the
-    // salt path, exactly like the 50x drill corpus does naturally
+    // shuffled regime, and lower the pair-product threshold so this
+    // SMALL corpus's 300² = 90k-pair band actually exercises the
+    // salt path, exactly like the 50x drill's 4M-pair band does at
+    // the default threshold
     def run(salt: Boolean) = {
       val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.graft.d18.saltPairThreshold", "10000")
       spark.conf.set("spark.graft.d18.saltHotBands", salt.toString)
       try SparkEntry.queries("d18_editdistance_neardup")(spark, dir)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
         .toSeq.sorted
       finally {
         spark.conf.set("spark.graft.d18.saltHotBands", "true")
+        spark.conf.unset("spark.graft.d18.saltPairThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
       }
     }
