@@ -184,7 +184,7 @@ class Round16Spec extends AnyFunSuite {
   // ---------------------------------------------------------------
 
   test("d18's hot-band salt split engages on a planted boilerplate " +
-      "band (above the 256-doc threshold) and is OUTPUT-INVARIANT: " +
+      "band (above the pair-product threshold) and is OUTPUT-INVARIANT: " +
       "salted and unsalted runs equal each other and brute force") {
     import spark.implicits._
     // 300 docs sharing the 3-token boilerplate prefix + equal-length
