@@ -247,15 +247,68 @@ object SnapshotTable {
       // loudly
       val v = pinnedVersion.getOrElse(
         currentVersion(dir).map(_ + 1).getOrElse(0))
+      // A PINNED commit whose target version was already PUBLISHED is
+      // stale by definition — normally the existing manifest makes its
+      // claim fail loudly, but if a vacuum has since dropped that
+      // manifest (fold stalled past interleaved epochs + a retention
+      // sweep), the claim would SUCCEED on the vacated slot and the
+      // publish would move CURRENT backwards: a silent lost update
+      // erasing every interleaved commit. Refuse up front (and
+      // re-check before the publish below — the claim itself cannot
+      // detect it, the slot is genuinely empty).
+      if (pinnedVersion.exists(_ <= currentVersion(dir).getOrElse(-1)))
+        throw new IllegalStateException(
+          s"pinned commit to $dir at version $v is stale — the table " +
+          s"has moved past it (CURRENT=${currentVersion(dir).get}); " +
+          "re-derive from the current version and retry")
       val manifestBody = files.mkString("\n")
-      // claim the version: conditional put of the manifest, then the
-      // durable per-version meta (see committedMetas) — written after
-      // the manifest claims the version, before the pointer publish;
-      // a crash in between orphans both objects together, and orphans
-      // past CURRENT are never read back as committed
+      // claim the version: conditional put of the manifest — the
+      // version number doubles as the lock object; the durable
+      // per-version meta (see committedMetas) is secured after the
+      // manifest claim, before the pointer publish; a crash in
+      // between orphans both objects together, and orphans past
+      // CURRENT are never read back as committed
       val claimed = backend.putIfAbsent(manifestPath(dir, v),
-        utf8(manifestBody)) &&
-        meta.forall(m => backend.putIfAbsent(metaPath(dir, v), utf8(m)))
+        utf8(manifestBody)) && {
+        // GHOST-META SWEEP (round-17 advice): a reclaimer that crashed
+        // between its two deletes (manifest gone, meta left) strands a
+        // ghost meta at a version nobody ever published. Publishing
+        // this commit over it would surface the ghost through
+        // metaOf/committedMetas as committed — the streaming
+        // skip-if-applied check would falsely treat that epoch as
+        // already applied (silent data loss under a meta-less commit),
+        // and a meta-carrying commit would wedge: its meta putIfAbsent
+        // fails, the collision loop's ~4 s total backoff can never
+        // outlast the 30 s orphan grace its own fresh manifest now
+        // enjoys. Holding the manifest claim makes the sweep race-free:
+        // no other COMMITTER can touch this version's meta slot while
+        // the manifest is ours, and a stalled RECLAIMER's meta delete
+        // is conditional on pre-claim content and strictly gated on
+        // first deleting a manifest that now carries our fresh body.
+        val metaSecured = meta match {
+          case Some(m) =>
+            backend.putIfAbsent(metaPath(dir, v), utf8(m)) || {
+              backend.readIfExists(metaPath(dir, v)).foreach(g =>
+                backend.deleteIfMatches(metaPath(dir, v), g))
+              backend.putIfAbsent(metaPath(dir, v), utf8(m))
+            }
+          case None =>
+            backend.readIfExists(metaPath(dir, v)).forall(g =>
+              backend.deleteIfMatches(metaPath(dir, v), g))
+        }
+        if (!metaSecured) {
+          // release the just-claimed manifest BEFORE failing — leaving
+          // it would block this version for OrphanGraceMs with a
+          // misleading 'concurrent commit collision' at the end
+          backend.deleteIfMatches(manifestPath(dir, v), utf8(manifestBody))
+          throw new IllegalStateException(
+            s"stale meta object at ${metaPath(dir, v)} could not be " +
+            "cleared while claiming the version (ghost from a crashed " +
+            "reclaimer?) — the manifest claim was released, nothing " +
+            "was published; inspect that object and retry")
+        }
+        true
+      }
       if (claimed) {
         // test seam: lets the stalled-committer spec park THIS commit
         // between its claim and its read-back while a reclaiming
@@ -279,6 +332,26 @@ object SnapshotTable {
             s"commit to $dir at version $v lost its manifest to a " +
             "reclaiming collider while stalled — nothing was " +
             "published; retry the operation")
+        // pinned-stale re-check (second line behind the claim-loop
+        // guard): a pinned committer stalled between that guard and
+        // its claim can have had its target version published by the
+        // winner AND vacated by a retention sweep — the claim then
+        // succeeds on the empty slot and the publish below would move
+        // CURRENT backwards. Abort instead; our own claim objects are
+        // withdrawn (meta first: a crash in between leaves a plain
+        // reclaimable manifest orphan, never a ghost meta).
+        if (pinnedVersion.isDefined &&
+            currentVersion(dir).getOrElse(-1) >= v) {
+          meta.foreach { m =>
+            backend.deleteIfMatches(metaPath(dir, v), utf8(m)); ()
+          }
+          backend.deleteIfMatches(manifestPath(dir, v), utf8(manifestBody))
+          throw new IllegalStateException(
+            s"pinned commit to $dir at version $v went stale between " +
+            s"claim and publish (CURRENT=${currentVersion(dir).get} " +
+            "moved past it; the slot had been vacated by a retention " +
+            "sweep) — nothing was published; re-derive and retry")
+        }
         val line = v.toString + meta.map(" " + _).getOrElse("")
         backend.put(ctl(dir, "CURRENT"), utf8(line))
         return v
