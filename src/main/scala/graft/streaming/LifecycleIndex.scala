@@ -374,8 +374,10 @@ object LifecycleIndex {
     * one dead nlist-row entry each for the life of the application,
     * the same unbounded-growth class the round-14 version-keyed fix
     * removed (round-15 advice low 3). Keys are `<appId>|<indexDir>`;
-    * a few control-plane reads per live entry per search — the map
-    * holds one entry per index this process serves. Liveness goes
+    * a few control-plane reads per live entry per MATERIALIZE — the
+    * sweep runs at the state-change boundary, never on the warm
+    * serving path (round-17 verdict 2), and the map holds one entry
+    * per index this process serves. Liveness goes
     * through the SnapshotTable control plane, NOT Files.isDirectory
     * (review-caught: an object-store-addressed index dir is never a
     * local directory, so an FS stat would evict the LIVE entry every
@@ -445,8 +447,20 @@ object LifecycleIndex {
       // racing two attempts means the caller's polling is slower than
       // the index's entire state turnover — page the operator).
       case e: Throwable if isMissingFileFailure(e) =>
+        // observable retry (round-17 advice): log the swallowed first
+        // failure so a deployment can see the race frequency, and
+        // count it for the cross-process spec's no-torn-result check
+        searchRetries.incrementAndGet()
+        System.err.println("[lifecycle-search] pinned files vanished " +
+          "mid-walk (concurrent vacuum) — retrying once with a fresh " +
+          s"version capture: ${e.getClass.getSimpleName}: " +
+          s"${Option(e.getMessage).getOrElse("").take(200)}")
         searchAttempt(spark, d, indexDir, queries, maxQ)
     }
+
+  /** Count of vacuum-race retries [[search]] absorbed — observability
+    * (mirrored to stderr per occurrence). */
+  val searchRetries = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** True when the failure's cause chain is a missing-data-file shape
     * — what a concurrent vacuum leaves behind — and nothing else.
@@ -473,8 +487,18 @@ object LifecycleIndex {
         case c: org.apache.spark.SparkException =>
           Option(c.getCondition)
             .contains("FAILED_READ_FILE.FILE_NOT_EXIST") ||
-            Option(c.getMessage)
-              .exists(_.contains("FileNotFoundException"))
+            // executor-serialized failures can lose the typed
+            // condition but keep the cause class name in the message
+            // — scope the fallback to TASK-failure message shapes
+            // (round-17 advice: a deterministic misconfiguration
+            // whose wrapped message merely leaks the class name must
+            // not earn a silent retry that doubles time-to-error)
+            Option(c.getMessage).exists(m =>
+              m.contains("FileNotFoundException") &&
+                (m.contains("FAILED_READ_FILE") ||
+                  m.contains("stage failure") ||
+                  m.contains("Lost task") ||
+                  m.contains("Task failed")))
         case _ => false
       }
   }
@@ -523,12 +547,29 @@ object LifecycleIndex {
     // cache miss: rematerialize under the same tag and pin to the
     // returned version.
     def materialize(): Int = {
+      // cache-liveness sweep at the STATE-CHANGE boundary (round-17
+      // verdict 2): a materialize runs exactly when this process
+      // first serves a new index state — the only moment a dead
+      // index's entry can matter. The round-16 placement ran the
+      // sweep on EVERY search: up to 4 control-plane reads per cached
+      // entry per search, an HTTP-GET tax on an object store's
+      // serving hot path growing with every index the process ever
+      // served. A WARM search now does a constant number of
+      // control-plane reads (spec-pinned in Round17Spec).
+      evictDeadIndexEntries()
       val v = SnapshotTable.overwrite(spark,
         maintainedAt(spark, d, indexDir, vB, vI, vD), sTab,
         Some(verTag))
       // bound the serving table's disk to the last 2 states (2, not
-      // 1, so an in-flight reader of the previous state survives)
-      SnapshotTable.vacuum(sTab, keepVersions = 2)
+      // 1, so an in-flight reader of the previous state survives).
+      // The fresh-file grace makes CONCURRENT serving processes safe
+      // sweeping the same table (a stale-view sweep cannot eat a
+      // racing rematerialization's just-written files); 30 s matches
+      // the commit protocol's orphan grace. Conf-tunable so the
+      // cross-process race spec can land the vacuum deterministically.
+      SnapshotTable.vacuum(sTab, keepVersions = 2,
+        freshGraceMs = spark.conf
+          .get("spark.graft.serving.vacuumGraceMs", "30000").toLong)
       v
     }
     val sv = SnapshotTable.versionWithMeta(sTab, verTag)
@@ -553,7 +594,6 @@ object LifecycleIndex {
           SnapshotTable.read(spark, sTab, materialize())
       }).select(col("vec_id"), col("neighbor_id"))
     val ck = spark.sparkContext.applicationId + "|" + indexDir
-    evictDeadIndexEntries()
     val cents = centsCache.compute(ck, (_, old) =>
       if (old != null && old._1 == verTag) old
       else (verTag, SimilarityQueries.centroidTable(spark, n)))._2

@@ -211,6 +211,49 @@ object CommitBackends {
 
   val localFs: CommitBackend = new LocalFsCommitBackend
 
+  /** Process-wide count of control-plane READ ops (get/head/age)
+    * issued through [[SnapshotTable]] — observability for the serving
+    * hot path: round-17 moved cache-liveness probing off the
+    * per-search path, and the spec that pins it counts reads per warm
+    * search (constant, independent of how many indexes the process
+    * ever served). On an object store every one of these is an HTTP
+    * round-trip, so the counter is also the unit the read-budget
+    * breakdown is argued in. One atomic add per control op —
+    * negligible next to the I/O it counts. */
+  val controlPlaneReads = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Counting delegate for the read counter above. Write ops pass
+    * through uncounted; deleteIfMatches delegates WHOLE (the
+    * object-store backend overrides it atomically — re-deriving it
+    * here from read+delete would silently weaken that). */
+  private final class CountingBackend(u: CommitBackend)
+      extends CommitBackend {
+    def putIfAbsent(path: String, bytes: Array[Byte]): Boolean =
+      u.putIfAbsent(path, bytes)
+    def put(path: String, bytes: Array[Byte]): Unit = u.put(path, bytes)
+    override def readIfExists(path: String): Option[Array[Byte]] = {
+      controlPlaneReads.incrementAndGet(); u.readIfExists(path)
+    }
+    override def exists(path: String): Boolean = {
+      controlPlaneReads.incrementAndGet(); u.exists(path)
+    }
+    def delete(path: String): Boolean = u.delete(path)
+    override def deleteIfMatches(path: String,
+        expected: Array[Byte]): Boolean = u.deleteIfMatches(path, expected)
+    def ageMs(path: String): Option[Long] = {
+      controlPlaneReads.incrementAndGet(); u.ageMs(path)
+    }
+    override def ensureDir(dir: String): Unit = u.ensureDir(dir)
+  }
+
+  private val countedWrappers = new java.util.concurrent.ConcurrentHashMap[
+    CommitBackend, CommitBackend]()
+
+  /** The counting view of a backend — what [[SnapshotTable]] routes
+    * through (cached: one wrapper per backend instance). */
+  private[warehouse] def counted(b: CommitBackend): CommitBackend =
+    countedWrappers.computeIfAbsent(b, new CountingBackend(_))
+
   private val overrides =
     new java.util.concurrent.ConcurrentHashMap[String, CommitBackend]()
 

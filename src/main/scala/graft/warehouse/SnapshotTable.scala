@@ -42,7 +42,8 @@ import CommitBackends.{str, utf8}
   */
 object SnapshotTable {
 
-  private def be(dir: String): CommitBackend = CommitBackends.forDir(dir)
+  private def be(dir: String): CommitBackend =
+    CommitBackends.counted(CommitBackends.forDir(dir))
 
   private def ctl(dir: String, name: String): String =
     s"$dir/_versions/$name"
@@ -490,19 +491,46 @@ object SnapshotTable {
     * they are the streaming exactly-once ledger (committedMetas), and
     * a vacuum that dropped them would reopen the double-append window
     * for a late re-delivered epoch. They are one line each.
-    * Returns the number of data files deleted. */
-  def vacuum(dir: String, keepVersions: Int = 1): Int = {
+    * Returns the number of data files deleted.
+    *
+    * CONCURRENT-SWEEP SAFETY (round 17 — two serving processes can
+    * both rematerialize + vacuum the same serving table): data-file
+    * deletes are deleteIfExists (the other sweep got there first),
+    * and a keep-manifest that vanishes mid-read means a sweep with a
+    * NEWER view of CURRENT superseded this one — abort quietly having
+    * deleted nothing on the stale view; the newer sweep owns the job.
+    *
+    * `freshGraceMs` > 0 additionally skips data files younger than
+    * the grace: a vacuum whose CURRENT read is stale can otherwise
+    * sweep a CONCURRENT commit's just-written files (they exist on
+    * disk but in no manifest this sweep read). Fresh files are by
+    * construction either a new commit's (protected until its next
+    * sweep, by which time a manifest names them) or a crashed
+    * commit's garbage (collected one sweep later). 0 = today's exact
+    * semantics, for single-maintainer callers (folds, bench). */
+  def vacuum(dir: String, keepVersions: Int = 1,
+      freshGraceMs: Long = 0L): Int = {
     val cur = currentVersion(dir).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $dir"))
     val keep = (math.max(0, cur - keepVersions + 1) to cur).toSeq
-    val live = keep.flatMap(manifestFiles(dir, _)).toSet
+    val live =
+      try keep.flatMap(manifestFiles(dir, _)).toSet
+      catch {
+        case _: java.nio.file.NoSuchFileException => return 0
+      }
+    val now = System.currentTimeMillis()
+    def fresh(p: java.nio.file.Path): Boolean =
+      freshGraceMs > 0L && (try
+        now - Files.getLastModifiedTime(p).toMillis < freshGraceMs
+      catch { case _: java.io.IOException => true })
     val dataDir = Paths.get(dir, "data")
     var deleted = 0
     if (Files.exists(dataDir)) {
       Files.walk(dataDir).iterator().asScala
         .filter(p => Files.isRegularFile(p))
         .filterNot(p => live.contains(p.toString))
-        .foreach { p => Files.delete(p); deleted += 1 }
+        .filterNot(fresh)
+        .foreach { p => if (Files.deleteIfExists(p)) deleted += 1 }
     }
     (0 until keep.head).foreach { v =>
       be(dir).delete(manifestPath(dir, v))

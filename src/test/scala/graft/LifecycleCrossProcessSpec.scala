@@ -173,4 +173,136 @@ class LifecycleCrossProcessSpec extends AnyFunSuite {
         s"delete epoch $i must commit exactly once ($delMetas)")
     }
   }
+
+  // ---------------------------------------------------------------
+  // round-17 verdict 1: serving vs maintenance+vacuum, cross-process
+  // ---------------------------------------------------------------
+
+  private def searchRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSeq.sorted
+
+  /** The index-state tag search() captures — the four state tables'
+    * CURRENT versions (same format as the serving meta tag). */
+  private def tag4(idx: String): String =
+    Seq(LifecycleIndex.baseTab(idx), LifecycleIndex.edgesTab(idx),
+        LifecycleIndex.delTab(idx), LifecycleIndex.retiredTab(idx))
+      .map(t => SnapshotTable.currentVersionOf(t)
+        .map(_.toString).getOrElse("-")).mkString("_")
+
+  test("a SECOND PROCESS advancing the index state and VACUUMING the " +
+      "serving table while this one loops search(): the mid-walk " +
+      "vacuum race is absorbed by the retry-once, and every " +
+      "stable-state result equals the quiescent search of exactly " +
+      "that state — no torn result, no unbounded retry") {
+    import graft.streaming.ServeVacuumContender
+    val idx = tmp("graft-xproc-sv-")
+    val rep = tmp("graft-xproc-svrep-")
+    LifecycleIndex.bootstrap(spark, idx,
+      SimilarityQueries.insertFreeBaseGraph(spark, sf))
+    LifecycleIndex.bootstrap(spark, rep,
+      SimilarityQueries.insertFreeBaseGraph(spark, sf))
+    val q = ServeVacuumContender.queries(spark, sf)
+    val nAdv = 6
+    // the quiescent truth: replay the child's deterministic advance
+    // schedule on a REPLICA index and record each state's search rows
+    // keyed by its state tag — bootstrap and epochs are deterministic,
+    // so the replica's tags equal the live index's as the child lands
+    // the same advances
+    val expectedByTag =
+      scala.collection.mutable.Map[String, Seq[(Long, Long, Int)]]()
+    expectedByTag(tag4(rep)) =
+      searchRows(LifecycleIndex.search(spark, sf, rep, q))
+    (0 until nAdv).foreach { k =>
+      ServeVacuumContender.advance(spark, sf, rep, k)
+      expectedByTag(tag4(rep)) =
+        searchRows(LifecycleIndex.search(spark, sf, rep, q))
+    }
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx3g", "-cp",
+      System.getProperty("java.class.path"),
+      "graft.streaming.ServeVacuumContender", sf, idx, nAdv.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val child = pb.start()
+    // hold until the child's first advance lands — genuine overlap
+    val eTab = LifecycleIndex.edgesTab(idx)
+    val t0 = System.currentTimeMillis()
+    while (SnapshotTable.currentVersionOf(eTab).isEmpty &&
+        child.isAlive && System.currentTimeMillis() - t0 < 120000)
+      Thread.sleep(100)
+    assert(SnapshotTable.currentVersionOf(eTab).isDefined,
+      "the child never advanced the index — no overlap to test")
+    // deterministic race on the FIRST search: park the walk through
+    // the mid-search seam until the child's sweep (grace 0 in the
+    // child's session) has materialized two newer states and deleted
+    // the version this attempt pinned — then the walk's jobs hit the
+    // missing files and the retry-once must absorb it. The race
+    // itself is produced by the REAL second process; the seam only
+    // widens this attempt's pin-to-walk window so the test need not
+    // gamble on timing.
+    val retriesBefore = LifecycleIndex.searchRetries.get()
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var waitSucceeded = false
+    val sTab = LifecycleIndex.servingTab(idx)
+    LifecycleIndex.midSearchTestHook = Some { () =>
+      if (fired.compareAndSet(false, true)) {
+        val v0 = SnapshotTable.currentVersionOf(sTab).getOrElse(0)
+        val w0 = System.currentTimeMillis()
+        while (SnapshotTable.currentVersionOf(sTab).getOrElse(0) < v0 + 2
+            && child.isAlive &&
+            System.currentTimeMillis() - w0 < 120000)
+          Thread.sleep(50)
+        waitSucceeded =
+          SnapshotTable.currentVersionOf(sTab).getOrElse(0) >= v0 + 2
+      }
+    }
+    val observed = scala.collection.mutable.Buffer[
+      (String, Seq[(Long, Long, Int)], String)]()
+    try {
+      while (child.isAlive && observed.size < 60) {
+        val t1 = tag4(idx)
+        val rows = searchRows(LifecycleIndex.search(spark, sf, idx, q))
+        val t2 = tag4(idx)
+        observed += ((t1, rows, t2))
+      }
+    } finally LifecycleIndex.midSearchTestHook = None
+    val out = new String(child.getInputStream.readAllBytes(), "UTF-8")
+    assert(child.waitFor(300, TimeUnit.SECONDS), s"child timed out:\n$out")
+    assert(child.exitValue() === 0, s"child process failed:\n$out")
+    assert(out.contains(s"SVCONTENDER advances=$nAdv"),
+      s"child summary missing:\n$out")
+    // two quiescent searches of the final state (stable by
+    // construction) anchor the comparison set
+    (1 to 2).foreach { _ =>
+      val t1 = tag4(idx)
+      val rows = searchRows(LifecycleIndex.search(spark, sf, idx, q))
+      observed += ((t1, rows, tag4(idx)))
+    }
+    // every search whose capture was STABLE (same state tag before
+    // and after — the searches that raced an advance mid-capture are
+    // judged by the final-state anchors instead) must equal the
+    // replica's quiescent rows for exactly that state
+    val stable = observed.filter(o =>
+      o._1 == o._3 && expectedByTag.contains(o._1))
+    assert(stable.size >= 3,
+      s"too few stable-state searches to have teeth " +
+      s"(${observed.size} total, tags ${observed.map(_._1).distinct})")
+    stable.foreach { case (t, rows, _) =>
+      assert(rows === expectedByTag(t),
+        s"TORN RESULT: search at stable state $t diverged from the " +
+        "quiescent search of that state")
+    }
+    val finalTag = tag4(idx)
+    assert(expectedByTag.contains(finalTag) &&
+      stable.exists(_._1 == finalTag),
+      s"the drained state $finalTag was never verified " +
+      s"(known: ${expectedByTag.keys})")
+    if (waitSucceeded)
+      assert(LifecycleIndex.searchRetries.get() > retriesBefore,
+        "the child's sweep deleted the pinned serving version but the " +
+        "retry-once never fired — the race was not absorbed")
+    PersistRegistry.release()
+  }
 }

@@ -438,7 +438,11 @@ class StreamingLifecycleSpec extends AnyFunSuite {
       SnapshotTable.overwriteFrom(spark, Seq(3L).toDF("x"), tab,
         captured)
     }
-    assert(e.getMessage.contains("collision"))
+    // round-17: a stale pin is refused up front with a distinct
+    // message (before the claim — the slot may have been vacated by a
+    // vacuum, where the old collision path would silently regress
+    // CURRENT); the contract is the same loud no-clobber failure
+    assert(e.getMessage.contains("stale"))
     // the interleaved commit's rows are intact
     assert(SnapshotTable.read(spark, tab).count() === 2L)
     // and the CAS succeeds when pinned to the TRUE current version
