@@ -117,7 +117,13 @@ object D18SkewDrill {
       (r.getLong(0), r.getLong(1))
     }
     var sums = Map.empty[String, (Long, Long)]
-    for (mode <- Seq("false", "true")) {
+    // SPARK_GRAFT_DRILL_MODES=true re-measures only the salted path
+    // (the unsalted straggler run costs ~10 min at a 1e8-pair band);
+    // the cross-mode invariance require() then needs a prior
+    // both-modes run's checksum to compare against by hand
+    val modes = sys.env.getOrElse("SPARK_GRAFT_DRILL_MODES",
+      "false,true").split(",").toSeq
+    for (mode <- modes) {
       spark.conf.set("spark.graft.d18.saltHotBands", mode)
       var best: Seq[(Int, Long, String)] = Seq.empty
       var bestMax = Long.MaxValue
@@ -157,10 +163,12 @@ object D18SkewDrill {
         f""""out_rows":${sums(mode)._1},""" +
         f""""out_checksum":${sums(mode)._2},"run":"$runTag"}"""
     }
-    require(sums("false") == sums("true"),
-      s"the salt lever changed the OUTPUT: off=${sums("false")} " +
-      s"on=${sums("true")} — it must be output-invariant")
-    println("D18SKEW output-invariance: OK (identical rows+checksum)")
+    if (sums.contains("false") && sums.contains("true")) {
+      require(sums("false") == sums("true"),
+        s"the salt lever changed the OUTPUT: off=${sums("false")} " +
+        s"on=${sums("true")} — it must be output-invariant")
+      println("D18SKEW output-invariance: OK (identical rows+checksum)")
+    }
     sys.env.get("SPARK_GRAFT_SCALE_JSON").filter(_.nonEmpty).foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         rows.map(_ + "\n").mkString,

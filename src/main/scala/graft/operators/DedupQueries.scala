@@ -1128,10 +1128,13 @@ object DedupQueries {
       // AQE skew-split cannot see (the reducer's input is kilobytes;
       // the blow-up is the join's output, consumed in the same task).
       // One narrow count per side finds keys past the threshold; when
-      // any exist, the segment side's hot rows salt-split into 32
-      // buckets by doc id and only the probe side's hot rows
-      // replicate 32×, so the band's pair space spreads over 32
-      // tasks. The salted join's shuffle is pinned with an EXPLICIT
+      // any exist, each hot band's segment rows salt-split into a
+      // PER-KEY number of buckets by doc id (adaptive: scaled to the
+      // band's own pair product, capped at the partition count —
+      // round-17 verdict 3) and only the probe side's hot rows
+      // replicate by the same factor, so every band's pair space
+      // spreads to a bounded per-task share regardless of band size.
+      // The salted join's shuffle is pinned with an EXPLICIT
       // user repartition on (k, salt): the buckets are byte-tiny, and
       // AQE's advisory-size coalescing would merge them straight back
       // onto one task (drilled: with planner-owned exchanges the
@@ -1164,8 +1167,12 @@ object DedupQueries {
       // that matters, and HLL error only moves the threshold a few
       // percent). Disable for A/B drills via
       // spark.graft.d18.saltHotBands=false.
-      val bcast = org.apache.spark.sql.internal.SQLConf.get
-        .autoBroadcastJoinThreshold
+      // via the PASSED session's conf, like every other d18 knob
+      // (round-17 advice: the thread-local SQLConf.get can belong to
+      // a different active session when the query is constructed off
+      // the caller's thread — the regime decision and the salt knobs
+      // must read the same configuration)
+      val bcast = s.sessionState.conf.autoBroadcastJoinThreshold
       val broadcastable = bcast > 0 &&
         Seq(seg, probe).exists(
           _.queryExecution.optimizedPlan.stats.sizeInBytes <=
@@ -1186,24 +1193,39 @@ object DedupQueries {
       val pairT =
         s.conf.getOption("spark.graft.d18.saltPairThreshold")
           .map(_.toLong).getOrElse(1000000L)
-      val hotKeys =
+      // ADAPTIVE SPLIT FACTOR (round-17 verdict 3): a fixed 32-way
+      // split gives a 10⁸-pair band 32× the drilled 4M band's
+      // per-task share — the straggler returns at a bigger band size.
+      // Each hot band's factor scales with its own pair product so
+      // the per-task share stays bounded at perTaskPairs (an eighth
+      // of the straggler floor — the drilled 4M band keeps its
+      // round-16 32-way split), capped at the stage's partition count
+      // (splitting past the slot count buys nothing and the cap keeps
+      // the probe-side replication factor deployment-sized).
+      val perTaskPairs = math.max(1L, pairT / 8)
+      val hotBands: Map[Long, Int] =
         if (broadcastable ||
             !s.conf.getOption("spark.graft.d18.saltHotBands")
-              .forall(_.toBoolean)) Seq.empty[Long]
+              .forall(_.toBoolean)) Map.empty
         else {
           import s.implicits._
           // bounded driver intake: Σ nseg·nsub is corpus-linear per
           // side, so ≤ pairs/pairT keys can exceed the threshold;
           // guard anyway
+          val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
           seg.groupBy("k").count().withColumnRenamed("count", "nseg")
             .join(keyed(subSide, "ldoc", "ltitle")
               .groupBy("k").agg(approx_count_distinct("ldoc").as("nsub")),
               Seq("k"))
             .filter(col("nseg") * col("nsub") > pairT)
-            .select("k")
-            .limit(100001).as[Long].collect().toSeq
+            .select(col("k"), (col("nseg") * col("nsub")).as("pairs"))
+            .limit(100001).as[(Long, Long)].collect()
+            .map { case (k, pairs) =>
+              k -> math.min(nPart.toLong,
+                (pairs + perTaskPairs - 1) / perTaskPairs).toInt
+            }.toMap
         }
-      require(hotKeys.size <= 100000,
+      require(hotBands.size <= 100000,
         "hot-band set exceeds the coordinator bound — raise the " +
         "threshold or pre-split the corpus")
       // In the shuffled regime the join's partition count is ALWAYS
@@ -1224,23 +1246,45 @@ object DedupQueries {
         .forall(_.toBoolean)
       val nPartPin =
         s.conf.get("spark.sql.shuffle.partitions").toInt
+      // Trade-off noted with the pin (round-17 advice): an explicit
+      // repartition also FORECLOSES AQE's runtime SMJ→broadcast
+      // conversion when actual sizes come in under the static
+      // estimate — accepted, because the guard above already took the
+      // broadcast branch on the same statistic Catalyst plans with,
+      // and the pinned regime's failure mode (AQE coalescing
+      // re-fusing Levenshtein-dense byte-light partitions) costs more
+      // than a missed late broadcast (measured: max task 12.9 s
+      // planner-owned vs 4.4 s pinned at 50×).
       val joined = if (broadcastable || !lever) {
         seg.join(probe, Seq("k"))
-      } else if (hotKeys.isEmpty) {
+      } else if (hotBands.isEmpty) {
         seg.repartition(nPartPin, col("k"))
           .join(probe.repartition(nPartPin, col("k")), Seq("k"))
       } else {
-        val saltN = 32
-        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-        val isHot = col("k").isInCollection(hotKeys)
+        // per-key split factor: non-hot keys resolve to 1 (single
+        // bucket, salt 0 on both sides — no replication)
+        val nOf = coalesce(
+          element_at(typedlit(hotBands), col("k")), lit(1))
+        // a (k, salt) BUCKET is the quantum of balance (one bucket =
+        // one perTaskPairs-sized slab of one band's Levenshtein), so
+        // the pinned partition count must give each bucket its own
+        // task w.h.p. — hashing ~5·nPart buckets into nPart
+        // partitions re-fuses ~5 slabs onto one task and the
+        // straggler partially returns (drilled: a 10⁸-pair band's
+        // max task was 40 s co-hashed at nPart=128 vs ~5 s per slab).
+        // 3× the bucket count keeps the max load at 1-2 buckets;
+        // the 32·nPart ceiling bounds task-scheduling overhead when
+        // thousands of bands are hot at once.
+        val totalBuckets = hotBands.valuesIterator.map(_.toLong).sum
+        val nJoin = math.min(32L * nPartPin,
+          math.max(nPartPin.toLong, 3L * totalBuckets)).toInt
         val segS = seg.withColumn("__salt",
-            when(isHot, pmod(xxhash64(col("sdoc")), lit(saltN))
-              .cast("int")).otherwise(lit(0)))
-          .repartition(nPart, col("k"), col("__salt"))
+            when(nOf > 1, pmod(xxhash64(col("sdoc")), nOf))
+              .otherwise(lit(0)).cast("int"))
+          .repartition(nJoin, col("k"), col("__salt"))
         val probeS = probe.withColumn("__salt",
-            explode(when(isHot, sequence(lit(0), lit(saltN - 1)))
-              .otherwise(array(lit(0)))))
-          .repartition(nPart, col("k"), col("__salt"))
+            explode(sequence(lit(0), nOf.cast("int") - 1)))
+          .repartition(nJoin, col("k"), col("__salt"))
         segS.join(probeS, Seq("k", "__salt"))
       }
       joined

@@ -123,6 +123,45 @@ class Round17Spec extends AnyFunSuite {
     assert(!Files.exists(stray))
   }
 
+  // ---------------------------------------------------------------
+  // verdict 4: conf-keyed commit-backend selection
+  // ---------------------------------------------------------------
+
+  test("commit-backend selection is CONF-KEYED: a table under the " +
+      "configured prefix opens on the object-store backend (zero " +
+      "control files on local disk), one outside it stays local-FS, " +
+      "and an unknown backend name fails loudly — no code change") {
+    import spark.implicits._
+    val root = tmp("graft-r17-confbe-")
+    spark.conf.set("spark.graft.commitBackend", "object-store-sim")
+    spark.conf.set("spark.graft.commitBackend.prefix", root)
+    try {
+      val tab = root + "/t"
+      SnapshotTable.overwrite(spark, Seq(1L).toDF("x"), tab, Some("e0"))
+      SnapshotTable.append(spark, Seq(2L).toDF("x"), tab, Some("e1"))
+      assert(SnapshotTable.read(spark, tab).count() === 2L)
+      assert(SnapshotTable.committedMetas(tab) === Seq("e0", "e1"))
+      assert(!Files.exists(Paths.get(tab, "_versions")),
+        "the configured prefix must route the ENTIRE control plane " +
+        "through the object-store backend — no _versions/ on disk")
+      // outside the prefix: the local-FS default, untouched
+      val other = tmp("graft-r17-confbe-other-") + "/t"
+      SnapshotTable.overwrite(spark, Seq(9L).toDF("x"), other)
+      assert(Files.exists(Paths.get(other, "_versions", "CURRENT")))
+      // a typo'd backend name must never silently fall back to the
+      // local FS (the commit protocol would run on the wrong
+      // primitive set): loud at table open
+      spark.conf.set("spark.graft.commitBackend", "not-a-backend")
+      val e = intercept[IllegalArgumentException] {
+        SnapshotTable.overwrite(spark, Seq(3L).toDF("x"), root + "/t2")
+      }
+      assert(e.getMessage.contains("not-a-backend"))
+    } finally {
+      spark.conf.unset("spark.graft.commitBackend")
+      spark.conf.unset("spark.graft.commitBackend.prefix")
+    }
+  }
+
   test("a vacuum whose keep-manifest vanished mid-read (a newer " +
       "sweep with a newer CURRENT view superseded it) aborts quietly " +
       "with nothing deleted on the stale view") {
