@@ -2605,6 +2605,18 @@ object SimilarityQueries {
     * path (StreamingGraphInsert) passes each arriving micro-batch's
     * vectors directly. Query state stays the bounded coordinator
     * contract either way. */
+  /** Wall seconds per phase of the LAST [[beamWalkCore]] call —
+    * observability for the serving read-path latency budget
+    * (round-17 stretch 7: pick the next serving optimization from a
+    * measured breakdown, not the total). Phases: `walk_centroids`
+    * (zero-ish when the caller passes its cached table),
+    * `walk_sizing_seeds` (the adaptive-knob count + seed collect),
+    * `walk_hops` (the per-hop pushed-filter probes — the data-sized
+    * term), `walk_rank` (driver-side top-3). A handful of nanoTime
+    * reads per search. */
+  val lastWalkPhases = new java.util.concurrent.atomic.AtomicReference[
+    Seq[(String, Double)]](Seq.empty)
+
   private[graft] def beamWalkCore(s: org.apache.spark.sql.SparkSession,
       n: org.apache.spark.sql.DataFrame,
       qrows: Array[(Long, Array[Long], Long)],
@@ -2643,7 +2655,10 @@ object SimilarityQueries {
     // component-wise sum; best cell by cosine, ties to the smaller
     // label); the centroid table is the IVF coordinator state
     // (nlist rows, the same table v03/v05/v11 broadcast)
+    val phT0 = System.nanoTime()
+    def since(t: Long): Double = (System.nanoTime() - t) / 1e9
     val cents = centsIn.getOrElse(centroidTable(s, n))
+    val phCents = since(phT0)
     require(cents.length <= 1000000, "centroid table exceeds the " +
       "coordinator bound — shard the coarse quantizer")
     // overflow guard, consistent with the other require()'d bounds:
@@ -2671,6 +2686,7 @@ object SimilarityQueries {
     // tuned on; a deployed graph index is sized by exactly this
     // log|cell| rule). Recorded in the op's knobs ref so the
     // oracle's generated hop chain walks the identical search.
+    val phT1 = System.nanoTime()
     val maxCell = n.filter(col("label").cast("long")
         .isInCollection(probedLabels))
       .groupBy("label").count()
@@ -2687,6 +2703,8 @@ object SimilarityQueries {
       .select(col("label").cast("long"), col("vec_id"), col("r"), col("nn"))
       .as[(Long, Long, Array[Long], Long)].collect()
     require(seeds.length <= 4 * maxQ, s"seed set exceeds the 4*$maxQ bound")
+    val phSeeds = since(phT1)
+    val phT2 = System.nanoTime()
     val seedsByLabel = seeds.groupBy(_._1)
     // the graph (a committed stage snapshot resolved by the caller:
     // v20 consumes v13's "knn-graph"; v21 builds "knn-graph-base"
@@ -2748,12 +2766,20 @@ object SimilarityQueries {
         }
       }
     }
+    val phHops = since(phT2)
+    val phT3 = System.nanoTime()
     val out = visited.toSeq.flatMap { case (q, m) =>
       m.toSeq.filter { case (node, _) => node != q && resultKeep(node) }
         .sortBy { case (node, c) => (-c, node) }.take(3)
         .zipWithIndex.map { case ((node, c), i) => (q, node, c, i + 1) }
     }
-    out.toDF("query_id", "neighbor_id", "cos_sim", "rank")
+    val res = out.toDF("query_id", "neighbor_id", "cos_sim", "rank")
       .orderBy("query_id", "rank")
+    lastWalkPhases.set(Seq(
+      "walk_centroids" -> phCents,
+      "walk_sizing_seeds" -> phSeeds,
+      "walk_hops" -> phHops,
+      "walk_rank" -> since(phT3)))
+    res
   }
 }

@@ -503,9 +503,28 @@ object LifecycleIndex {
       }
   }
 
+  /** Wall seconds per phase of the LAST [[search]] attempt — the
+    * serving read-path latency budget (round-17 stretch 7), stamped
+    * per factor by StreamMaintenanceScale so the next serving
+    * optimization is chosen from a measured breakdown: `intake`
+    * (bounded count + query collect), `version_resolve` (the pinned
+    * capture + serving-tag match), `serve_materialize` (nonzero only
+    * on a state-change miss), `serving_read` (manifest + plan),
+    * `centroid_cache` (nonzero only on a miss), then the walk's own
+    * phases (SimilarityQueries.lastWalkPhases). */
+  val lastSearchPhases = new java.util.concurrent.atomic.AtomicReference[
+    Seq[(String, Double)]](Seq.empty)
+
   private def searchAttempt(spark: SparkSession, d: String,
       indexDir: String, queries: DataFrame, maxQ: Int): DataFrame = {
     import spark.implicits._
+    val phases = scala.collection.mutable.Buffer.empty[(String, Double)]
+    var phT = System.nanoTime()
+    def lap(name: String): Unit = {
+      val now = System.nanoTime()
+      phases += name -> (now - phT) / 1e9
+      phT = now
+    }
     // bounded intake, checked distributed-side before any collect
     val nq = queries.limit(maxQ + 1).count()
     require(nq <= maxQ,
@@ -518,6 +537,7 @@ object LifecycleIndex {
         lit(0L), (acc, v) => acc + v))
       .select("vec_id", "r", "nn")
       .as[(Long, Array[Long], Long)].collect()
+    lap("intake")
     // ONE consistent version capture; every read below is pinned
     val vB = SnapshotTable.currentVersionOf(baseTab(indexDir))
     val vI = SnapshotTable.currentVersionOf(edgesTab(indexDir))
@@ -547,6 +567,7 @@ object LifecycleIndex {
     // cache miss: rematerialize under the same tag and pin to the
     // returned version.
     def materialize(): Int = {
+      val mT = System.nanoTime()
       // cache-liveness sweep at the STATE-CHANGE boundary (round-17
       // verdict 2): a materialize runs exactly when this process
       // first serves a new index state — the only moment a dead
@@ -570,10 +591,13 @@ object LifecycleIndex {
       SnapshotTable.vacuum(sTab, keepVersions = 2,
         freshGraceMs = spark.conf
           .get("spark.graft.serving.vacuumGraceMs", "30000").toLong)
+      phases += "serve_materialize" -> (System.nanoTime() - mT) / 1e9
+      phT = System.nanoTime() // materialize billed to its own phase
       v
     }
-    val sv = SnapshotTable.versionWithMeta(sTab, verTag)
-      .getOrElse(materialize())
+    val svResolved = SnapshotTable.versionWithMeta(sTab, verTag)
+    lap("version_resolve")
+    val sv = svResolved.getOrElse(materialize())
     // Retry ONLY the missing-version shapes (the matched version
     // raced a newer search's vacuum between resolve and read) — a
     // blanket catch would silently rematerialize over real failures.
@@ -593,17 +617,22 @@ object LifecycleIndex {
             | _: org.apache.spark.sql.AnalysisException =>
           SnapshotTable.read(spark, sTab, materialize())
       }).select(col("vec_id"), col("neighbor_id"))
+    lap("serving_read")
     val ck = spark.sparkContext.applicationId + "|" + indexDir
     val cents = centsCache.compute(ck, (_, old) =>
       if (old != null && old._1 == verTag) old
       else (verTag, SimilarityQueries.centroidTable(spark, n)))._2
+    lap("centroid_cache")
     // test seam: lets the vacuum-race spec land a full
     // advance+advance+vacuum AFTER this attempt pinned and read its
     // serving version but BEFORE the walk's jobs scan it — the
     // mid-walk window that is otherwise nondeterministic to hit
     midSearchTestHook.foreach(h => h())
-    SimilarityQueries.beamWalkCore(spark, n, qrows, gd, searchKnobs,
-      maxQ, centsIn = Some(cents))
+    val res = SimilarityQueries.beamWalkCore(spark, n, qrows, gd,
+      searchKnobs, maxQ, centsIn = Some(cents))
+    lastSearchPhases.set(phases.toSeq ++
+      SimilarityQueries.lastWalkPhases.get())
+    res
   }
 
   /** Spec-only injection point between the serving read and the walk

@@ -151,14 +151,26 @@ object StreamMaintenanceScale {
         .filter(pmod(col("vec_id"), lit(997)) === 0 &&
           col("vec_id") < 1000000000L)
         .select("vec_id", "embedding")
+      // per-phase latency budget of the serving verb (round-17
+      // stretch 7): one component row per search phase, so the next
+      // serving optimization is chosen from a measured breakdown —
+      // which term is version resolve, which is the walk's probes
+      def phaseRows(tag: String): Unit =
+        LifecycleIndex.lastSearchPhases.get().foreach { case (p, sec) =>
+          rows += f"""{"component":"$tag#$p","factor":$f,""" +
+            f""""sec":$sec%.3f,"run":"$runTag"}"""
+          println(f"STREAMSCALE x$f   $tag#$p%-28s $sec%8.3f s")
+        }
       step("search_cold") {
         LifecycleIndex.search(spark, d, idx, queries)
           .write.format("noop").mode("overwrite").save()
       }
+      phaseRows("search_cold")
       step("search_warm") {
         LifecycleIndex.search(spark, d, idx, queries)
           .write.format("noop").mode("overwrite").save()
       }
+      phaseRows("search_warm")
       step("fold") {
         LifecycleIndex.foldTombstones(spark, d, idx)
       }

@@ -80,6 +80,60 @@ class Round17Spec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // stretch 8: the WHOLE index lifecycle on the object-store backend
+  // ---------------------------------------------------------------
+
+  test("the full lifecycle-index run — bootstrap, insert epoch, " +
+      "delete epoch, fold, serve (with serving vacuum) — works with " +
+      "its control plane ENTIRELY on the object-store backend (zero " +
+      "_versions/ on local disk), row-identical to a local-FS twin") {
+    import graft.streaming.{StreamingGraphDelete, StreamingGraphInsert}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val insBatch = emb.filter(SimilarityQueries.v21BatchFilter)
+      .select("vec_id", "embedding", "label")
+    val delBatch = emb.filter(SimilarityQueries.v23DeleteFilter)
+      .select("vec_id")
+    def drive(idx: String): Seq[(Long, Long, Int)] = {
+      LifecycleIndex.bootstrap(spark, idx,
+        SimilarityQueries.insertFreeBaseGraph(spark, sf))
+      StreamingGraphInsert.insertEpoch(spark, insBatch, sf, idx, 0L)
+      StreamingGraphDelete.deleteEpoch(spark, delBatch, sf, idx, 0L)
+      LifecycleIndex.foldTombstones(spark, sf, idx)
+      // two searches: the cold one materializes serving/ and VACUUMS
+      // it (keepVersions=2) — the vacuum's manifest expiry also runs
+      // through the backend; the warm one adopts
+      LifecycleIndex.search(spark, sf, idx, searchQueries).count()
+      LifecycleIndex.search(spark, sf, idx, searchQueries)
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSeq.sorted
+    }
+    val objRoot = tmp("graft-r17-objidx-")
+    spark.conf.set("spark.graft.commitBackend", "object-store-sim")
+    spark.conf.set("spark.graft.commitBackend.prefix", objRoot)
+    val objRows =
+      try drive(objRoot + "/idx")
+      finally {
+        spark.conf.unset("spark.graft.commitBackend")
+        spark.conf.unset("spark.graft.commitBackend.prefix")
+      }
+    import scala.jdk.CollectionConverters._
+    val versionsDirsOnDisk = Files.walk(Paths.get(objRoot))
+      .iterator().asScala
+      .filter(p => p.getFileName != null &&
+        p.getFileName.toString == "_versions").toSeq
+    assert(versionsDirsOnDisk.isEmpty,
+      s"control-plane objects leaked onto the local FS: " +
+      s"$versionsDirsOnDisk — the backend abstraction has a hole")
+    val fsRows = drive(tmp("graft-r17-fsidx-") + "/idx")
+    assert(objRows === fsRows,
+      "the object-store-backed index must serve rows identical to " +
+      "the local-FS twin")
+    assert(objRows.nonEmpty)
+    PersistRegistry.release()
+  }
+
+  // ---------------------------------------------------------------
   // vacuum concurrency: fresh-file grace + stale-view quiet abort
   // ---------------------------------------------------------------
 
