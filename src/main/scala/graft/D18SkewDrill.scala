@@ -122,7 +122,10 @@ object D18SkewDrill {
     // the cross-mode invariance require() then needs a prior
     // both-modes run's checksum to compare against by hand
     val modes = sys.env.getOrElse("SPARK_GRAFT_DRILL_MODES",
-      "false,true").split(",").toSeq
+      "false,true").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(modes.nonEmpty && modes.forall(Set("true", "false")),
+      s"SPARK_GRAFT_DRILL_MODES must be true/false tokens, got: $modes" +
+      " — checked up front so a typo cannot crash after the band run")
     for (mode <- modes) {
       spark.conf.set("spark.graft.d18.saltHotBands", mode)
       var best: Seq[(Int, Long, String)] = Seq.empty

@@ -1261,10 +1261,19 @@ object DedupQueries {
         seg.repartition(nPartPin, col("k"))
           .join(probe.repartition(nPartPin, col("k")), Seq("k"))
       } else {
-        // per-key split factor: non-hot keys resolve to 1 (single
-        // bucket, salt 0 on both sides — no replication)
-        val nOf = coalesce(
-          element_at(typedlit(hotBands), col("k")), lit(1))
+        import s.implicits._
+        // per-key split factor via a BROADCAST left join of the tiny
+        // (k, factor) table (round-17 review: element_at on a map
+        // LITERAL is a per-row linear scan over the entries — at the
+        // 100k-key guard bound that is an O(rows x bands) compute tax
+        // on both join inputs; the broadcast hash lookup is O(1));
+        // non-hot keys resolve to 1 (single bucket, salt 0 on both
+        // sides — no replication)
+        val hotDf = broadcast(hotBands.toSeq.toDF("k", "__nsalt"))
+        def withSaltFactor(df: org.apache.spark.sql.DataFrame) =
+          df.join(hotDf, Seq("k"), "left")
+            .withColumn("__nsalt", coalesce(col("__nsalt"), lit(1)))
+        val nOf = col("__nsalt")
         // a (k, salt) BUCKET is the quantum of balance (one bucket =
         // one perTaskPairs-sized slab of one band's Levenshtein), so
         // the pinned partition count must give each bucket its own
@@ -1278,12 +1287,14 @@ object DedupQueries {
         val totalBuckets = hotBands.valuesIterator.map(_.toLong).sum
         val nJoin = math.min(32L * nPartPin,
           math.max(nPartPin.toLong, 3L * totalBuckets)).toInt
-        val segS = seg.withColumn("__salt",
+        val segS = withSaltFactor(seg).withColumn("__salt",
             when(nOf > 1, pmod(xxhash64(col("sdoc")), nOf))
               .otherwise(lit(0)).cast("int"))
+          .drop("__nsalt")
           .repartition(nJoin, col("k"), col("__salt"))
-        val probeS = probe.withColumn("__salt",
+        val probeS = withSaltFactor(probe).withColumn("__salt",
             explode(sequence(lit(0), nOf.cast("int") - 1)))
+          .drop("__nsalt")
           .repartition(nJoin, col("k"), col("__salt"))
         segS.join(probeS, Seq("k", "__salt"))
       }

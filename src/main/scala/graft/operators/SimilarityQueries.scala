@@ -2640,9 +2640,13 @@ object SimilarityQueries {
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     require(qrows.length <= maxQ, s"query set exceeds the $maxQ bound")
-    if (qrows.isEmpty) // a drained stream's empty epoch walks nothing
+    if (qrows.isEmpty) { // a drained stream's empty epoch walks nothing
+      // reset the phase record too — leaving the PREVIOUS walk's
+      // numbers would misattribute them to this call's latency budget
+      lastWalkPhases.set(Seq.empty)
       return Seq.empty[(Long, Long, Double, Int)]
         .toDF("query_id", "neighbor_id", "cos_sim", "rank")
+    }
     val gd = gdIn
     val qvec = qrows.map(r => r._1 -> ((r._2, r._3))).toMap
     def cosTo(q: Long, rc: Array[Long], nnc: Long): Double = {

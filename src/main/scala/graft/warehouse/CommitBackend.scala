@@ -296,15 +296,38 @@ object CommitBackends {
         s"shipped: local-fs, object-store-sim; register others via " +
         "CommitBackends.registerNamed at bootstrap"))
 
-  private def confBackend(dir: String): Option[CommitBackend] =
+  // STICKY per-dir resolution (round-17 review — the same
+  // thread-local-session hazard this round fixed in d18's knob
+  // reads): the conf lives on the caller's session, but forDir can
+  // later be called from a thread with NO active session (a utility
+  // pool, a maintenance timer), where getActiveSession is None and
+  // the process-default session may be an unconfigured one — the
+  // same table would silently resolve to the local FS mid-protocol:
+  // split-brain on one table's control plane. The FIRST resolution
+  // made with a session visible is therefore cached per dir and wins
+  // for the table's lifetime in this process; sessionless calls use
+  // the cached decision. Entries are added ONLY when the conf key is
+  // set (a deployment opt-in — the default local-FS path caches
+  // nothing, so test/bench churn through temp tables adds no state).
+  private val confSticky =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitBackend]()
+
+  private def confBackend(dir: String): Option[CommitBackend] = {
+    val cached = confSticky.get(dir)
+    if (cached != null) return Some(cached)
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .flatMap { sp =>
         sp.conf.getOption("spark.graft.commitBackend").filter { _ =>
           sp.conf.getOption("spark.graft.commitBackend.prefix")
             .forall(dir.startsWith)
-        }.map(namedBackend)
+        }.map { name =>
+          val b = namedBackend(name)
+          confSticky.putIfAbsent(dir, b)
+          confSticky.get(dir)
+        }
       }
+  }
 
   /** Resolution order: code-registered dir-prefix override (longest
     * match — the spec seam), then the session-conf selection, then

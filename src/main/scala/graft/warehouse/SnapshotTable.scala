@@ -232,6 +232,13 @@ object SnapshotTable {
   @volatile private[warehouse] var prePublishTestHook:
       Option[(String, Int) => Unit] = None
 
+  /** Spec-only injection point between a commit's version COMPUTATION
+    * and its claim — the stall window where a winner plus a retention
+    * sweep can vacate the computed slot (see the vacated-slot check in
+    * commit()). Always None outside tests. */
+  @volatile private[warehouse] var preClaimTestHook:
+      Option[(String, Int) => Unit] = None
+
   private[warehouse] def commit(dir: String, files: Seq[String],
       meta: Option[String] = None,
       retryOnCollision: Boolean = false,
@@ -263,6 +270,10 @@ object SnapshotTable {
           s"has moved past it (CURRENT=${currentVersion(dir).get}); " +
           "re-derive from the current version and retry")
       val manifestBody = files.mkString("\n")
+      // test seam between the version computation and the claim — the
+      // stall window where a winner + retention sweep can vacate the
+      // computed version's slot. Always None outside tests.
+      preClaimTestHook.foreach(h => h(dir, v))
       // claim the version: conditional put of the manifest — the
       // version number doubles as the lock object; the durable
       // per-version meta (see committedMetas) is secured after the
@@ -271,44 +282,78 @@ object SnapshotTable {
       // CURRENT are never read back as committed
       val claimed = backend.putIfAbsent(manifestPath(dir, v),
         utf8(manifestBody)) && {
-        // GHOST-META SWEEP (round-17 advice): a reclaimer that crashed
-        // between its two deletes (manifest gone, meta left) strands a
-        // ghost meta at a version nobody ever published. Publishing
-        // this commit over it would surface the ghost through
-        // metaOf/committedMetas as committed — the streaming
-        // skip-if-applied check would falsely treat that epoch as
-        // already applied (silent data loss under a meta-less commit),
-        // and a meta-carrying commit would wedge: its meta putIfAbsent
-        // fails, the collision loop's ~4 s total backoff can never
-        // outlast the 30 s orphan grace its own fresh manifest now
-        // enjoys. Holding the manifest claim makes the sweep race-free:
-        // no other COMMITTER can touch this version's meta slot while
-        // the manifest is ours, and a stalled RECLAIMER's meta delete
-        // is conditional on pre-claim content and strictly gated on
-        // first deleting a manifest that now carries our fresh body.
-        val metaSecured = meta match {
-          case Some(m) =>
-            backend.putIfAbsent(metaPath(dir, v), utf8(m)) || {
-              backend.readIfExists(metaPath(dir, v)).foreach(g =>
-                backend.deleteIfMatches(metaPath(dir, v), g))
-              backend.putIfAbsent(metaPath(dir, v), utf8(m))
-            }
-          case None =>
-            backend.readIfExists(metaPath(dir, v)).forall(g =>
-              backend.deleteIfMatches(metaPath(dir, v), g))
-        }
-        if (!metaSecured) {
-          // release the just-claimed manifest BEFORE failing — leaving
-          // it would block this version for OrphanGraceMs with a
-          // misleading 'concurrent commit collision' at the end
+        // VACATED-SLOT CHECK, for EVERY commit (round-17 review — the
+        // round's deepest self-caught finding): a committer stalled
+        // between computing v and claiming it can find the slot EMPTY
+        // yet ALREADY PUBLISHED — a winner took v..v+k and a
+        // retention sweep expired v's manifest while deliberately
+        // RETAINING its .meta (the exactly-once ledger survives
+        // vacuum BY DESIGN). Proceeding would (a) publish CURRENT
+        // backwards, erasing every interleaved commit, and (b) let
+        // the ghost sweep below destroy the retained ledger meta,
+        // reopening the double-apply window — the sweep can only
+        // distinguish a crashed commit's ghost from a vacated
+        // version's ledger meta by v > CURRENT, so this check MUST
+        // precede it. While this manifest claim is held, CURRENT
+        // cannot reach v (versions are sequential and publishing v
+        // requires the claim we hold), so one re-read here is
+        // decisive, not racy.
+        if (currentVersion(dir).getOrElse(-1) >= v) {
           backend.deleteIfMatches(manifestPath(dir, v), utf8(manifestBody))
-          throw new IllegalStateException(
-            s"stale meta object at ${metaPath(dir, v)} could not be " +
-            "cleared while claiming the version (ghost from a crashed " +
-            "reclaimer?) — the manifest claim was released, nothing " +
-            "was published; inspect that object and retry")
+          if (!retryOnCollision)
+            throw new IllegalStateException(
+              s"commit to $dir at version $v is stale — the version " +
+              "was already published and its manifest expired by a " +
+              "retention sweep; this commit's file list was derived " +
+              "from a version that is no longer CURRENT, re-derive " +
+              "and retry")
+          false // base-independent commit: loop, recompute v fresh
+        } else {
+          // GHOST-META SWEEP (round-17 advice): a reclaimer that
+          // crashed between its two deletes (manifest gone, meta
+          // left) strands a ghost meta at a version nobody ever
+          // published. Publishing this commit over it would surface
+          // the ghost through metaOf/committedMetas as committed —
+          // the streaming skip-if-applied check would falsely treat
+          // that epoch as already applied (silent data loss under a
+          // meta-less commit), and a meta-carrying commit would
+          // wedge: its meta putIfAbsent fails, the collision loop's
+          // ~4 s total backoff can never outlast the 30 s orphan
+          // grace its own fresh manifest now enjoys. The vacated-slot
+          // check above makes the sweep SAFE (v > CURRENT here, so
+          // any meta at v is crash residue, never a vacated version's
+          // retained ledger line) and the held manifest claim makes
+          // it race-free: no other COMMITTER can touch this version's
+          // meta slot, and a stalled RECLAIMER's meta delete is
+          // conditional on pre-claim content and strictly gated on
+          // first deleting a manifest that now carries our fresh
+          // body.
+          val metaSecured = meta match {
+            case Some(m) =>
+              backend.putIfAbsent(metaPath(dir, v), utf8(m)) || {
+                backend.readIfExists(metaPath(dir, v)).foreach(g =>
+                  backend.deleteIfMatches(metaPath(dir, v), g))
+                backend.putIfAbsent(metaPath(dir, v), utf8(m))
+              }
+            case None =>
+              backend.readIfExists(metaPath(dir, v)).forall(g =>
+                backend.deleteIfMatches(metaPath(dir, v), g))
+          }
+          if (!metaSecured) {
+            // release the just-claimed manifest BEFORE failing —
+            // leaving it would block this version for OrphanGraceMs
+            // with a misleading 'concurrent commit collision'
+            backend.deleteIfMatches(manifestPath(dir, v),
+              utf8(manifestBody))
+            throw new IllegalStateException(
+              s"stale meta object at ${metaPath(dir, v)} could not " +
+              "be cleared while claiming the version (ghost from a " +
+              "crashed reclaimer?) — the manifest claim was " +
+              "released, nothing was published; inspect that object " +
+              "and retry")
+          }
+          true
         }
-        true
       }
       if (claimed) {
         // test seam: lets the stalled-committer spec park THIS commit

@@ -19,13 +19,19 @@ import org.scalatest.funsuite.AnyFunSuite
   *    fresh manifest enjoyed, and the table threw a misleading
   *    'concurrent commit collision'. Now the ghost is cleared under
   *    the manifest claim and the commit proceeds.
-  *  - (hardening found during the same review) A PINNED commit whose
-  *    target version was published by an interleaved winner AND
-  *    vacated by a retention sweep would claim the empty slot and
-  *    publish CURRENT BACKWARDS — a silent lost update erasing every
-  *    interleaved commit. Guarded up front (stale pin refused before
-  *    the claim) and re-checked between claim and publish (the
-  *    cross-process window the up-front guard cannot see).
+  *  - (hardening found during the same review, then DEEPENED by the
+  *    round's adversarial self-review) ANY commit — pinned or not —
+  *    whose computed version was published by an interleaved winner
+  *    and then VACATED by a retention sweep would claim the empty
+  *    slot, and the ghost sweep would erase the vacated version's
+  *    vacuum-RETAINED ledger meta (vacuum keeps `.meta` files by
+  *    design — they ARE the exactly-once ledger), reopening the
+  *    double-apply window before publishing CURRENT backwards.
+  *    Every commit now re-reads CURRENT under its manifest claim:
+  *    a vacated slot refuses loudly (base-dependent) or retries on
+  *    the fresh version (base-independent), ledger untouched; pinned
+  *    commits are additionally guarded up front and re-checked
+  *    between claim and publish.
   *
   * Ghost tests run on BOTH backends — the sweep's conditional delete
   * must hold on the object-store primitive set too.
@@ -128,6 +134,90 @@ class GhostMetaSpec extends AnyFunSuite {
       "the refused commit must leave no claim objects behind")
     assert(!SnapshotTable.committedMetas(tab).contains("stale-fold"))
     assert(SnapshotTable.read(spark, tab).count() === 4L)
+  }
+
+  test("a stalled UNPINNED commit whose computed slot was published " +
+      "and VACATED refuses loudly (base-dependent) — and NEVER " +
+      "erases the vacated version's vacuum-retained ledger meta " +
+      "(the exactly-once ledger survives the ghost sweep)") {
+    import spark.implicits._
+    val tab = localFx.mkTable()
+    SnapshotTable.overwrite(spark, Seq(0L).toDF("x"), tab, Some("e0"))
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // the stall window, landed through the pre-claim seam: between
+    // this append computing v=1 and claiming it, a winner publishes
+    // v1..v3 and a retention sweep expires their manifests while
+    // RETAINING the .meta ledger — the claim then succeeds on the
+    // genuinely empty slot
+    SnapshotTable.preClaimTestHook = Some { (d, v) =>
+      if (d == tab && v == 1 && fired.compareAndSet(false, true)) {
+        SnapshotTable.append(spark, Seq(1L).toDF("x"), tab, Some("e1"))
+        SnapshotTable.append(spark, Seq(2L).toDF("x"), tab, Some("e2"))
+        SnapshotTable.append(spark, Seq(3L).toDF("x"), tab, Some("e3"))
+        // graced sweep (the deployment default): the commit under
+        // test has already WRITTEN its data files — an ungraced
+        // concurrent sweep would eat them (the exact race the
+        // fresh-file grace closes); manifest expiry is unaffected
+        SnapshotTable.vacuum(tab, keepVersions = 1,
+          freshGraceMs = 60000L)
+        ()
+      }
+    }
+    try {
+      val e = intercept[IllegalStateException] {
+        SnapshotTable.append(spark, Seq(9L).toDF("x"), tab,
+          Some("late-epoch"))
+      }
+      assert(fired.get(), "the stall window never fired — seam moved")
+      assert(e.getMessage.contains("stale"),
+        s"wrong failure shape: ${e.getMessage}")
+    } finally SnapshotTable.preClaimTestHook = None
+    assert(SnapshotTable.currentVersionOf(tab) === Some(3),
+      "CURRENT must never move backwards")
+    // THE round's deepest self-caught assertion: epoch e1's ledger
+    // line was published at v1 and its manifest vacuumed — the
+    // refused commit must leave it intact, or a re-delivered e1
+    // would double-apply
+    assert(SnapshotTable.metaOf(tab, 1) === Some("e1"),
+      "the vacated version's RETAINED ledger meta was erased — the " +
+      "double-apply window is reopened")
+    assert(SnapshotTable.committedMetas(tab) ===
+      Seq("e0", "e1", "e2", "e3"))
+    assert(!SnapshotTable.committedMetas(tab).contains("late-epoch"))
+  }
+
+  test("a stalled UNPINNED base-INDEPENDENT commit (overwrite) in the " +
+      "same vacated-slot stall retries on a fresh version — ledger " +
+      "intact, every meta exactly once") {
+    import spark.implicits._
+    val tab = localFx.mkTable()
+    SnapshotTable.overwrite(spark, Seq(0L).toDF("x"), tab, Some("e0"))
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    SnapshotTable.preClaimTestHook = Some { (d, v) =>
+      if (d == tab && v == 1 && fired.compareAndSet(false, true)) {
+        SnapshotTable.append(spark, Seq(1L).toDF("x"), tab, Some("e1"))
+        SnapshotTable.append(spark, Seq(2L).toDF("x"), tab, Some("e2"))
+        SnapshotTable.append(spark, Seq(3L).toDF("x"), tab, Some("e3"))
+        // graced sweep (the deployment default): the commit under
+        // test has already WRITTEN its data files — an ungraced
+        // concurrent sweep would eat them (the exact race the
+        // fresh-file grace closes); manifest expiry is unaffected
+        SnapshotTable.vacuum(tab, keepVersions = 1,
+          freshGraceMs = 60000L)
+        ()
+      }
+    }
+    try {
+      val v = SnapshotTable.overwrite(spark, Seq(9L).toDF("x"), tab,
+        Some("late-overwrite"))
+      assert(fired.get(), "the stall window never fired — seam moved")
+      assert(v === 4, "the retry must land on the FRESH next version")
+    } finally SnapshotTable.preClaimTestHook = None
+    assert(SnapshotTable.metaOf(tab, 1) === Some("e1"))
+    val metas = SnapshotTable.committedMetas(tab)
+    assert(metas === Seq("e0", "e1", "e2", "e3", "late-overwrite"))
+    assert(SnapshotTable.read(spark, tab)
+      .collect().map(_.getLong(0)).toSeq === Seq(9L))
   }
 
   test("a PINNED commit that goes stale BETWEEN claim and publish " +
