@@ -63,7 +63,14 @@ object ServingQueries {
             !SimilarityQueries.v23DeleteFilter)
           .select("vec_id", "embedding")
         LifecycleIndex.search(s, d, idx, queries)
-      } finally deleteRec(idx)
+      } finally {
+        // with the directory: the serving caches' entries for it
+        // (the corpus entry holds PERSISTED blocks — waiting for the
+        // next materialize's sweep would carry them into unrelated
+        // bench queries' measurements)
+        LifecycleIndex.releaseIndexCaches(s, idx)
+        deleteRec(idx)
+      }
       // the returned frame is driver-local (the walk collects its
       // bounded state), so the index files are droppable BEFORE the
       // caller evaluates it — without the cleanup every bench sweep

@@ -2618,7 +2618,7 @@ object SimilarityQueries {
     Seq[(String, Double)]](Seq.empty)
 
   private[graft] def beamWalkCore(s: org.apache.spark.sql.SparkSession,
-      n: org.apache.spark.sql.DataFrame,
+      nIn: org.apache.spark.sql.DataFrame,
       qrows: Array[(Long, Array[Long], Long)],
       gdIn: org.apache.spark.sql.DataFrame,
       knobsRef: java.util.concurrent.atomic.AtomicReference[(Int, Int)],
@@ -2636,7 +2636,14 @@ object SimilarityQueries {
       // on an unchanged index then skip this call's one corpus-sized
       // aggregation. None (every batch op) computes it here, so no
       // existing caller's measured cost or oracle changes.
-      centsIn: Option[Array[(Long, Array[Long])]] = None)
+      centsIn: Option[Array[(Long, Array[Long])]] = None,
+      // a SERVING caller materializes the SYMMETRIZED graph into its
+      // serving snapshot (one distinct per index state), so its walk
+      // skips the per-hop union+distinct below — the same edge set,
+      // paid once per state change instead of once per hop per
+      // search. false (every batch op) keeps the in-walk symmetrize,
+      // so no batch oracle or plan changes.
+      preSymmetrized: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     require(qrows.length <= maxQ, s"query set exceeds the $maxQ bound")
@@ -2647,6 +2654,23 @@ object SimilarityQueries {
       return Seq.empty[(Long, Long, Double, Int)]
         .toDF("query_id", "neighbor_id", "cos_sim", "rank")
     }
+    // the corpus side every hop probes, PERSISTED for the walk's
+    // duration (round 17): each hop's join re-ran the quantize
+    // transform over the whole corpus — the HOF transform/aggregate
+    // expressions are non-codegen, so H hops paid H corpus-sized
+    // quantization passes (the serving latency budget's dominant
+    // term, 3.26 s of a 3.98 s warm search at 100×). One fill then H
+    // in-memory columnar scans, batch-stat-pruned by the hop's InSet.
+    // cached() is idempotent by plan: a SERVING caller arrives with
+    // the corpus already persisted per index state (LifecycleIndex's
+    // corpus cache) and is returned untouched; a BATCH caller's
+    // persist is TRACKED so the harness releases it with the query's
+    // other intermediates; the STREAMING insert hook's corpus is
+    // immutable for the stream's life, so its entry simply stays
+    // resident — the corpus-side analog of its process-held coarse
+    // quantizer. eager=false: the very next action (centroids or
+    // cell sizing) fills it.
+    val n = graft.PersistRegistry.cached(nIn, eager = false)
     val gd = gdIn
     val qvec = qrows.map(r => r._1 -> ((r._2, r._3))).toMap
     def cosTo(q: Long, rc: Array[Long], nnc: Long): Double = {
@@ -2715,9 +2739,11 @@ object SimilarityQueries {
     // over the insert-free corpus once per fixture) is SYMMETRIZED:
     // reverse edges double effective degree and connectivity — a
     // directed 3-out graph strands greedy walks (measured 28%
-    // recall@3 vs v03 before symmetrizing)
-    val g = gd.unionByName(gd.select(col("neighbor_id").as("vec_id"),
-      col("vec_id").as("neighbor_id"))).distinct()
+    // recall@3 vs v03 before symmetrizing). A preSymmetrized caller
+    // already stored exactly this union+distinct.
+    val g = if (preSymmetrized) gd
+      else gd.unionByName(gd.select(col("neighbor_id").as("vec_id"),
+        col("vec_id").as("neighbor_id"))).distinct()
     // visited state: query -> node -> cosine. The walk is
     // BEST-FIRST WITH A CLOSED SET (round 11): each hop expands the
     // top-B visited nodes NOT yet expanded. Beaming over all

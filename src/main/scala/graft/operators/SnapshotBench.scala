@@ -124,6 +124,9 @@ object SnapshotBench {
       adopt("serving_search") = math.min(t(), t()) // warm: adopt both
       println(f"SNAPBENCH serving_search cold ${rebuild("serving_search")}%.2f s warm ${adopt("serving_search")}%.2f s")
       // drop the throwaway index (base + serving graph are data-sized)
+      // and its serving-cache entries (the corpus entry holds
+      // persisted blocks — see LifecycleIndex.releaseIndexCaches)
+      graft.streaming.LifecycleIndex.releaseIndexCaches(spark, idx)
       val s2 = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
       try {
         import scala.jdk.CollectionConverters._

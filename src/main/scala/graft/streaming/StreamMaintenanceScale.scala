@@ -97,9 +97,25 @@ object StreamMaintenanceScale {
       val delBatch = emb.filter(pmod(col("vec_id"), lit(97)) === 0 &&
         col("vec_id") < 1000000000L).select("vec_id")
 
+      // FILESYSTEM-level bytes read (round 17): input_read_mb above
+      // counts what tasks CONSUME — which, once the serving path
+      // persists the probe corpus, includes in-memory columnar scans
+      // of the cached blocks. fs_read_mb is the Hadoop FileSystem
+      // counter for the local scheme: actual parquet bytes off
+      // storage. A warm search with fs_read ≈ 0 but input_read ≈
+      // corpus-sized is serving entirely from the cache — the two
+      // numbers TOGETHER attribute the read path.
+      def fsBytesRead(): Long = {
+        val s = org.apache.hadoop.fs.FileSystem
+          .getGlobalStorageStatistics.get("file")
+        // getLong returns a nullable boxed Long for unknown keys
+        if (s == null) 0L
+        else Option(s.getLong("bytesRead")).map(_.toLong).getOrElse(0L)
+      }
       def step(name: String, extra: String = "")(body: => Unit): Unit = {
         val m0 = dirMb(idx)
         val i0 = inputBytes.get()
+        val f0 = fsBytesRead()
         val t0 = System.nanoTime()
         body
         val sec = (System.nanoTime() - t0) / 1e9
@@ -108,12 +124,14 @@ object StreamMaintenanceScale {
         // timed window before reading the input counter
         Thread.sleep(1000)
         val inMb = (inputBytes.get() - i0) / 1e6
+        val fsMb = (fsBytesRead() - f0) / 1e6
         val mb = dirMb(idx) - m0
         println(f"STREAMSCALE x$f $name%-14s $sec%8.2f s  " +
-          f"$mb%10.4f MB written  $inMb%10.1f MB read$extra")
+          f"$mb%10.4f MB written  $inMb%10.1f MB read " +
+          f"($fsMb%10.1f MB fs)$extra")
         rows += f"""{"component":"$name","factor":$f,"sec":$sec%.3f,""" +
-          f""""index_write_mb":$mb%.4f,"input_read_mb":$inMb%.1f""" +
-          f"""$extra,"run":"$runTag"}"""
+          f""""index_write_mb":$mb%.4f,"input_read_mb":$inMb%.1f,""" +
+          f""""fs_read_mb":$fsMb%.1f$extra,"run":"$runTag"}"""
       }
 
       step("bootstrap") {
