@@ -416,7 +416,8 @@ object LifecycleIndex {
   // epoch advances it, swept with the centroid cache at the
   // state-change boundary.
   private val corpusCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, DataFrame)]()
+    String, (String, DataFrame,
+      java.util.concurrent.atomic.AtomicLong)]()
 
   /** Drop THIS index's serving-cache entries (centroid table +
     * persisted corpus) — for harnesses that delete a throwaway
@@ -436,7 +437,7 @@ object LifecycleIndex {
     * for the round-17 cache-discipline spec. */
   private[graft] def corpusCacheState: Map[String, (String, String)] = {
     import scala.jdk.CollectionConverters._
-    corpusCache.asScala.map { case (k, (tag, df)) =>
+    corpusCache.asScala.map { case (k, (tag, df, _)) =>
       k -> (tag, df.storageLevel.description)
     }.toMap
   }
@@ -633,12 +634,46 @@ object LifecycleIndex {
             org.apache.spark.storage.StorageLevel.NONE)
           old._2.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        old._3.set(System.nanoTime())
         old
       } else {
         if (old != null) old._2.unpersist(blocking = false)
-        (corpusTag, nRaw.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // storageLevel consults the CacheManager BY PLAN: another
+        // index over the same dataset with no retired set yet can
+        // already hold the identical plan — reuse it instead of
+        // re-persisting (which only logs a CacheManager warn)
+        (corpusTag,
+          if (nRaw.storageLevel ==
+              org.apache.spark.storage.StorageLevel.NONE)
+            nRaw.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else nRaw,
+          new java.util.concurrent.atomic.AtomicLong(System.nanoTime()))
       })._2
+    // LRU bound on LIVE entries (adversarial-review finding: the
+    // dead-index sweep bounds nothing for a process legitimately
+    // serving MANY indexes — each entry is a data-sized persisted
+    // corpus, so without a cap the resident set grows with every
+    // index served). Entries beyond the cap are unpersisted
+    // least-recently-searched first; an evicted index's next search
+    // just re-persists (one fill), correctness unaffected.
+    val cacheMax = math.max(1, spark.conf
+      .get("spark.graft.serving.corpusCacheMax", "8").toInt)
+    var evicting = corpusCache.size > cacheMax
+    while (evicting) {
+      import scala.jdk.CollectionConverters._
+      corpusCache.entrySet().asScala
+        .filter(_.getKey != ckCorpus) // never evict this search's own
+        .minByOption(_.getValue._3.get()) match {
+        case Some(e) =>
+          // two-arg remove: only drop the exact entry we sized up —
+          // a concurrent replace of the same key keeps its fresh one
+          if (corpusCache.remove(e.getKey, e.getValue))
+            e.getValue._2.unpersist(blocking = false)
+          evicting = corpusCache.size > cacheMax
+        case None => evicting = false // nothing evictable but ours
+      }
+    }
     val sTab = servingTab(indexDir)
     // PINNED serving read (round-14 advice): resolve the serving
     // version whose meta equals THIS search's verTag and read exactly

@@ -179,6 +179,39 @@ class ServingHotPathSpec extends AnyFunSuite {
     PersistRegistry.release()
   }
 
+  test("the corpus cache is LRU-bounded for LIVE indexes: with " +
+      "corpusCacheMax=1, serving a second index evicts the first's " +
+      "persisted corpus, and a later search on the first simply " +
+      "re-persists — identical rows") {
+    val prev = spark.conf.getOption("spark.graft.serving.corpusCacheMax")
+    spark.conf.set("spark.graft.serving.corpusCacheMax", "1")
+    try {
+      val a = freshIndex()
+      val b = freshIndex()
+      val rowsA = searchRows(
+        LifecycleIndex.search(spark, sf, a, searchQueries))
+      val keyA = spark.sparkContext.applicationId + "|" + a
+      val keyB = spark.sparkContext.applicationId + "|" + b
+      assert(LifecycleIndex.corpusCacheState.contains(keyA))
+      LifecycleIndex.search(spark, sf, b, searchQueries).count()
+      val st = LifecycleIndex.corpusCacheState
+      assert(st.contains(keyB) && !st.contains(keyA),
+        s"LRU bound must keep only the latest served index: $st")
+      val again = searchRows(
+        LifecycleIndex.search(spark, sf, a, searchQueries))
+      assert(again === rowsA,
+        "an evicted index must recompute to identical rows")
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.graft.serving.corpusCacheMax", v)
+        case None =>
+          spark.conf.unset("spark.graft.serving.corpusCacheMax")
+      }
+      PersistRegistry.release()
+    }
+  }
+
   test("the state-change sweep evicts a dead index's corpus entry " +
       "and unpersists its blocks") {
     def deleteRec(dir: String): Unit = {
