@@ -2715,21 +2715,28 @@ object SimilarityQueries {
     // log|cell| rule). Recorded in the op's knobs ref so the
     // oracle's generated hop chain walks the identical search.
     val phT1 = System.nanoTime()
-    val maxCell = n.filter(col("label").cast("long")
-        .isInCollection(probedLabels))
-      .groupBy("label").count()
-      // Option: max over zero groups is NULL (empty corpus)
-      .agg(max("count").as("m")).as[Option[Long]].collect()
-      .headOption.flatten.getOrElse(2L)
-    val (vH, vB) = sizeKnobs(maxCell)
-    knobsRef.set((vH, vB))
+    // ONE pass for sizing + seeds (round 17, serving latency budget):
+    // the per-cell count rides the seed window's partitioning — same
+    // exchange, one job over the probed cells instead of a count job
+    // plus a seed job. Each seed row carries its cell's total, and
+    // every probed cell with any member contributes ≥1 seed row, so
+    // max(cell_n over seeds) IS the old groupBy-count max; the 2L
+    // floor covers the empty-corpus case exactly as before.
     val wEnt = Window.partitionBy("label").orderBy("vec_id")
-    val seeds = n.filter(col("label").cast("long")
+    val wCell = Window.partitionBy("label")
+    val seedRows = n.filter(col("label").cast("long")
         .isInCollection(probedLabels))
       .withColumn("rn", row_number().over(wEnt))
+      .withColumn("cell_n", count(lit(1)).over(wCell))
       .filter(col("rn") <= 4)
-      .select(col("label").cast("long"), col("vec_id"), col("r"), col("nn"))
-      .as[(Long, Long, Array[Long], Long)].collect()
+      .select(col("label").cast("long"), col("vec_id"), col("r"),
+        col("nn"), col("cell_n"))
+      .as[(Long, Long, Array[Long], Long, Long)].collect()
+    val maxCell = seedRows.iterator.map(_._5)
+      .maxOption.getOrElse(2L)
+    val (vH, vB) = sizeKnobs(maxCell)
+    knobsRef.set((vH, vB))
+    val seeds = seedRows.map(s => (s._1, s._2, s._3, s._4))
     require(seeds.length <= 4 * maxQ, s"seed set exceeds the 4*$maxQ bound")
     val phSeeds = since(phT1)
     val phT2 = System.nanoTime()
