@@ -2336,7 +2336,17 @@ object SimilarityQueries {
       s: org.apache.spark.sql.SparkSession, d: String,
       qrows: Array[(Long, Array[Long], Long)])
       : org.apache.spark.sql.DataFrame = {
-    val n = quantized(s, d).filter(!v21BatchFilter)
+    // ORDER MATTERS on the first epoch: compute the once-per-app
+    // coarse quantizer BEFORE streamCorpus persists the plan — the
+    // centroid aggregation over the RAW plan is a codegen parquet
+    // scan, while the same aggregation run on top of the cache FILL
+    // materializes every row twice (measured 11 s → 26-31 s for the
+    // cold epoch at 200× when the persist came first). Once cents is
+    // held, later epochs never re-aggregate, and the walk's first
+    // seed job pays the one fill at plain scan cost.
+    val cents = streamCents(s, d,
+      quantized(s, d).filter(!v21BatchFilter))
+    val n = streamCorpus(s, d)
     // PROCESS-HELD coarse quantizer (round 15): the walk's centroid
     // table is an aggregation over the ENTIRE base corpus — paying it
     // on every micro-batch is a data-sized compute per epoch at scale,
@@ -2350,7 +2360,7 @@ object SimilarityQueries {
     // (StreamingGraphInsertSpec). Batch entries keep recomputing by
     // the bench's full-computation contract.
     beamWalkCore(s, n, qrows, insertFreeBaseGraph(s, d), v21Knobs,
-      maxQ = 4096, centsIn = Some(streamCents(s, d, n)))
+      maxQ = 4096, centsIn = Some(cents))
   }
 
   private val streamCentsCache = new java.util.concurrent.ConcurrentHashMap[
@@ -2381,6 +2391,54 @@ object SimilarityQueries {
   private[graft] def streamCentsCacheKeys: Set[String] = {
     import scala.jdk.CollectionConverters._
     streamCentsCache.keySet.asScala.toSet
+  }
+
+  // RESIDENT stream corpus (round 17, the maintenance-side analog of
+  // the serving corpus cache): the insert walk's probe corpus is
+  // immutable for the stream's life (v21's rule — inserts never join
+  // the walk's base), yet every epoch re-persisted and re-filled it
+  // because the walk's tracked persist is released with the epoch's
+  // intermediates. One persisted corpus per (application, corpus
+  // dir), held across epochs like the process-held coarse quantizer
+  // above; dir-liveness eviction UNPERSISTS (these entries hold
+  // data-sized blocks, unlike the nlist-row quantizer); a foreign
+  // release() of the identical plan is re-pinned on the next epoch.
+  private val streamCorpusCache = new java.util.concurrent
+    .ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+
+  // private[graft] so the residency/eviction spec can drive it
+  // without paying a full epoch per assertion
+  private[graft] def streamCorpus(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val it = streamCorpusCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val dir = e.getKey.substring(e.getKey.indexOf('|') + 1)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .exists(p)) {
+        e.getValue.unpersist(blocking = false)
+        it.remove()
+      }
+    }
+    streamCorpusCache.compute(
+      s.sparkContext.applicationId + "|" + d, (_, old) =>
+        if (old != null) {
+          if (old.storageLevel ==
+              org.apache.spark.storage.StorageLevel.NONE)
+            old.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          old
+        } else quantized(s, d).filter(!v21BatchFilter).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Live stream-corpus cache keys → storage level — for the
+    * residency/eviction spec. */
+  private[graft] def streamCorpusState: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    streamCorpusCache.asScala
+      .map { case (k, df) => k -> df.storageLevel.description }.toMap
   }
 
   /** The committed INSERT-FREE base graph ("knn-graph-base") — the

@@ -623,6 +623,18 @@ object LifecycleIndex {
     // missing-file shapes the retry-once contract already absorbs.
     val corpusTag = vR.map(_.toString).getOrElse("-")
     val ckCorpus = spark.sparkContext.applicationId + "|" + indexDir
+    // centroid coordinator BEFORE the corpus persist (the
+    // agg-over-fill hazard, same as the stream side — see
+    // streamInsertEdges): a state-change recompute over the
+    // not-yet-persisted plan runs as a codegen parquet aggregation;
+    // run after the persist below it would execute on top of the
+    // cache's fresh fill, materializing every row twice. Warm
+    // searches hit the held entry either way. (The version capture
+    // above is billed into this phase — four control-plane reads.)
+    val cents = centsCache.compute(ckCorpus, (_, old) =>
+      if (old != null && old._1 == verTag) old
+      else (verTag, SimilarityQueries.centroidTable(spark, nRaw)))._2
+    lap("centroid_cache")
     val n = corpusCache.compute(ckCorpus, (_, old) =>
       if (old != null && old._1 == corpusTag) {
         // re-pin a released entry: a batch harness's
@@ -747,11 +759,6 @@ object LifecycleIndex {
           SnapshotTable.read(spark, sTab, materialize())
       }).select(col("vec_id"), col("neighbor_id"))
     lap("serving_read")
-    val ck = spark.sparkContext.applicationId + "|" + indexDir
-    val cents = centsCache.compute(ck, (_, old) =>
-      if (old != null && old._1 == verTag) old
-      else (verTag, SimilarityQueries.centroidTable(spark, n)))._2
-    lap("centroid_cache")
     // test seam: lets the vacuum-race spec land a full
     // advance+advance+vacuum AFTER this attempt pinned and read its
     // serving version but BEFORE the walk's jobs scan it — the

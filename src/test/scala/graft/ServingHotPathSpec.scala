@@ -212,6 +212,50 @@ class ServingHotPathSpec extends AnyFunSuite {
     }
   }
 
+  test("the streaming insert hook's corpus is RESIDENT across " +
+      "epochs: a harness release() between epochs does not strip " +
+      "it, and a vanished corpus dir evicts + unpersists the entry") {
+    val idx = freshIndex()
+    StreamingGraphInsert.insertEpoch(spark,
+      emb.filter(SimilarityQueries.v21BatchFilter)
+        .select("vec_id", "embedding", "label"), sf, idx, 0L)
+    val key = spark.sparkContext.applicationId + "|" + sf
+    assert(SimilarityQueries.streamCorpusState(key)
+      .toLowerCase.contains("memory"),
+      "the first epoch must leave the stream corpus resident")
+    PersistRegistry.release() // what a harness does between epochs
+    // the entry survives the release (it is deliberately untracked);
+    // even if an identical foreign plan was uncached, the next
+    // epoch's streamCorpus call re-pins it
+    SimilarityQueries.streamCorpus(spark, sf)
+    assert(SimilarityQueries.streamCorpusState(key)
+      .toLowerCase.contains("memory"),
+      "the stream corpus must stay resident across epoch boundaries")
+    // eviction: a throwaway corpus COPY vanishes -> its entry (and
+    // blocks) go with it, the real corpus's entry survives
+    val corp = tmp("graft-srvhot-corp-")
+    val src = java.nio.file.Paths.get(s"$sf/embeddings.parquet")
+    val dst = java.nio.file.Paths.get(s"$corp/embeddings.parquet")
+    import scala.jdk.CollectionConverters._
+    if (Files.isDirectory(src)) {
+      Files.createDirectories(dst)
+      Files.list(src).iterator().asScala.foreach { p =>
+        Files.copy(p, dst.resolve(p.getFileName.toString))
+      }
+    } else Files.copy(src, dst)
+    SimilarityQueries.streamCorpus(spark, corp)
+    val copyKey = spark.sparkContext.applicationId + "|" + corp
+    assert(SimilarityQueries.streamCorpusState.contains(copyKey))
+    Files.walk(Paths.get(corp)).iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
+    SimilarityQueries.streamCorpus(spark, sf) // next epoch sweeps
+    val st = SimilarityQueries.streamCorpusState
+    assert(!st.contains(copyKey),
+      s"vanished corpus's entry survived the sweep: $st")
+    assert(st.contains(key), "the live corpus's entry must survive")
+    PersistRegistry.release()
+  }
+
   test("the state-change sweep evicts a dead index's corpus entry " +
       "and unpersists its blocks") {
     def deleteRec(dir: String): Unit = {
