@@ -66,6 +66,21 @@ object PersistRegistry {
     ds
   }
 
+  /** Persist at MEMORY_AND_DISK unless the plan is already cached —
+    * the RE-PIN primitive of the long-lived corpus caches
+    * (LifecycleIndex.corpusCache, SimilarityQueries
+    * .streamCorpusCache). Deliberately does NOT track: those caches
+    * own their release discipline (state-boundary sweeps, LRU cap,
+    * dir-liveness eviction) and must survive per-query release().
+    * The storageLevel check consults the session CacheManager by
+    * plan, so an identical plan cached by anyone is reused instead
+    * of re-persisted (which would only log a CacheManager warn). */
+  def ensurePinned[T <: Dataset[_]](ds: T): T = {
+    if (ds.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ds
+  }
+
   /** Unpersist every tracked intermediate (non-blocking). Safe to call
     * when nothing is tracked, and safe on already-unpersisted sets. */
   def release(): Unit = {

@@ -67,8 +67,14 @@ object ServingQueries {
         // with the directory: the serving caches' entries for it
         // (the corpus entry holds PERSISTED blocks — waiting for the
         // next materialize's sweep would carry them into unrelated
-        // bench queries' measurements)
+        // bench queries' measurements), and the resident STREAM
+        // corpus its insert epochs pinned (review finding: keyed by
+        // the dataset dir, which never vanishes, so dir-liveness
+        // eviction never fires in a bench — and later batch entries
+        // sharing the identical plan would silently serve from
+        // memory, breaking their full-computation contract)
         LifecycleIndex.releaseIndexCaches(s, idx)
+        SimilarityQueries.releaseStreamCorpus(s, d)
         deleteRec(idx)
       }
       // the returned frame is driver-local (the walk collects its

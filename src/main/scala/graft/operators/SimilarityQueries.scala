@@ -2423,15 +2423,23 @@ object SimilarityQueries {
     }
     streamCorpusCache.compute(
       s.sparkContext.applicationId + "|" + d, (_, old) =>
-        if (old != null) {
-          if (old.storageLevel ==
-              org.apache.spark.storage.StorageLevel.NONE)
-            old.persist(
-              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          old
-        } else quantized(s, d).filter(!v21BatchFilter).persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        if (old != null) graft.PersistRegistry.ensurePinned(old)
+        else graft.PersistRegistry.ensurePinned(
+          quantized(s, d).filter(!v21BatchFilter)))
   }
+
+  /** Drop the resident stream corpus for `d` (remove + unpersist) —
+    * for bench/verify queries that drive REAL epochs (v28,
+    * SnapshotBench's serving block): the residency is a long-lived
+    * maintainer's shape, but a harness query must not leave a
+    * corpus-sized persisted plan that later BATCH entries (whose
+    * contract is full recomputation) would silently read from
+    * memory, nor tax every subsequent query's storage pool. */
+  private[graft] def releaseStreamCorpus(
+      s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    Option(streamCorpusCache.remove(
+      s.sparkContext.applicationId + "|" + d))
+      .foreach(_.unpersist(blocking = false))
 
   /** Live stream-corpus cache keys → storage level — for the
     * residency/eviction spec. */
@@ -2726,8 +2734,18 @@ object SimilarityQueries {
     // other intermediates; the STREAMING insert hook's corpus is
     // immutable for the stream's life, so its entry simply stays
     // resident — the corpus-side analog of its process-held coarse
-    // quantizer. eager=false: the very next action (centroids or
-    // cell sizing) fills it.
+    // quantizer. eager=false: the very next action (cell sizing)
+    // fills it. The centroid table, when this call must compute it,
+    // is aggregated over the NOT-YET-PERSISTED plan first — the
+    // agg-over-fill hazard (review finding): an aggregation executed
+    // on top of a just-issued persist materializes every row twice
+    // and loses parquet codegen (measured 11 s → 26-31 s on the 200×
+    // cold epoch when the stream path had this order), so cents runs
+    // at plain-scan cost and the seed pass pays the one fill.
+    val phT0 = System.nanoTime()
+    def since(t: Long): Double = (System.nanoTime() - t) / 1e9
+    val cents = centsIn.getOrElse(centroidTable(s, nIn))
+    val phCents = since(phT0)
     val n = graft.PersistRegistry.cached(nIn, eager = false)
     val gd = gdIn
     val qvec = qrows.map(r => r._1 -> ((r._2, r._3))).toMap
@@ -2741,10 +2759,6 @@ object SimilarityQueries {
     // component-wise sum; best cell by cosine, ties to the smaller
     // label); the centroid table is the IVF coordinator state
     // (nlist rows, the same table v03/v05/v11 broadcast)
-    val phT0 = System.nanoTime()
-    def since(t: Long): Double = (System.nanoTime() - t) / 1e9
-    val cents = centsIn.getOrElse(centroidTable(s, n))
-    val phCents = since(phT0)
     require(cents.length <= 1000000, "centroid table exceeds the " +
       "coordinator bound — shard the coarse quantizer")
     // overflow guard, consistent with the other require()'d bounds:

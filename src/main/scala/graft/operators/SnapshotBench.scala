@@ -125,8 +125,10 @@ object SnapshotBench {
       println(f"SNAPBENCH serving_search cold ${rebuild("serving_search")}%.2f s warm ${adopt("serving_search")}%.2f s")
       // drop the throwaway index (base + serving graph are data-sized)
       // and its serving-cache entries (the corpus entry holds
-      // persisted blocks — see LifecycleIndex.releaseIndexCaches)
+      // persisted blocks — see LifecycleIndex.releaseIndexCaches),
+      // plus the resident stream corpus the insert epoch pinned
       graft.streaming.LifecycleIndex.releaseIndexCaches(spark, idx)
+      SimilarityQueries.releaseStreamCorpus(spark, sfDir)
       val s2 = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
       try {
         import scala.jdk.CollectionConverters._

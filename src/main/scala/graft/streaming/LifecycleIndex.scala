@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.PersistRegistry
 import graft.operators.SimilarityQueries
 import graft.warehouse.SnapshotTable
 
@@ -361,11 +362,14 @@ object LifecycleIndex {
     new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
 
   // centroid coordinator state, ONE entry per (application, index):
-  // nlist rows (require()-bounded in the walk), replaced whenever the
-  // index's version tag advances — a long-running serving process
-  // holds exactly one live centroid table per index it serves, not
-  // one per historical version (review-caught: the version-keyed form
-  // grew heap linearly with epoch count).
+  // nlist rows (require()-bounded in the walk), replaced only when
+  // the index's RETIRED-STATE advances — the table depends solely on
+  // the dataset and the retired set, so insert/fold advances reuse it
+  // (round-17 review: the verTag-keyed form re-aggregated the corpus
+  // after every insert epoch for nothing). A long-running serving
+  // process holds exactly one live centroid table per index it
+  // serves, not one per historical version (review-caught: the
+  // version-keyed form grew heap linearly with epoch count).
   private val centsCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Array[(Long, Array[Long])])]()
 
@@ -556,7 +560,14 @@ object LifecycleIndex {
     * capture + serving-tag match), `serve_materialize` (nonzero only
     * on a state-change miss), `serving_read` (manifest + plan),
     * `centroid_cache` (nonzero only on a miss), then the walk's own
-    * phases (SimilarityQueries.lastWalkPhases). */
+    * phases (SimilarityQueries.lastWalkPhases). Phase order since
+    * the round-17 hot-path work: `intake` (ONE limit-bounded collect
+    * — the separate count job is gone), `centroid_cache` (version
+    * capture + the coordinator table, computed over the
+    * not-yet-persisted plan on a retired-state change),
+    * `version_resolve` (corpus pin + LRU bound + serving-tag match),
+    * `serve_materialize` (state-change miss only), `serving_read`,
+    * then the walk's phases. */
   val lastSearchPhases = new java.util.concurrent.atomic.AtomicReference[
     Seq[(String, Double)]](Seq.empty)
 
@@ -622,6 +633,14 @@ object LifecycleIndex {
     // vacuum racing a cached partition's recompute surfaces the same
     // missing-file shapes the retry-once contract already absorbs.
     val corpusTag = vR.map(_.toString).getOrElse("-")
+    // tag age for FORWARD-ONLY cache rotation (review finding): a
+    // search still pinned to an older retired-state must never
+    // rotate the shared per-index slot backwards — that would
+    // unpersist the newer state's freshly-filled corpus and force
+    // the next current-state search to pay another full fill
+    // (per-search refill thrash under delete turnover). "-" (no
+    // retired table yet) is older than any version.
+    def tagAge(t: String): Int = if (t == "-") -1 else t.toInt
     val ckCorpus = spark.sparkContext.applicationId + "|" + indexDir
     // centroid coordinator BEFORE the corpus persist (the
     // agg-over-fill hazard, same as the stream side — see
@@ -629,39 +648,45 @@ object LifecycleIndex {
     // not-yet-persisted plan runs as a codegen parquet aggregation;
     // run after the persist below it would execute on top of the
     // cache's fresh fill, materializing every row twice. Warm
-    // searches hit the held entry either way. (The version capture
-    // above is billed into this phase — four control-plane reads.)
-    val cents = centsCache.compute(ckCorpus, (_, old) =>
-      if (old != null && old._1 == verTag) old
-      else (verTag, SimilarityQueries.centroidTable(spark, nRaw)))._2
+    // searches hit the held entry either way. KEYED BY THE
+    // RETIRED-STATE, not the full version tag (review finding): the
+    // centroid table depends only on the dataset and the retired set
+    // at vR — the old verTag key re-aggregated the whole corpus
+    // after every insert/fold advance for nothing. (The version
+    // capture above is billed into this phase — 4 control reads.)
+    val centsEntry = centsCache.compute(ckCorpus, (_, old) =>
+      if (old != null && (old._1 == corpusTag ||
+          tagAge(old._1) > tagAge(corpusTag))) old
+      else (corpusTag, SimilarityQueries.centroidTable(spark, nRaw)))
+    val cents =
+      if (centsEntry._1 == corpusTag) centsEntry._2
+      // stale-state search: compute privately, never displace the
+      // newer entry (rare — the caller pinned before a delete epoch)
+      else SimilarityQueries.centroidTable(spark, nRaw)
     lap("centroid_cache")
-    val n = corpusCache.compute(ckCorpus, (_, old) =>
+    val corpusEntry = corpusCache.compute(ckCorpus, (_, old) =>
       if (old != null && old._1 == corpusTag) {
         // re-pin a released entry: a batch harness's
         // PersistRegistry.release() can uncache a plan IDENTICAL to
         // this entry's (CacheManager is keyed by plan, not by
         // Dataset) — without this the entry would silently serve
         // unpersisted for the rest of the state's lifetime
-        if (old._2.storageLevel ==
-            org.apache.spark.storage.StorageLevel.NONE)
-          old._2.persist(
-            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        PersistRegistry.ensurePinned(old._2)
         old._3.set(System.nanoTime())
         old
+      } else if (old != null && tagAge(old._1) > tagAge(corpusTag)) {
+        old // stale-state search: keep the newer entry (see tagAge)
       } else {
         if (old != null) old._2.unpersist(blocking = false)
-        // storageLevel consults the CacheManager BY PLAN: another
+        // ensurePinned consults the CacheManager BY PLAN: another
         // index over the same dataset with no retired set yet can
         // already hold the identical plan — reuse it instead of
         // re-persisting (which only logs a CacheManager warn)
-        (corpusTag,
-          if (nRaw.storageLevel ==
-              org.apache.spark.storage.StorageLevel.NONE)
-            nRaw.persist(
-              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          else nRaw,
+        (corpusTag, PersistRegistry.ensurePinned(nRaw),
           new java.util.concurrent.atomic.AtomicLong(System.nanoTime()))
-      })._2
+      })
+    // a stale-state search walks its own pinned (uncached) corpus
+    val n = if (corpusEntry._1 == corpusTag) corpusEntry._2 else nRaw
     // LRU bound on LIVE entries (adversarial-review finding: the
     // dead-index sweep bounds nothing for a process legitimately
     // serving MANY indexes — each entry is a data-sized persisted
