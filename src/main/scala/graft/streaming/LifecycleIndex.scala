@@ -412,6 +412,13 @@ object LifecycleIndex {
     centsCache.keySet.asScala.toSet
   }
 
+  /** Live centroid-cache keys → retired-state tag — observability
+    * for the re-key and recreation-healing specs. */
+  private[graft] def centsCacheState: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    centsCache.asScala.map { case (k, (tag, _)) => k -> tag }.toMap
+  }
+
   // the retired-filtered quantized corpus each served index walks,
   // PERSISTED once per retired-state and probed by every hop of every
   // search on that state (see searchAttempt). One entry per
@@ -555,19 +562,15 @@ object LifecycleIndex {
   /** Wall seconds per phase of the LAST [[search]] attempt — the
     * serving read-path latency budget (round-17 stretch 7), stamped
     * per factor by StreamMaintenanceScale so the next serving
-    * optimization is chosen from a measured breakdown: `intake`
-    * (bounded count + query collect), `version_resolve` (the pinned
-    * capture + serving-tag match), `serve_materialize` (nonzero only
-    * on a state-change miss), `serving_read` (manifest + plan),
-    * `centroid_cache` (nonzero only on a miss), then the walk's own
-    * phases (SimilarityQueries.lastWalkPhases). Phase order since
-    * the round-17 hot-path work: `intake` (ONE limit-bounded collect
-    * — the separate count job is gone), `centroid_cache` (version
-    * capture + the coordinator table, computed over the
-    * not-yet-persisted plan on a retired-state change),
-    * `version_resolve` (corpus pin + LRU bound + serving-tag match),
-    * `serve_materialize` (state-change miss only), `serving_read`,
-    * then the walk's phases. */
+    * optimization is chosen from a measured breakdown. Emitted
+    * order: `intake` (ONE limit-bounded quantize+collect — the
+    * separate count job is gone), `centroid_cache` (the pinned
+    * version capture plus the coordinator table, recomputed over the
+    * not-yet-persisted plan only on a retired-state change),
+    * `version_resolve` (corpus pin + LRU bound + serving-tag
+    * match), `serve_materialize` (nonzero only on a state-change
+    * miss), `serving_read` (manifest + plan), then the walk's own
+    * phases (SimilarityQueries.lastWalkPhases). */
   val lastSearchPhases = new java.util.concurrent.atomic.AtomicReference[
     Seq[(String, Double)]](Seq.empty)
 
@@ -641,6 +644,18 @@ object LifecycleIndex {
     // (per-search refill thrash under delete turnover). "-" (no
     // retired table yet) is older than any version.
     def tagAge(t: String): Int = if (t == "-") -1 else t.toInt
+    // a held tag NEWER than the retired table's LIVE version is not a
+    // transient stale race — it is residue of an index DROPPED and
+    // RECREATED at the same dir (second-pass review: forward-only
+    // rotation alone would wedge both caches forever on that shape,
+    // serving a dead incarnation's entry and recomputing centroids
+    // privately on every search). Lazy: only the rare stale branches
+    // pay the one control-plane read.
+    lazy val liveRetiredTag = SnapshotTable
+      .currentVersionOf(retiredTab(indexDir))
+      .map(_.toString).getOrElse("-")
+    def orphanedTag(heldTag: String): Boolean =
+      tagAge(heldTag) > tagAge(liveRetiredTag)
     val ckCorpus = spark.sparkContext.applicationId + "|" + indexDir
     // centroid coordinator BEFORE the corpus persist (the
     // agg-over-fill hazard, same as the stream side — see
@@ -656,7 +671,8 @@ object LifecycleIndex {
     // capture above is billed into this phase — 4 control reads.)
     val centsEntry = centsCache.compute(ckCorpus, (_, old) =>
       if (old != null && (old._1 == corpusTag ||
-          tagAge(old._1) > tagAge(corpusTag))) old
+          (tagAge(old._1) > tagAge(corpusTag) &&
+            !orphanedTag(old._1)))) old
       else (corpusTag, SimilarityQueries.centroidTable(spark, nRaw)))
     val cents =
       if (centsEntry._1 == corpusTag) centsEntry._2
@@ -674,14 +690,22 @@ object LifecycleIndex {
         PersistRegistry.ensurePinned(old._2)
         old._3.set(System.nanoTime())
         old
-      } else if (old != null && tagAge(old._1) > tagAge(corpusTag)) {
-        old // stale-state search: keep the newer entry (see tagAge)
+      } else if (old != null && tagAge(old._1) > tagAge(corpusTag) &&
+          !orphanedTag(old._1)) {
+        // stale-state search: keep the newer entry (see tagAge) —
+        // but still pin and touch it (second-pass review: skipping
+        // ensurePinned left a foreign-uncached entry unpinned until
+        // the next current-tag search, and an untouched timestamp
+        // made the live entry the first LRU victim)
+        PersistRegistry.ensurePinned(old._2)
+        old._3.set(System.nanoTime())
+        old
       } else {
         if (old != null) old._2.unpersist(blocking = false)
         // ensurePinned consults the CacheManager BY PLAN: another
         // index over the same dataset with no retired set yet can
         // already hold the identical plan — reuse it instead of
-        // re-persisting (which only logs a CacheManager warn)
+        // re-persisting (which would only log a CacheManager warn)
         (corpusTag, PersistRegistry.ensurePinned(nRaw),
           new java.util.concurrent.atomic.AtomicLong(System.nanoTime()))
       })
@@ -791,6 +815,13 @@ object LifecycleIndex {
     midSearchTestHook.foreach(h => h())
     val res = SimilarityQueries.beamWalkCore(spark, n, qrows, gd,
       searchKnobs, maxQ, centsIn = Some(cents), preSymmetrized = true)
+    // a STALE-state search's private corpus was persisted (tracked)
+    // by the walk; in a pure serving process nothing ever calls
+    // PersistRegistry.release(), so drop it here — the walk's result
+    // is driver-local, nothing lazy still reads it (second-pass
+    // review: one leaked data-sized persist per backward race under
+    // sustained delete turnover)
+    if (corpusEntry._1 != corpusTag) nRaw.unpersist(blocking = false)
     lastSearchPhases.set(phases.toSeq ++
       SimilarityQueries.lastWalkPhases.get())
     res

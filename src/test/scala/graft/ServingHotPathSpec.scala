@@ -212,6 +212,64 @@ class ServingHotPathSpec extends AnyFunSuite {
     }
   }
 
+  test("the centroid cache keys by the RETIRED-STATE, not the full " +
+      "version tag: an insert epoch reuses the held table, a delete " +
+      "epoch rotates it") {
+    val idx = freshIndex()
+    LifecycleIndex.search(spark, sf, idx, searchQueries).count()
+    val key = spark.sparkContext.applicationId + "|" + idx
+    assert(LifecycleIndex.centsCacheState(key) === "-")
+    StreamingGraphInsert.insertEpoch(spark,
+      emb.filter(SimilarityQueries.v21BatchFilter)
+        .select("vec_id", "embedding", "label"), sf, idx, 0L)
+    LifecycleIndex.search(spark, sf, idx, searchQueries).count()
+    assert(LifecycleIndex.centsCacheState(key) === "-",
+      "an insert epoch must not rotate the centroid entry (the " +
+      "table depends only on the retired set)")
+    StreamingGraphDelete.deleteEpoch(spark, delOne(3L), sf, idx, 0L)
+    LifecycleIndex.search(spark, sf, idx, searchQueries).count()
+    assert(LifecycleIndex.centsCacheState(key) !== "-",
+      "a delete epoch must rotate the centroid entry")
+    PersistRegistry.release()
+  }
+
+  test("an index DROPPED and RECREATED at the same dir heals both " +
+      "serving caches: the dead incarnation's newer-tagged entries " +
+      "are rotated out (not kept forever by the forward-only rule), " +
+      "and the recreated index serves rows identical to a pristine " +
+      "twin") {
+    import scala.jdk.CollectionConverters._
+    def deleteRec(dir: String): Unit =
+      Files.walk(Paths.get(dir)).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    val idx = freshIndex()
+    // give the first incarnation a retired state (tag "0")
+    StreamingGraphDelete.deleteEpoch(spark, delOne(3L), sf, idx, 0L)
+    LifecycleIndex.search(spark, sf, idx, searchQueries).count()
+    val key = spark.sparkContext.applicationId + "|" + idx
+    val oldTag = LifecycleIndex.corpusCacheState(key)._1
+    assert(oldTag !== "-")
+    // drop + recreate at the SAME path, with NO releaseIndexCaches
+    // and no intervening search (the eviction sweep never sees the
+    // dead window) — the recreated index has no retired table, so
+    // its tag '-' is OLDER than the residue's
+    deleteRec(idx)
+    LifecycleIndex.bootstrap(spark, idx,
+      SimilarityQueries.insertFreeBaseGraph(spark, sf))
+    val rows = searchRows(
+      LifecycleIndex.search(spark, sf, idx, searchQueries))
+    assert(LifecycleIndex.corpusCacheState(key)._1 === "-",
+      "the dead incarnation's corpus entry must rotate out")
+    assert(LifecycleIndex.centsCacheState(key) === "-",
+      "the dead incarnation's centroid entry must rotate out")
+    val twin = freshIndex()
+    val want = searchRows(
+      LifecycleIndex.search(spark, sf, twin, searchQueries))
+    assert(rows === want,
+      "the recreated index must serve pristine rows")
+    PersistRegistry.release()
+  }
+
   test("the streaming insert hook's corpus is RESIDENT across " +
       "epochs: a harness release() between epochs does not strip " +
       "it, and a vanished corpus dir evicts + unpersists the entry") {
