@@ -635,15 +635,30 @@ object LifecycleIndex {
     // evicted entry recomputes from the same pinned reads, and a
     // vacuum racing a cached partition's recompute surfaces the same
     // missing-file shapes the retry-once contract already absorbs.
-    val corpusTag = vR.map(_.toString).getOrElse("-")
+    // the corpus tag is INCARNATION-SAFE (third review pass): version
+    // NUMBER alone collides when an index is dropped and recreated at
+    // the same dir and the new incarnation's delete epochs catch up
+    // to the old count with no search in between — a bare-version
+    // tag match would then serve the DEAD incarnation's cached
+    // corpus (its plan pinned the old manifest's file list; cached
+    // blocks could silently answer with the old retired set). The
+    // manifest digest embeds per-commit UUID paths, so equal version
+    // numbers across incarnations can never produce equal tags. One
+    // extra control-plane read per search, inside the pinned-read
+    // budget Round17Spec counts.
+    val corpusTag = vR.map(v => v + "@" + SnapshotTable
+        .manifestDigestOf(retiredTab(indexDir), v).getOrElse("?"))
+      .getOrElse("-")
     // tag age for FORWARD-ONLY cache rotation (review finding): a
     // search still pinned to an older retired-state must never
     // rotate the shared per-index slot backwards — that would
     // unpersist the newer state's freshly-filled corpus and force
     // the next current-state search to pay another full fill
     // (per-search refill thrash under delete turnover). "-" (no
-    // retired table yet) is older than any version.
-    def tagAge(t: String): Int = if (t == "-") -1 else t.toInt
+    // retired table yet) is older than any version; the age is the
+    // version-number prefix of the digest-qualified tag.
+    def tagAge(t: String): Int =
+      if (t == "-") -1 else t.takeWhile(_ != '@').toInt
     // a held tag NEWER than the retired table's LIVE version is not a
     // transient stale race — it is residue of an index DROPPED and
     // RECREATED at the same dir (second-pass review: forward-only

@@ -77,6 +77,19 @@ object SnapshotTable {
   def metaOf(dir: String, v: Int): Option[String] =
     be(dir).readIfExists(metaPath(dir, v)).map(b => str(b).trim)
 
+  /** Content digest of version `v`'s manifest, or None if absent —
+    * an INCARNATION-SAFE identity for the version: data paths embed
+    * per-commit UUIDs, so a table dropped and recreated at the same
+    * dir can never reproduce a digest even at equal version numbers.
+    * Used by the serving corpus cache's tags (a bare version number
+    * collides across incarnations and would serve a dead
+    * incarnation's cached corpus). One control-plane read. */
+  def manifestDigestOf(dir: String, v: Int): Option[String] =
+    be(dir).readIfExists(manifestPath(dir, v)).map { b =>
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .take(8).map("%02x".format(_)).mkString
+    }
+
   /** Every committed version's metadata (versions 0..CURRENT that
     * carried one). CURRENT's meta alone protects only re-delivery of
     * the LATEST epoch — any interleaved commit (a compact that drops

@@ -267,6 +267,24 @@ class ServingHotPathSpec extends AnyFunSuite {
       LifecycleIndex.search(spark, sf, twin, searchQueries))
     assert(rows === want,
       "the recreated index must serve pristine rows")
+    // and when the NEW incarnation's delete epochs catch up to the
+    // old incarnation's version count, the digest-qualified tag
+    // still cannot collide (a bare version number would: both
+    // incarnations would be at retired v0 here, and a tag match
+    // would serve the dead incarnation's cached corpus)
+    StreamingGraphDelete.deleteEpoch(spark, delOne(3L), sf, idx, 0L)
+    val rows2 = searchRows(
+      LifecycleIndex.search(spark, sf, idx, searchQueries))
+    val newTag = LifecycleIndex.corpusCacheState(key)._1
+    assert(newTag.startsWith("0@") && oldTag.startsWith("0@") &&
+      newTag != oldTag,
+      s"equal retired versions across incarnations must yield " +
+      s"distinct tags: $oldTag vs $newTag")
+    StreamingGraphDelete.deleteEpoch(spark, delOne(3L), sf, twin, 0L)
+    val want2 = searchRows(
+      LifecycleIndex.search(spark, sf, twin, searchQueries))
+    assert(rows2 === want2,
+      "post-catch-up rows must match the twin's")
     PersistRegistry.release()
   }
 
