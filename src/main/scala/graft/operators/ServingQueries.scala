@@ -74,6 +74,13 @@ object ServingQueries {
         // sharing the identical plan would silently serve from
         // memory, breaking their full-computation contract)
         LifecycleIndex.releaseIndexCaches(s, idx)
+        // NOTE (round-17 advice): releaseStreamCorpus is keyed by
+        // DATASET dir — correct for this bench's single-purpose
+        // process, but an application hosting a real long-lived
+        // insert stream on the same dataset would lose that stream's
+        // resident corpus here (next epoch re-fills). If benches ever
+        // share an app with a live maintainer, key the stream corpus
+        // by (app, dataset, stream-id) or make this release opt-in.
         SimilarityQueries.releaseStreamCorpus(s, d)
         deleteRec(idx)
       }

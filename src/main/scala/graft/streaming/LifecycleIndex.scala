@@ -389,11 +389,11 @@ object LifecycleIndex {
     * aggregation the cache exists to amortize): an index is live iff
     * ANY of its four tables has a committed CURRENT. */
   private def evictDeadIndexEntries(): Unit = {
-    def dead(k: String): Boolean = {
-      val dir = k.substring(k.indexOf('|') + 1)
+    def deadDir(dir: String): Boolean =
       !Seq(baseTab(dir), edgesTab(dir), delTab(dir), retiredTab(dir))
         .exists(committed)
-    }
+    def dead(k: String): Boolean =
+      deadDir(k.substring(k.indexOf('|') + 1))
     centsCache.keySet.removeIf(k => dead(k))
     // the corpus cache holds PERSISTED DataFrames — dropping the map
     // entry without unpersisting would leak the executor-side blocks
@@ -402,8 +402,36 @@ object LifecycleIndex {
     val it = corpusCache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (dead(e.getKey)) { e.getValue._2.unpersist(blocking = false); it.remove() }
+      if (dead(e.getKey)) {
+        it.remove()
+        unpersistUnlessShared(e.getValue._2, e.getKey)
+      }
     }
+    // per-index observability entries (a few words each) go with
+    // their index too
+    retriesPerIndex.keySet.removeIf(dir => deadDir(dir))
+    phasesPerIndex.keySet.removeIf(dir => deadDir(dir))
+  }
+
+  /** Unpersist `df` UNLESS another live corpusCache entry serves the
+    * same plan (round-17 advice): ensurePinned deliberately enables
+    * shared-plan reuse — two indexes over the same dataset with no
+    * retired set hold literally the same cached plan — and Spark's
+    * CacheManager is keyed BY PLAN, so unpersisting one handle
+    * silently strips the twin's blocks; the survivor would serve
+    * unpinned until its next search re-pins. O(corpusCacheMax) plan
+    * compares per eviction — eviction-path cost, never per search. */
+  private def unpersistUnlessShared(df: DataFrame,
+      excludeKey: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val shared = corpusCache.entrySet().asScala.exists { e =>
+      e.getKey != excludeKey && {
+        val other = e.getValue._2
+        (other eq df) || other.queryExecution.analyzed
+          .sameResult(df.queryExecution.analyzed)
+      }
+    }
+    if (!shared) df.unpersist(blocking = false)
   }
 
   /** Live cache keys — observability for the eviction spec. */
@@ -441,7 +469,12 @@ object LifecycleIndex {
     val k = spark.sparkContext.applicationId + "|" + indexDir
     centsCache.remove(k)
     Option(corpusCache.remove(k))
-      .foreach(_._2.unpersist(blocking = false))
+      .foreach(e => unpersistUnlessShared(e._2, k))
+    // per-index observability + backend bookkeeping (sticky conf
+    // resolution, per-dir read counters) go with the index
+    retriesPerIndex.remove(indexDir)
+    phasesPerIndex.remove(indexDir)
+    graft.warehouse.CommitBackends.releaseDir(indexDir)
   }
 
   /** Live corpus-cache keys → (tag, storage level) — observability
@@ -507,6 +540,9 @@ object LifecycleIndex {
         // failure so a deployment can see the race frequency, and
         // count it for the cross-process spec's no-torn-result check
         searchRetries.incrementAndGet()
+        retriesPerIndex.computeIfAbsent(indexDir,
+          _ => new java.util.concurrent.atomic.AtomicLong(0))
+          .incrementAndGet()
         System.err.println("[lifecycle-search] pinned files vanished " +
           "mid-walk (concurrent vacuum) — retrying once with a fresh " +
           s"version capture: ${e.getClass.getSimpleName}: " +
@@ -515,8 +551,37 @@ object LifecycleIndex {
     }
 
   /** Count of vacuum-race retries [[search]] absorbed — observability
-    * (mirrored to stderr per occurrence). */
+    * (mirrored to stderr per occurrence). Process-wide; per-index
+    * attribution via [[searchRetriesFor]]. */
   val searchRetries = new java.util.concurrent.atomic.AtomicLong(0)
+
+  // PER-INDEX observability (round-17 verdict 3): a process serving
+  // many indexes — the deployment the corpus LRU cache exists for —
+  // cannot attribute retries, read budgets or latency budgets with
+  // process-global atomics. Keyed by indexDir; entries are a few
+  // machine words each, dropped by releaseIndexCaches and the
+  // dead-index sweep alongside the data-sized caches.
+  private val retriesPerIndex = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+
+  private val phasesPerIndex = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, Double)]]()
+
+  /** Vacuum-race retries [[search]] absorbed FOR this index. */
+  def searchRetriesFor(indexDir: String): Long =
+    Option(retriesPerIndex.get(indexDir)).map(_.get()).getOrElse(0L)
+
+  /** Per-phase wall seconds of this index's last [[search]] attempt
+    * (see [[lastSearchPhases]] for the emitted order). */
+  def lastSearchPhasesFor(indexDir: String): Seq[(String, Double)] =
+    Option(phasesPerIndex.get(indexDir)).getOrElse(Seq.empty)
+
+  /** Control-plane reads issued against this index's five table dirs
+    * — the per-index read budget, in the unit an object store bills
+    * HTTP GETs in (delegates to the backend layer's per-dir
+    * attribution; every table of an index lives under indexDir). */
+  def controlPlaneReadsFor(indexDir: String): Long =
+    graft.warehouse.CommitBackends.controlPlaneReadsFor(indexDir)
 
   /** True when the failure's cause chain is a missing-data-file shape
     * — what a concurrent vacuum leaves behind — and nothing else.
@@ -573,6 +638,14 @@ object LifecycleIndex {
     * phases (SimilarityQueries.lastWalkPhases). */
   val lastSearchPhases = new java.util.concurrent.atomic.AtomicReference[
     Seq[(String, Double)]](Seq.empty)
+
+  /** How the LAST [[search]] obtained its serving snapshot —
+    * "adopt" (warm: the committed state matched), "delta" (state
+    * change applied incrementally onto the previous snapshot) or
+    * "full" (complete rewrite). Observability for the incremental
+    * serve-materialize specs and SCALE_STREAM stamps. */
+  val lastServeMode =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
 
   private def searchAttempt(spark: SparkSession, d: String,
       indexDir: String, queries: DataFrame, maxQ: Int): DataFrame = {
@@ -646,8 +719,19 @@ object LifecycleIndex {
     // numbers across incarnations can never produce equal tags. One
     // extra control-plane read per search, inside the pinned-read
     // budget Round17Spec counts.
-    val corpusTag = vR.map(v => v + "@" + SnapshotTable
-        .manifestDigestOf(retiredTab(indexDir), v).getOrElse("?"))
+    val corpusDigest = vR.flatMap(v =>
+      SnapshotTable.manifestDigestOf(retiredTab(indexDir), v))
+    // a MISSING digest (a racing vacuum/drop ate the manifest between
+    // the version capture and this read) must NEVER match anything
+    // (round-17 advice): two incarnations both degrading to 'v@?' at
+    // the same retired version would produce EQUAL tags — the exact
+    // collision the digest exists to prevent. An unreliable tag
+    // bypasses both caches below entirely (private compute, like the
+    // stale-state branch) — rare, and the pinned reads behind it
+    // will usually surface the same missing-file shape the
+    // retry-once contract already absorbs.
+    val tagReliable = vR.isEmpty || corpusDigest.isDefined
+    val corpusTag = vR.map(v => v + "@" + corpusDigest.getOrElse("?"))
       .getOrElse("-")
     // tag age for FORWARD-ONLY cache rotation (review finding): a
     // search still pinned to an older retired-state must never
@@ -684,48 +768,66 @@ object LifecycleIndex {
     // at vR — the old verTag key re-aggregated the whole corpus
     // after every insert/fold advance for nothing. (The version
     // capture above is billed into this phase — 4 control reads.)
-    val centsEntry = centsCache.compute(ckCorpus, (_, old) =>
-      if (old != null && (old._1 == corpusTag ||
-          (tagAge(old._1) > tagAge(corpusTag) &&
-            !orphanedTag(old._1)))) old
-      else (corpusTag, SimilarityQueries.centroidTable(spark, nRaw)))
     val cents =
-      if (centsEntry._1 == corpusTag) centsEntry._2
-      // stale-state search: compute privately, never displace the
-      // newer entry (rare — the caller pinned before a delete epoch)
-      else SimilarityQueries.centroidTable(spark, nRaw)
+      if (!tagReliable)
+        // unreliable tag: never insert into (or match) the cache —
+        // compute privately like a stale-state search
+        SimilarityQueries.centroidTable(spark, nRaw)
+      else {
+        val centsEntry = centsCache.compute(ckCorpus, (_, old) =>
+          if (old != null && (old._1 == corpusTag ||
+              (tagAge(old._1) > tagAge(corpusTag) &&
+                !orphanedTag(old._1)))) old
+          else (corpusTag, SimilarityQueries.centroidTable(spark, nRaw)))
+        if (centsEntry._1 == corpusTag) centsEntry._2
+        // stale-state search: compute privately, never displace the
+        // newer entry (rare — the caller pinned before a delete epoch)
+        else SimilarityQueries.centroidTable(spark, nRaw)
+      }
     lap("centroid_cache")
-    val corpusEntry = corpusCache.compute(ckCorpus, (_, old) =>
-      if (old != null && old._1 == corpusTag) {
-        // re-pin a released entry: a batch harness's
-        // PersistRegistry.release() can uncache a plan IDENTICAL to
-        // this entry's (CacheManager is keyed by plan, not by
-        // Dataset) — without this the entry would silently serve
-        // unpersisted for the rest of the state's lifetime
-        PersistRegistry.ensurePinned(old._2)
-        old._3.set(System.nanoTime())
-        old
-      } else if (old != null && tagAge(old._1) > tagAge(corpusTag) &&
-          !orphanedTag(old._1)) {
-        // stale-state search: keep the newer entry (see tagAge) —
-        // but still pin and touch it (second-pass review: skipping
-        // ensurePinned left a foreign-uncached entry unpinned until
-        // the next current-tag search, and an untouched timestamp
-        // made the live entry the first LRU victim)
-        PersistRegistry.ensurePinned(old._2)
-        old._3.set(System.nanoTime())
-        old
-      } else {
-        if (old != null) old._2.unpersist(blocking = false)
-        // ensurePinned consults the CacheManager BY PLAN: another
-        // index over the same dataset with no retired set yet can
-        // already hold the identical plan — reuse it instead of
-        // re-persisting (which would only log a CacheManager warn)
-        (corpusTag, PersistRegistry.ensurePinned(nRaw),
-          new java.util.concurrent.atomic.AtomicLong(System.nanoTime()))
-      })
-    // a stale-state search walks its own pinned (uncached) corpus
-    val n = if (corpusEntry._1 == corpusTag) corpusEntry._2 else nRaw
+    // true when the walk below runs over the shared cached corpus;
+    // false = this search's private pinned corpus (stale state or
+    // unreliable tag), dropped at the end of the attempt
+    var corpusFromCache = false
+    val n = if (!tagReliable) nRaw else {
+      val corpusEntry = corpusCache.compute(ckCorpus, (_, old) =>
+        if (old != null && old._1 == corpusTag) {
+          // re-pin a released entry: a batch harness's
+          // PersistRegistry.release() can uncache a plan IDENTICAL to
+          // this entry's (CacheManager is keyed by plan, not by
+          // Dataset) — without this the entry would silently serve
+          // unpersisted for the rest of the state's lifetime
+          PersistRegistry.ensurePinned(old._2)
+          old._3.set(System.nanoTime())
+          old
+        } else if (old != null && tagAge(old._1) > tagAge(corpusTag) &&
+            !orphanedTag(old._1)) {
+          // stale-state search: keep the newer entry (see tagAge) —
+          // but still pin and touch it (second-pass review: skipping
+          // ensurePinned left a foreign-uncached entry unpinned until
+          // the next current-tag search, and an untouched timestamp
+          // made the live entry the first LRU victim)
+          PersistRegistry.ensurePinned(old._2)
+          old._3.set(System.nanoTime())
+          old
+        } else {
+          // rotation: skip the unpersist when another live entry
+          // serves the same plan (round-17 advice — CacheManager is
+          // plan-keyed, so a blind unpersist would strip the twin's
+          // blocks and leave it serving unpinned until its next
+          // search)
+          if (old != null) unpersistUnlessShared(old._2, ckCorpus)
+          // ensurePinned consults the CacheManager BY PLAN: another
+          // index over the same dataset with no retired set yet can
+          // already hold the identical plan — reuse it instead of
+          // re-persisting (which would only log a CacheManager warn)
+          (corpusTag, PersistRegistry.ensurePinned(nRaw),
+            new java.util.concurrent.atomic.AtomicLong(System.nanoTime()))
+        })
+      // a stale-state search walks its own pinned (uncached) corpus
+      corpusFromCache = corpusEntry._1 == corpusTag
+      if (corpusFromCache) corpusEntry._2 else nRaw
+    }
     // LRU bound on LIVE entries (adversarial-review finding: the
     // dead-index sweep bounds nothing for a process legitimately
     // serving MANY indexes — each entry is a data-sized persisted
@@ -743,9 +845,11 @@ object LifecycleIndex {
         .minByOption(_.getValue._3.get()) match {
         case Some(e) =>
           // two-arg remove: only drop the exact entry we sized up —
-          // a concurrent replace of the same key keeps its fresh one
+          // a concurrent replace of the same key keeps its fresh one.
+          // Shared-plan guard (round-17 advice): evicting one index's
+          // entry must not strip an identical-plan twin's blocks.
           if (corpusCache.remove(e.getKey, e.getValue))
-            e.getValue._2.unpersist(blocking = false)
+            unpersistUnlessShared(e.getValue._2, e.getKey)
           evicting = corpusCache.size > cacheMax
         case None => evicting = false // nothing evictable but ours
       }
@@ -761,6 +865,115 @@ object LifecycleIndex {
     // after two quick state advances. A missing/vacuumed match is a
     // cache miss: rematerialize under the same tag and pin to the
     // returned version.
+    // INCREMENTAL SERVE-MATERIALIZE (round-17 verdict 5): under
+    // insert-epoch turnover — the high-frequency state change of a
+    // live index — the previous serving snapshot and the new one
+    // differ by exactly the epoch's appended edges: same base (no
+    // fold), same tombstone state (empty delta, so the maintained
+    // graph is just base ∪ inserts — set-monotone under append), so
+    //   serving_new = serving_old ∪ (sym(delta) \ serving_old).
+    // The delta rows come straight from the edges table's appended
+    // FILES (manifests are append-only between folds — no row-level
+    // diff job), the dedup anti-join touches only serving rows whose
+    // vec_id appears in the delta (one broadcast-semi-filtered SCAN
+    // of the previous snapshot — no shuffle of the big side), and
+    // the commit APPENDS the delta files onto the previous version's
+    // manifest (SnapshotTable.appendFrom, pinned CAS): the full
+    // symmetrize+distinct shuffle AND the full O(|graph|) rewrite —
+    // the two data-sized terms of serve_materialize — are replaced
+    // by epoch-sized work plus one read pass. Every guard failure
+    // (fold moved the base, tombstones pending, foreign commit,
+    // vacuumed prev, fragmented manifest) falls back to the full
+    // rewrite below; row-identity of the two paths is spec-pinned
+    // (Round18Spec).
+    def deltaMaterialize(): Option[Int] = {
+      if (spark.conf.get("spark.graft.serving.deltaMaterialize",
+          "true") != "true") return None
+      val vIc = vI.getOrElse(return None)
+      val svCur = SnapshotTable.currentVersionOf(sTab)
+        .getOrElse(return None)
+      val prevMeta = SnapshotTable.metaOf(sTab, svCur)
+        .getOrElse(return None)
+      // previous snapshot must be this exact index state except an
+      // OLDER insert table, in the pre-symmetrized format
+      val parts = prevMeta.split("\\|")
+      if (parts.length != 2 || parts(1) != "sym1") return None
+      val tags = parts(0).split("_", -1)
+      def enc(o: Option[Int]) = o.map(_.toString).getOrElse("-")
+      if (tags.length != 4 || tags(0) != enc(vB) ||
+          tags(2) != enc(vD) || tags(3) != enc(vR)) return None
+      val vIPrev = if (tags(1) == "-") -1 else
+        try tags(1).toInt catch { case _: NumberFormatException =>
+          return None }
+      if (vIPrev >= vIc) return None
+      // a never-bootstrapped index whose FIRST insert epoch lands now
+      // flips the inferred base (full-corpus -> insert-free): the
+      // previous snapshot was built over a different base — bail
+      if (vB.isEmpty && vIPrev < 0) return None
+      val cut = foldCutAt(indexDir, vB)
+      // fold crash window (delta restart not yet landed): readers
+      // subtract the folded prefix row-wise — file-level deltas are
+      // not exact there; take the full path
+      val inCrashWindow = cut.exists { case (marker, ci, _) =>
+        ci >= 0 && vIc != ci &&
+          !SnapshotTable.metaOf(edgesTab(indexDir), ci + 1)
+            .contains(marker)
+      }
+      if (inCrashWindow) return None
+      // monotonicity requires NO pending tombstones: with an empty
+      // delete delta the maintained graph is exactly base ∪ inserts
+      // (maintainedFrom's short-circuit), so appending edges can only
+      // ADD serving rows. One small job over the (usually 0-row)
+      // delta table.
+      if (!tombstonesAt(spark, indexDir, vD, cut).forall(_.isEmpty))
+        return None
+      val (curFiles, prevFiles, prevServingFiles) =
+        try (
+          SnapshotTable.dataFiles(edgesTab(indexDir), vIc),
+          if (vIPrev < 0) Seq.empty[String]
+          else SnapshotTable.dataFiles(edgesTab(indexDir), vIPrev),
+          SnapshotTable.dataFiles(sTab, svCur))
+        catch { // a vacuumed manifest: the diff base is gone
+          case _: java.nio.file.NoSuchFileException => return None
+        }
+      val prevSet = prevFiles.toSet
+      // a compaction/restart rewrote the edge files: the file-level
+      // delta is no longer the appended rows — full path
+      if (!prevFiles.forall(curFiles.contains)) return None
+      val deltaFiles = curFiles.filterNot(prevSet)
+      if (deltaFiles.isEmpty || deltaFiles.size > 256) return None
+      // bound manifest fragmentation: after enough delta appends the
+      // serving file list grows one epoch's files per state — let the
+      // full rewrite act as the compaction
+      val compactAt = spark.conf
+        .get("spark.graft.serving.deltaCompactAt", "64").toInt
+      if (prevServingFiles.size >= compactAt) return None
+      val delta = projIns(spark.read.parquet(deltaFiles: _*))
+      val deltaSym = delta.unionByName(
+        delta.select(col("neighbor_id").as("vec_id"),
+          col("vec_id").as("neighbor_id"))).distinct()
+      val touched = deltaSym.select("vec_id").distinct()
+      // dedup vs the previous snapshot, restricted to the rows that
+      // could possibly collide: any duplicate row shares its vec_id
+      // with the delta (both its endpoints are delta endpoints), so
+      // a broadcast-semi filter makes this ONE scan of the previous
+      // snapshot with no big-side shuffle
+      val prevServing = SnapshotTable.read(spark, sTab, svCur)
+        .select(col("vec_id"), col("neighbor_id"))
+      val oldTouched = prevServing
+        .join(broadcast(touched), Seq("vec_id"), "left_semi")
+      val newRows = deltaSym.join(oldTouched,
+        Seq("vec_id", "neighbor_id"), "left_anti")
+      try Some(SnapshotTable.appendFrom(spark, newRows, sTab, svCur,
+        Some(servingMeta)))
+      catch {
+        // an interleaved commit (another serving process won the
+        // state) or a vacuum eating the diff base mid-derivation:
+        // nothing was published — full path decides fresh
+        case _: IllegalStateException => None
+        case e: Throwable if isMissingFileFailure(e) => None
+      }
+    }
     def materialize(): Int = {
       val mT = System.nanoTime()
       // cache-liveness sweep at the STATE-CHANGE boundary (round-17
@@ -781,11 +994,16 @@ object LifecycleIndex {
       // old per-hop-symmetrize code path can never adopt (or be
       // adopted by) a snapshot in the other format: a mismatch is
       // just a cache miss that rematerializes under its own tag.
-      val m = maintainedAt(spark, d, indexDir, vB, vI, vD)
-      val v = SnapshotTable.overwrite(spark,
-        m.unionByName(m.select(col("neighbor_id").as("vec_id"),
-          col("vec_id").as("neighbor_id"))).distinct(), sTab,
-        Some(servingMeta))
+      val v = deltaMaterialize() match {
+        case Some(dv) => lastServeMode.set("delta"); dv
+        case None =>
+          lastServeMode.set("full")
+          val m = maintainedAt(spark, d, indexDir, vB, vI, vD)
+          SnapshotTable.overwrite(spark,
+            m.unionByName(m.select(col("neighbor_id").as("vec_id"),
+              col("vec_id").as("neighbor_id"))).distinct(), sTab,
+            Some(servingMeta))
+      }
       // bound the serving table's disk to the last 2 states (2, not
       // 1, so an in-flight reader of the previous state survives).
       // The fresh-file grace makes CONCURRENT serving processes safe
@@ -802,6 +1020,7 @@ object LifecycleIndex {
     }
     val svResolved = SnapshotTable.versionWithMeta(sTab, servingMeta)
     lap("version_resolve")
+    svResolved.foreach(_ => lastServeMode.set("adopt"))
     val sv = svResolved.getOrElse(materialize())
     // Retry ONLY the missing-version shapes (the matched version
     // raced a newer search's vacuum between resolve and read) — a
@@ -830,15 +1049,17 @@ object LifecycleIndex {
     midSearchTestHook.foreach(h => h())
     val res = SimilarityQueries.beamWalkCore(spark, n, qrows, gd,
       searchKnobs, maxQ, centsIn = Some(cents), preSymmetrized = true)
-    // a STALE-state search's private corpus was persisted (tracked)
-    // by the walk; in a pure serving process nothing ever calls
-    // PersistRegistry.release(), so drop it here — the walk's result
-    // is driver-local, nothing lazy still reads it (second-pass
-    // review: one leaked data-sized persist per backward race under
-    // sustained delete turnover)
-    if (corpusEntry._1 != corpusTag) nRaw.unpersist(blocking = false)
-    lastSearchPhases.set(phases.toSeq ++
-      SimilarityQueries.lastWalkPhases.get())
+    // a STALE-state (or unreliable-tag) search's private corpus was
+    // persisted (tracked) by the walk; in a pure serving process
+    // nothing ever calls PersistRegistry.release(), so drop it here —
+    // the walk's result is driver-local, nothing lazy still reads it
+    // (second-pass review: one leaked data-sized persist per backward
+    // race under sustained delete turnover). Shared-plan-guarded: an
+    // identical plan held by a live cache entry keeps its blocks.
+    if (!corpusFromCache) unpersistUnlessShared(nRaw, "")
+    val allPhases = phases.toSeq ++ SimilarityQueries.lastWalkPhases.get()
+    lastSearchPhases.set(allPhases)
+    phasesPerIndex.put(indexDir, allPhases)
     res
   }
 

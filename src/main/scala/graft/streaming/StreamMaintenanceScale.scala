@@ -105,6 +105,17 @@ object StreamMaintenanceScale {
       // storage. A warm search with fs_read ≈ 0 but input_read ≈
       // corpus-sized is serving entirely from the cache — the two
       // numbers TOGETHER attribute the read path.
+      //
+      // CAVEAT (round-17 advice): the counter is PROCESS-GLOBAL per
+      // scheme — any concurrent 'file' activity in the JVM pollutes
+      // per-step attribution, and the stats object only exists once
+      // the scheme has been touched. The getFileStatus below forces
+      // the 'file' statistics into existence BEFORE the first step so
+      // f0 is never the null→0 fallback against a lifetime total.
+      org.apache.hadoop.fs.FileSystem
+        .get(java.net.URI.create("file:///"),
+          spark.sessionState.newHadoopConf())
+        .getFileStatus(new org.apache.hadoop.fs.Path("/"))
       def fsBytesRead(): Long = {
         val s = org.apache.hadoop.fs.FileSystem
           .getGlobalStorageStatistics.get("file")
@@ -112,7 +123,10 @@ object StreamMaintenanceScale {
         if (s == null) 0L
         else Option(s.getLong("bytesRead")).map(_.toLong).getOrElse(0L)
       }
-      def step(name: String, extra: String = "")(body: => Unit): Unit = {
+      // `extra` is BY-NAME, evaluated after the body: serving rows
+      // append post-step counter deltas (ctl_reads/retries)
+      def step(name: String, extra: => String = "")(
+          body: => Unit): Unit = {
         val m0 = dirMb(idx)
         val i0 = inputBytes.get()
         val f0 = fsBytesRead()
@@ -126,12 +140,13 @@ object StreamMaintenanceScale {
         val inMb = (inputBytes.get() - i0) / 1e6
         val fsMb = (fsBytesRead() - f0) / 1e6
         val mb = dirMb(idx) - m0
+        val ex = extra
         println(f"STREAMSCALE x$f $name%-14s $sec%8.2f s  " +
           f"$mb%10.4f MB written  $inMb%10.1f MB read " +
-          f"($fsMb%10.1f MB fs)$extra")
+          f"($fsMb%10.1f MB fs)$ex")
         rows += f"""{"component":"$name","factor":$f,"sec":$sec%.3f,""" +
           f""""index_write_mb":$mb%.4f,"input_read_mb":$inMb%.1f,""" +
-          f""""fs_read_mb":$fsMb%.1f$extra,"run":"$runTag"}"""
+          f""""fs_read_mb":$fsMb%.1f$ex,"run":"$runTag"}"""
       }
 
       step("bootstrap") {
@@ -174,17 +189,33 @@ object StreamMaintenanceScale {
       // serving optimization is chosen from a measured breakdown —
       // which term is version resolve, which is the walk's probes
       def phaseRows(tag: String): Unit =
-        LifecycleIndex.lastSearchPhases.get().foreach { case (p, sec) =>
+        LifecycleIndex.lastSearchPhasesFor(idx).foreach { case (p, sec) =>
           rows += f"""{"component":"$tag#$p","factor":$f,""" +
             f""""sec":$sec%.3f,"run":"$runTag"}"""
           println(f"STREAMSCALE x$f   $tag#$p%-28s $sec%8.3f s")
         }
-      step("search_cold") {
+      // per-search control-plane reads + vacuum-race retries (round-17
+      // verdict 4): the read budget argued in Round17Spec's unit (an
+      // HTTP GET on an object store), stamped per factor row so its
+      // trend is visible round-over-round without a spec run —
+      // attributed PER INDEX via the round-18 keyed counters, so
+      // concurrent-table noise cannot pollute the row
+      var ctl0 = 0L
+      var ret0 = 0L
+      def servingExtra: String =
+        f""","ctl_reads":${LifecycleIndex.controlPlaneReadsFor(idx) -
+          ctl0}%d,"retries":${LifecycleIndex.searchRetriesFor(idx) -
+          ret0}%d,"serve_mode":"${LifecycleIndex.lastServeMode.get()}""""
+      ctl0 = LifecycleIndex.controlPlaneReadsFor(idx)
+      ret0 = LifecycleIndex.searchRetriesFor(idx)
+      step("search_cold", servingExtra) {
         LifecycleIndex.search(spark, d, idx, queries)
           .write.format("noop").mode("overwrite").save()
       }
       phaseRows("search_cold")
-      step("search_warm") {
+      ctl0 = LifecycleIndex.controlPlaneReadsFor(idx)
+      ret0 = LifecycleIndex.searchRetriesFor(idx)
+      step("search_warm", servingExtra) {
         LifecycleIndex.search(spark, d, idx, queries)
           .write.format("noop").mode("overwrite").save()
       }

@@ -133,15 +133,42 @@ object SnapshotTable {
       .getOrElse(throw new java.nio.file.NoSuchFileException(
         manifestPath(dir, v)))
 
+  /** Hadoop configuration for DATA-plane filesystem access — the
+    * active session's (it carries `fs.<scheme>.impl` registrations
+    * and any store credentials Spark itself writes with), falling
+    * back to a bare default (local FS) for sessionless callers. */
+  private def dataPlaneConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** A dir addressed through a Hadoop scheme (`s3a://…`, `hdfs://…`,
+    * `file:/…`) rather than a bare local path. Bare paths keep the
+    * original java.nio write/list path byte-for-byte; scheme'd dirs
+    * route through the Hadoop FileSystem API so the data plane works
+    * wherever Spark can write (round-17 verdict 1). */
+  private def hasScheme(dir: String): Boolean =
+    dir.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:/.*")
+
   /** Write df's rows as new immutable files; return their paths.
     * DATA PLANE — plain write-once parquet wherever Spark writes,
     * deliberately not behind the backend (no primitive needed). */
   private def writeData(df: DataFrame, dir: String): Seq[String] = {
-    val sub = Paths.get(dir, "data",
-      java.util.UUID.randomUUID().toString).toString
-    df.write.parquet(sub)
-    Files.list(Paths.get(sub)).iterator().asScala
-      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    val uuid = java.util.UUID.randomUUID().toString
+    if (hasScheme(dir)) {
+      val sub = s"$dir/data/$uuid"
+      df.write.parquet(sub)
+      val p = new org.apache.hadoop.fs.Path(sub)
+      val fs = p.getFileSystem(dataPlaneConf())
+      fs.listStatus(p).map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+    } else {
+      val sub = Paths.get(dir, "data", uuid).toString
+      df.write.parquet(sub)
+      Files.list(Paths.get(sub)).iterator().asScala
+        .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    }
   }
 
   /** Manifest claim + ATOMIC pointer publish: a crash before the
@@ -481,6 +508,24 @@ object SnapshotTable {
       retryOnCollision = false, pinnedVersion = Some(pin))
   }
 
+  /** Append PINNED to a parent version (the append analog of
+    * [[overwriteFrom]]'s optimistic CAS): new version = exactly
+    * `expectedCurrent`'s live files + the new ones, claimed at
+    * expected+1 and NEVER retried — for callers whose appended rows
+    * were DERIVED from the parent version's content (the serving
+    * table's incremental materialize: the delta is correct only
+    * relative to the version it was diffed against). An interleaved
+    * commit throws IllegalStateException with nothing clobbered;
+    * the caller re-derives (typically falling back to a full
+    * overwrite). */
+  def appendFrom(spark: SparkSession, df: DataFrame, dir: String,
+      expectedCurrent: Int, meta: Option[String] = None): Int = {
+    val prev = manifestFiles(dir, expectedCurrent)
+    commit(dir, prev ++ writeData(df, dir), meta,
+      retryOnCollision = false,
+      pinnedVersion = Some(expectedCurrent + 1))
+  }
+
   /** CURRENT version number of the table, if any committed — exposed
     * for optimistic-CAS callers of overwriteFrom to capture the
     * version their derivation read. */
@@ -565,7 +610,18 @@ object SnapshotTable {
     * construction either a new commit's (protected until its next
     * sweep, by which time a manifest names them) or a crashed
     * commit's garbage (collected one sweep later). 0 = today's exact
-    * semantics, for single-maintainer callers (folds, bench). */
+    * semantics, for single-maintainer callers (folds, bench).
+    *
+    * BACKEND-PORTABLE DATA SWEEP (round-17 verdict 1): the walk, the
+    * mtime check and the deletes all go through the Hadoop
+    * `FileSystem` API — the one data-plane operation that is not a
+    * plain Spark read/write. The prior java.nio walk silently
+    * no-op'd on a store-addressed warehouse (the dir is not a local
+    * directory), so disk grew unboundedly wherever the control plane
+    * had already been ported; now the sweep works on any scheme
+    * Spark can write (file://, hdfs://, s3a://…). Both sides of the
+    * live-set comparison are FS-qualified so manifests written with
+    * bare local paths still match the listing's qualified form. */
   def vacuum(dir: String, keepVersions: Int = 1,
       freshGraceMs: Long = 0L): Int = {
     val cur = currentVersion(dir).getOrElse(
@@ -576,19 +632,41 @@ object SnapshotTable {
       catch {
         case _: java.nio.file.NoSuchFileException => return 0
       }
+    val dataPath = new org.apache.hadoop.fs.Path(s"$dir/data")
+    val fs = dataPath.getFileSystem(dataPlaneConf())
+    def qualify(s: String): String =
+      fs.makeQualified(new org.apache.hadoop.fs.Path(s)).toString
+    val liveQ = live.map(qualify)
     val now = System.currentTimeMillis()
-    def fresh(p: java.nio.file.Path): Boolean =
-      freshGraceMs > 0L && (try
-        now - Files.getLastModifiedTime(p).toMillis < freshGraceMs
-      catch { case _: java.io.IOException => true })
-    val dataDir = Paths.get(dir, "data")
     var deleted = 0
-    if (Files.exists(dataDir)) {
-      Files.walk(dataDir).iterator().asScala
-        .filter(p => Files.isRegularFile(p))
-        .filterNot(p => live.contains(p.toString))
-        .filterNot(fresh)
-        .foreach { p => if (Files.deleteIfExists(p)) deleted += 1 }
+    val dataExists =
+      try fs.exists(dataPath)
+      catch { case _: java.io.IOException => false }
+    if (dataExists) {
+      // collect victims before deleting: mutating a remote listing
+      // mid-iteration is backend-dependent behavior
+      val victims =
+        scala.collection.mutable.Buffer.empty[org.apache.hadoop.fs.Path]
+      val it = fs.listFiles(dataPath, true)
+      while (it.hasNext) {
+        val st = it.next()
+        // a fresh unreferenced file is a RACING commit's in-flight
+        // write (see freshGraceMs above); the modification time comes
+        // from the listing itself — no extra round-trip per file
+        val fresh = freshGraceMs > 0L &&
+          now - st.getModificationTime < freshGraceMs
+        if (st.isFile && !liveQ.contains(qualify(st.getPath.toString)) &&
+            !fresh)
+          victims += st.getPath
+      }
+      victims.foreach { p =>
+        // a concurrent sweep got there first: delete() returning
+        // false or throwing a missing-file IOException is a no-op
+        val ok =
+          try fs.delete(p, false)
+          catch { case _: java.io.IOException => false }
+        if (ok) deleted += 1
+      }
     }
     (0 until keep.head).foreach { v =>
       be(dir).delete(manifestPath(dir, v))

@@ -49,16 +49,27 @@ class Round17Spec extends AnyFunSuite {
   test("a WARM search issues a constant number of control-plane " +
       "reads — independent of how many indexes the process ever " +
       "served (the liveness sweep moved to the materialize boundary)") {
-    def reads(f: => Unit): Long = {
-      val s = CommitBackends.controlPlaneReads.get(); f
-      CommitBackends.controlPlaneReads.get() - s
-    }
+    // measured against the PER-INDEX counter (round-18 verdict 3):
+    // the budget a multi-index serving process actually bills per
+    // index. The process-global counter is asserted alongside — a
+    // warm search must not read ANY other index's control plane
+    // either (that is what "sweep off the hot path" means).
     val a = freshIndex()
+    def reads(f: => Unit): (Long, Long) = {
+      val s = LifecycleIndex.controlPlaneReadsFor(a)
+      val g = CommitBackends.controlPlaneReads.get()
+      f
+      (LifecycleIndex.controlPlaneReadsFor(a) - s,
+        CommitBackends.controlPlaneReads.get() - g)
+    }
     // cold: materializes the serving state + centroid table
     LifecycleIndex.search(spark, sf, a, searchQueries).count()
-    val warm1 = reads {
+    val (warm1, warm1g) = reads {
       LifecycleIndex.search(spark, sf, a, searchQueries).count()
     }
+    assert(warm1 === warm1g,
+      s"a warm search read control planes outside its own index " +
+      s"(index: $warm1, process: $warm1g)")
     // grow the cache: two more served indexes (what v28/SnapshotBench
     // sweeps leave behind) — round 16 paid up to 4 liveness reads per
     // cached entry per search, so this would have RAISED the warm cost
@@ -67,12 +78,15 @@ class Round17Spec extends AnyFunSuite {
     }
     assert(LifecycleIndex.centsCacheKeys.size >= 3,
       "the cache must actually hold the three served indexes")
-    val warm2 = reads {
+    val (warm2, warm2g) = reads {
       LifecycleIndex.search(spark, sf, a, searchQueries).count()
     }
     assert(warm2 === warm1,
       s"warm-search control-plane reads grew with the cache " +
       s"($warm1 -> $warm2) — liveness probing is back on the hot path")
+    assert(warm2g === warm1g,
+      s"warm-search PROCESS-WIDE reads grew with the cache " +
+      s"($warm1g -> $warm2g) — something probes foreign indexes")
     assert(warm1 <= 24,
       s"warm-search control-plane read budget blew past the pinned " +
       s"constant: $warm1 (each is an HTTP GET on an object store)")
