@@ -227,6 +227,35 @@ object StreamMaintenanceScale {
         LifecycleIndex.maintainedEdges(spark, d, idx)
           .write.format("noop").mode("overwrite").save()
       }
+      // the INCREMENTAL serve-materialize path (round-18): post-fold
+      // the tombstone delta is empty, so the next insert epoch's
+      // state change can delta-append onto the previous serving
+      // snapshot instead of re-symmetrizing + rewriting the whole
+      // graph. search_post_fold materializes the post-fold state
+      // (full path — the fold moved the base); search_delta is the
+      // insert-turnover steady state a live index actually serves,
+      // and its serve_materialize phase row is the number the full
+      // rewrite used to dominate. serve_mode in the row proves which
+      // path ran.
+      ctl0 = LifecycleIndex.controlPlaneReadsFor(idx)
+      ret0 = LifecycleIndex.searchRetriesFor(idx)
+      step("search_post_fold", servingExtra) {
+        LifecycleIndex.search(spark, d, idx, queries)
+          .write.format("noop").mode("overwrite").save()
+      }
+      phaseRows("search_post_fold")
+      val insBatch4 = insBatch
+        .withColumn("vec_id", col("vec_id") + 5000000000L)
+      step("insert_epoch_delta", f""","batch_rows":$nIns""") {
+        StreamingGraphInsert.insertEpoch(spark, insBatch4, d, idx, 2L)
+      }
+      ctl0 = LifecycleIndex.controlPlaneReadsFor(idx)
+      ret0 = LifecycleIndex.searchRetriesFor(idx)
+      step("search_delta", servingExtra) {
+        LifecycleIndex.search(spark, d, idx, queries)
+          .write.format("noop").mode("overwrite").save()
+      }
+      phaseRows("search_delta")
     }
     sys.env.get("SPARK_GRAFT_STREAM_SCALE_JSON").filter(_.nonEmpty)
       .foreach { p =>
