@@ -948,29 +948,37 @@ object LifecycleIndex {
       val compactAt = spark.conf
         .get("spark.graft.serving.deltaCompactAt", "64").toInt
       if (prevServingFiles.size >= compactAt) return None
-      val delta = projIns(spark.read.parquet(deltaFiles: _*))
-      val deltaSym = delta.unionByName(
-        delta.select(col("neighbor_id").as("vec_id"),
-          col("vec_id").as("neighbor_id"))).distinct()
-      val touched = deltaSym.select("vec_id").distinct()
-      // dedup vs the previous snapshot, restricted to the rows that
-      // could possibly collide: any duplicate row shares its vec_id
-      // with the delta (both its endpoints are delta endpoints), so
-      // a broadcast-semi filter makes this ONE scan of the previous
-      // snapshot with no big-side shuffle
-      val prevServing = SnapshotTable.read(spark, sTab, svCur)
-        .select(col("vec_id"), col("neighbor_id"))
-      val oldTouched = prevServing
-        .join(broadcast(touched), Seq("vec_id"), "left_semi")
-      val newRows = deltaSym.join(oldTouched,
-        Seq("vec_id", "neighbor_id"), "left_anti")
-      try Some(SnapshotTable.appendFrom(spark, newRows, sTab, svCur,
-        Some(servingMeta)))
-      catch {
+      // the whole derivation sits inside the fallback try: a
+      // CONCURRENT vacuum (another serving process, keepVersions=2)
+      // can expire svCur's manifest or the delta files between the
+      // version reads above and the plan resolution/execution below
+      // — every missing-file shape here means "the diff base is
+      // gone", which the full path decides fresh from live state
+      try {
+        val delta = projIns(spark.read.parquet(deltaFiles: _*))
+        val deltaSym = delta.unionByName(
+          delta.select(col("neighbor_id").as("vec_id"),
+            col("vec_id").as("neighbor_id"))).distinct()
+        val touched = deltaSym.select("vec_id").distinct()
+        // dedup vs the previous snapshot, restricted to the rows that
+        // could possibly collide: any duplicate row shares its vec_id
+        // with the delta (both its endpoints are delta endpoints), so
+        // a broadcast-semi filter makes this ONE scan of the previous
+        // snapshot with no big-side shuffle
+        val prevServing = SnapshotTable.read(spark, sTab, svCur)
+          .select(col("vec_id"), col("neighbor_id"))
+        val oldTouched = prevServing
+          .join(broadcast(touched), Seq("vec_id"), "left_semi")
+        val newRows = deltaSym.join(oldTouched,
+          Seq("vec_id", "neighbor_id"), "left_anti")
+        Some(SnapshotTable.appendFrom(spark, newRows, sTab, svCur,
+          Some(servingMeta)))
+      } catch {
         // an interleaved commit (another serving process won the
         // state) or a vacuum eating the diff base mid-derivation:
         // nothing was published — full path decides fresh
         case _: IllegalStateException => None
+        case _: org.apache.spark.sql.AnalysisException => None
         case e: Throwable if isMissingFileFailure(e) => None
       }
     }
