@@ -379,6 +379,16 @@ object CommitBackends {
       }
   }
 
+  /** Sticky conf-resolution entries under a prefix — observability
+    * for the releaseDir eviction spec. */
+  private[warehouse] def confStickyCount(dirPrefix: String): Int = {
+    var n = 0
+    confSticky.forEach { (d, _) =>
+      if (d == dirPrefix || d.startsWith(dirPrefix + "/")) n += 1
+    }
+    n
+  }
+
   /** Resolution order: code-registered dir-prefix override (longest
     * match — the spec seam), then the session-conf selection, then
     * the local-FS default (byte-identical to pre-trait behavior). */

@@ -240,6 +240,33 @@ class Round18Spec extends AnyFunSuite {
     PersistRegistry.release()
   }
 
+  test("appendFrom is a PINNED append: the new version extends " +
+      "exactly the parent's manifest, and deriving from a stale " +
+      "parent throws with nothing clobbered") {
+    import spark.implicits._
+    val tab = tmp("graft-r18-appendfrom-") + "/t"
+    SnapshotTable.overwrite(spark, Seq(1L).toDF("x"), tab) // v0
+    val v0Files = SnapshotTable.dataFiles(tab, 0).toSet
+    val v1 = SnapshotTable.appendFrom(spark, Seq(2L).toDF("x"), tab,
+      expectedCurrent = 0, Some("delta1"))
+    assert(v1 === 1)
+    assert(v0Files.subsetOf(SnapshotTable.dataFiles(tab, 1).toSet),
+      "the appended version must reuse the parent's files")
+    assert(SnapshotTable.read(spark, tab)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // the table moves on; an append still derived from v1 is stale —
+    // committing it would silently drop v2's rows (a lost update)
+    SnapshotTable.overwrite(spark, Seq(9L).toDF("x"), tab) // v2
+    intercept[IllegalStateException] {
+      SnapshotTable.appendFrom(spark, Seq(3L).toDF("x"), tab,
+        expectedCurrent = 1, Some("stale"))
+    }
+    assert(SnapshotTable.currentVersionOf(tab) === Some(2))
+    assert(SnapshotTable.read(spark, tab)
+      .collect().map(_.getLong(0)).toSeq === Seq(9L),
+      "the stale append must publish nothing")
+  }
+
   // ---------------------------------------------------------------
   // verdict 3: per-index observability
   // ---------------------------------------------------------------

@@ -277,6 +277,33 @@ class CommitBackendSpec extends AnyFunSuite {
     } finally CommitBackends.unregister(root)
   }
 
+  test("releaseDir evicts a dropped table tree's STICKY conf-keyed " +
+      "backend resolution (round-17 stretch: a long-lived process " +
+      "opening many conf-keyed temp tables accumulated one entry per " +
+      "dir forever)") {
+    import spark.implicits._
+    val root = tmp("graft-conf-evict-")
+    spark.conf.set("spark.graft.commitBackend", "object-store-sim")
+    spark.conf.set("spark.graft.commitBackend.prefix", root)
+    try {
+      SnapshotTable.overwrite(spark, Seq(1L).toDF("x"), s"$root/t1")
+      SnapshotTable.overwrite(spark, Seq(2L).toDF("x"), s"$root/t2")
+      assert(CommitBackends.confStickyCount(root) === 2,
+        "conf-keyed opens must pin one sticky resolution per dir")
+      CommitBackends.releaseDir(s"$root/t1")
+      assert(CommitBackends.confStickyCount(root) === 1,
+        "releaseDir must evict exactly the dropped tree's entries")
+      // the surviving table still resolves through its sticky entry
+      SnapshotTable.append(spark, Seq(3L).toDF("x"), s"$root/t2")
+      assert(SnapshotTable.read(spark, s"$root/t2").count() === 2L)
+      CommitBackends.releaseDir(root)
+      assert(CommitBackends.confStickyCount(root) === 0)
+    } finally {
+      spark.conf.unset("spark.graft.commitBackend")
+      spark.conf.unset("spark.graft.commitBackend.prefix")
+    }
+  }
+
   // ---------------------------------------------------------------
   // verdict 3: cross-process evidence
   // ---------------------------------------------------------------
