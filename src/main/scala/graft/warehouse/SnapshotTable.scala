@@ -647,17 +647,26 @@ object SnapshotTable {
       // mid-iteration is backend-dependent behavior
       val victims =
         scala.collection.mutable.Buffer.empty[org.apache.hadoop.fs.Path]
-      val it = fs.listFiles(dataPath, true)
-      while (it.hasNext) {
-        val st = it.next()
-        // a fresh unreferenced file is a RACING commit's in-flight
-        // write (see freshGraceMs above); the modification time comes
-        // from the listing itself — no extra round-trip per file
-        val fresh = freshGraceMs > 0L &&
-          now - st.getModificationTime < freshGraceMs
-        if (st.isFile && !liveQ.contains(qualify(st.getPath.toString)) &&
-            !fresh)
-          victims += st.getPath
+      // a data TREE vanishing mid-listing means the whole index is
+      // being dropped concurrently — abort quietly with whatever was
+      // collected (the drop owns the cleanup), mirroring the
+      // keep-manifest-vanished quiet abort above
+      try {
+        val it = fs.listFiles(dataPath, true)
+        while (it.hasNext) {
+          val st = it.next()
+          // a fresh unreferenced file is a RACING commit's in-flight
+          // write (see freshGraceMs above); the modification time comes
+          // from the listing itself — no extra round-trip per file
+          val fresh = freshGraceMs > 0L &&
+            now - st.getModificationTime < freshGraceMs
+          if (st.isFile && !liveQ.contains(qualify(st.getPath.toString)) &&
+              !fresh)
+            victims += st.getPath
+        }
+      } catch {
+        case _: java.io.FileNotFoundException => ()
+        case _: java.nio.file.NoSuchFileException => ()
       }
       victims.foreach { p =>
         // a concurrent sweep got there first: delete() returning
