@@ -240,31 +240,52 @@ object LifecycleIndex {
   private def insertEdgesAt(spark: SparkSession, indexDir: String,
       vI: Option[Int], cut: Option[(String, Int, Int)]): Option[DataFrame] =
     deltaBeyondCut(spark, edgesTab(indexDir), vI,
-      cut.map { case (m, ci, _) => (m, ci) }, projIns)
+      cut.map { case (m, ci, _) => (m, ci) }, projIns,
+      s => { import s.implicits._
+        Seq.empty[(Long, Long)].toDF("vec_id", "neighbor_id") })
 
   /** Tombstones BEYOND the base's fold cut as one `del_id` column,
     * pinned to delete-table version `vD` (see [[insertEdgesAt]]). */
   private def tombstonesAt(spark: SparkSession, indexDir: String,
       vD: Option[Int], cut: Option[(String, Int, Int)]): Option[DataFrame] =
     deltaBeyondCut(spark, delTab(indexDir), vD,
-      cut.map { case (m, _, cd) => (m, cd) }, projDel)
+      cut.map { case (m, _, cd) => (m, cd) }, projDel,
+      s => { import s.implicits._
+        Seq.empty[Long].toDF("del_id") })
 
   private def deltaBeyondCut(spark: SparkSession, tab: String,
       vCur: Option[Int], cut: Option[(String, Int)],
-      proj: DataFrame => DataFrame): Option[DataFrame] =
+      proj: DataFrame => DataFrame,
+      empty: SparkSession => DataFrame): Option[DataFrame] =
     vCur.map { v =>
-      val all = proj(SnapshotTable.read(spark, tab, v))
       cut match {
         case Some((_, c)) if c >= 0 && v == c =>
-          // pinned AT the cut: nothing beyond it — skip the scan too
-          all.limit(0)
+          // pinned AT the cut: nothing beyond it by definition — a
+          // local empty frame, no control-plane reads at all
+          // (round-19 read-budget trim: this path read the table's
+          // manifest AND meta just to limit(0) the scan; the healthy
+          // post-fold steady state hits it on every serve)
+          empty(spark)
         case Some((marker, c)) if c >= 0 &&
             !SnapshotTable.metaOf(tab, c + 1).contains(marker) =>
           // crash window: the restart at cut+1 never committed (the
           // version either does not exist or is a post-abort epoch's
           // append) — subtract the folded prefix for exactness
-          all.except(proj(SnapshotTable.read(spark, tab, c)))
-        case _ => all // no cut, or the restart landed: read directly
+          proj(SnapshotTable.read(spark, tab, v))
+            .except(proj(SnapshotTable.read(spark, tab, c)))
+        case Some((_, c)) if c >= 0 && v == c + 1 =>
+          // the CURRENT version IS the landed restart (the guard
+          // above read its meta and matched the marker): its content
+          // is the fold protocol's 0-row commit — no manifest read,
+          // no scan (round-19: the healthy just-folded steady state
+          // paid both on every serve just to observe emptiness).
+          // c >= 0 is LOAD-BEARING: a cut of -1 means the table had
+          // no version at fold time and NO restart was committed —
+          // v = 0 is then the first real epoch's rows, not a restart
+          // (caught by LifecycleCrossProcessSpec's drained-equality).
+          empty(spark)
+        // no cut, or post-restart epochs appended: read directly
+        case _ => proj(SnapshotTable.read(spark, tab, v))
       }
     }
 
@@ -389,9 +410,14 @@ object LifecycleIndex {
     * aggregation the cache exists to amortize): an index is live iff
     * ANY of its four tables has a committed CURRENT. */
   private def evictDeadIndexEntries(): Unit = {
-    def deadDir(dir: String): Boolean =
+    // memoized per sweep: the same index dir appears in several maps
+    // (cents, corpus, retries, phases, serve mode) — without the memo
+    // one sweep probed the same CURRENT pointer once per map
+    // (round-19 read-budget trim; each probe is a store GET)
+    val liveness = scala.collection.mutable.Map.empty[String, Boolean]
+    def deadDir(dir: String): Boolean = liveness.getOrElseUpdate(dir,
       !Seq(baseTab(dir), edgesTab(dir), delTab(dir), retiredTab(dir))
-        .exists(committed)
+        .exists(committed))
     def dead(k: String): Boolean =
       deadDir(k.substring(k.indexOf('|') + 1))
     centsCache.keySet.removeIf(k => dead(k))
@@ -411,6 +437,7 @@ object LifecycleIndex {
     // their index too
     retriesPerIndex.keySet.removeIf(dir => deadDir(dir))
     phasesPerIndex.keySet.removeIf(dir => deadDir(dir))
+    serveModePerIndex.keySet.removeIf(dir => deadDir(dir))
   }
 
   /** Unpersist `df` UNLESS another live corpusCache entry serves the
@@ -474,6 +501,7 @@ object LifecycleIndex {
     // resolution, per-dir read counters) go with the index
     retriesPerIndex.remove(indexDir)
     phasesPerIndex.remove(indexDir)
+    serveModePerIndex.remove(indexDir)
     graft.warehouse.CommitBackends.releaseDir(indexDir)
   }
 
@@ -483,6 +511,22 @@ object LifecycleIndex {
     import scala.jdk.CollectionConverters._
     corpusCache.asScala.map { case (k, (tag, df, _)) =>
       k -> (tag, df.storageLevel.description)
+    }.toMap
+  }
+
+  /** Resident bytes (memory + disk) PER live corpus-cache entry —
+    * the number the LRU bound (`corpusCacheMax`, an entry COUNT)
+    * should be sized from (round-18 verdict 5: entry count says
+    * nothing about executor memory; the SCALE_STREAM stamps carry
+    * this per factor so the bound is set from data). Entries whose
+    * buffers are not materialized report 0; nothing here forces a
+    * fill. */
+  def corpusCacheResidentBytes: Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    corpusCache.asScala.map { case (k, (_, df, _)) =>
+      k -> org.apache.spark.sql.graft.GraftSqlShims
+        .cachedResidentBytes(df).map { case (m, dk) => m + dk }
+        .getOrElse(0L)
     }.toMap
   }
 
@@ -643,9 +687,75 @@ object LifecycleIndex {
     * "adopt" (warm: the committed state matched), "delta" (state
     * change applied incrementally onto the previous snapshot) or
     * "full" (complete rewrite). Observability for the incremental
-    * serve-materialize specs and SCALE_STREAM stamps. */
+    * serve-materialize specs and SCALE_STREAM stamps. PROCESS-GLOBAL
+    * convenience alias; in a multi-index process use
+    * [[lastServeModeFor]] — a concurrent index's materialize clobbers
+    * this one (round-18 advice), exactly like the other per-index
+    * observability that moved off globals. */
   val lastServeMode =
     new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  private val serveModePerIndex = new java.util.concurrent.ConcurrentHashMap[
+    String, String]()
+
+  /** How the last [[search]] OF THIS INDEX obtained its serving
+    * snapshot — the attribution-safe form of [[lastServeMode]],
+    * keyed like the per-index phase/read budgets and dropped with
+    * them. */
+  def lastServeModeFor(indexDir: String): String =
+    Option(serveModePerIndex.get(indexDir)).getOrElse("")
+
+  private def setServeMode(indexDir: String, mode: String): Unit = {
+    lastServeMode.set(mode)
+    serveModePerIndex.put(indexDir, mode)
+    ()
+  }
+
+  /** 8-hex digest of a data-file list — the serving meta's edge-
+    * prefix marker (`|e<count>@<digest>`): a serving commit records
+    * how many edge-manifest entries its state was built over plus
+    * this digest of them, so the NEXT state's delta serve can derive
+    * its file diff from the current edges manifest ALONE (prefix
+    * check by digest, order-sensitive — strictly stronger than the
+    * old subset check) instead of re-reading the previous one: one
+    * control GET per state change (round-19 verdict 1). */
+  private def filesDigest(files: Seq[String]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(files.mkString("\n").getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+
+  private def edgeSuffix(files: Seq[String]): String =
+    "|e" + files.size + "@" + filesDigest(files)
+
+  /** True when `scanned` (a serving meta `vB_vI_vD_vR|fmt`) denotes a
+    * STRICTLY OLDER index state than `target`: every version
+    * component ≤ target's with at least one <. The four table
+    * versions only ever advance, so once the resolve scan sees an
+    * older tag no deeper serving version can match a newer target —
+    * SnapshotTable.serveResolve may stop without probing the rest of
+    * the retained suffix (a state-change miss then costs ONE control
+    * read instead of two per retained version). Unparseable or
+    * mixed-direction tags — a dropped and recreated index resets
+    * components — return false: keep scanning, correctness over
+    * savings. */
+  private[graft] def verTagOlder(scanned: String,
+      target: String): Boolean = {
+    def parse(m: String): Option[Array[Int]] = {
+      val parts = m.split("\\|")
+      if (parts.length < 2) None // suffix parts (|e…) are irrelevant
+      else {
+        val t = parts(0).split("_", -1)
+        if (t.length != 4) None
+        else try Some(t.map(s => if (s == "-") -1 else s.toInt))
+        catch { case _: NumberFormatException => None }
+      }
+    }
+    (parse(scanned), parse(target)) match {
+      case (Some(a), Some(b)) =>
+        a.zip(b).forall { case (x, y) => x <= y } && !a.sameElements(b)
+      case _ => false
+    }
+  }
 
   private def searchAttempt(spark: SparkSession, d: String,
       indexDir: String, queries: DataFrame, maxQ: Int): DataFrame = {
@@ -684,14 +794,29 @@ object LifecycleIndex {
     // pre-symmetrized edges; see materialize below)
     val servingMeta = verTag + "|sym1"
     val nAll = graft.operators.DedupQueries.quantized(spark, d)
+    // ONE manifest read pins the retired table: the incarnation
+    // digest (for the cache tags below) and the file list (for the
+    // anti-join scan) come from the same bytes (round-19 read-budget
+    // trim — and it CLOSES the torn window the round-17 degraded-tag
+    // machinery guarded: digest and files can no longer disagree). A
+    // manifest vanished between the version capture and this read (a
+    // racing vacuum/drop) throws the same missing-file shape
+    // SnapshotTable.read threw here before, which the retry-once
+    // contract absorbs — never a torn result.
+    val retiredPin = vR.map(v => SnapshotTable
+      .manifestDigestAndFiles(retiredTab(indexDir), v)
+      .getOrElse(throw new java.nio.file.NoSuchFileException(
+        s"${retiredTab(indexDir)}/_versions/v$v.manifest (vacuumed " +
+        "between the version capture and the pinned read)")))
     // the search corpus excludes everything EVER retired — the
     // cumulative set, NOT the fold-bounded repair delta: filtering by
     // the delta alone would let a fold resurrect dead vectors into
     // the centroid/seed corpus (the spec-caught round-14 bug)
-    val nRaw = vR.map(v => nAll.join(
-        SnapshotTable.read(spark, retiredTab(indexDir), v)
+    val nRaw = retiredPin.map { case (_, files) =>
+        nAll.join(spark.read.parquet(files: _*)
           .select("vec_id").distinct(),
-        Seq("vec_id"), "left_anti"))
+        Seq("vec_id"), "left_anti")
+      }
       .getOrElse(nAll)
     // CACHED per retired-state (round-17 serving budget: the walk's
     // per-hop probe joins the corpus side every hop — H parquet scans
@@ -719,17 +844,14 @@ object LifecycleIndex {
     // numbers across incarnations can never produce equal tags. One
     // extra control-plane read per search, inside the pinned-read
     // budget Round17Spec counts.
-    val corpusDigest = vR.flatMap(v =>
-      SnapshotTable.manifestDigestOf(retiredTab(indexDir), v))
-    // a MISSING digest (a racing vacuum/drop ate the manifest between
-    // the version capture and this read) must NEVER match anything
-    // (round-17 advice): two incarnations both degrading to 'v@?' at
-    // the same retired version would produce EQUAL tags — the exact
-    // collision the digest exists to prevent. An unreliable tag
-    // bypasses both caches below entirely (private compute, like the
-    // stale-state branch) — rare, and the pinned reads behind it
-    // will usually surface the same missing-file shape the
-    // retry-once contract already absorbs.
+    val corpusDigest = retiredPin.map(_._1)
+    // the digest comes from the SAME read as the file list above, so
+    // a reachable-but-torn tag is no longer possible (the round-17
+    // degraded-tag hazard: digest read racing the corpus read). The
+    // reliability gate stays for defense in depth — a code path that
+    // ever reintroduces a separate digest read must degrade to
+    // private compute (never cache a '?' tag: two incarnations
+    // degrading at the same version would collide), not serve torn.
     val tagReliable = vR.isEmpty || corpusDigest.isDefined
     val corpusTag = vR.map(v => v + "@" + corpusDigest.getOrElse("?"))
       .getOrElse("-")
@@ -865,6 +987,30 @@ object LifecycleIndex {
     // after two quick state advances. A missing/vacuumed match is a
     // cache miss: rematerialize under the same tag and pin to the
     // returned version.
+    //
+    // ONE-PASS RESOLVE (round-19 verdict 1): serveResolve reads the
+    // CURRENT line once (version + inline meta), stops a state-change
+    // miss immediately via the verTag monotonicity predicate, and
+    // hands back every manifest it read — the version capture,
+    // the delta diff base, the post-commit sweep and the serving read
+    // below all reuse it instead of re-issuing the same GETs (the
+    // delta path read the serving manifest three times and CURRENT
+    // twice per state change; on an object store each is an RTT).
+    // metas are matched by PREFIX: a stored serving meta is
+    // `verTag|sym1` optionally followed by the `|e…` edge-prefix
+    // marker (see edgeSuffix) — the marker depends on commit-time
+    // state the resolve target cannot know, and the verTag alone
+    // pins the index state (a state's marker is deterministic, so
+    // two different suffixes can never coexist under one verTag)
+    val svr = SnapshotTable.serveResolve(sTab, servingMeta, verTagOlder,
+      m => m == servingMeta || m.startsWith(servingMeta + "|"))
+    lap("version_resolve")
+    // manifests this attempt holds in hand, keyed by version — grown
+    // by the materialize paths, consumed by the pinned sweep and the
+    // serving read (never re-read from the control plane)
+    val heldManifests =
+      scala.collection.mutable.Map.empty[Int, Seq[String]] ++=
+        svr.manifests
     // INCREMENTAL SERVE-MATERIALIZE (round-17 verdict 5): under
     // insert-epoch turnover — the high-frequency state change of a
     // live index — the previous serving snapshot and the new one
@@ -886,18 +1032,28 @@ object LifecycleIndex {
     // vacuumed prev, fragmented manifest) falls back to the full
     // rewrite below; row-identity of the two paths is spec-pinned
     // (Round18Spec).
-    def deltaMaterialize(): Option[Int] = {
+    def deltaMaterialize(): Option[(Int, Seq[String])] = {
       if (spark.conf.get("spark.graft.serving.deltaMaterialize",
           "true") != "true") return None
       val vIc = vI.getOrElse(return None)
-      val svCur = SnapshotTable.currentVersionOf(sTab)
-        .getOrElse(return None)
-      val prevMeta = SnapshotTable.metaOf(sTab, svCur)
-        .getOrElse(return None)
+      // the resolve above already read CURRENT (version + inline
+      // meta) — reuse it instead of re-reading both (round-19
+      // verdict 1: the diff base's version capture was 2 of the
+      // delta path's 6 excess control reads)
+      val svCur = svr.cur.getOrElse(return None)
+      val prevMeta = svr.curMeta.getOrElse(return None)
       // previous snapshot must be this exact index state except an
-      // OLDER insert table, in the pre-symmetrized format
+      // OLDER insert table, in the pre-symmetrized format; an
+      // optional third part is the edge-prefix marker (edgeSuffix —
+      // absent on snapshots committed by older code: fall back to
+      // reading the previous edges manifest)
       val parts = prevMeta.split("\\|")
-      if (parts.length != 2 || parts(1) != "sym1") return None
+      if (parts.length < 2 || parts.length > 3 || parts(1) != "sym1")
+        return None
+      val prevEdgePrefix: Option[(Int, String)] =
+        if (parts.length < 3) None
+        else "^e(\\d+)@([0-9a-f]{16})$".r.findFirstMatchIn(parts(2))
+          .map(m => (m.group(1).toInt, m.group(2)))
       val tags = parts(0).split("_", -1)
       def enc(o: Option[Int]) = o.map(_.toString).getOrElse("-")
       if (tags.length != 4 || tags(0) != enc(vB) ||
@@ -927,27 +1083,78 @@ object LifecycleIndex {
       // delta table.
       if (!tombstonesAt(spark, indexDir, vD, cut).forall(_.isEmpty))
         return None
-      val (curFiles, prevFiles, prevServingFiles) =
+      val (curFiles, prevServingFiles) =
         try (
           SnapshotTable.dataFiles(edgesTab(indexDir), vIc),
-          if (vIPrev < 0) Seq.empty[String]
-          else SnapshotTable.dataFiles(edgesTab(indexDir), vIPrev),
-          SnapshotTable.dataFiles(sTab, svCur))
+          svr.manifests.getOrElse(svCur,
+            SnapshotTable.dataFiles(sTab, svCur)))
         catch { // a vacuumed manifest: the diff base is gone
           case _: java.nio.file.NoSuchFileException => return None
         }
-      val prevSet = prevFiles.toSet
-      // a compaction/restart rewrote the edge files: the file-level
-      // delta is no longer the appended rows — full path
-      if (!prevFiles.forall(curFiles.contains)) return None
-      val deltaFiles = curFiles.filterNot(prevSet)
+      if (prevServingFiles.isEmpty) return None
+      // the appended delta = current edge manifest minus the previous
+      // one. With the edge-prefix marker in hand the diff needs NO
+      // second manifest read: manifests append in order (prev ++
+      // new), so verifying the marker's digest over the current
+      // list's first N entries PROVES the prefix is exactly what the
+      // previous serving state was built over — order-sensitive,
+      // strictly stronger than the old unordered subset check; a
+      // compaction/restart rewrote the list and fails the digest.
+      // Marker-less metas (older code) fall back to reading the
+      // previous manifest and diffing as before.
+      val deltaFiles = prevEdgePrefix match {
+        case Some((n, h)) =>
+          if (vIPrev < 0) { if (n != 0) return None else curFiles }
+          else if (n > curFiles.size ||
+              filesDigest(curFiles.take(n)) != h) return None
+          else curFiles.drop(n)
+        case None =>
+          val prevFiles =
+            try {
+              if (vIPrev < 0) Seq.empty[String]
+              else SnapshotTable.dataFiles(edgesTab(indexDir), vIPrev)
+            } catch {
+              case _: java.nio.file.NoSuchFileException => return None
+            }
+          // a compaction/restart rewrote the edge files: the
+          // file-level delta is no longer the appended rows
+          if (!prevFiles.forall(curFiles.contains)) return None
+          curFiles.filterNot(prevFiles.toSet)
+      }
       if (deltaFiles.isEmpty || deltaFiles.size > 256) return None
       // bound manifest fragmentation: after enough delta appends the
       // serving file list grows one epoch's files per state — let the
-      // full rewrite act as the compaction
-      val compactAt = spark.conf
-        .get("spark.graft.serving.deltaCompactAt", "64").toInt
+      // full rewrite act as the compaction. Guarded parse (round-18
+      // advice): a malformed conf value degrades to the default
+      // instead of throwing out of every state-change serve.
+      val compactAt =
+        try spark.conf
+          .get("spark.graft.serving.deltaCompactAt", "64").toInt
+        catch { case _: NumberFormatException => 64 }
       if (prevServingFiles.size >= compactAt) return None
+      // BYTE bound on the delta (round-18 advice medium): the file
+      // COUNT bound above says nothing about rows — one insert epoch
+      // can write 256 arbitrarily large files, and the broadcast of
+      // its distinct vec_ids below would hit Spark's broadcast hard
+      // cap (or driver memory) where the full-rewrite path handles
+      // any epoch size. Sum the delta files' sizes (data-plane stats,
+      // ≤256 of them, state-change only) and route an oversized epoch
+      // to the full rewrite BEFORE planning a doomed broadcast.
+      val deltaMaxBytes =
+        try spark.conf
+          .get("spark.graft.serving.deltaMaxBytes", "268435456").toLong
+        catch { case _: NumberFormatException => 268435456L }
+      val deltaBytes =
+        try {
+          val conf = spark.sessionState.newHadoopConf()
+          deltaFiles.map { f =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(conf).getFileStatus(p).getLen
+          }.sum
+        } catch { // vanished mid-stat (racing vacuum) or store error:
+          case _: java.io.IOException => return None // full path
+        }
+      if (deltaBytes > deltaMaxBytes) return None
       // the whole derivation sits inside the fallback try: a
       // CONCURRENT vacuum (another serving process, keepVersions=2)
       // can expire svCur's manifest or the delta files between the
@@ -965,14 +1172,24 @@ object LifecycleIndex {
         // with the delta (both its endpoints are delta endpoints), so
         // a broadcast-semi filter makes this ONE scan of the previous
         // snapshot with no big-side shuffle
-        val prevServing = SnapshotTable.read(spark, sTab, svCur)
+        val prevServing = spark.read.parquet(prevServingFiles: _*)
           .select(col("vec_id"), col("neighbor_id"))
         val oldTouched = prevServing
           .join(broadcast(touched), Seq("vec_id"), "left_semi")
         val newRows = deltaSym.join(oldTouched,
           Seq("vec_id", "neighbor_id"), "left_anti")
-        Some(SnapshotTable.appendFrom(spark, newRows, sTab, svCur,
-          Some(servingMeta)))
+        // appendFromKnown: the parent file list is already in hand —
+        // the stale-parent contract moves to the pinned CAS itself
+        // (claim collision / vacated-slot / pinned-stale checks), so
+        // nothing is weakened, one manifest re-read is saved. The
+        // meta carries the edge-prefix marker of THIS state's edges
+        // manifest so the next delta derives its diff read-free.
+        val (nv, nvFiles) = SnapshotTable.appendFromKnown(spark,
+          newRows, sTab, svCur, prevServingFiles,
+          Some(servingMeta + edgeSuffix(curFiles)))
+        heldManifests(svCur) = prevServingFiles
+        heldManifests(nv) = nvFiles
+        Some((nv, nvFiles))
       } catch {
         // an interleaved commit (another serving process won the
         // state) or a vacuum eating the diff base mid-derivation:
@@ -980,9 +1197,17 @@ object LifecycleIndex {
         case _: IllegalStateException => None
         case _: org.apache.spark.sql.AnalysisException => None
         case e: Throwable if isMissingFileFailure(e) => None
+        // execution failure inside the delta derivation (an
+        // over-budget broadcast slipping past the byte bound, a
+        // task OOM): the append never committed, and the full
+        // rewrite recomputes from live state — fall back rather
+        // than crash a path whose replacement handles any epoch
+        // size (round-18 advice medium). Real data errors repeat
+        // in the full path and fail loudly THERE.
+        case _: org.apache.spark.SparkException => None
       }
     }
-    def materialize(): Int = {
+    def materialize(): (Int, Seq[String]) = {
       val mT = System.nanoTime()
       // cache-liveness sweep at the STATE-CHANGE boundary (round-17
       // verdict 2): a materialize runs exactly when this process
@@ -1002,15 +1227,30 @@ object LifecycleIndex {
       // old per-hop-symmetrize code path can never adopt (or be
       // adopted by) a snapshot in the other format: a mismatch is
       // just a cache miss that rematerializes under its own tag.
-      val v = deltaMaterialize() match {
-        case Some(dv) => lastServeMode.set("delta"); dv
+      val (v, vFiles) = deltaMaterialize() match {
+        case Some((dv, dvFiles)) =>
+          setServeMode(indexDir, "delta"); (dv, dvFiles)
         case None =>
-          lastServeMode.set("full")
+          setServeMode(indexDir, "full")
+          // record the edge-prefix marker (edgeSuffix) so the NEXT
+          // state's delta serve derives its diff from one manifest
+          // read — this one read funds the steady-state path's
+          // savings, deliberately billed to the rare rewrite (the
+          // verdict's priority: the cheap path must not read more
+          // than the rewrite it replaces). A vacuumed manifest just
+          // omits the marker (the next delta falls back).
+          val fullMeta = servingMeta + vI.map { v =>
+            try edgeSuffix(
+              SnapshotTable.dataFiles(edgesTab(indexDir), v))
+            catch { case _: java.nio.file.NoSuchFileException => "" }
+          }.getOrElse("")
           val m = maintainedAt(spark, d, indexDir, vB, vI, vD)
-          SnapshotTable.overwrite(spark,
+          val (fv, fvFiles) = SnapshotTable.overwriteReturning(spark,
             m.unionByName(m.select(col("neighbor_id").as("vec_id"),
               col("vec_id").as("neighbor_id"))).distinct(), sTab,
-            Some(servingMeta))
+            Some(fullMeta))
+          heldManifests(fv) = fvFiles
+          (fv, fvFiles)
       }
       // bound the serving table's disk to the last 2 states (2, not
       // 1, so an in-flight reader of the previous state survives).
@@ -1019,17 +1259,24 @@ object LifecycleIndex {
       // racing rematerialization's just-written files); 30 s matches
       // the commit protocol's orphan grace. Conf-tunable so the
       // cross-process race spec can land the vacuum deterministically.
-      SnapshotTable.vacuum(sTab, keepVersions = 2,
+      // PINNED to the version this attempt just committed, with the
+      // manifests already in hand (round-19 verdict 1): the unpinned
+      // sweep re-read CURRENT + both keep manifests it had just
+      // written/derived — 3 control RTTs per state change for data
+      // this attempt holds.
+      SnapshotTable.vacuumPinned(sTab, v, keepVersions = 2,
+        knownManifests = heldManifests.toMap,
         freshGraceMs = spark.conf
           .get("spark.graft.serving.vacuumGraceMs", "30000").toLong)
       phases += "serve_materialize" -> (System.nanoTime() - mT) / 1e9
       phT = System.nanoTime() // materialize billed to its own phase
-      v
+      (v, vFiles)
     }
-    val svResolved = SnapshotTable.versionWithMeta(sTab, servingMeta)
-    lap("version_resolve")
-    svResolved.foreach(_ => lastServeMode.set("adopt"))
-    val sv = svResolved.getOrElse(materialize())
+    svr.matched.foreach(_ => setServeMode(indexDir, "adopt"))
+    val (sv, svFiles) = svr.matched match {
+      case Some(m) => (m, svr.manifests(m))
+      case None => materialize()
+    }
     // Retry ONLY the missing-version shapes (the matched version
     // raced a newer search's vacuum between resolve and read) — a
     // blanket catch would silently rematerialize over real failures.
@@ -1038,16 +1285,22 @@ object LifecycleIndex {
     // already scanning the pinned files fails the search loudly
     // (crash, never a torn result); keepVersions=2 means two full
     // newer-state materializations must complete inside one walk.
-    // NoSuchFileException is the shape SnapshotTable.read's own
-    // manifest read (Files.readAllLines) throws on a vacuumed version
-    // — it does NOT extend FileNotFoundException (round-15 advice:
-    // the primary race this retry targets escaped the catch).
-    val gd = (try SnapshotTable.read(spark, sTab, sv)
+    // The file list is already in hand (serveResolve / the commit
+    // itself), so the read is a direct parquet scan — no manifest
+    // re-read; a vacuumed/empty file list surfaces as the
+    // AnalysisException / IllegalArgumentException shapes below,
+    // same contract as SnapshotTable.read's.
+    def servingScan(files: Seq[String]): DataFrame = {
+      if (files.isEmpty) throw new IllegalArgumentException(
+        s"serving version of $sTab has no files")
+      spark.read.parquet(files: _*)
+    }
+    val gd = (try servingScan(svFiles)
       catch {
         case _: IllegalArgumentException | _: java.io.FileNotFoundException
             | _: java.nio.file.NoSuchFileException
             | _: org.apache.spark.sql.AnalysisException =>
-          SnapshotTable.read(spark, sTab, materialize())
+          servingScan(materialize()._2)
       }).select(col("vec_id"), col("neighbor_id"))
     lap("serving_read")
     // test seam: lets the vacuum-race spec land a full

@@ -133,6 +133,10 @@ object StreamMaintenanceScale {
         val t0 = System.nanoTime()
         body
         val sec = (System.nanoTime() - t0) / 1e9
+        // `extra` reads live post-step state (ctl counters, the
+        // resident corpus-cache bytes) — evaluate BEFORE the release
+        // below drops the cached blocks it measures
+        val ex = extra
         graft.PersistRegistry.release()
         // listener events lag job completion — settle OUTSIDE the
         // timed window before reading the input counter
@@ -140,7 +144,6 @@ object StreamMaintenanceScale {
         val inMb = (inputBytes.get() - i0) / 1e6
         val fsMb = (fsBytesRead() - f0) / 1e6
         val mb = dirMb(idx) - m0
-        val ex = extra
         println(f"STREAMSCALE x$f $name%-14s $sec%8.2f s  " +
           f"$mb%10.4f MB written  $inMb%10.1f MB read " +
           f"($fsMb%10.1f MB fs)$ex")
@@ -202,10 +205,21 @@ object StreamMaintenanceScale {
       // concurrent-table noise cannot pollute the row
       var ctl0 = 0L
       var ret0 = 0L
+      // corpus_cache_mb (round-18 verdict 5): resident bytes of THIS
+      // index's cached serving corpus after the step — the datum the
+      // corpusCacheMax LRU bound should be sized from. step()
+      // evaluates `extra` BEFORE its PersistRegistry.release() drops
+      // the measured blocks.
+      def corpusCacheMb: Double = {
+        val key = spark.sparkContext.applicationId + "|" + idx
+        LifecycleIndex.corpusCacheResidentBytes
+          .getOrElse(key, 0L) / 1e6
+      }
       def servingExtra: String =
         f""","ctl_reads":${LifecycleIndex.controlPlaneReadsFor(idx) -
           ctl0}%d,"retries":${LifecycleIndex.searchRetriesFor(idx) -
-          ret0}%d,"serve_mode":"${LifecycleIndex.lastServeMode.get()}""""
+          ret0}%d,"corpus_cache_mb":$corpusCacheMb%.1f,""" +
+        f""""serve_mode":"${LifecycleIndex.lastServeModeFor(idx)}""""
       ctl0 = LifecycleIndex.controlPlaneReadsFor(idx)
       ret0 = LifecycleIndex.searchRetriesFor(idx)
       step("search_cold", servingExtra) {

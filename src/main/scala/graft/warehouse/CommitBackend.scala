@@ -238,10 +238,19 @@ object CommitBackends {
     if (i > 0) path.substring(0, i) else path
   }
 
+  /** Test-only PATH-level read attribution (always null outside
+    * specs, same contract as LifecycleIndex.midSearchTestHook): the
+    * read-budget specs assert *which* control objects a serving path
+    * touched, not just how many — a budget regression then names the
+    * offending read instead of a bare count diff. */
+  @volatile private[graft] var readProbe: String => Unit = null
+
   private def countRead(path: String): Unit = {
     controlPlaneReads.incrementAndGet()
     perDirReads.computeIfAbsent(dirOfCtl(path),
       _ => new java.util.concurrent.atomic.AtomicLong(0)).incrementAndGet()
+    val p = readProbe
+    if (p != null) p(path)
     ()
   }
 

@@ -85,9 +85,21 @@ object SnapshotTable {
     * collides across incarnations and would serve a dead
     * incarnation's cached corpus). One control-plane read. */
   def manifestDigestOf(dir: String, v: Int): Option[String] =
+    be(dir).readIfExists(manifestPath(dir, v)).map(digestOf)
+
+  private def digestOf(manifestBytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(manifestBytes)
+      .take(8).map("%02x".format(_)).mkString
+
+  /** [[manifestDigestOf]] AND the version's data-file list from the
+    * SAME manifest read — for callers that need both (the serving
+    * path's retired-table pin tags by digest and then scans the
+    * files): reading the manifest twice is one extra HTTP GET per
+    * search on an object store (round-19 read-budget trim). */
+  def manifestDigestAndFiles(dir: String,
+      v: Int): Option[(String, Seq[String])] =
     be(dir).readIfExists(manifestPath(dir, v)).map { b =>
-      java.security.MessageDigest.getInstance("MD5").digest(b)
-        .take(8).map("%02x".format(_)).mkString
+      (digestOf(b), str(b).split("\n", -1).toSeq.filter(_.nonEmpty))
     }
 
   /** Every committed version's metadata (versions 0..CURRENT that
@@ -124,6 +136,79 @@ object SnapshotTable {
         .takeWhile(v => be(dir).exists(manifestPath(dir, v)))
         .find(v => metaOf(dir, v).contains(meta))
     }
+
+  /** What [[serveResolve]] learned in one pass: the CURRENT version
+    * and its meta, the matched version (same retained-manifest
+    * contract as [[versionWithMeta]]), and every manifest's file list
+    * it had to read along the way — so the caller's subsequent read /
+    * diff / vacuum can reuse them instead of re-issuing the same
+    * control-plane GETs (round-19: the delta-serve path re-read the
+    * serving manifest three times and CURRENT twice per state
+    * change). */
+  final case class ServeResolve(cur: Option[Int],
+      curMeta: Option[String], matched: Option[Int],
+      manifests: Map[Int, Seq[String]])
+
+  /** One-pass serving resolve — [[versionWithMeta]] fused with the
+    * reads its serving caller does around it. Two structural savings
+    * over the exists+metaOf scan:
+    *   - the CURRENT pointer's line CARRIES the commit meta inline
+    *     (see [[currentMeta]]), so the common warm adopt — CURRENT
+    *     matches `target` — resolves in ONE control read plus the
+    *     matched manifest the caller was about to read anyway;
+    *   - `noMatchBelow(scannedMeta, target)` lets the caller encode
+    *     monotonicity (serving metas embed monotone version tags): a
+    *     scanned meta STRICTLY OLDER than the target proves no deeper
+    *     version can match, so a state-change miss stops after the
+    *     CURRENT read instead of probing manifest+meta down the whole
+    *     retained suffix. A `false`-always predicate reproduces
+    *     versionWithMeta's scan exactly (same retained-manifest
+    *     guard: the scan still stops at the first missing manifest).
+    * Manifests are read with content (readIfExists, not exists), so
+    * every probe's bytes are returned rather than discarded. */
+  def serveResolve(dir: String, target: String,
+      noMatchBelow: (String, String) => Boolean = (_, _) => false,
+      acceptMeta: String => Boolean = null): ServeResolve = {
+    // acceptMeta generalizes equality (default) to e.g. prefix
+    // matching — the serving layer appends auxiliary suffixes
+    // (`|e<n>@<digest>`) to its metas that the resolve target cannot
+    // know up front
+    val accept: String => Boolean =
+      if (acceptMeta != null) acceptMeta else (m => m == target)
+    val line = currentLine(dir).getOrElse(
+      return ServeResolve(None, None, None, Map.empty))
+    val cur = line.split("\\s+").head.toInt
+    val i = line.indexWhere(_.isWhitespace)
+    val curMeta = (if (i < 0) None else Some(line.substring(i).trim))
+      .orElse(metaOf(dir, cur)) // meta-less pointer: legacy commit
+    val manifests = scala.collection.mutable.Map.empty[Int, Seq[String]]
+    def filesAt(v: Int): Option[Seq[String]] =
+      be(dir).readIfExists(manifestPath(dir, v)).map { b =>
+        val fs = str(b).split("\n", -1).toSeq.filter(_.nonEmpty)
+        manifests(v) = fs
+        fs
+      }
+    var matched: Option[Int] = None
+    if (curMeta.exists(accept)) {
+      // CURRENT matches — retained by definition, but read its
+      // manifest (the caller reads it next anyway) and treat a
+      // vanished one (concurrent drop) as the miss it is
+      if (filesAt(cur).isDefined) matched = Some(cur)
+    } else if (!curMeta.exists(m => noMatchBelow(m, target))) {
+      // scan below CURRENT — the stale-pinned-search path
+      var v = cur - 1
+      var stop = false
+      while (!stop && v >= 0) {
+        if (filesAt(v).isEmpty) stop = true // vacuumed suffix boundary
+        else metaOf(dir, v) match {
+          case Some(m) if accept(m) => matched = Some(v); stop = true
+          case Some(m) if noMatchBelow(m, target) => stop = true
+          case _ => v -= 1
+        }
+      }
+    }
+    ServeResolve(Some(cur), curMeta, matched, manifests.toMap)
+  }
 
   private def manifestFiles(dir: String, v: Int): Seq[String] =
     be(dir).readIfExists(manifestPath(dir, v))
@@ -282,7 +367,8 @@ object SnapshotTable {
   private[warehouse] def commit(dir: String, files: Seq[String],
       meta: Option[String] = None,
       retryOnCollision: Boolean = false,
-      pinnedVersion: Option[Int] = None): Int = {
+      pinnedVersion: Option[Int] = None,
+      observedCurrent: Option[Int] = None): Int = {
     val backend = be(dir)
     backend.ensureDir(s"$dir/_versions")
     val maxRetries = 20
@@ -303,8 +389,16 @@ object SnapshotTable {
       // publish would move CURRENT backwards: a silent lost update
       // erasing every interleaved commit. Refuse up front (and
       // re-check before the publish below — the claim itself cannot
-      // detect it, the slot is genuinely empty).
-      if (pinnedVersion.exists(_ <= currentVersion(dir).getOrElse(-1)))
+      // detect it, the slot is genuinely empty). This up-front read
+      // is ADVISORY fail-fast, not the decisive line (those are the
+      // post-claim vacated-slot check and the pre-publish pinned-
+      // stale re-check, both on fresh reads): a caller that passes
+      // the CURRENT it derived from (observedCurrent) makes it
+      // vacuous — pinned = observed+1 > observed always — so skip
+      // the read and let the decisive checks decide (round-19
+      // verdict 1: one control RTT per state-change serve).
+      if (observedCurrent.isEmpty &&
+          pinnedVersion.exists(_ <= currentVersion(dir).getOrElse(-1)))
         throw new IllegalStateException(
           s"pinned commit to $dir at version $v is stale — the table " +
           s"has moved past it (CURRENT=${currentVersion(dir).get}); " +
@@ -526,6 +620,37 @@ object SnapshotTable {
       pinnedVersion = Some(expectedCurrent + 1))
   }
 
+  /** [[appendFrom]] when the caller ALREADY HOLDS the parent
+    * version's file list (read in the same derivation, e.g. via
+    * [[serveResolve]]) — skips the parent-manifest re-read, one
+    * control GET per state change on the serving hot path. The
+    * stale-parent contract is unchanged: it is enforced by the pinned
+    * CAS itself (the claim of expected+1 fails loudly on an
+    * interleaved commit, and the vacated-slot + pinned-stale checks
+    * cover an expired slot), not by the manifest read this variant
+    * elides. Returns (version, its full file list) so the caller's
+    * subsequent read and retention sweep need no manifest read
+    * either. */
+  def appendFromKnown(spark: SparkSession, df: DataFrame, dir: String,
+      expectedCurrent: Int, prevFiles: Seq[String],
+      meta: Option[String] = None): (Int, Seq[String]) = {
+    val all = prevFiles ++ writeData(df, dir)
+    (commit(dir, all, meta, retryOnCollision = false,
+      pinnedVersion = Some(expectedCurrent + 1),
+      observedCurrent = Some(expectedCurrent)), all)
+  }
+
+  /** [[overwrite]] returning (version, file list) — the committed
+    * list is exactly what was written, so a caller that immediately
+    * reads the new version (the serving materialize) can scan those
+    * files directly instead of re-reading the manifest it just
+    * committed. */
+  def overwriteReturning(spark: SparkSession, df: DataFrame,
+      dir: String, meta: Option[String] = None): (Int, Seq[String]) = {
+    val files = writeData(df, dir)
+    (commit(dir, files, meta, retryOnCollision = true), files)
+  }
+
   /** CURRENT version number of the table, if any committed — exposed
     * for optimistic-CAS callers of overwriteFrom to capture the
     * version their derivation read. */
@@ -626,9 +751,32 @@ object SnapshotTable {
       freshGraceMs: Long = 0L): Int = {
     val cur = currentVersion(dir).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $dir"))
+    vacuumAt(dir, cur, keepVersions, Map.empty, freshGraceMs)
+  }
+
+  /** [[vacuum]] PINNED to a version the caller just committed, with
+    * any keep-manifests it already holds (round-19 read-budget trim:
+    * the serving materialize runs a sweep right after its commit —
+    * at that point it knows CURRENT and both retained file lists, so
+    * the sweep's 3 control reads were pure re-reads). The pinned view
+    * is stale by at most the commit-to-sweep window; that hazard
+    * class is the same one the unpinned sweep already carries between
+    * its CURRENT read and its deletes, and is covered by the same two
+    * guards: `freshGraceMs` protects a newer concurrent commit's
+    * just-written files, and a newer state's own sweep supersedes
+    * this one. */
+  def vacuumPinned(dir: String, cur: Int, keepVersions: Int,
+      knownManifests: Map[Int, Seq[String]],
+      freshGraceMs: Long = 0L): Int =
+    vacuumAt(dir, cur, keepVersions, knownManifests, freshGraceMs)
+
+  private def vacuumAt(dir: String, cur: Int, keepVersions: Int,
+      knownManifests: Map[Int, Seq[String]],
+      freshGraceMs: Long): Int = {
     val keep = (math.max(0, cur - keepVersions + 1) to cur).toSeq
     val live =
-      try keep.flatMap(manifestFiles(dir, _)).toSet
+      try keep.flatMap(v =>
+        knownManifests.getOrElse(v, manifestFiles(dir, v))).toSet
       catch {
         case _: java.nio.file.NoSuchFileException => return 0
       }
@@ -641,7 +789,18 @@ object SnapshotTable {
     var deleted = 0
     val dataExists =
       try fs.exists(dataPath)
-      catch { case _: java.io.IOException => false }
+      catch {
+        case e: java.io.IOException =>
+          // a transient store error here defers the whole data sweep
+          // to the next invocation (safe — nothing is deleted), but
+          // must be DISTINGUISHABLE from a clean empty run (round-18
+          // advice): mirror it to stderr like the other absorbed races
+          System.err.println(s"[vacuum] data-dir probe of $dataPath " +
+            s"failed — skipping this sweep's data plane (retried " +
+            s"next sweep): ${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").take(200)}")
+          false
+      }
     if (dataExists) {
       // collect victims before deleting: mutating a remote listing
       // mid-iteration is backend-dependent behavior
@@ -677,8 +836,24 @@ object SnapshotTable {
         if (ok) deleted += 1
       }
     }
-    (0 until keep.head).foreach { v =>
-      be(dir).delete(manifestPath(dir, v))
+    // expire manifests below the keep window. The old loop deleted
+    // versions 0 until keep.head UNCONDITIONALLY every sweep — O(cur)
+    // delete RPCs per sweep forever on a long-lived table (sweep
+    // #1000 re-issuing ~998 no-op deletes against an object store).
+    // Prior sweeps already cleared a contiguous range, so walk DOWN
+    // from the window edge and stop after a few consecutive
+    // already-absent slots (tolerance 3 self-heals the hole a sweep
+    // crashed mid-walk can leave; a hole deeper than that strands
+    // only one-line manifest stubs that nothing can read — their
+    // versions' data files are swept regardless, and the
+    // contiguous-suffix scan contract only ever stops EARLIER at a
+    // hole, never matches below one).
+    var v = keep.head - 1
+    var misses = 0
+    while (v >= 0 && misses < 3) {
+      if (be(dir).delete(manifestPath(dir, v))) misses = 0
+      else misses += 1
+      v -= 1
     }
     deleted
   }

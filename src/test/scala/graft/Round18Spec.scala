@@ -26,9 +26,11 @@ import graft.warehouse.{CommitBackend, CommitBackends, ObjectStoreSimBackend, Sn
   *     fold, foreign commit) falls back to the full path;
   *   - round-17 advice: evicting/rotating a corpus-cache entry must
   *     not strip an identical-plan twin's cached blocks (CacheManager
-  *     is plan-keyed), and a search whose incarnation digest cannot
-  *     be read serves correctly while BYPASSING both serving caches
-  *     (a degraded tag must never match anything).
+  *     is plan-keyed), and an unreadable retired manifest can never
+  *     produce a torn or degraded serve — since round 19 the digest
+  *     and pinned file list come from ONE read, so the failure is the
+  *     loud retryable missing-file shape, absorbed once and then
+  *     propagated (the last test below pins that contract).
   */
 class Round18Spec extends AnyFunSuite {
   import TestSpark._
@@ -360,19 +362,19 @@ class Round18Spec extends AnyFunSuite {
   // round-17 advice: unreliable incarnation digest bypasses caches
   // ---------------------------------------------------------------
 
-  test("a search whose retired-manifest digest cannot be read (the " +
-      "racing-vacuum degradation) serves CORRECT rows while " +
-      "bypassing both serving caches — a degraded tag must never " +
-      "be cached or matched") {
-    // a delegating backend that answers the retired table's manifest
-    // ONCE per arm (the pinned corpus read), then hides it — exactly
-    // the race window: version captured, corpus read, digest gone
+  test("a retired manifest that cannot be read fails the search " +
+      "LOUDLY through the retry-once contract — the incarnation " +
+      "digest and the pinned file list come from ONE read (round 19), " +
+      "so the round-17 torn window (corpus read succeeds, digest " +
+      "read races a vacuum) is structurally closed; caches stay " +
+      "unpoisoned and the search heals when the manifest returns") {
+    // a delegating backend that hides the retired table's manifests
+    // entirely while armed — the racing vacuum/drop, now hitting the
+    // single combined read
     final class HidingBackend(u: CommitBackend) extends CommitBackend {
       @volatile var armed = false
-      val manifestReads = new java.util.concurrent.atomic.AtomicLong(0)
       override def readIfExists(path: String): Option[Array[Byte]] =
-        if (armed && path.endsWith(".manifest") &&
-            manifestReads.incrementAndGet() > 1) None
+        if (armed && path.endsWith(".manifest")) None
         else u.readIfExists(path)
       def putIfAbsent(path: String, bytes: Array[Byte]): Boolean =
         u.putIfAbsent(path, bytes)
@@ -393,19 +395,22 @@ class Round18Spec extends AnyFunSuite {
     CommitBackends.register(rTab, hiding)
     try {
       hiding.armed = true
-      val rows = searchRows(
-        LifecycleIndex.search(spark, sf, idx, searchQueries))
+      val r0 = LifecycleIndex.searchRetriesFor(idx)
+      // both attempts hit the hidden manifest: the first failure is
+      // absorbed by the retry-once contract, the second propagates
+      // with the missing-file shape — never a torn or degraded serve
+      intercept[java.nio.file.NoSuchFileException] {
+        LifecycleIndex.search(spark, sf, idx, searchQueries).count()
+      }
+      assert(LifecycleIndex.searchRetriesFor(idx) === r0 + 1,
+        "exactly one retry must be absorbed before propagating")
       hiding.armed = false
-      assert(rows === want,
-        "the degraded-tag search must still serve correct rows")
       val key = spark.sparkContext.applicationId + "|" + idx
       assert(!LifecycleIndex.corpusCacheState.contains(key),
-        "an unreliable tag must never be inserted into the corpus " +
-        "cache")
+        "a failed pin must never poison the corpus cache")
       assert(!LifecycleIndex.centsCacheState.contains(key),
-        "an unreliable tag must never be inserted into the centroid " +
-        "cache")
-      // healed: the next search (digest readable again) caches
+        "a failed pin must never poison the centroid cache")
+      // healed: the manifest is readable again — correct rows, cached
       assert(searchRows(LifecycleIndex.search(spark, sf, idx,
         searchQueries)) === want)
       assert(LifecycleIndex.corpusCacheState.contains(key))
