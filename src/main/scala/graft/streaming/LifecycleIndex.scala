@@ -718,11 +718,11 @@ object LifecycleIndex {
     * its file diff from the current edges manifest ALONE (prefix
     * check by digest, order-sensitive — strictly stronger than the
     * old subset check) instead of re-reading the previous one: one
-    * control GET per state change (round-19 verdict 1). */
+    * control GET per state change (round-19 verdict 1). The recipe
+    * lives in SnapshotTable next to the manifest serialization it
+    * must stay equal to. */
   private def filesDigest(files: Seq[String]): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(files.mkString("\n").getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
+    SnapshotTable.digestOfFiles(files)
 
   private def edgeSuffix(files: Seq[String]): String =
     "|e" + files.size + "@" + filesDigest(files)
@@ -1053,7 +1053,14 @@ object LifecycleIndex {
       val prevEdgePrefix: Option[(Int, String)] =
         if (parts.length < 3) None
         else "^e(\\d+)@([0-9a-f]{16})$".r.findFirstMatchIn(parts(2))
-          .map(m => (m.group(1).toInt, m.group(2)))
+          .flatMap(m =>
+            // guarded like every other meta parse here: a count that
+            // overflows Int (corrupt/foreign meta) means "no marker",
+            // never an exception out of the serve (review-caught —
+            // NumberFormatException is not a missing-file shape, so
+            // the retry-once contract would not absorb it)
+            try Some((m.group(1).toInt, m.group(2)))
+            catch { case _: NumberFormatException => None })
       val tags = parts(0).split("_", -1)
       def enc(o: Option[Int]) = o.map(_.toString).getOrElse("-")
       if (tags.length != 4 || tags(0) != enc(vB) ||
@@ -1144,13 +1151,24 @@ object LifecycleIndex {
         try spark.conf
           .get("spark.graft.serving.deltaMaxBytes", "268435456").toLong
         catch { case _: NumberFormatException => 268435456L }
+      // one LISTING per epoch data dir, not one stat per file
+      // (review-caught: 256 sequential per-file getFileStatus RTTs on
+      // the state-change hot path would give back an order of
+      // magnitude more than the control-plane trim saved; every
+      // commit writes its files under one data/<uuid>/ dir, so the
+      // delta's k epochs cost k listings)
       val deltaBytes =
         try {
           val conf = spark.sessionState.newHadoopConf()
-          deltaFiles.map { f =>
-            val p = new org.apache.hadoop.fs.Path(f)
-            p.getFileSystem(conf).getFileStatus(p).getLen
-          }.sum
+          deltaFiles.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+            .iterator.map { case (dir, files) =>
+              val p = new org.apache.hadoop.fs.Path(dir)
+              val want =
+                files.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+              p.getFileSystem(conf).listStatus(p)
+                .filter(st => want.contains(st.getPath.getName))
+                .map(_.getLen).sum
+            }.sum
         } catch { // vanished mid-stat (racing vacuum) or store error:
           case _: java.io.IOException => return None // full path
         }

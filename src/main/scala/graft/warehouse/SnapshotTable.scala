@@ -91,6 +91,16 @@ object SnapshotTable {
     java.security.MessageDigest.getInstance("MD5").digest(manifestBytes)
       .take(8).map("%02x".format(_)).mkString
 
+  /** Digest of a FILE LIST, equal by construction to the digest of a
+    * manifest whose content is exactly that list (commit serializes
+    * `files.mkString("\n")`) — the serving layer's edge-prefix
+    * markers digest manifest prefixes with this, and keeping the
+    * recipe HERE means a future change to manifest serialization or
+    * digest width cannot silently desynchronize the two (a mismatch
+    * would quietly route every delta serve to the full rewrite). */
+  def digestOfFiles(files: Seq[String]): String =
+    digestOf(utf8(files.mkString("\n")))
+
   /** [[manifestDigestOf]] AND the version's data-file list from the
     * SAME manifest read — for callers that need both (the serving
     * path's retired-table pin tags by digest and then scans the
@@ -369,6 +379,14 @@ object SnapshotTable {
       retryOnCollision: Boolean = false,
       pinnedVersion: Option[Int] = None,
       observedCurrent: Option[Int] = None): Int = {
+    // observedCurrent is only meaningful as "this pinned commit was
+    // derived from exactly this CURRENT" — enforce the relationship
+    // so the parameter cannot degrade into a silent skip-the-check
+    // flag with an unvalidated value (review-caught)
+    require(observedCurrent.isEmpty ||
+        pinnedVersion.contains(observedCurrent.get + 1),
+      s"observedCurrent=$observedCurrent must be the parent of the " +
+      s"pinned version ($pinnedVersion)")
     val backend = be(dir)
     backend.ensureDir(s"$dir/_versions")
     val maxRetries = 20
