@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -579,17 +577,27 @@ object LifecycleIndex {
       // second missing-file failure propagates too (two vacuums
       // racing two attempts means the caller's polling is slower than
       // the index's entire state turnover — page the operator).
-      case e: Throwable if isMissingFileFailure(e) =>
+      case e: Throwable
+          if isMissingFileFailure(e) ||
+            e.isInstanceOf[TornCaptureException] =>
         // observable retry (round-17 advice): log the swallowed first
         // failure so a deployment can see the race frequency, and
-        // count it for the cross-process spec's no-torn-result check
+        // count it for the cross-process spec's no-torn-result check.
+        // TornCaptureException (round-19) rides the same contract:
+        // the version capture straddled a fold — a fresh capture is
+        // consistent by the same pinning argument, and a second
+        // straddle means fold turnover outpaces the serve (page the
+        // operator, exactly like the double vacuum race).
         searchRetries.incrementAndGet()
         retriesPerIndex.computeIfAbsent(indexDir,
           _ => new java.util.concurrent.atomic.AtomicLong(0))
           .incrementAndGet()
-        System.err.println("[lifecycle-search] pinned files vanished " +
-          "mid-walk (concurrent vacuum) — retrying once with a fresh " +
-          s"version capture: ${e.getClass.getSimpleName}: " +
+        System.err.println("[lifecycle-search] " +
+          (if (e.isInstanceOf[TornCaptureException])
+            "version capture straddled a fold"
+          else "pinned files vanished mid-walk (concurrent vacuum)") +
+          " — retrying once with a fresh version capture: " +
+          s"${e.getClass.getSimpleName}: " +
           s"${Option(e.getMessage).getOrElse("").take(200)}")
         searchAttempt(spark, d, indexDir, queries, maxQ)
     }
@@ -783,8 +791,18 @@ object LifecycleIndex {
     require(qrows.length <= maxQ,
       s"query set exceeds the $maxQ serving bound — page the request")
     lap("intake")
-    // ONE consistent version capture; every read below is pinned
+    // ONE consistent version capture; every read below is pinned.
+    // The four reads are SEQUENTIAL, so a fold's multi-table commit
+    // can straddle them — the harmful shape (old base + post-fold
+    // restarted delta, which would silently drop every pre-fold
+    // insert from the materialized graph) is closed by the torn-
+    // capture guard in materialize() below, which exploits the
+    // fold's base-FIRST commit order.
     val vB = SnapshotTable.currentVersionOf(baseTab(indexDir))
+    // test seam: lets the torn-capture spec land a full fold between
+    // the base read and the delta-table reads — the straddle that is
+    // otherwise nondeterministic to hit. Always None outside tests.
+    midCaptureTestHook.foreach(h => h())
     val vI = SnapshotTable.currentVersionOf(edgesTab(indexDir))
     val vD = SnapshotTable.currentVersionOf(delTab(indexDir))
     val vR = SnapshotTable.currentVersionOf(retiredTab(indexDir))
@@ -957,8 +975,10 @@ object LifecycleIndex {
     // index served). Entries beyond the cap are unpersisted
     // least-recently-searched first; an evicted index's next search
     // just re-persists (one fill), correctness unaffected.
-    val cacheMax = math.max(1, spark.conf
-      .get("spark.graft.serving.corpusCacheMax", "8").toInt)
+    val cacheMax = math.max(1,
+      try spark.conf.get("spark.graft.serving.corpusCacheMax", "8").toInt
+      catch { case _: NumberFormatException => 8 }) // degrade, never
+      // crash the warm path on a malformed knob (round-18 advice rule)
     var evicting = corpusCache.size > cacheMax
     while (evicting) {
       import scala.jdk.CollectionConverters._
@@ -1227,6 +1247,27 @@ object LifecycleIndex {
     }
     def materialize(): (Int, Seq[String]) = {
       val mT = System.nanoTime()
+      // TORN-CAPTURE GUARD (round-19 review): the four version reads
+      // above are sequential, and a fold commits its tables base
+      // FIRST, then restarts the deltas — so a capture that read vB
+      // before the fold's base publish and vI after its restart
+      // composes old base ∪ empty restart: every pre-fold streamed
+      // insert silently vanishes from the materialized graph, and
+      // the torn snapshot would be committed under its verTag.
+      // Because the ordering is base-first, "base unchanged from
+      // capture to here" PROVES the captured vI/vD cannot contain a
+      // restart from an unseen fold (the crashed-fold fast path
+      // re-restarts without a base bump, but there the CAPTURED
+      // base's meta already carries the cut marker, which foldCutAt
+      // reads — that shape is consistent by the existing
+      // restart-landed branch). One control read per STATE CHANGE
+      // only — warm adopts never reach here; the throw is absorbed
+      // once by search()'s retry with a fresh capture, same contract
+      // as the vacuum race.
+      if (SnapshotTable.currentVersionOf(baseTab(indexDir)) != vB)
+        throw new TornCaptureException(
+          s"base of $indexDir advanced mid-capture (a fold raced " +
+          "this serve's version reads) — recapture and retry")
       // cache-liveness sweep at the STATE-CHANGE boundary (round-17
       // verdict 2): a materialize runs exactly when this process
       // first serves a new index state — the only moment a dead
@@ -1284,8 +1325,10 @@ object LifecycleIndex {
       // this attempt holds.
       SnapshotTable.vacuumPinned(sTab, v, keepVersions = 2,
         knownManifests = heldManifests.toMap,
-        freshGraceMs = spark.conf
-          .get("spark.graft.serving.vacuumGraceMs", "30000").toLong)
+        freshGraceMs =
+          try spark.conf
+            .get("spark.graft.serving.vacuumGraceMs", "30000").toLong
+          catch { case _: NumberFormatException => 30000L })
       phases += "serve_materialize" -> (System.nanoTime() - mT) / 1e9
       phT = System.nanoTime() // materialize billed to its own phase
       (v, vFiles)
@@ -1347,6 +1390,19 @@ object LifecycleIndex {
     * tests. */
   @volatile private[graft] var midSearchTestHook: Option[() => Unit] =
     None
+
+  /** Spec-only injection point between the version capture's base
+    * read and its delta-table reads (see the torn-capture guard in
+    * searchAttempt.materialize). Always None outside tests. */
+  @volatile private[graft] var midCaptureTestHook: Option[() => Unit] =
+    None
+
+  /** A state-change serve detected that its four-pointer version
+    * capture straddled a fold's multi-table commit (see the
+    * torn-capture guard) — retryable with a fresh capture, absorbed
+    * once by [[search]] like the vacuum race. */
+  private[graft] final class TornCaptureException(msg: String)
+    extends RuntimeException(msg)
 
   /** The fold marker the NEXT fold of this index would stamp on every
     * table it commits: `folded-<last epoch meta>@ins=<v>,del=<v>`,

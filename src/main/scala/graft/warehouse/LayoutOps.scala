@@ -59,6 +59,11 @@ object LayoutOps {
   def zorderLayout(df: DataFrame, nFiles: Int,
       a: String, b: String, bits: Int = 16): DataFrame = {
     val m = df.agg(max(col(a)).cast("long"), max(col(b)).cast("long")).head()
+    // max() over zero rows (or all-null dims) yields nulls — an empty
+    // table is trivially clustered, return it rather than NPE on the
+    // unbox (round-19 review: a restarted delta table is legitimately
+    // empty when a maintenance pass re-lays it out)
+    if (m.isNullAt(0) || m.isNullAt(1)) return df
     val (ma, mb) = (math.max(m.getLong(0), 1L), math.max(m.getLong(1), 1L))
     val lim = 1L << bits
     // products stay < 2^53, so the double division is exact and the

@@ -46,8 +46,17 @@ object MaterializedAgg {
   def refresh(spark: SparkSession, dir: String, batch: DataFrame,
       keys: Seq[String], valueCol: String, batchId: Long = -1L): Int = {
     val ledger = if (batchId >= 0) Some(s"batch=$batchId") else None
-    val applied = SnapshotTable.currentMeta(dir)
-    if (ledger.isDefined && applied == ledger)
+    // exactly-once must hold against ALL committed metas, not just
+    // the CURRENT pointer's (round-19 review — the same rule
+    // SnapshotTable.committedMetas documents and the graph streams
+    // follow): an interleaved meta-less commit (a maintenance
+    // compact without a preserved ledger) moves the pointer meta off
+    // the epoch id, and a then-retried epoch would double-apply its
+    // additive partials. The pointer check stays as the zero-extra-
+    // read fast path; the full ledger scan runs only when it misses.
+    if (ledger.isDefined &&
+        (SnapshotTable.currentMeta(dir) == ledger ||
+          SnapshotTable.committedMetas(dir).exists(ledger.contains)))
       return SnapshotTable.versions(dir).last // already applied: skip
     val partial = batch
       .groupBy(keys.map(col): _*)

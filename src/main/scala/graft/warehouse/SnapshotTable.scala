@@ -589,8 +589,20 @@ object SnapshotTable {
     * when the committed meta already names this batch id). */
   def append(spark: SparkSession, df: DataFrame, dir: String,
       meta: Option[String] = None): Int = {
-    val prev = currentVersion(dir).map(manifestFiles(dir, _)).getOrElse(Seq.empty)
-    commit(dir, prev ++ writeData(df, dir), meta)
+    // PINNED to the version the file list derives from (round-19
+    // review): the unpinned form re-read CURRENT inside commit(), so
+    // an interleaved commit landing between this derivation and the
+    // claim targeted a FRESH slot and was silently erased — prev
+    // files republished without the interleaved rows, CURRENT moved
+    // forward, no collision thrown. The table is single-writer by
+    // contract, but a violated contract must fail loudly (the file's
+    // own guarantee); the pin turns that window into the same loud
+    // IllegalStateException as every other base-dependent commit.
+    val base = currentVersion(dir)
+    val prev = base.map(manifestFiles(dir, _)).getOrElse(Seq.empty)
+    commit(dir, prev ++ writeData(df, dir), meta,
+      retryOnCollision = false,
+      pinnedVersion = Some(base.map(_ + 1).getOrElse(0)))
   }
 
   /** Overwrite: new version = only the new files (old files stay on
@@ -683,8 +695,16 @@ object SnapshotTable {
     * The rewritten rows derive from the version read below, so a
     * collision must NOT retry (the winner may have appended). */
   def compact(spark: SparkSession, dir: String, numFiles: Int = 1,
-      meta: Option[String] = None): Int =
-    commit(dir, writeData(read(spark, dir).coalesce(numFiles), dir), meta)
+      meta: Option[String] = None): Int = {
+    // pinned to the version being rewritten — see append: an epoch
+    // landing while the compaction rewrites must collide loudly, not
+    // be silently replaced by the pre-epoch rows
+    val base = currentVersion(dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $dir"))
+    commit(dir,
+      writeData(read(spark, dir, base).coalesce(numFiles), dir), meta,
+      retryOnCollision = false, pinnedVersion = Some(base + 1))
+  }
 
   /** Upsert (the MERGE INTO core): rows of `df` replace current rows
     * with the same key; unmatched rows insert. One anti-join + one
@@ -695,13 +715,20 @@ object SnapshotTable {
     * same commit protocol, finer write granularity.) */
   def upsert(spark: SparkSession, df: DataFrame, dir: String,
       keyCols: Seq[String], meta: Option[String] = None): Int = {
-    val merged = read(spark, dir)
+    val base = currentVersion(dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $dir"))
+    val merged = read(spark, dir, base)
       .join(df.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
         keyCols, "left_anti")
       .unionByName(df)
     // merged content derives from the version read above — a commit
-    // collision must fail, not retry against a now-stale base
-    commit(dir, writeData(merged, dir), meta)
+    // collision must fail, not retry against a now-stale base. PINNED
+    // (round-19 review, see append): the comment above always claimed
+    // loud failure, but the unpinned commit re-read CURRENT fresh, so
+    // an interleave in the derive-to-claim window was silently erased
+    // rather than collided.
+    commit(dir, writeData(merged, dir), meta,
+      retryOnCollision = false, pinnedVersion = Some(base + 1))
   }
 
   /** Read a snapshot (default: CURRENT). The file list is fixed at
@@ -844,6 +871,17 @@ object SnapshotTable {
       } catch {
         case _: java.io.FileNotFoundException => ()
         case _: java.nio.file.NoSuchFileException => ()
+        case e: java.io.IOException =>
+          // transient store error mid-listing (the probe above
+          // absorbs the same class): delete only the victims already
+          // collected and defer the rest to the next sweep — never
+          // fail the caller's materialize over a sweep (round-19
+          // review; mirrored to stderr like the other absorbed races)
+          System.err.println(s"[vacuum] data listing of $dataPath " +
+            s"failed mid-sweep — kept versions untouched, remaining " +
+            s"victims deferred to the next sweep: " +
+            s"${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").take(200)}")
       }
       victims.foreach { p =>
         // a concurrent sweep got there first: delete() returning

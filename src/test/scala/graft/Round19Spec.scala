@@ -326,6 +326,80 @@ class Round19Spec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq === Seq(9L))
   }
 
+  // ---------------------------------------------------------------
+  // round-19 review findings: torn capture, derive-window interleave,
+  // ledger-vs-compact double apply, empty-layout robustness
+  // ---------------------------------------------------------------
+
+  test("a FOLD landing inside the serve's four-pointer version " +
+      "capture (base read, then fold, then delta reads) is detected " +
+      "by the torn-capture guard and absorbed by one retry — the " +
+      "serve returns the same rows as a clean serve instead of " +
+      "silently dropping every pre-fold insert") {
+    val a = freshIndex()
+    StreamingGraphInsert.insertEpoch(spark, insBatch(0), sf, a, 0L)
+    val want = searchRows(
+      LifecycleIndex.search(spark, sf, a, searchQueries))
+    // second epoch so the post-fold state change has real content
+    StreamingGraphInsert.insertEpoch(spark, insBatch(1), sf, a, 1L)
+    val clean = searchRows(
+      LifecycleIndex.search(spark, sf, a, searchQueries))
+    assert(want.nonEmpty && clean.nonEmpty)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val r0 = LifecycleIndex.searchRetriesFor(a)
+    LifecycleIndex.midCaptureTestHook = Some(() =>
+      if (fired.compareAndSet(false, true))
+        LifecycleIndex.foldTombstones(spark, sf, a))
+    try {
+      val rows = searchRows(
+        LifecycleIndex.search(spark, sf, a, searchQueries))
+      assert(fired.get(), "the straddle never fired — seam moved")
+      assert(LifecycleIndex.searchRetriesFor(a) === r0 + 1,
+        "the torn capture must be absorbed by exactly one retry")
+      // the fold is a semantic no-op, so the straddled serve must
+      // return exactly the clean pre-fold rows — a torn serve would
+      // have dropped the streamed inserts' neighbors
+      assert(rows === clean,
+        "the straddled serve's rows diverged from the clean serve")
+    } finally {
+      LifecycleIndex.midCaptureTestHook = None
+      LifecycleIndex.releaseIndexCaches(spark, a)
+      PersistRegistry.release()
+    }
+  }
+
+  test("MaterializedAgg.refresh stays exactly-once when a meta-less " +
+      "maintenance compact moves the pointer meta off the epoch id: " +
+      "the re-delivered batch is skipped via the per-version ledger") {
+    import spark.implicits._
+    val dir = tmp("graft-r19-magg-") + "/agg"
+    val batch = Seq(("a", 1.00), ("a", 2.00), ("b", 5.00))
+      .toDF("k", "amount")
+    graft.warehouse.MaterializedAgg.refresh(spark, dir, batch,
+      Seq("k"), "amount", batchId = 7L)
+    def state() = graft.warehouse.MaterializedAgg.read(spark, dir)
+      .select("k", "sum_value", "n").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val want = state()
+    assert(want === Set(("a", 3.0, 2L), ("b", 5.0, 1L)))
+    // maintenance compact WITHOUT preserving the ledger meta — the
+    // pointer no longer names batch=7, but the per-version ledger does
+    SnapshotTable.compact(spark, dir)
+    graft.warehouse.MaterializedAgg.refresh(spark, dir, batch,
+      Seq("k"), "amount", batchId = 7L) // foreachBatch re-delivery
+    assert(state() === want,
+      "the re-delivered epoch was double-applied — the exactly-once " +
+      "check must consult ALL committed metas, not just the pointer")
+  }
+
+  test("zorderLayout on an empty input returns it unchanged instead " +
+      "of NPEing on the null max row") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.warehouse.LayoutOps
+      .zorderLayout(empty, 2, "a", "b").count() === 0)
+  }
+
   test("the serving meta's edge-prefix marker survives a round trip: " +
       "a delta state's meta carries |e<count>@<digest> and the next " +
       "delta derives its diff from it (no previous-manifest read), " +

@@ -114,6 +114,44 @@ class ServeResolveSpec extends AnyFunSuite {
       "the stale append must publish nothing")
   }
 
+  test("an interleaved commit landing between a base-dependent " +
+      "verb's derivation and its claim fails LOUDLY (pinned CAS) " +
+      "instead of silently erasing the interleaved rows — upsert " +
+      "and append (round-19 review: the unpinned form re-read " +
+      "CURRENT inside commit and published over the interleave)") {
+    val tab = tmp("graft-r19-derive-") + "/t"
+    SnapshotTable.overwrite(spark,
+      Seq((1L, 10L)).toDF("k", "v"), tab)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    SnapshotTable.preClaimTestHook = Some { (d, _) =>
+      if (d == tab && fired.compareAndSet(false, true)) {
+        SnapshotTable.append(spark,
+          Seq((2L, 20L)).toDF("k", "v"), tab, Some("interleaved"))
+        ()
+      }
+    }
+    try {
+      intercept[IllegalStateException] {
+        SnapshotTable.upsert(spark,
+          Seq((1L, 11L)).toDF("k", "v"), tab, Seq("k"))
+      }
+      assert(fired.get())
+      // the interleaved commit's rows survive; the stale upsert
+      // published nothing (before the round-19 pin, the upsert's
+      // fresh-slot commit silently erased row (2, 20))
+      assert(SnapshotTable.read(spark, tab).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        Set((1L, 10L), (2L, 20L)))
+      // same window for append
+      fired.set(false)
+      intercept[IllegalStateException] {
+        SnapshotTable.append(spark,
+          Seq((3L, 30L)).toDF("k", "v"), tab, Some("late"))
+      }
+      assert(!SnapshotTable.committedMetas(tab).contains("late"))
+    } finally SnapshotTable.preClaimTestHook = None
+  }
+
   test("vacuumPinned sweeps from caller-held state with ZERO control " +
       "reads when every keep manifest is supplied, and the bounded " +
       "manifest trim heals a crashed sweep's hole within tolerance") {
