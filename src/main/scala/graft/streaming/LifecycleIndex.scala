@@ -296,31 +296,59 @@ object LifecycleIndex {
         if (vI.isDefined) SimilarityQueries.insertFreeBaseGraph(spark, d)
         else SimilarityQueries.fullCorpusGraph(spark, d))
 
+  /** CONSISTENT three-pointer capture (base, edges, deleted) for the
+    * read-resolve verbs: the reads are sequential, and a fold's
+    * base-FIRST multi-table commit can straddle them — old base +
+    * post-fold restarted delta silently drops every pre-fold insert
+    * (the round-19 torn-capture class, fixed for the serving path in
+    * searchAttempt.materialize; these public verbs had the same
+    * unguarded window). Re-reading the base LAST proves consistency:
+    * base unchanged across the whole capture means no unseen restart
+    * can be in the delta pointers (the crashed-fold fast path
+    * re-restarts without a base bump, but there the captured base's
+    * meta already carries the cut marker — consistent by the
+    * restart-landed branch). A moved base just recaptures; three
+    * straddles in a row means fold turnover outpaces reads — loud. */
+  private def consistentCapture(indexDir: String)
+      : (Option[Int], Option[Int], Option[Int]) = {
+    var tries = 0
+    while (tries < 3) {
+      val vB = SnapshotTable.currentVersionOf(baseTab(indexDir))
+      // shared test seam with the serving capture (always None
+      // outside tests): lands a fold inside the straddle window
+      midCaptureTestHook.foreach(h => h())
+      val vI = SnapshotTable.currentVersionOf(edgesTab(indexDir))
+      val vD = SnapshotTable.currentVersionOf(delTab(indexDir))
+      if (SnapshotTable.currentVersionOf(baseTab(indexDir)) == vB)
+        return (vB, vI, vD)
+      tries += 1
+    }
+    throw new TornCaptureException(
+      s"base of $indexDir kept advancing across 3 capture attempts " +
+      "(fold turnover outpaces this reader)")
+  }
+
   /** The base edge table this index prunes/repairs (see class doc). */
   def baseEdges(spark: SparkSession, d: String,
-      indexDir: String): DataFrame =
-    baseEdgesAt(spark, d, indexDir,
-      SnapshotTable.currentVersionOf(baseTab(indexDir)),
-      SnapshotTable.currentVersionOf(edgesTab(indexDir)))
+      indexDir: String): DataFrame = {
+    val (vB, vI, _) = consistentCapture(indexDir)
+    baseEdgesAt(spark, d, indexDir, vB, vI)
+  }
 
   /** Committed streamed-insert edges beyond the fold cut, or None
     * when no insert epoch has committed. */
   def insertEdges(spark: SparkSession,
       indexDir: String): Option[DataFrame] = {
-    val vB = SnapshotTable.currentVersionOf(baseTab(indexDir))
-    insertEdgesAt(spark, indexDir,
-      SnapshotTable.currentVersionOf(edgesTab(indexDir)),
-      foldCutAt(indexDir, vB))
+    val (vB, vI, _) = consistentCapture(indexDir)
+    insertEdgesAt(spark, indexDir, vI, foldCutAt(indexDir, vB))
   }
 
   /** Committed tombstones beyond the fold cut (the repair delta) as
     * one `del_id` column, or None when no delete epoch committed. */
   def tombstones(spark: SparkSession,
       indexDir: String): Option[DataFrame] = {
-    val vB = SnapshotTable.currentVersionOf(baseTab(indexDir))
-    tombstonesAt(spark, indexDir,
-      SnapshotTable.currentVersionOf(delTab(indexDir)),
-      foldCutAt(indexDir, vB))
+    val (vB, _, vD) = consistentCapture(indexDir)
+    tombstonesAt(spark, indexDir, vD, foldCutAt(indexDir, vB))
   }
 
   /** ALL ids ever retired from this index (see [[retiredTab]]), or
@@ -337,11 +365,10 @@ object LifecycleIndex {
     * for the prune, a keyed self-join + per-source window for the
     * repair; nothing collects at any index size. */
   def maintainedEdges(spark: SparkSession, d: String,
-      indexDir: String): DataFrame =
-    maintainedAt(spark, d, indexDir,
-      SnapshotTable.currentVersionOf(baseTab(indexDir)),
-      SnapshotTable.currentVersionOf(edgesTab(indexDir)),
-      SnapshotTable.currentVersionOf(delTab(indexDir)))
+      indexDir: String): DataFrame = {
+    val (vB, vI, vD) = consistentCapture(indexDir)
+    maintainedAt(spark, d, indexDir, vB, vI, vD)
+  }
 
   /** [[maintainedEdges]] with every table read PINNED to a version —
     * the serving path and the fold derive from a consistent snapshot
@@ -602,9 +629,10 @@ object LifecycleIndex {
         searchAttempt(spark, d, indexDir, queries, maxQ)
     }
 
-  /** Count of vacuum-race retries [[search]] absorbed — observability
-    * (mirrored to stderr per occurrence). Process-wide; per-index
-    * attribution via [[searchRetriesFor]]. */
+  /** Count of serving-race retries [[search]] absorbed — a vacuum
+    * eating pinned files mid-walk OR a fold straddling the version
+    * capture (round 19); the stderr mirror names which. Process-wide;
+    * per-index attribution via [[searchRetriesFor]]. */
   val searchRetries = new java.util.concurrent.atomic.AtomicLong(0)
 
   // PER-INDEX observability (round-17 verdict 3): a process serving
@@ -619,7 +647,8 @@ object LifecycleIndex {
   private val phasesPerIndex = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[(String, Double)]]()
 
-  /** Vacuum-race retries [[search]] absorbed FOR this index. */
+  /** Serving-race retries (vacuum race or fold straddle) [[search]]
+    * absorbed FOR this index. */
   def searchRetriesFor(indexDir: String): Long =
     Option(retriesPerIndex.get(indexDir)).map(_.get()).getOrElse(0L)
 
@@ -745,7 +774,19 @@ object LifecycleIndex {
     * read instead of two per retained version). Unparseable or
     * mixed-direction tags — a dropped and recreated index resets
     * components — return false: keep scanning, correctness over
-    * savings. */
+    * savings.
+    *
+    * ACCEPTED LIMITATION (round-19 review): the early stop assumes
+    * serving versions commit in monotone STATE order. Two serving
+    * processes can violate that — a stale-pinned process's
+    * collision-retried overwrite can land an older-state snapshot
+    * ABOVE a newer one — and the stop then skips a retained
+    * adoptable version, costing one spurious full rematerialize
+    * (never a wrong result: the resolve still matches only exact
+    * metas). Self-healing (the rewrite recommits the newest state on
+    * top) and only reachable under cross-process stale/fresh serve
+    * interleaving; accepted over re-paying two reads per retained
+    * version on every state-change miss. */
   private[graft] def verTagOlder(scanned: String,
       target: String): Boolean = {
     def parse(m: String): Option[Array[Int]] = {

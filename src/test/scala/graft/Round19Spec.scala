@@ -368,6 +368,38 @@ class Round19Spec extends AnyFunSuite {
     }
   }
 
+  test("a FOLD landing inside maintainedEdges' pointer capture is " +
+      "recaptured transparently — the public read-resolve verb " +
+      "returns the same graph as a clean read instead of composing " +
+      "old base + restarted delta (the serving path's torn-capture " +
+      "class, closed for the utility verbs too)") {
+    val a = freshIndex()
+    StreamingGraphInsert.insertEpoch(spark, insBatch(0), sf, a, 0L)
+    def edgeSet() = LifecycleIndex.maintainedEdges(spark, sf, a)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clean = edgeSet()
+    assert(clean.nonEmpty)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    LifecycleIndex.midCaptureTestHook = Some(() =>
+      if (fired.compareAndSet(false, true))
+        LifecycleIndex.foldTombstones(spark, sf, a))
+    try {
+      val straddled = edgeSet()
+      assert(fired.get(), "the straddle never fired — seam moved")
+      // the fold is a semantic no-op: the recaptured read must equal
+      // the clean pre-fold graph; the torn composition would have
+      // dropped every streamed insert's edges
+      assert(straddled === clean,
+        "maintainedEdges under a fold straddle diverged from the " +
+        "clean graph")
+    } finally {
+      LifecycleIndex.midCaptureTestHook = None
+      LifecycleIndex.releaseIndexCaches(spark, a)
+      PersistRegistry.release()
+    }
+  }
+
   test("MaterializedAgg.refresh stays exactly-once when a meta-less " +
       "maintenance compact moves the pointer meta off the epoch id: " +
       "the re-delivered batch is skipped via the per-version ledger") {
