@@ -463,6 +463,7 @@ object LifecycleIndex {
     retriesPerIndex.keySet.removeIf(dir => deadDir(dir))
     phasesPerIndex.keySet.removeIf(dir => deadDir(dir))
     serveModePerIndex.keySet.removeIf(dir => deadDir(dir))
+    earlyStopsPerIndex.keySet.removeIf(dir => deadDir(dir))
   }
 
   /** Unpersist `df` UNLESS another live corpusCache entry serves the
@@ -527,6 +528,7 @@ object LifecycleIndex {
     retriesPerIndex.remove(indexDir)
     phasesPerIndex.remove(indexDir)
     serveModePerIndex.remove(indexDir)
+    earlyStopsPerIndex.remove(indexDir)
     graft.warehouse.CommitBackends.releaseDir(indexDir)
   }
 
@@ -646,6 +648,31 @@ object LifecycleIndex {
 
   private val phasesPerIndex = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[(String, Double)]]()
+
+  /** Corpus-cache entries evicted for BYTE pressure (the round-20
+    * `corpusCacheMaxMb` budget) — process-wide, stamped per factor
+    * by StreamMaintenanceScale so the SCALE evidence shows the bound
+    * engaging rather than merely existing. */
+  val corpusCacheByteEvictions =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  // serveResolve early stops per index (round-19 advice 3): the
+  // verTagOlder predicate stopped the resolve scan at CURRENT. One
+  // per state-change miss is the designed behavior; a count far
+  // above the index's state-change count means resolves are
+  // early-stopping REPEATEDLY for one target — the cross-process
+  // stale/fresh overwrite interleaving that skips a retained
+  // adoptable version (spurious full rematerializes, never wrong
+  // results). Stamped by StreamMaintenanceScale; entries a machine
+  // word each, swept with the other per-index observability.
+  private val earlyStopsPerIndex = new java.util.concurrent
+    .ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  /** serveResolve early stops (verTagOlder fired at CURRENT) FOR
+    * this index — see the counter's field comment for how to read
+    * it. */
+  def resolveEarlyStopsFor(indexDir: String): Long =
+    Option(earlyStopsPerIndex.get(indexDir)).map(_.get()).getOrElse(0L)
 
   /** Serving-race retries (vacuum race or fold straddle) [[search]]
     * absorbed FOR this index. */
@@ -1037,6 +1064,55 @@ object LifecycleIndex {
         case None => evicting = false // nothing evictable but ours
       }
     }
+    // BYTE budget over the same LRU order (round-19 verdict 2: an
+    // entry COUNT admits unbounded executor memory — each entry is a
+    // corpus-sized persisted DataFrame, and round 19 measured it
+    // growing 1.1 → 215 MB/entry from 1× to 200× corpus scale, so
+    // the bound a deployment actually needs is in bytes). Resident
+    // bytes come from the CacheManager without forcing a fill
+    // (GraftSqlShims.cachedResidentBytes): an entry persisted but
+    // not yet materialized reports 0 and is never chosen as a byte
+    // victim — its bytes land only once a search scans it, and the
+    // next search's pass here sees them. This search's own entry
+    // counts toward the total (it is resident) but is never evicted;
+    // a single over-budget corpus therefore stays cached — the knob
+    // bounds the FLEET of entries, it cannot make one index
+    // serveable in less memory than its corpus. 0 disables the byte
+    // bound (the entry cap above still applies).
+    val cacheMaxMb =
+      try spark.conf.get("spark.graft.serving.corpusCacheMaxMb",
+        "4096").toDouble
+      catch { case _: NumberFormatException => 4096.0 } // degrade,
+      // never crash the warm path on a malformed knob
+    // size>1 guard: with a single live entry (one-index serving, the
+    // common deployment) there is never a byte victim — skip the
+    // per-entry CacheManager lookups entirely on that hot path
+    if (cacheMaxMb > 0 && corpusCache.size > 1) {
+      import scala.jdk.CollectionConverters._
+      val sized = corpusCache.entrySet().asScala.toSeq.map { e =>
+        val mb = org.apache.spark.sql.graft.GraftSqlShims
+          .cachedResidentBytes(e.getValue._2)
+          .map { case (m, dk) => m + dk }.getOrElse(0L) / 1e6
+        (e, mb)
+      }
+      var total = sized.map(_._2).sum
+      // least-recently-searched first; only materialized entries are
+      // victims (evicting a 0-byte entry frees nothing — and skipping
+      // them guarantees the loop terminates)
+      var victims = sized
+        .filter { case (e, mb) => e.getKey != ckCorpus && mb > 0 }
+        .sortBy(_._1.getValue._3.get())
+      while (total > cacheMaxMb && victims.nonEmpty) {
+        val (e, mb) = victims.head
+        victims = victims.tail
+        // same two-arg remove + shared-plan guard as the entry cap
+        if (corpusCache.remove(e.getKey, e.getValue)) {
+          unpersistUnlessShared(e.getValue._2, e.getKey)
+          corpusCacheByteEvictions.incrementAndGet()
+          total -= mb
+        }
+      }
+    }
     val sTab = servingTab(indexDir)
     // PINNED serving read (round-14 advice): resolve the serving
     // version whose meta equals THIS search's verTag and read exactly
@@ -1065,6 +1141,16 @@ object LifecycleIndex {
     // two different suffixes can never coexist under one verTag)
     val svr = SnapshotTable.serveResolve(sTab, servingMeta, verTagOlder,
       m => m == servingMeta || m.startsWith(servingMeta + "|"))
+    // count the early stop (round-19 advice 3): miss AND the
+    // monotonicity predicate fired on CURRENT's meta — free to
+    // detect here (both values are already in hand), and the stamp
+    // trend is what would surface the cross-process interleaving
+    // verTagOlder's doc accepts
+    if (svr.matched.isEmpty &&
+        svr.curMeta.exists(m => verTagOlder(m, servingMeta)))
+      earlyStopsPerIndex.computeIfAbsent(indexDir,
+        _ => new java.util.concurrent.atomic.AtomicLong(0))
+        .incrementAndGet()
     lap("version_resolve")
     // manifests this attempt holds in hand, keyed by version — grown
     // by the materialize paths, consumed by the pinned sweep and the

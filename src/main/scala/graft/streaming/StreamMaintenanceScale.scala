@@ -205,6 +205,7 @@ object StreamMaintenanceScale {
       // concurrent-table noise cannot pollute the row
       var ctl0 = 0L
       var ret0 = 0L
+      var es0 = 0L
       // corpus_cache_mb (round-18 verdict 5): resident bytes of THIS
       // index's cached serving corpus after the step — the datum the
       // corpusCacheMax LRU bound should be sized from. step()
@@ -215,13 +216,20 @@ object StreamMaintenanceScale {
         LifecycleIndex.corpusCacheResidentBytes
           .getOrElse(key, 0L) / 1e6
       }
+      // early_stops (round-19 advice 3): serveResolve early stops —
+      // one per state-change miss is designed behavior; repeated
+      // stops for one state would be the cross-process interleaving
+      // verTagOlder's doc accepts (spurious full rematerializes)
       def servingExtra: String =
         f""","ctl_reads":${LifecycleIndex.controlPlaneReadsFor(idx) -
           ctl0}%d,"retries":${LifecycleIndex.searchRetriesFor(idx) -
           ret0}%d,"corpus_cache_mb":$corpusCacheMb%.1f,""" +
+        f""""early_stops":${LifecycleIndex.resolveEarlyStopsFor(idx) -
+          es0}%d,""" +
         f""""serve_mode":"${LifecycleIndex.lastServeModeFor(idx)}""""
       ctl0 = LifecycleIndex.controlPlaneReadsFor(idx)
       ret0 = LifecycleIndex.searchRetriesFor(idx)
+      es0 = LifecycleIndex.resolveEarlyStopsFor(idx)
       step("search_cold", servingExtra) {
         LifecycleIndex.search(spark, d, idx, queries)
           .write.format("noop").mode("overwrite").save()
@@ -229,6 +237,7 @@ object StreamMaintenanceScale {
       phaseRows("search_cold")
       ctl0 = LifecycleIndex.controlPlaneReadsFor(idx)
       ret0 = LifecycleIndex.searchRetriesFor(idx)
+      es0 = LifecycleIndex.resolveEarlyStopsFor(idx)
       step("search_warm", servingExtra) {
         LifecycleIndex.search(spark, d, idx, queries)
           .write.format("noop").mode("overwrite").save()
@@ -253,6 +262,7 @@ object StreamMaintenanceScale {
       // path ran.
       ctl0 = LifecycleIndex.controlPlaneReadsFor(idx)
       ret0 = LifecycleIndex.searchRetriesFor(idx)
+      es0 = LifecycleIndex.resolveEarlyStopsFor(idx)
       step("search_post_fold", servingExtra) {
         LifecycleIndex.search(spark, d, idx, queries)
           .write.format("noop").mode("overwrite").save()
@@ -265,11 +275,52 @@ object StreamMaintenanceScale {
       }
       ctl0 = LifecycleIndex.controlPlaneReadsFor(idx)
       ret0 = LifecycleIndex.searchRetriesFor(idx)
+      es0 = LifecycleIndex.resolveEarlyStopsFor(idx)
       step("search_delta", servingExtra) {
         LifecycleIndex.search(spark, d, idx, queries)
           .write.format("noop").mode("overwrite").save()
       }
       phaseRows("search_delta")
+
+      // round-20 byte-budget eviction drill (round-19 verdict 2):
+      // bound the corpus cache in MB just under the resident set and
+      // serve a SECOND index — the byte LRU must evict the main
+      // index's (least-recently-searched) entry. The stamp carries
+      // the engaged eviction count and the bound, so SCALE_STREAM
+      // shows the bound ENGAGING per factor, not merely existing;
+      // search_refill then prices the evicted index's one-time
+      // re-fill at the restored default bound. The second index is
+      // built from the factor-1 corpus regardless of f: the drill
+      // measures the eviction seam, not a second data-sized
+      // bootstrap.
+      val residentMb = corpusCacheMb
+      if (residentMb > 0) {
+        val idx2 =
+          Files.createTempDirectory(s"graft-smsc-idx2-x$f-").toString
+        LifecycleIndex.bootstrap(spark, idx2, graft.operators
+          .SimilarityQueries.insertFreeBaseGraph(spark, base))
+        val ev0 = LifecycleIndex.corpusCacheByteEvictions.get()
+        val bound = residentMb / 2
+        spark.conf.set("spark.graft.serving.corpusCacheMaxMb",
+          f"$bound%.4f")
+        step("cache_evict_drill",
+          f""","byte_evictions":${LifecycleIndex
+              .corpusCacheByteEvictions.get() - ev0}%d,""" +
+          f""""bound_mb":$bound%.1f,""" +
+          f""""resident_before_mb":$residentMb%.1f""") {
+          LifecycleIndex.search(spark, base, idx2, queries)
+            .write.format("noop").mode("overwrite").save()
+        }
+        spark.conf.set("spark.graft.serving.corpusCacheMaxMb", "4096")
+        ctl0 = LifecycleIndex.controlPlaneReadsFor(idx)
+        ret0 = LifecycleIndex.searchRetriesFor(idx)
+        es0 = LifecycleIndex.resolveEarlyStopsFor(idx)
+        step("search_refill", servingExtra) {
+          LifecycleIndex.search(spark, d, idx, queries)
+            .write.format("noop").mode("overwrite").save()
+        }
+        LifecycleIndex.releaseIndexCaches(spark, idx2)
+      }
     }
     sys.env.get("SPARK_GRAFT_STREAM_SCALE_JSON").filter(_.nonEmpty)
       .foreach { p =>

@@ -46,18 +46,37 @@ object MaterializedAgg {
   def refresh(spark: SparkSession, dir: String, batch: DataFrame,
       keys: Seq[String], valueCol: String, batchId: Long = -1L): Int = {
     val ledger = if (batchId >= 0) Some(s"batch=$batchId") else None
-    // exactly-once must hold against ALL committed metas, not just
-    // the CURRENT pointer's (round-19 review — the same rule
-    // SnapshotTable.committedMetas documents and the graph streams
-    // follow): an interleaved meta-less commit (a maintenance
-    // compact without a preserved ledger) moves the pointer meta off
-    // the epoch id, and a then-retried epoch would double-apply its
-    // additive partials. The pointer check stays as the zero-extra-
-    // read fast path; the full ledger scan runs only when it misses.
-    if (ledger.isDefined &&
-        (SnapshotTable.currentMeta(dir) == ledger ||
-          SnapshotTable.committedMetas(dir).exists(ledger.contains)))
-      return SnapshotTable.versions(dir).last // already applied: skip
+    // exactly-once must hold against the LEDGER, not just the
+    // CURRENT pointer's meta (round-19 review): an interleaved
+    // meta-less commit (a maintenance compact without a preserved
+    // ledger) moves the pointer meta off the epoch id, and a
+    // then-retried epoch would double-apply its additive partials.
+    // BOUNDED ledger authority (round-19 advice 1): the prior
+    // committedMetas read was one control GET per version 0..CURRENT
+    // on EVERY normal batch — the pointer names batch N-1 while the
+    // new epoch is N, so the fast path always missed and per-batch
+    // reads grew linearly with table age. Epoch ids are monotone and
+    // the engine re-delivers only not-yet-committed epochs, so the
+    // NEWEST `batch=` meta is the highest applied id: when the
+    // pointer meta itself is a ledger line (the normal batch — zero
+    // extra reads) use it, else scan down to the first ledger line;
+    // skip iff applied >= this epoch (>=, not ==: a checkpoint that
+    // re-delivers an epoch below the newest applied must skip too —
+    // its partials are already in the state).
+    if (ledger.isDefined) {
+      val cm = SnapshotTable.currentMeta(dir)
+      if (cm == ledger) return SnapshotTable.versions(dir).last
+      def parse(m: String): Option[Long] =
+        if (!m.startsWith("batch=")) None
+        else scala.util.Try(m.stripPrefix("batch=").trim.toLong).toOption
+      // an unparseable pointer line falls through to the scan rather
+      // than silently deciding "not applied"
+      val applied = cm.flatMap(parse).orElse(
+        SnapshotTable.newestMetaMatching(dir, _.startsWith("batch="))
+          .flatMap(parse))
+      if (applied.exists(_ >= batchId))
+        return SnapshotTable.versions(dir).last // already applied
+    }
     val partial = batch
       .groupBy(keys.map(col): _*)
       .agg(sum(round(col(valueCol) * 100, 0).cast("bigint")).as("sum_cents"),

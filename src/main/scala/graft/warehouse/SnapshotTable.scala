@@ -126,6 +126,23 @@ object SnapshotTable {
     (0 to cur).flatMap(v => metaOf(dir, v))
   }
 
+  /** NEWEST committed meta satisfying `p` — a downward scan from
+    * CURRENT that stops at the first hit, for ledger checks where
+    * only the most recent matching line carries authority
+    * (MaterializedAgg's epoch dedup: ids are monotone, so the newest
+    * `batch=` meta IS the highest applied id). [[committedMetas]]'
+    * full 0..CURRENT read costs one control GET per table version on
+    * every call — O(table age) per streaming batch, quadratic over a
+    * stream's lifetime (round-19 advice 1); this stops after however
+    * many non-matching commits sit above the last ledger line —
+    * typically zero. Metas survive vacuum (the exactly-once ledger),
+    * so the walk never terminates early at a vacuumed manifest. */
+  def newestMetaMatching(dir: String,
+      p: String => Boolean): Option[String] = {
+    val cur = currentVersion(dir).getOrElse(-1)
+    (cur to 0 by -1).iterator.flatMap(v => metaOf(dir, v)).find(p)
+  }
+
   /** Highest committed version whose meta equals `meta` and whose
     * manifest is still retained (not vacuumed) — for callers that
     * cache content-addressed by a tag and must PIN their read to the
@@ -824,6 +841,18 @@ object SnapshotTable {
         knownManifests.getOrElse(v, manifestFiles(dir, v))).toSet
       catch {
         case _: java.nio.file.NoSuchFileException => return 0
+        case e: java.io.IOException =>
+          // transient control-plane error building the LIVE set: the
+          // sweep cannot safely decide victims without it, and a
+          // sweep must never fail its caller's materialize (round-20
+          // fault sweep — same deferred-sweep contract as the data
+          // probe below; NoSuchFile above stays the quiet
+          // superseded-sweep abort)
+          System.err.println(s"[vacuum] live-set manifest read under " +
+            s"$dir failed — skipping this sweep (retried next " +
+            s"sweep): ${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").take(200)}")
+          return 0
       }
     val dataPath = new org.apache.hadoop.fs.Path(s"$dir/data")
     val fs = dataPath.getFileSystem(dataPlaneConf())
@@ -904,11 +933,41 @@ object SnapshotTable {
     // versions' data files are swept regardless, and the
     // contiguous-suffix scan contract only ever stops EARLIER at a
     // hole, never matches below one).
+    // ... except when `cur` is a power of two (>= 16), where the
+    // walk is UNBOUNDED (round-19 advice 2): a sweep that crashed
+    // after deleting a run wider than the tolerance leaves a hole
+    // the 3-miss walk re-hits forever — every later bounded sweep
+    // stops at it and the older manifest stubs strand permanently
+    // (harmless but unbounded in count). The power-of-two cadence is
+    // stateless and AMORTIZED O(1): full walks at cur = 16, 32, 64…
+    // sum to O(2·cur) no-op deletes over the table's whole life —
+    // a fixed-interval cadence (every 16th) would instead re-pay
+    // O(cur) every 16 commits, the linear-with-age cost the bounded
+    // trim exists to kill. Heal latency is at most one doubling of
+    // table age; acceptable for stubs that are harmless in the
+    // meantime (their data files are swept regardless, and the
+    // contiguous-suffix scan only ever stops EARLIER at a hole).
     var v = keep.head - 1
     var misses = 0
-    while (v >= 0 && misses < 3) {
-      if (be(dir).delete(manifestPath(dir, v))) misses = 0
-      else misses += 1
+    val missTolerance =
+      if (cur >= 16 && (cur & (cur - 1)) == 0) Int.MaxValue else 3
+    var trimAbort = false
+    while (!trimAbort && v >= 0 && misses < missTolerance) {
+      // a transient delete fault defers the REST of the trim to the
+      // next sweep (round-20 fault sweep): the data files are already
+      // swept and the caller's materialize must not fail over stub
+      // cleanup
+      try {
+        if (be(dir).delete(manifestPath(dir, v))) misses = 0
+        else misses += 1
+      } catch {
+        case e: java.io.IOException =>
+          System.err.println(s"[vacuum] manifest trim under $dir " +
+            s"failed at v$v — remaining stubs deferred to the next " +
+            s"sweep: ${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").take(200)}")
+          trimAbort = true
+      }
       v -= 1
     }
     deleted
