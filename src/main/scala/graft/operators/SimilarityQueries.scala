@@ -2404,7 +2404,14 @@ object SimilarityQueries {
   // data-sized blocks, unlike the nlist-row quantizer); a foreign
   // release() of the identical plan is re-pinned on the next epoch.
   private val streamCorpusCache = new java.util.concurrent
-    .ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+    .ConcurrentHashMap[String, (org.apache.spark.sql.DataFrame,
+      java.util.concurrent.atomic.AtomicLong)]()
+
+  /** Stream-corpus entries evicted by the round-20 bound below —
+    * observability for the eviction spec and any future SCALE
+    * stamp. */
+  private[graft] val streamCorpusEvictions =
+    new java.util.concurrent.atomic.AtomicLong(0)
 
   // private[graft] so the residency/eviction spec can drive it
   // without paying a full epoch per assertion
@@ -2417,15 +2424,74 @@ object SimilarityQueries {
       val p = new org.apache.hadoop.fs.Path(dir)
       if (!p.getFileSystem(s.sparkContext.hadoopConfiguration)
           .exists(p)) {
-        e.getValue.unpersist(blocking = false)
+        e.getValue._1.unpersist(blocking = false)
         it.remove()
       }
     }
-    streamCorpusCache.compute(
-      s.sparkContext.applicationId + "|" + d, (_, old) =>
-        if (old != null) graft.PersistRegistry.ensurePinned(old)
-        else graft.PersistRegistry.ensurePinned(
-          quantized(s, d).filter(!v21BatchFilter)))
+    val ck = s.sparkContext.applicationId + "|" + d
+    val entry = streamCorpusCache.compute(ck, (_, old) =>
+      if (old != null) {
+        graft.PersistRegistry.ensurePinned(old._1)
+        old._2.set(System.nanoTime())
+        old
+      } else (graft.PersistRegistry.ensurePinned(
+        quantized(s, d).filter(!v21BatchFilter)),
+        new java.util.concurrent.atomic.AtomicLong(System.nanoTime())))
+    // BOUND (round 20 — this cache had the other two of the repo's
+    // three-part rule for long-lived persists, eviction [dir
+    // liveness] and re-pin [ensurePinned], but no bound: a maintainer
+    // process over many corpus dirs accumulates one data-sized
+    // persisted corpus per dir). Same semantics as the serving
+    // cache's round-20 byte budget: least-recently-used first, never
+    // THIS call's own entry (one over-budget corpus stays resident —
+    // the knob bounds the fleet), only MATERIALIZED entries are byte
+    // victims (0-byte unfilled entries free nothing and skipping
+    // them guarantees termination); entries never share a plan
+    // (distinct source dirs), so a plain unpersist is safe. An
+    // evicted corpus just re-fills on its stream's next epoch.
+    import scala.jdk.CollectionConverters._
+    val cacheMax = math.max(1,
+      try s.conf.get("spark.graft.stream.corpusCacheMax", "4").toInt
+      catch { case _: NumberFormatException => 4 })
+    while (streamCorpusCache.size > cacheMax && {
+      streamCorpusCache.entrySet().asScala
+        .filter(_.getKey != ck)
+        .minByOption(_.getValue._2.get()) match {
+        case Some(e) =>
+          if (streamCorpusCache.remove(e.getKey, e.getValue)) {
+            e.getValue._1.unpersist(blocking = false)
+            streamCorpusEvictions.incrementAndGet()
+          }
+          true
+        case None => false // nothing evictable but ours
+      }
+    }) ()
+    val cacheMaxMb =
+      try s.conf.get("spark.graft.stream.corpusCacheMaxMb",
+        "4096").toDouble
+      catch { case _: NumberFormatException => 4096.0 }
+    if (cacheMaxMb > 0 && streamCorpusCache.size > 1) {
+      val sized = streamCorpusCache.entrySet().asScala.toSeq.map { e =>
+        val mb = org.apache.spark.sql.graft.GraftSqlShims
+          .cachedResidentBytes(e.getValue._1)
+          .map { case (m, dk) => m + dk }.getOrElse(0L) / 1e6
+        (e, mb)
+      }
+      var total = sized.map(_._2).sum
+      var victims = sized
+        .filter { case (e, mb) => e.getKey != ck && mb > 0 }
+        .sortBy(_._1.getValue._2.get())
+      while (total > cacheMaxMb && victims.nonEmpty) {
+        val (e, mb) = victims.head
+        victims = victims.tail
+        if (streamCorpusCache.remove(e.getKey, e.getValue)) {
+          e.getValue._1.unpersist(blocking = false)
+          streamCorpusEvictions.incrementAndGet()
+          total -= mb
+        }
+      }
+    }
+    entry._1
   }
 
   /** Drop the resident stream corpus for `d` (remove + unpersist) —
@@ -2439,14 +2505,15 @@ object SimilarityQueries {
       s: org.apache.spark.sql.SparkSession, d: String): Unit =
     Option(streamCorpusCache.remove(
       s.sparkContext.applicationId + "|" + d))
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_._1.unpersist(blocking = false))
 
   /** Live stream-corpus cache keys → storage level — for the
     * residency/eviction spec. */
   private[graft] def streamCorpusState: Map[String, String] = {
     import scala.jdk.CollectionConverters._
     streamCorpusCache.asScala
-      .map { case (k, df) => k -> df.storageLevel.description }.toMap
+      .map { case (k, (df, _)) => k -> df.storageLevel.description }
+      .toMap
   }
 
   /** The committed INSERT-FREE base graph ("knn-graph-base") — the

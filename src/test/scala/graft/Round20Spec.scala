@@ -144,6 +144,52 @@ class Round20Spec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // round-20 review: the STREAM corpus cache gets the missing bound
+  // ---------------------------------------------------------------
+
+  test("the stream corpus cache is BOUNDED too (it had eviction and " +
+      "re-pin but no bound — the repo's three-part rule for " +
+      "long-lived persists): the byte budget evicts the LRU " +
+      "materialized entry, the entry cap evicts beyond the count, " +
+      "and the caller's own entry always survives") {
+    // a second corpus dir: the same embeddings fixture under a new
+    // path (distinct cache key, identical content)
+    val d2 = tmp("graft-r20-streamcorp-")
+    Files.copy(Paths.get(s"$sf/embeddings.parquet"),
+      Paths.get(s"$d2/embeddings.parquet"))
+    try {
+      SimilarityQueries.streamCorpus(spark, sf).count() // materialize
+      val kA = spark.sparkContext.applicationId + "|" + sf
+      val kB = spark.sparkContext.applicationId + "|" + d2
+      assert(SimilarityQueries.streamCorpusState.contains(kA))
+      val ev0 = SimilarityQueries.streamCorpusEvictions.get()
+      // byte budget: far below A's resident bytes → serving B's
+      // stream must evict A, never B itself
+      spark.conf.set("spark.graft.stream.corpusCacheMaxMb", "0.0001")
+      SimilarityQueries.streamCorpus(spark, d2).count()
+      assert(SimilarityQueries.streamCorpusEvictions.get() > ev0,
+        "the byte bound must engage")
+      assert(!SimilarityQueries.streamCorpusState.contains(kA),
+        "A (LRU, materialized) must be the victim")
+      assert(SimilarityQueries.streamCorpusState.contains(kB),
+        "the caller's own entry is never a byte victim")
+      // entry cap: cap 1 → a third fetch (A again) evicts B
+      spark.conf.set("spark.graft.stream.corpusCacheMaxMb", "4096")
+      spark.conf.set("spark.graft.stream.corpusCacheMax", "1")
+      SimilarityQueries.streamCorpus(spark, sf).count()
+      assert(!SimilarityQueries.streamCorpusState.contains(kB),
+        "the entry cap must evict beyond the count")
+      assert(SimilarityQueries.streamCorpusState.contains(kA))
+    } finally {
+      spark.conf.set("spark.graft.stream.corpusCacheMax", "4")
+      spark.conf.set("spark.graft.stream.corpusCacheMaxMb", "4096")
+      SimilarityQueries.releaseStreamCorpus(spark, sf)
+      SimilarityQueries.releaseStreamCorpus(spark, d2)
+      PersistRegistry.release()
+    }
+  }
+
+  // ---------------------------------------------------------------
   // advice 3: early-stop observability
   // ---------------------------------------------------------------
 
