@@ -75,24 +75,56 @@ private[operators] object StageSnapshots {
   /** Metadata-only fingerprint of the input data dir: md5 over every
     * file's (relative path, size, mtime), sorted. Cheap (no data
     * read), and any ingest/compaction/regeneration of the corpus
-    * changes it — the staleness guard for cross-session reuse. */
+    * changes it — the staleness guard for cross-session reuse.
+    *
+    * SCHEME-ADDRESSED dirs route through the Hadoop FileSystem
+    * (round-20 review): the java.nio walk silently yields ZERO files
+    * for `s3a://…`-shaped paths — every store-addressed corpus then
+    * fingerprints as the same empty hash, and a CHANGED corpus would
+    * be adopted as fresh (the stale-index reuse this fingerprint
+    * exists to make structurally impossible). Same split as
+    * SnapshotTable's data plane; object-store modification times are
+    * upload times, MORE stable than local mtimes. */
   private[graft] def dataFingerprint(d: String): String = {
-    val root = java.nio.file.Paths.get(d)
-    val lines =
-      if (!java.nio.file.Files.isDirectory(root)) Seq.empty[String]
-      else {
-        val s = java.nio.file.Files.walk(root)
-        try {
-          val it = s.iterator()
+    val lines: Seq[String] =
+      if (d.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:/.*")) {
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(SparkSession.getActiveSession
+          .orElse(SparkSession.getDefaultSession)
+          .map(_.sessionState.newHadoopConf())
+          .getOrElse(new org.apache.hadoop.conf.Configuration()))
+        if (!fs.exists(p)) Seq.empty
+        else {
+          val rootQ = fs.makeQualified(p).toString.stripSuffix("/")
+          val it = fs.listFiles(p, true)
           val buf = scala.collection.mutable.ArrayBuffer.empty[String]
           while (it.hasNext) {
-            val p = it.next()
-            if (java.nio.file.Files.isRegularFile(p))
-              buf += s"${root.relativize(p)}|${java.nio.file.Files.size(p)}|" +
-                s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+            val st = it.next()
+            if (st.isFile) {
+              val rel = st.getPath.toString
+                .stripPrefix(rootQ).stripPrefix("/")
+              buf += s"$rel|${st.getLen}|${st.getModificationTime}"
+            }
           }
           buf.toSeq
-        } finally s.close()
+        }
+      } else {
+        val root = java.nio.file.Paths.get(d)
+        if (!java.nio.file.Files.isDirectory(root)) Seq.empty[String]
+        else {
+          val s = java.nio.file.Files.walk(root)
+          try {
+            val it = s.iterator()
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (it.hasNext) {
+              val p = it.next()
+              if (java.nio.file.Files.isRegularFile(p))
+                buf += s"${root.relativize(p)}|${java.nio.file.Files.size(p)}|" +
+                  s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+            }
+            buf.toSeq
+          } finally s.close()
+        }
       }
     md5hex(lines.sorted.mkString("\n"))
   }

@@ -109,4 +109,29 @@ class WarehouseSnapshotSpec extends AnyFunSuite {
     StageSnapshots.snapshot(spark, data, "test-plain")(build).count()
     assert(builds === 2)
   }
+
+  test("the adoption fingerprint sees SCHEME-addressed corpus dirs " +
+      "(round-20 review): a store-shaped dir with content must not " +
+      "fingerprint as empty, and a changed file must change it — " +
+      "the java.nio walk saw zero files for every such dir, so all " +
+      "store corpora shared the empty hash and a CHANGED corpus " +
+      "would have adopted a stale index") {
+    import java.nio.file.{Files, Paths}
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[graft.GraftTestFs].getName)
+    val local =
+      Files.createTempDirectory("graft-r20-fp-").toString
+    Files.writeString(Paths.get(s"$local/part-0.parquet"), "abcdef")
+    val schemed = "graftfs:" + local
+    val fpEmpty = StageSnapshots.dataFingerprint("graftfs:" +
+      Files.createTempDirectory("graft-r20-fp-empty-").toString)
+    val fp1 = StageSnapshots.dataFingerprint(schemed)
+    assert(fp1 !== fpEmpty,
+      "a store dir WITH content must not fingerprint as empty")
+    Files.writeString(Paths.get(s"$local/part-0.parquet"), "abcdefgh")
+    val fp2 = StageSnapshots.dataFingerprint(schemed)
+    assert(fp2 !== fp1, "a changed file must change the fingerprint")
+    // unchanged content re-fingerprints identically (adoption works)
+    assert(StageSnapshots.dataFingerprint(schemed) === fp2)
+  }
 }
