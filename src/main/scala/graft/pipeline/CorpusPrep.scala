@@ -136,9 +136,22 @@ object CorpusPrep {
       "test_checksum" -> checksum(prepared.test))
     val json = manifest.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$dir/manifest.json"),
-      json.getBytes("UTF-8"))
+    // scheme-addressed output dirs write the manifest through the
+    // Hadoop FS (round-20 review, same split as the warehouse data
+    // plane): the splits above already land wherever Spark writes,
+    // but a java.nio write of the manifest threw on an s3a://-shaped
+    // dir — failing the prep on exactly the deployment target, after
+    // the data was written. Bare local paths keep the nio write.
+    if (dir.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:/.*")) {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/manifest.json")
+      val fs = p.getFileSystem(prepared.train.sparkSession
+        .sessionState.newHadoopConf())
+      val out = fs.create(p, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+    } else
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/manifest.json"),
+        json.getBytes("UTF-8"))
     manifest
   }
 }

@@ -1543,7 +1543,10 @@ object LifecycleIndex {
     val vIns = SnapshotTable.currentVersionOf(eTab)
     val vDel = SnapshotTable.currentVersionOf(dTab)
     def lastEpochMeta(tab: String): Option[String] =
-      SnapshotTable.committedMetas(tab).reverse.find(m =>
+      // newest-first, stops at the first epoch line (round-20
+      // bounded-ledger rule — the reversed committedMetas scan read
+      // every meta back to version 0 on each fold)
+      SnapshotTable.newestMetaMatching(tab, m =>
         m.startsWith("del:batch=") || m.startsWith("ins:batch="))
     val m = vDel.flatMap(_ => lastEpochMeta(dTab))
       .orElse(vIns.flatMap(_ => lastEpochMeta(eTab)))
@@ -1619,8 +1622,9 @@ object LifecycleIndex {
     * the retry just completes the delta restarts.
     *
     * Exactly-once survives the fold: per-version `.meta` ledger
-    * files persist through overwrites (committedMetas scans ALL
-    * versions), so a re-delivered pre-fold epoch of either stream
+    * files persist through overwrites, and the epoch checks read the
+    * ledger newest-first (a pre-fold epoch's id is below the newest
+    * applied id), so a re-delivered pre-fold epoch of either stream
     * still skips. */
   def foldTombstones(spark: SparkSession, d: String,
       indexDir: String): Unit = {

@@ -39,9 +39,11 @@ import graft.warehouse.SnapshotTable
   * meta, namespaced `del:batch=<id>` so it can NEVER collide with an
   * insert epoch's `ins:batch=<id>` (round-13 advice: Spark batch ids
   * start at 0 PER QUERY, so un-namespaced ledgers on one index let a
-  * delete epoch shadow insert epoch N and vice versa). committedMetas
-  * scans every version's meta, so re-delivery skips even across an
-  * interleaved compact or fold.
+  * delete epoch shadow insert epoch N and vice versa). Metas persist
+  * per version (the ledger survives compacts, folds and vacuum), and
+  * the newest `del:batch=` line is the highest applied id, so
+  * re-delivery skips even across an interleaved compact or fold — at
+  * one control read, not an O(table age) scan (round 20).
   *
   * Scale: per-epoch cost is one bounded distributed count plus one
   * O(|batch|) append — flat in |E| by construction (measured flat in
@@ -81,7 +83,13 @@ object StreamingGraphDelete {
       foldAt: Long = LifecycleIndex.DefaultFoldAt): Unit = {
     val delTab = LifecycleIndex.delTab(indexDir)
     val ledgerLine = s"del:batch=$batchId"
-    if (SnapshotTable.committedMetas(delTab).contains(ledgerLine))
+    // bounded exactly-once (round 20, the MaterializedAgg rule
+    // applied to every streaming sink): epoch ids are monotone, so
+    // the NEWEST `del:batch=` line is the highest applied id — one
+    // control read in the steady state vs the committedMetas scan
+    // that grew linearly with table age
+    if (SnapshotTable.newestLedgerId(delTab, "del:batch=")
+        .exists(_ >= batchId))
       return
     // distributed pre-check — bounded intake, no driver collect
     val n = batch.limit(EpochCap + 1).count()
@@ -96,7 +104,8 @@ object StreamingGraphDelete {
     // own meta, the delta append lands — same two-commit recovery
     // discipline as the fold's.
     val retTab = LifecycleIndex.retiredTab(indexDir)
-    if (!SnapshotTable.committedMetas(retTab).contains(ledgerLine))
+    if (!SnapshotTable.newestLedgerId(retTab, "del:batch=")
+        .exists(_ >= batchId))
       SnapshotTable.append(spark, batch.select("vec_id"), retTab,
         Some(ledgerLine))
     SnapshotTable.append(spark, batch.select("vec_id"), delTab,

@@ -95,19 +95,24 @@ object StreamingGraphInsert {
       indexDir: String, batchId: Long,
       foldEvery: Int = FoldEveryEpochs): Unit = {
     import spark.implicits._
-    // exactly-once: the epoch id is checked against EVERY committed
-    // version's meta (not just CURRENT's) — an interleaved commit on
-    // the same table (a compact, a fold) can move the pointer
-    // between this epoch's first delivery and a late retry, and the
-    // pointer-only check would then re-append (round-12 advice).
-    // Namespaced `ins:` (round-13 advice): Spark batch ids start at
-    // 0 PER QUERY, so a composed index's delete stream also counts
-    // from 0 — un-namespaced ledger lines would let one stream's
-    // epoch N shadow the other's.
+    // exactly-once holds against the per-version LEDGER, not just
+    // CURRENT's meta — an interleaved commit on the same table (a
+    // compact, a fold) can move the pointer between this epoch's
+    // first delivery and a late retry, and a pointer-only check
+    // would then re-append (round-12 advice). Namespaced `ins:`
+    // (round-13 advice): Spark batch ids start at 0 PER QUERY, so a
+    // composed index's delete stream also counts from 0 —
+    // un-namespaced ledger lines would let one stream's epoch N
+    // shadow the other's.
     val tab = LifecycleIndex.edgesTab(indexDir)
     val ledgerLine = s"ins:batch=$batchId"
-    if (SnapshotTable.currentMeta(tab).contains(ledgerLine) ||
-        SnapshotTable.committedMetas(tab).contains(ledgerLine)) return
+    // bounded exactly-once (round 20): the NEWEST `ins:batch=` line
+    // is the highest applied id (monotone epochs), read in ONE
+    // control GET in the steady state — subsumes the old
+    // currentMeta fast path and replaces the committedMetas scan
+    // that grew linearly with table age
+    if (SnapshotTable.newestLedgerId(tab, "ins:batch=")
+        .exists(_ >= batchId)) return
     // round-14 advice: refuse to compose against a base a delete-only
     // auto-fold INFERRED from the full corpus — this walk targets the
     // insert-free graph, and baking its edges onto the wrong base
@@ -138,8 +143,10 @@ object StreamingGraphInsert {
     // with insert epochs by construction here, and a racing DELETE
     // epoch makes the fold's pinned commits throw — caught and
     // retried at the next trigger, the epoch itself already durable.
-    val sinceFold = SnapshotTable.committedMetas(tab)
-      .reverse.takeWhile(!_.startsWith("folded-")).length
+    // newest-first lazy walk, bounded by epochs-since-last-fold (≤
+    // foldEvery by this very trigger) instead of O(table age)
+    val sinceFold = SnapshotTable.newestMetas(tab)
+      .takeWhile(!_.startsWith("folded-")).length
     if (sinceFold >= foldEvery) {
       try LifecycleIndex.foldTombstones(spark, d, indexDir)
       catch {

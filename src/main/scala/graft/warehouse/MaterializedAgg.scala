@@ -55,28 +55,16 @@ object MaterializedAgg {
     // committedMetas read was one control GET per version 0..CURRENT
     // on EVERY normal batch — the pointer names batch N-1 while the
     // new epoch is N, so the fast path always missed and per-batch
-    // reads grew linearly with table age. Epoch ids are monotone and
-    // the engine re-delivers only not-yet-committed epochs, so the
-    // NEWEST `batch=` meta is the highest applied id: when the
-    // pointer meta itself is a ledger line (the normal batch — zero
-    // extra reads) use it, else scan down to the first ledger line;
-    // skip iff applied >= this epoch (>=, not ==: a checkpoint that
-    // re-delivers an epoch below the newest applied must skip too —
-    // its partials are already in the state).
-    if (ledger.isDefined) {
-      val cm = SnapshotTable.currentMeta(dir)
-      if (cm == ledger) return SnapshotTable.versions(dir).last
-      def parse(m: String): Option[Long] =
-        if (!m.startsWith("batch=")) None
-        else scala.util.Try(m.stripPrefix("batch=").trim.toLong).toOption
-      // an unparseable pointer line falls through to the scan rather
-      // than silently deciding "not applied"
-      val applied = cm.flatMap(parse).orElse(
-        SnapshotTable.newestMetaMatching(dir, _.startsWith("batch="))
-          .flatMap(parse))
-      if (applied.exists(_ >= batchId))
-        return SnapshotTable.versions(dir).last // already applied
-    }
+    // reads grew linearly with table age. newestLedgerId walks
+    // newest-first and stops at the first `batch=` line — ONE
+    // control read in the steady state (the pointer's inline meta is
+    // that line); skip iff applied >= this epoch (>=, not ==: a
+    // checkpoint that re-delivers an epoch below the newest applied
+    // must skip too — its partials are already in the state, and
+    // ids are monotone by the streaming engine's contract).
+    if (ledger.isDefined && SnapshotTable
+        .newestLedgerId(dir, "batch=").exists(_ >= batchId))
+      return SnapshotTable.versions(dir).last // already applied
     val partial = batch
       .groupBy(keys.map(col): _*)
       .agg(sum(round(col(valueCol) * 100, 0).cast("bigint")).as("sum_cents"),

@@ -126,22 +126,49 @@ object SnapshotTable {
     (0 to cur).flatMap(v => metaOf(dir, v))
   }
 
-  /** NEWEST committed meta satisfying `p` — a downward scan from
-    * CURRENT that stops at the first hit, for ledger checks where
-    * only the most recent matching line carries authority
-    * (MaterializedAgg's epoch dedup: ids are monotone, so the newest
-    * `batch=` meta IS the highest applied id). [[committedMetas]]'
-    * full 0..CURRENT read costs one control GET per table version on
-    * every call — O(table age) per streaming batch, quadratic over a
-    * stream's lifetime (round-19 advice 1); this stops after however
-    * many non-matching commits sit above the last ledger line —
-    * typically zero. Metas survive vacuum (the exactly-once ledger),
-    * so the walk never terminates early at a vacuumed manifest. */
-  def newestMetaMatching(dir: String,
-      p: String => Boolean): Option[String] = {
-    val cur = currentVersion(dir).getOrElse(-1)
-    (cur to 0 by -1).iterator.flatMap(v => metaOf(dir, v)).find(p)
+  /** Committed metas NEWEST-FIRST as a LAZY iterator — each further
+    * element is one control GET, so `find`/`takeWhile` consumers pay
+    * only for the suffix they actually inspect (the round-20
+    * bounded-ledger rule: a per-epoch check must never scan
+    * 0..CURRENT — that is O(table age) per batch and quadratic over
+    * a stream's lifetime). CURRENT's element comes from the pointer
+    * line's INLINE meta when present (the same read resolves version
+    * and meta — zero extra GETs for the common newest-line-decides
+    * case). Versions without a meta contribute nothing, orphans past
+    * CURRENT are excluded, and metas survive vacuum (the
+    * exactly-once ledger), exactly like [[committedMetas]]. */
+  def newestMetas(dir: String): Iterator[String] = {
+    val line = currentLine(dir).getOrElse(return Iterator.empty)
+    val cur = line.split("\\s+").head.toInt
+    val i = line.indexWhere(_.isWhitespace)
+    val head = (if (i < 0) None else Some(line.substring(i).trim))
+      .orElse(metaOf(dir, cur)) // meta-less pointer: legacy commit
+    head.iterator ++
+      (cur - 1 to 0 by -1).iterator.flatMap(v => metaOf(dir, v))
   }
+
+  /** NEWEST committed meta satisfying `p` — the bounded-ledger form
+    * of `committedMetas(dir).reverse.find(p)`: stops at the first
+    * hit walking down from CURRENT. */
+  def newestMetaMatching(dir: String,
+      p: String => Boolean): Option[String] =
+    newestMetas(dir).find(p)
+
+  /** Highest applied ledger id under `prefix` (e.g. `ins:batch=`) —
+    * the NEWEST matching meta's numeric suffix. The streaming engine
+    * commits epoch ids in monotone order, so the newest line IS the
+    * max; an exactly-once check is therefore `newestLedgerId(dir,
+    * prefix).exists(_ >= thisEpoch)` at a cost of ONE control read
+    * in the steady state (the pointer's inline meta is the ledger
+    * line), instead of the full committedMetas scan that grew
+    * linearly with table age (round-19 advice 1, applied to every
+    * streaming sink in round 20). A prefix-matching line with an
+    * unparseable suffix is skipped and the scan continues. */
+  def newestLedgerId(dir: String, prefix: String): Option[Long] =
+    newestMetas(dir).collectFirst(scala.Function.unlift { m =>
+      if (!m.startsWith(prefix)) None
+      else scala.util.Try(m.stripPrefix(prefix).trim.toLong).toOption
+    })
 
   /** Highest committed version whose meta equals `meta` and whose
     * manifest is still retained (not vacuumed) — for callers that

@@ -76,6 +76,23 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(onDisk.contains(s""""train_checksum":${manifest("train_checksum")}"""))
   }
 
+  test("save works on a SCHEME-addressed output dir (round-20 " +
+      "review): the splits already landed wherever Spark writes, " +
+      "but the manifest was a java.nio write that threw on a " +
+      "store-shaped dir — after the data was written") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val local = java.nio.file.Files.createTempDirectory("prep_scheme")
+    val manifest = CorpusPrep.save(prep, "graftfs:" + local)
+    val onDisk = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$local/manifest.json")), "UTF-8")
+    assert(onDisk.contains(
+      s""""train_checksum":${manifest("train_checksum")}"""))
+    // the split parquet landed under the schemed dir too
+    assert(spark.read.parquet(s"graftfs:$local/train").count() ===
+      manifest("train_rows"))
+  }
+
   test("streaming gate+dedup over a file source equals the batch front half") {
     // batch truth: same gate, then keep ONE doc per content hash
     val batchIds = graft.functions.QualityGate

@@ -115,6 +115,34 @@ class SnapshotTableSpec extends AnyFunSuite {
       "vacuum must retain per-version .meta files")
   }
 
+  test("newestMetas walks the ledger newest-first; newestLedgerId is " +
+      "the highest applied epoch under a prefix, skipping unparseable " +
+      "suffixes and meta-less maintenance commits") {
+    import spark.implicits._
+    val dir = freshDir
+    val df = Seq((1L, "a")).toDF("id", "v")
+    SnapshotTable.append(spark, df, dir, Some("ins:batch=0"))
+    SnapshotTable.append(spark, df, dir, Some("del:batch=0"))
+    SnapshotTable.append(spark, df, dir, Some("ins:batch=3"))
+    // a meta-less maintenance commit on top (compact/overwrite): the
+    // pointer carries no inline meta, the walk must keep descending
+    SnapshotTable.overwrite(spark, df, dir)
+    assert(SnapshotTable.newestMetas(dir).toSeq ===
+      Seq("ins:batch=3", "del:batch=0", "ins:batch=0"))
+    // newest matching line decides, per-stream prefixes independent
+    assert(SnapshotTable.newestLedgerId(dir, "ins:batch=") === Some(3L))
+    assert(SnapshotTable.newestLedgerId(dir, "del:batch=") === Some(0L))
+    assert(SnapshotTable.newestLedgerId(dir, "nope:") === None)
+    // a prefix-matching line with a garbage suffix is skipped — the
+    // scan continues to the next parseable ledger line
+    SnapshotTable.append(spark, df, dir, Some("ins:batch=oops"))
+    assert(SnapshotTable.newestLedgerId(dir, "ins:batch=") === Some(3L))
+    // the exactly-once check this feeds: epoch 3 re-delivered skips,
+    // epoch 4 does not
+    assert(SnapshotTable.newestLedgerId(dir, "ins:batch=").exists(_ >= 3L))
+    assert(!SnapshotTable.newestLedgerId(dir, "ins:batch=").exists(_ >= 4L))
+  }
+
   test("compaction rewrites many small files into one, row-identical") {
     val dir = freshDir
     val docs = Tables.documents(spark, sf)
