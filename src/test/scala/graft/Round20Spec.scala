@@ -514,4 +514,52 @@ class Round20Spec extends AnyFunSuite {
     assert(state.getDouble(0) === (0L to 8L).map(1.0 + _).sum)
     assert(state.getLong(1) === 9L)
   }
+
+  // ---------------------------------------------------------------
+  // advice 1, extended: the graph streams' epoch dedup is bounded too
+  // ---------------------------------------------------------------
+
+  test("graph-stream epoch dedup is BOUNDED like MaterializedAgg's: " +
+      "a re-delivered delete epoch skips with ZERO per-version meta " +
+      "reads (the pointer's inline ledger line decides), and still " +
+      "skips behind a meta-less compact at <= 2 meta reads") {
+    import spark.implicits._
+    val idx = tmp("graft-r20-sgd-")
+    def wave(id: Long) = Seq(100L + id, 200L + id).toDF("vec_id")
+    (0L to 5L).foreach(i => StreamingGraphDelete.deleteEpoch(
+      spark, wave(i), sf, idx, i, foldAt = Long.MaxValue))
+    val delTab = LifecycleIndex.delTab(idx)
+    val before = SnapshotTable.read(spark, delTab).count()
+    assert(before === 12L, "six 2-row epochs applied once each")
+    // steady state: CURRENT's line IS `del:batch=5` — re-delivering
+    // epoch 3 must skip on that one control read, no .meta GETs (the
+    // pre-sweep check read one meta per version, every epoch, forever)
+    val metaReads = scala.collection.mutable.Buffer.empty[String]
+    CommitBackends.readProbe = p =>
+      metaReads.synchronized { if (p.endsWith(".meta")) metaReads += p; () }
+    try StreamingGraphDelete.deleteEpoch(spark, wave(3), sf, idx, 3L,
+      foldAt = Long.MaxValue)
+    finally CommitBackends.readProbe = null
+    assert(metaReads.isEmpty,
+      s"a re-delivered epoch must skip on the pointer's inline " +
+      s"ledger line alone, read: ${metaReads.mkString(", ")}")
+    assert(SnapshotTable.read(spark, delTab).count() === before)
+    // a meta-less compact moves the pointer meta off the ledger: the
+    // skip must hold via the downward walk stopping at the first
+    // `del:batch=` line — the compact's own absent meta plus one
+    assert(SnapshotTable.currentMeta(delTab).contains("del:batch=5"))
+    SnapshotTable.compact(spark, delTab)
+    assert(SnapshotTable.currentMeta(delTab).isEmpty)
+    val scanReads = scala.collection.mutable.Buffer.empty[String]
+    CommitBackends.readProbe = p =>
+      scanReads.synchronized { if (p.endsWith(".meta")) scanReads += p; () }
+    try StreamingGraphDelete.deleteEpoch(spark, wave(5), sf, idx, 5L,
+      foldAt = Long.MaxValue)
+    finally CommitBackends.readProbe = null
+    assert(SnapshotTable.read(spark, delTab).count() === before,
+      "a re-delivered epoch behind a meta-less compact must still skip")
+    assert(scanReads.size <= 2,
+      s"the walk must stop at the first ledger line below the " +
+      s"compact, read ${scanReads.size} metas: ${scanReads.mkString(", ")}")
+  }
 }
