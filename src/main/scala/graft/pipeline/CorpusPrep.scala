@@ -139,7 +139,7 @@ object CorpusPrep {
     // scheme-addressed output dirs write the manifest through the
     // Hadoop FS (round-20 review, same split as the warehouse data
     // plane): the splits above already land wherever Spark writes,
-    // but a java.nio write of the manifest threw on an s3a://-shaped
+    // but a java.nio write of the manifest threw on a store-scheme'd
     // dir — failing the prep on exactly the deployment target, after
     // the data was written. Bare local paths keep the nio write.
     if (dir.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:/.*")) {
