@@ -21,7 +21,12 @@ import graft.warehouse.SnapshotTable
   *   - every table commit carries the epoch id in the SAME atomic
   *     pointer swap as the data (SnapshotTable commit meta), so a
   *     retried foreachBatch epoch skips tables it already committed —
-  *     exactly-once appends, not at-least-once.
+  *     exactly-once appends, not at-least-once. The skip reads the
+  *     durable per-version ledger newest-first
+  *     (SnapshotTable.newestLedgerId — one control read in the
+  *     steady state), so it holds even when an interleaved meta-less
+  *     commit (an operator's compact) moves the pointer meta off the
+  *     epoch id.
   *
   * The race table cannot be built from a single batch: its join needs
   * the K file (env/result) AND the B file (schedule) of a date, and
@@ -108,16 +113,22 @@ object StreamingIngest {
           "schedule" -> withDate(BoatracePipeline.scheduleDf(spark, parsed)))
         for (t <- baseTables) {
           val dir = s"$warehouseDir/$t"
-          // exactly-once: a retried epoch skips tables whose CURRENT
-          // already names this batch id (meta and data swap atomically).
+          // exactly-once against the per-version LEDGER, not just the
+          // CURRENT pointer (round 20, the rule every streaming sink
+          // follows): a pointer-equality check re-appends when an
+          // interleaved meta-less commit (an operator's compact)
+          // moves the pointer meta off the epoch id between a partial
+          // apply and its crash-retry. Epoch ids are monotone, so the
+          // newest `batch=` line decides at one control read.
           // An EMPTY table is not appended at all (a K-only batch
           // parses zero schedules): a first commit with zero data
           // files would make the snapshot unreadable, and skipping a
           // no-op loses nothing under retry.
-          if (SnapshotTable.currentMeta(dir) != ledger && !tables(t).isEmpty)
+          if (!SnapshotTable.newestLedgerId(dir, "batch=")
+              .exists(_ >= batchId) && !tables(t).isEmpty)
             SnapshotTable.append(spark, tables(t), dir, ledger)
         }
-        rebuildRaceDates(spark, warehouseDir, dates, ledger)
+        rebuildRaceDates(spark, warehouseDir, dates, ledger, batchId)
       }
     } finally parsed.unpersist()
   }
@@ -126,9 +137,13 @@ object StreamingIngest {
     * base snapshots and upsert them — the incremental form of
     * BoatracePipeline.raceTable. */
   private def rebuildRaceDates(spark: SparkSession, warehouseDir: String,
-      dates: Seq[String], ledger: Option[String]): Unit = {
+      dates: Seq[String], ledger: Option[String], batchId: Long): Unit = {
     val raceDir = s"$warehouseDir/race"
-    if (SnapshotTable.currentMeta(raceDir) == ledger) return
+    // same bounded-ledger skip as the base tables — re-running the
+    // keyed upsert would be harmless (idempotent by key) but is a
+    // full rebuild of the touched dates for nothing
+    if (SnapshotTable.newestLedgerId(raceDir, "batch=")
+        .exists(_ >= batchId)) return
     // a join side that has never committed (e.g. no B file has arrived
     // yet, so no schedule table exists) means no race row can form for
     // ANY date — nothing to rebuild this epoch; the dates complete

@@ -164,4 +164,30 @@ class StreamingIngestSpec extends AnyFunSuite {
     StreamingIngest.ingestBatch(spark, batchDf, wh, batchId = 1L)
     assert(SnapshotTable.read(spark, s"$wh/env").count() === rows1 * 2)
   }
+
+  test("a replayed epoch is skipped even behind an interleaved " +
+      "meta-less compact (round 20: the skip reads the durable " +
+      "per-version ledger newest-first, not just the pointer meta — " +
+      "a pointer-equality check would re-append here)") {
+    val in = tmpDir("graft-replay-cpt-in-")
+    val wh = tmpDir("graft-replay-cpt-wh-")
+    drop(Seq("K2020-08-03.lzh", "B2020-08-03.lzh"), in)
+    val batchDf = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.lzh").load(in)
+      .select("path", "content")
+    StreamingIngest.ingestBatch(spark, batchDf, wh, batchId = 0L)
+    val envRows = SnapshotTable.read(spark, s"$wh/env").count()
+    val raceRows = SnapshotTable.read(spark, s"$wh/race").count()
+    // an operator's maintenance compact carries no meta: the CURRENT
+    // pointer no longer names epoch 0, but the v0 ledger line does
+    SnapshotTable.compact(spark, s"$wh/env")
+    assert(SnapshotTable.currentMeta(s"$wh/env").isEmpty,
+      "compact without meta should clear the pointer meta")
+    // the crash-retry of epoch 0 lands AFTER the compact
+    StreamingIngest.ingestBatch(spark, batchDf, wh, batchId = 0L)
+    assert(SnapshotTable.read(spark, s"$wh/env").count() === envRows,
+      "a re-delivered epoch must skip via the durable ledger even " +
+      "after an interleaved meta-less compact")
+    assert(SnapshotTable.read(spark, s"$wh/race").count() === raceRows)
+  }
 }
