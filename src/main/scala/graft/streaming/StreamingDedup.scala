@@ -36,7 +36,11 @@ import graft.warehouse.SnapshotTable
   * Exactly-once: both tables commit with the epoch id in the atomic
   * CURRENT swap (SnapshotTable meta) — a retried foreachBatch epoch
   * skips tables it already committed, so re-delivery cannot
-  * double-append (also pinned in the spec).
+  * double-append (also pinned in the spec). The skip reads the
+  * durable per-version ledger newest-first
+  * (SnapshotTable.newestLedgerId — one control read in the steady
+  * state), so it holds even across a meta-less maintenance commit
+  * outside [[maintain]] (which carries the meta itself).
   *
   * Scale: the batch side is a day's arrivals (small); the band join
   * against the corpus index shuffles on the short band key — per-epoch
@@ -127,10 +131,18 @@ object StreamingDedup {
     val dropIds = selfDrop.union(corpusDrop).distinct()
     val kept = batch.join(dropIds, Seq("doc_id"), "left_anti")
     val keptSigs = bs.join(dropIds, Seq("doc_id"), "left_anti")
-    // exactly-once per table (see class doc); empty appends skipped —
-    // a zero-file first commit would make the snapshot unreadable
+    // exactly-once per table (see class doc) against the durable
+    // per-version ledger, newest-first at one control read (round-20
+    // rule for every streaming sink: a pointer-equality check
+    // re-appends when a FOREIGN meta-less compact moves the pointer
+    // meta off the epoch id between a partial apply and its retry —
+    // maintain() carries the meta through its own compaction, but
+    // nothing forces an operator through maintain). Empty appends
+    // skipped — a zero-file first commit would make the snapshot
+    // unreadable.
     def appendOnce(tab: String, df: DataFrame): Unit =
-      if (SnapshotTable.currentMeta(tab) != ledger && !df.isEmpty)
+      if (!SnapshotTable.newestLedgerId(tab, "batch=")
+          .exists(_ >= batchId) && !df.isEmpty)
         SnapshotTable.append(spark, df, tab, ledger)
     appendOnce(corpusTab, kept.select("doc_id", "text"))
     appendOnce(sigsTab, keptSigs.select("doc_id", "s", "sig"))

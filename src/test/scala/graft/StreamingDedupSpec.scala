@@ -145,4 +145,37 @@ class StreamingDedupSpec extends AnyFunSuite {
     StreamingDedup.ingestBatch(spark, batch, corpusDir, batchId = 1L)
     assert(StreamingDedup.corpus(spark, corpusDir).count() === rows1)
   }
+
+  test("a crash between the two state appends + a FOREIGN meta-less " +
+      "compact: the retry completes the sigs index WITHOUT " +
+      "re-appending the corpus (round 20: the skip reads the durable " +
+      "ledger, not the pointer meta maintain() preserves)") {
+    val corpusDir = tmp("graft-sdedup-cpt-")
+    val batch = Tables.documents(spark, sf)
+      .select("doc_id", "text").limit(40)
+    val n = batch.count()
+    // the gate is deterministic: a clean ingest of the same batch
+    // names the survivor count the retry must reproduce
+    val cleanDir = tmp("graft-sdedup-cpt-clean-")
+    StreamingDedup.ingestBatch(spark, batch, cleanDir, batchId = 0L)
+    val expectedSigs = SnapshotTable.read(spark, s"$cleanDir/sigs").count()
+    // the partial-apply state a crash between appendOnce(corpus) and
+    // appendOnce(sigs) leaves behind: corpus committed under epoch
+    // 0's ledger line, sigs table not yet created. The dedup gate
+    // consults ONLY the sigs index, so the retry recomputes the SAME
+    // survivors — the corpus skip is what stands between it and
+    // doubled rows.
+    SnapshotTable.append(spark, batch, s"$corpusDir/corpus",
+      Some("batch=0"))
+    // ...and an operator compacts the corpus meta-less before the
+    // retry lands: the pointer no longer names epoch 0, only the
+    // durable v0 ledger line does
+    SnapshotTable.compact(spark, s"$corpusDir/corpus")
+    assert(SnapshotTable.currentMeta(s"$corpusDir/corpus").isEmpty)
+    StreamingDedup.ingestBatch(spark, batch, corpusDir, batchId = 0L)
+    assert(StreamingDedup.corpus(spark, corpusDir).count() === n,
+      "corpus re-appended behind a meta-less compact")
+    assert(SnapshotTable.read(spark, s"$corpusDir/sigs").count() ===
+      expectedSigs, "the retry must still complete the missing sigs append")
+  }
 }
