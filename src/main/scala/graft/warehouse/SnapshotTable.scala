@@ -163,7 +163,12 @@ object SnapshotTable {
     * line), instead of the full committedMetas scan that grew
     * linearly with table age (round-19 advice 1, applied to every
     * streaming sink in round 20). A prefix-matching line with an
-    * unparseable suffix is skipped and the scan continues. */
+    * unparseable suffix is skipped and the scan continues. Caveat
+    * (inherited, not new): a stream restarted on a FRESH checkpoint
+    * over EXISTING state tables re-counts epochs from 0, which this
+    * check skips as already applied — the exact-match ledger skipped
+    * the same ids (0..max were all committed), so the operational
+    * rule is unchanged: reset state tables and checkpoint together. */
   def newestLedgerId(dir: String, prefix: String): Option[Long] =
     newestMetas(dir).collectFirst(scala.Function.unlift { m =>
       if (!m.startsWith(prefix)) None
