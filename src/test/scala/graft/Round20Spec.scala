@@ -562,4 +562,63 @@ class Round20Spec extends AnyFunSuite {
       s"the walk must stop at the first ledger line below the " +
       s"compact, read ${scanReads.size} metas: ${scanReads.mkString(", ")}")
   }
+
+  test("the bounded ledger walk joins the control-plane fault sweep " +
+      "(round-20 rule: a NEW control-plane call site is swept in its " +
+      "round): a transient CURRENT or meta read during an epoch's " +
+      "dedup check is LOUD — the epoch retries — and a VANISHED " +
+      "CURRENT cannot double-append, because the commit's " +
+      "conditional claim collides with the existing manifest") {
+    import spark.implicits._
+    val root = tmp("graft-r20-fb-ledger-")
+    CommitBackends.register(root, new FaultBackend(CommitBackends.localFs))
+    val idx = s"$root/idx"
+    try {
+      def wave(id: Long) = Seq(300L + id, 400L + id).toDF("vec_id")
+      def redeliver(): Unit = StreamingGraphDelete.deleteEpoch(
+        spark, wave(2), sf, idx, 2L, foldAt = Long.MaxValue)
+      (0L to 2L).foreach(i => StreamingGraphDelete.deleteEpoch(
+        spark, wave(i), sf, idx, i, foldAt = Long.MaxValue))
+      val delTab = LifecycleIndex.delTab(idx)
+      val before = SnapshotTable.read(spark, delTab).count()
+      // (a) transient CURRENT read inside the dedup check: loud,
+      // nothing appended — the streaming engine just retries the epoch
+      FaultBackend.arm("readIfExists", "deleted/_versions/CURRENT")
+      intercept[java.io.IOException] { redeliver() }
+      FaultBackend.disarm()
+      assert(FaultBackend.hits.get() > 0, "injection must engage")
+      assert(SnapshotTable.read(spark, delTab).count() === before)
+      // (b) transient meta read inside the post-compact downward
+      // walk: loud, nothing appended
+      SnapshotTable.compact(spark, delTab)
+      FaultBackend.arm("readIfExists", "deleted/_versions/v00002.meta")
+      intercept[java.io.IOException] { redeliver() }
+      FaultBackend.disarm()
+      assert(SnapshotTable.read(spark, delTab).count() === before)
+      // (c) CURRENT VANISHES (eventually-consistent read) on a
+      // re-delivered epoch: the dedup check wrongly answers "not
+      // applied" and the append proceeds — but its fresh-slot claim
+      // collides with the existing v0 manifest via putIfAbsent, so
+      // the epoch fails LOUDLY with nothing published: the commit
+      // protocol backstops the ledger read, double-append is
+      // structurally impossible
+      FaultBackend.arm("readIfExists", "deleted/_versions/CURRENT",
+        vanish = true)
+      intercept[Exception] { redeliver() }
+      FaultBackend.disarm()
+      assert(SnapshotTable.read(spark, delTab).count() === before,
+        "a vanished CURRENT must never let a re-delivered epoch " +
+        "double-append")
+      // disarmed: the re-delivery skips normally, and a genuinely
+      // NEW epoch still lands
+      redeliver()
+      assert(SnapshotTable.read(spark, delTab).count() === before)
+      StreamingGraphDelete.deleteEpoch(spark, wave(3), sf, idx, 3L,
+        foldAt = Long.MaxValue)
+      assert(SnapshotTable.read(spark, delTab).count() === before + 2)
+    } finally {
+      FaultBackend.disarm()
+      CommitBackends.unregister(root)
+    }
+  }
 }
