@@ -52,9 +52,21 @@ object StreamingIngest {
 
   /** Start the ingest stream over `lzhDir`. Caller owns the returned
     * query (processAllAvailable/stop). Restarting with the same
-    * checkpoint resumes exactly where the last run left off. */
+    * checkpoint resumes exactly where the last run left off.
+    *
+    * `streamId` namespaces this stream's ledger lines
+    * (`<id>:batch=<n>` vs the default `batch=<n>`) — the same
+    * per-writer namespacing the composed graph index uses (`ins:` /
+    * `del:`), and the identity-rotation lever the exactly-once
+    * contract needs: epoch ids are PER CHECKPOINT, so a second
+    * stream writing this warehouse, or a stream restarted on a fresh
+    * checkpoint over existing tables, re-counts from 0 and would
+    * collide with the old ledger (its epochs silently skipped). Give
+    * each writer — and each checkpoint GENERATION — its own id, the
+    * `txnAppId` discipline of idempotent streaming sinks. */
   def start(spark: SparkSession, lzhDir: String, warehouseDir: String,
-      checkpointDir: String, glob: String = "*.lzh"): StreamingQuery = {
+      checkpointDir: String, glob: String = "*.lzh",
+      streamId: String = ""): StreamingQuery = {
     // streaming file sources require an explicit schema; binaryFile's
     // is fixed (path, modificationTime, length, content)
     val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -74,7 +86,7 @@ object StreamingIngest {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(spark, batch, warehouseDir, batchId)
+        ingestBatch(spark, batch, warehouseDir, batchId, streamId)
       }
       .start()
   }
@@ -84,9 +96,14 @@ object StreamingIngest {
     * the spec can drive it directly and so a batch backfill can reuse
     * the exact streaming code path. */
   def ingestBatch(spark: SparkSession, batch: DataFrame,
-      warehouseDir: String, batchId: Long): Unit = {
+      warehouseDir: String, batchId: Long,
+      streamId: String = ""): Unit = {
     import spark.implicits._
-    val ledger = Some(s"batch=$batchId")
+    // per-writer ledger namespace (see start): ids are monotone only
+    // WITHIN a stream generation, so the prefix scopes the skip
+    val prefix =
+      if (streamId.isEmpty) "batch=" else s"$streamId:batch="
+    val ledger = Some(prefix + batchId)
     val parsed = batch.select("path", "content")
       .as[(String, Array[Byte])]
       .flatMap { case (_, bytes) =>
@@ -124,11 +141,12 @@ object StreamingIngest {
           // parses zero schedules): a first commit with zero data
           // files would make the snapshot unreadable, and skipping a
           // no-op loses nothing under retry.
-          if (!SnapshotTable.newestLedgerId(dir, "batch=")
+          if (!SnapshotTable.newestLedgerId(dir, prefix)
               .exists(_ >= batchId) && !tables(t).isEmpty)
             SnapshotTable.append(spark, tables(t), dir, ledger)
         }
-        rebuildRaceDates(spark, warehouseDir, dates, ledger, batchId)
+        rebuildRaceDates(spark, warehouseDir, dates, ledger, batchId,
+          prefix)
       }
     } finally parsed.unpersist()
   }
@@ -137,12 +155,13 @@ object StreamingIngest {
     * base snapshots and upsert them — the incremental form of
     * BoatracePipeline.raceTable. */
   private def rebuildRaceDates(spark: SparkSession, warehouseDir: String,
-      dates: Seq[String], ledger: Option[String], batchId: Long): Unit = {
+      dates: Seq[String], ledger: Option[String], batchId: Long,
+      prefix: String): Unit = {
     val raceDir = s"$warehouseDir/race"
     // same bounded-ledger skip as the base tables — re-running the
     // keyed upsert would be harmless (idempotent by key) but is a
     // full rebuild of the touched dates for nothing
-    if (SnapshotTable.newestLedgerId(raceDir, "batch=")
+    if (SnapshotTable.newestLedgerId(raceDir, prefix)
         .exists(_ >= batchId)) return
     // a join side that has never committed (e.g. no B file has arrived
     // yet, so no schedule table exists) means no race row can form for

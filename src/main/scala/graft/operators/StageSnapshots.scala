@@ -133,8 +133,25 @@ private[operators] object StageSnapshots {
   // assumption the session-scoped map already makes about d)
   private val fpCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def fingerprintOf(d: String): String =
-    fpCache.computeIfAbsent(d, dataFingerprint(_))
+  /** None when the input walk fails (a transient store error, an
+    * unregistered scheme): adoption is an OPTIMIZATION, so a
+    * fingerprint that cannot be read must disable reuse for this
+    * call — rebuild proceeds, nothing adopted, nothing stamped —
+    * rather than fail the caller's whole snapshot()/materialize
+    * (round-20 review: the Hadoop branch can throw where the old nio
+    * walk returned an empty — and wrong — hash). Failures are not
+    * cached (a null mapping result records nothing), so the next
+    * call retries the walk. */
+  private def fingerprintOf(d: String): Option[String] =
+    Option(fpCache.computeIfAbsent(d, dd =>
+      try dataFingerprint(dd)
+      catch {
+        case e: java.io.IOException =>
+          System.err.println(s"[stage-snapshots] input fingerprint " +
+            s"unavailable for $dd (${e.getMessage}) — snapshot " +
+            "adoption disabled for this call, rebuilding")
+          null
+      }))
 
   /** Drop this JVM's session-scoped snapshot pointers (and cached
     * fingerprints). For tests and external table maintenance — the
@@ -158,7 +175,7 @@ private[operators] object StageSnapshots {
       case Some(root) =>
         val tdir = tableDir(root, d, what)
         val v = graft.warehouse.SnapshotTable.overwrite(s, build, tdir,
-          Some("fp=" + fingerprintOf(d)))
+          fingerprintOf(d).map("fp=" + _))
         // all of one commit's files share a single uuid data dir —
         // readable as ordinary parquet, so the return contract holds
         val files = graft.warehouse.SnapshotTable.dataFiles(tdir, v)
@@ -230,8 +247,9 @@ private[operators] object StageSnapshots {
       else {
         val committed = warehouseRoot(s).flatMap { root =>
           val tdir = tableDir(root, d, what)
-          graft.warehouse.SnapshotTable.currentMeta(tdir)
-            .filter(_ == "fp=" + fingerprintOf(d))
+          fingerprintOf(d).flatMap(fp =>
+              graft.warehouse.SnapshotTable.currentMeta(tdir)
+                .filter(_ == "fp=" + fp))
             .flatMap { _ =>
               // an empty-manifest commit (zero part files) cannot be
               // adopted — fall through to a rebuild instead of

@@ -301,13 +301,18 @@ object StreamMaintenanceScale {
           .SimilarityQueries.insertFreeBaseGraph(spark, base))
         val ev0 = LifecycleIndex.corpusCacheByteEvictions.get()
         val bound = residentMb / 2
+        // Double.toString, never an f-interpolation: the f"" formatter
+        // is default-locale, and a comma-decimal locale would render a
+        // value LifecycleIndex's .toDouble reader rejects — silently
+        // falling back to the 4096 default and running the drill with
+        // the bound DISENGAGED (round-20 review)
         spark.conf.set("spark.graft.serving.corpusCacheMaxMb",
-          f"$bound%.4f")
+          bound.toString)
         step("cache_evict_drill",
           f""","byte_evictions":${LifecycleIndex
               .corpusCacheByteEvictions.get() - ev0}%d,""" +
-          f""""bound_mb":$bound%.1f,""" +
-          f""""resident_before_mb":$residentMb%.1f""") {
+          s""""bound_mb":${math.round(bound * 10) / 10.0},""" +
+          s""""resident_before_mb":${math.round(residentMb * 10) / 10.0}""") {
           LifecycleIndex.search(spark, base, idx2, queries)
             .write.format("noop").mode("overwrite").save()
         }

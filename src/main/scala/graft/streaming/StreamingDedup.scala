@@ -52,9 +52,17 @@ object StreamingDedup {
 
   private val Bands = 4 // 4 bands x 2 rows over the 8 minhashes (= d02)
 
-  /** Watch `docsDir` for parquet files of (doc_id, text) and ingest. */
+  /** Watch `docsDir` for parquet files of (doc_id, text) and ingest.
+    *
+    * `streamId` namespaces the ledger lines (`<id>:batch=<n>`) —
+    * epoch ids are PER CHECKPOINT, so a second gate writing this
+    * corpus, or a gate restarted on a fresh checkpoint over existing
+    * state, re-counts from 0 and would collide with the old ledger
+    * (its epochs silently skipped). Give each writer — and each
+    * checkpoint generation — its own id (the `txnAppId` discipline
+    * of idempotent streaming sinks). */
   def start(spark: SparkSession, docsDir: String, corpusDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String, streamId: String = ""): StreamingQuery = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType)))
@@ -62,7 +70,7 @@ object StreamingDedup {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(spark, batch, corpusDir, batchId)
+        ingestBatch(spark, batch, corpusDir, batchId, streamId)
       }
       .start()
   }
@@ -84,8 +92,12 @@ object StreamingDedup {
     * append survivors + their index rows. Public so the spec and a
     * batch backfill drive the exact streaming code path. */
   def ingestBatch(spark: SparkSession, batch: DataFrame,
-      corpusDir: String, batchId: Long): Unit = {
-    val ledger = Some(s"batch=$batchId")
+      corpusDir: String, batchId: Long, streamId: String = ""): Unit = {
+    // per-writer ledger namespace (see start): ids are monotone only
+    // WITHIN a stream generation, so the prefix scopes the skip
+    val prefix =
+      if (streamId.isEmpty) "batch=" else s"$streamId:batch="
+    val ledger = Some(prefix + batchId)
     val corpusTab = s"$corpusDir/corpus"
     val sigsTab = s"$corpusDir/sigs"
     if (batch.isEmpty) return
@@ -141,7 +153,7 @@ object StreamingDedup {
     // skipped — a zero-file first commit would make the snapshot
     // unreadable.
     def appendOnce(tab: String, df: DataFrame): Unit =
-      if (!SnapshotTable.newestLedgerId(tab, "batch=")
+      if (!SnapshotTable.newestLedgerId(tab, prefix)
           .exists(_ >= batchId) && !df.isEmpty)
         SnapshotTable.append(spark, df, tab, ledger)
     appendOnce(corpusTab, kept.select("doc_id", "text"))

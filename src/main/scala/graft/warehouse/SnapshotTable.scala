@@ -163,12 +163,16 @@ object SnapshotTable {
     * line), instead of the full committedMetas scan that grew
     * linearly with table age (round-19 advice 1, applied to every
     * streaming sink in round 20). A prefix-matching line with an
-    * unparseable suffix is skipped and the scan continues. Caveat
-    * (inherited, not new): a stream restarted on a FRESH checkpoint
-    * over EXISTING state tables re-counts epochs from 0, which this
-    * check skips as already applied — the exact-match ledger skipped
-    * the same ids (0..max were all committed), so the operational
-    * rule is unchanged: reset state tables and checkpoint together. */
+    * unparseable suffix is skipped and the scan continues. Caveat:
+    * epoch ids are monotone only WITHIN a checkpoint generation — a
+    * stream restarted on a FRESH checkpoint over existing state
+    * re-counts from 0 and this check skips those epochs as already
+    * applied (no batch-id scheme can distinguish them from
+    * re-deliveries). The contract: reset state tables and checkpoint
+    * together, or rotate the sink's `streamId` ledger namespace on a
+    * fresh checkpoint (StreamingIngest / StreamingDedup expose one —
+    * the `txnAppId` discipline; the graph streams' `ins:`/`del:`
+    * prefixes are the same mechanism, fixed per composed stream). */
   def newestLedgerId(dir: String, prefix: String): Option[Long] =
     newestMetas(dir).collectFirst(scala.Function.unlift { m =>
       if (!m.startsWith(prefix)) None
@@ -965,26 +969,10 @@ object SnapshotTable {
     // versions' data files are swept regardless, and the
     // contiguous-suffix scan contract only ever stops EARLIER at a
     // hole, never matches below one).
-    // ... except when `cur` is a power of two (>= 16), where the
-    // walk is UNBOUNDED (round-19 advice 2): a sweep that crashed
-    // after deleting a run wider than the tolerance leaves a hole
-    // the 3-miss walk re-hits forever — every later bounded sweep
-    // stops at it and the older manifest stubs strand permanently
-    // (harmless but unbounded in count). The power-of-two cadence is
-    // stateless and AMORTIZED O(1): full walks at cur = 16, 32, 64…
-    // sum to O(2·cur) no-op deletes over the table's whole life —
-    // a fixed-interval cadence (every 16th) would instead re-pay
-    // O(cur) every 16 commits, the linear-with-age cost the bounded
-    // trim exists to kill. Heal latency is at most one doubling of
-    // table age; acceptable for stubs that are harmless in the
-    // meantime (their data files are swept regardless, and the
-    // contiguous-suffix scan only ever stops EARLIER at a hole).
     var v = keep.head - 1
     var misses = 0
-    val missTolerance =
-      if (cur >= 16 && (cur & (cur - 1)) == 0) Int.MaxValue else 3
     var trimAbort = false
-    while (!trimAbort && v >= 0 && misses < missTolerance) {
+    while (!trimAbort && v >= 0 && misses < 3) {
       // a transient delete fault defers the REST of the trim to the
       // next sweep (round-20 fault sweep): the data files are already
       // swept and the caller's materialize must not fail over stub
@@ -1002,6 +990,58 @@ object SnapshotTable {
       }
       v -= 1
     }
+    // HEAL WALK (round-19 advice 2, redesigned by round-20 review):
+    // a sweep that crashed after deleting a run wider than the
+    // tolerance leaves a hole the 3-miss walk re-hits forever, so
+    // stubs below it strand. Those stubs sit at the BOTTOM of the
+    // version range by construction (the top-down walks clear from
+    // the window edge down), so healing walks UP from v0 — O(stubs)
+    // deletes plus a few misses, NEVER the O(cur) top-down full walk
+    // the first design ran (an unbounded walk at cur = 2^k issued
+    // one delete RPC per version INLINE in a serving search's
+    // post-commit sweep — minutes at cur ≈ 65k on an object store —
+    // and its exact-power-of-two trigger never fired for callers
+    // that vacuum at arbitrary versions). Cadence: once per
+    // (process, dir) at the first sweep with cur >= 16, then at
+    // table-age doublings — amortized O(1), and ANY sweep cadence
+    // heals. Bounds: a hole wider than `HealMissTolerance` strands
+    // what sits above it (needs two crashed sweeps in distinct
+    // ranges — pathological, and harmless stubs remain harmless);
+    // `HealMaxProbes` hard-caps a sweep's spend.
+    if (!trimAbort && cur >= 16) {
+      val mark = healMark.get(dir)
+      if (mark == null || cur >= 2L * mark) {
+        healMark.put(dir, cur.toLong)
+        var hv = 0
+        var hMisses = 0
+        var probes = 0
+        val floor = v // where the top-down walk stopped
+        while (!trimAbort && hv <= floor &&
+            hMisses < HealMissTolerance && probes < HealMaxProbes) {
+          try {
+            probes += 1
+            if (be(dir).delete(manifestPath(dir, hv))) hMisses = 0
+            else hMisses += 1
+          } catch {
+            case e: java.io.IOException =>
+              System.err.println(s"[vacuum] heal walk under $dir " +
+                s"failed at v$hv — deferred: " +
+                s"${e.getClass.getSimpleName}")
+              trimAbort = true
+          }
+          hv += 1
+        }
+      }
+    }
     deleted
   }
+
+  // process-local heal-walk cadence marks (dir -> cur at last heal
+  // walk): lost on restart, which only means the next process pays
+  // one <= HealMaxProbes walk per table — the stubs it heals are
+  // durable state, so forgetting the mark never loses work
+  private val healMark =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] val HealMissTolerance = 16
+  private[graft] val HealMaxProbes = 256
 }

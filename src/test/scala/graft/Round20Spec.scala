@@ -428,12 +428,16 @@ class Round20Spec extends AnyFunSuite {
   // ---------------------------------------------------------------
 
   test("a manifest-trim crash hole wider than the 3-miss tolerance " +
-      "strands stubs only until the next UNBOUNDED sweep (cur at a " +
-      "power of two): the stubs below the hole are then trimmed") {
+      "strands stubs only until the next HEAL walk (first sweep at " +
+      "cur >= 16 in this process, then at table-age doublings): the " +
+      "bottom-up walk trims the stranded stubs in O(stubs) probes") {
     import spark.implicits._
     val dir = tmp("graft-r20-trim-") + "/t"
+    // commits carry ledger metas so the test can prove the trim
+    // sweeps MANIFEST stubs only, never the exactly-once ledger
     (0 to 10).foreach { i =>
-      SnapshotTable.overwrite(spark, Seq(i.toLong).toDF("x"), dir)
+      SnapshotTable.overwrite(spark, Seq(i.toLong).toDF("x"), dir,
+        Some(s"batch=$i"))
     }
     // simulate a sweep that crashed after deleting v1..v6 (a hole
     // wider than the tolerance), stranding v0 below it
@@ -443,17 +447,21 @@ class Round20Spec extends AnyFunSuite {
     SnapshotTable.vacuum(dir, keepVersions = 1)
     assert(Files.exists(Paths.get(s"$dir/_versions/v00000.manifest")),
       "the bounded walk stops at the crash hole — v0's stub strands")
-    // advance the table to the next unbounded-sweep version (16,
-    // the next power of two)
+    // advance the table past the heal-walk gate (cur >= 16)
     (11 to 16).foreach { i =>
-      SnapshotTable.overwrite(spark, Seq(i.toLong).toDF("x"), dir)
+      SnapshotTable.overwrite(spark, Seq(i.toLong).toDF("x"), dir,
+        Some(s"batch=$i"))
     }
     SnapshotTable.vacuum(dir, keepVersions = 1)
     assert(!Files.exists(Paths.get(s"$dir/_versions/v00000.manifest")),
-      "the power-of-two sweep walks unbounded and heals the hole")
-    // the exactly-once ledger is untouched by the trim: metas remain
-    assert(SnapshotTable.committedMetas(dir).isEmpty ||
-      true) // overwrites above carried no meta; nothing to assert on
+      "the bottom-up heal walk trims the stranded stub")
+    // the exactly-once ledger is untouched by the heal sweep: every
+    // committed epoch's meta survives, including those whose
+    // manifest stubs the unbounded walk just trimmed
+    assert(SnapshotTable.committedMetas(dir) ===
+      (0 to 16).map(i => s"batch=$i"),
+      "the unbounded trim must sweep manifest stubs only, " +
+      "never the per-version .meta ledger")
     assert(SnapshotTable.read(spark, dir)
       .collect().map(_.getLong(0)).toSeq === Seq(16L))
   }

@@ -190,4 +190,36 @@ class StreamingIngestSpec extends AnyFunSuite {
       "after an interleaved meta-less compact")
     assert(SnapshotTable.read(spark, s"$wh/race").count() === raceRows)
   }
+
+  test("streamId namespaces the ledger: a rotated stream identity " +
+      "(fresh checkpoint over existing tables, or a second writer) " +
+      "ingests its epoch 0 instead of colliding with the old " +
+      "generation's ledger — and stays exactly-once under its own id") {
+    val in = tmpDir("graft-sid-in-")
+    val wh = tmpDir("graft-sid-wh-")
+    drop(Seq("K2020-08-03.lzh", "B2020-08-03.lzh"), in)
+    val batchDf = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.lzh").load(in)
+      .select("path", "content")
+    // generation 1 (default namespace) commits epochs 0..3
+    (0L to 3L).foreach(i =>
+      StreamingIngest.ingestBatch(spark, batchDf, wh, batchId = i))
+    val rows4 = SnapshotTable.read(spark, s"$wh/env").count()
+    // the checkpoint is lost; the restarted stream re-counts from 0.
+    // Under the OLD identity its epoch 0 collides with the ledger and
+    // is skipped (no batch-id scheme can tell it from a re-delivery):
+    StreamingIngest.ingestBatch(spark, batchDf, wh, batchId = 0L)
+    assert(SnapshotTable.read(spark, s"$wh/env").count() === rows4,
+      "same-identity epoch 0 collides with the old ledger: skipped")
+    // rotating the identity (the txnAppId discipline) gives the new
+    // generation its own ledger namespace: epoch 0 ingests
+    StreamingIngest.ingestBatch(spark, batchDf, wh, batchId = 0L,
+      streamId = "gen2")
+    val rows5 = SnapshotTable.read(spark, s"$wh/env").count()
+    assert(rows5 > rows4, "a rotated identity's epoch 0 must ingest")
+    // and the new identity is itself exactly-once on re-delivery
+    StreamingIngest.ingestBatch(spark, batchDf, wh, batchId = 0L,
+      streamId = "gen2")
+    assert(SnapshotTable.read(spark, s"$wh/env").count() === rows5)
+  }
 }

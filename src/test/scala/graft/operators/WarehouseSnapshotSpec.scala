@@ -134,4 +134,40 @@ class WarehouseSnapshotSpec extends AnyFunSuite {
     // unchanged content re-fingerprints identically (adoption works)
     assert(StageSnapshots.dataFingerprint(schemed) === fp2)
   }
+
+  test("an UNREADABLE input fingerprint (unregistered scheme / store " +
+      "error) disables adoption for the call instead of failing it: " +
+      "the snapshot rebuilds, commits un-stamped, and nothing throws " +
+      "(round-20 review — the Hadoop walk can throw where the nio " +
+      "walk returned a wrong empty hash)") {
+    import spark.implicits._
+    val wh = java.nio.file.Files
+      .createTempDirectory("whsnap-nofs-root").toString
+    // no fs.nofs.impl is registered: getFileSystem throws IOException
+    val data = "nofs://unreachable/corpus"
+    spark.conf.set("spark.graft.snapshotWarehouse", wh)
+    try {
+      var builds = 0
+      def build = { builds += 1; Seq((7L, "z")).toDF("id", "v") }
+      val r1 = StageSnapshots.snapshot(spark, data, "nofs-index")(build)
+        .collect().map(_.getString(1)).toSeq
+      assert(builds === 1 && r1 === Seq("z"),
+        "the snapshot must rebuild, not throw")
+      // the commit carries NO fp= stamp — a future session can never
+      // adopt against a fingerprint that was unreadable at commit time
+      val tdirs = new java.io.File(wh).listFiles().map(_.toString)
+        .filter(_.contains("nofs-index"))
+      assert(tdirs.length === 1)
+      assert(graft.warehouse.SnapshotTable.currentMeta(tdirs.head).isEmpty,
+        "an unreadable fingerprint must not be stamped")
+      // a FRESH session (cold cache) cannot adopt the unstamped
+      // commit: it rebuilds — conservative, never stale
+      StageSnapshots.invalidateSessionCache()
+      StageSnapshots.snapshot(spark, data, "nofs-index")(build).count()
+      assert(builds === 2, "an unstamped commit is never adopted")
+    } finally {
+      spark.conf.unset("spark.graft.snapshotWarehouse")
+      StageSnapshots.invalidateSessionCache()
+    }
+  }
 }
