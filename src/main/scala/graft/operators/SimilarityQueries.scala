@@ -2449,48 +2449,30 @@ object SimilarityQueries {
     // them guarantees termination); entries never share a plan
     // (distinct source dirs), so a plain unpersist is safe. An
     // evicted corpus just re-fills on its stream's next epoch.
-    import scala.jdk.CollectionConverters._
-    val cacheMax = math.max(1,
-      try s.conf.get("spark.graft.stream.corpusCacheMax", "4").toInt
-      catch { case _: NumberFormatException => 4 })
-    while (streamCorpusCache.size > cacheMax && {
-      streamCorpusCache.entrySet().asScala
-        .filter(_.getKey != ck)
-        .minByOption(_.getValue._2.get()) match {
-        case Some(e) =>
-          if (streamCorpusCache.remove(e.getKey, e.getValue)) {
-            e.getValue._1.unpersist(blocking = false)
-            streamCorpusEvictions.incrementAndGet()
-          }
-          true
-        case None => false // nothing evictable but ours
+    // both tiers via graft.CacheBounds — ONE copy of the policy,
+    // shared with the serving cache (round-20 review)
+    type E = (org.apache.spark.sql.DataFrame,
+      java.util.concurrent.atomic.AtomicLong)
+    def evictEntry(k: String, v: E): Boolean = {
+      val removed = streamCorpusCache.remove(k, v)
+      if (removed) {
+        v._1.unpersist(blocking = false)
+        streamCorpusEvictions.incrementAndGet()
       }
-    }) ()
-    val cacheMaxMb =
-      try s.conf.get("spark.graft.stream.corpusCacheMaxMb",
-        "4096").toDouble
-      catch { case _: NumberFormatException => 4096.0 }
-    if (cacheMaxMb > 0 && streamCorpusCache.size > 1) {
-      val sized = streamCorpusCache.entrySet().asScala.toSeq.map { e =>
-        val mb = org.apache.spark.sql.graft.GraftSqlShims
-          .cachedResidentBytes(e.getValue._1)
-          .map { case (m, dk) => m + dk }.getOrElse(0L) / 1e6
-        (e, mb)
-      }
-      var total = sized.map(_._2).sum
-      var victims = sized
-        .filter { case (e, mb) => e.getKey != ck && mb > 0 }
-        .sortBy(_._1.getValue._2.get())
-      while (total > cacheMaxMb && victims.nonEmpty) {
-        val (e, mb) = victims.head
-        victims = victims.tail
-        if (streamCorpusCache.remove(e.getKey, e.getValue)) {
-          e.getValue._1.unpersist(blocking = false)
-          streamCorpusEvictions.incrementAndGet()
-          total -= mb
-        }
-      }
+      removed
     }
+    val lru = (v: E) => v._2.get()
+    graft.CacheBounds.enforceEntryCap(streamCorpusCache, ck, lru,
+      math.max(1, graft.CacheBounds.confInt(s,
+        "spark.graft.stream.corpusCacheMax", 4)),
+      evictEntry)
+    graft.CacheBounds.enforceByteBudget(streamCorpusCache, ck, lru,
+      (v: E) => org.apache.spark.sql.graft.GraftSqlShims
+        .cachedResidentBytes(v._1)
+        .map { case (m, dk) => m + dk }.getOrElse(0L) / 1e6,
+      graft.CacheBounds.confDouble(s,
+        "spark.graft.stream.corpusCacheMaxMb", 4096.0),
+      evictEntry)
     entry._1
   }
 

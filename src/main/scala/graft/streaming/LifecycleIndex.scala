@@ -1043,27 +1043,27 @@ object LifecycleIndex {
     // index served). Entries beyond the cap are unpersisted
     // least-recently-searched first; an evicted index's next search
     // just re-persists (one fill), correctness unaffected.
-    val cacheMax = math.max(1,
-      try spark.conf.get("spark.graft.serving.corpusCacheMax", "8").toInt
-      catch { case _: NumberFormatException => 8 }) // degrade, never
-      // crash the warm path on a malformed knob (round-18 advice rule)
-    var evicting = corpusCache.size > cacheMax
-    while (evicting) {
-      import scala.jdk.CollectionConverters._
-      corpusCache.entrySet().asScala
-        .filter(_.getKey != ckCorpus) // never evict this search's own
-        .minByOption(_.getValue._3.get()) match {
-        case Some(e) =>
-          // two-arg remove: only drop the exact entry we sized up —
-          // a concurrent replace of the same key keeps its fresh one.
-          // Shared-plan guard (round-17 advice): evicting one index's
-          // entry must not strip an identical-plan twin's blocks.
-          if (corpusCache.remove(e.getKey, e.getValue))
-            unpersistUnlessShared(e.getValue._2, e.getKey)
-          evicting = corpusCache.size > cacheMax
-        case None => evicting = false // nothing evictable but ours
+    // both tiers via graft.CacheBounds — ONE copy of the policy,
+    // shared with the stream corpus cache (round-20 review). The
+    // evict callback keeps this site's shared-plan guard (round-17
+    // advice: evicting one index's entry must not strip an
+    // identical-plan twin's blocks).
+    val cacheMax = math.max(1, graft.CacheBounds.confInt(spark,
+      "spark.graft.serving.corpusCacheMax", 8))
+    def evictEntry(k: String,
+        v: (String, DataFrame, java.util.concurrent.atomic.AtomicLong),
+        counted: Boolean): Boolean = {
+      val removed = corpusCache.remove(k, v)
+      if (removed) {
+        unpersistUnlessShared(v._2, k)
+        if (counted) corpusCacheByteEvictions.incrementAndGet()
       }
+      removed
     }
+    graft.CacheBounds.enforceEntryCap(corpusCache, ckCorpus,
+      (v: (String, DataFrame, java.util.concurrent.atomic.AtomicLong)) =>
+        v._3.get(),
+      cacheMax, evictEntry(_, _, counted = false))
     // BYTE budget over the same LRU order (round-19 verdict 2: an
     // entry COUNT admits unbounded executor memory — each entry is a
     // corpus-sized persisted DataFrame, and round 19 measured it
@@ -1079,40 +1079,16 @@ object LifecycleIndex {
     // bounds the FLEET of entries, it cannot make one index
     // serveable in less memory than its corpus. 0 disables the byte
     // bound (the entry cap above still applies).
-    val cacheMaxMb =
-      try spark.conf.get("spark.graft.serving.corpusCacheMaxMb",
-        "4096").toDouble
-      catch { case _: NumberFormatException => 4096.0 } // degrade,
-      // never crash the warm path on a malformed knob
-    // size>1 guard: with a single live entry (one-index serving, the
-    // common deployment) there is never a byte victim — skip the
-    // per-entry CacheManager lookups entirely on that hot path
-    if (cacheMaxMb > 0 && corpusCache.size > 1) {
-      import scala.jdk.CollectionConverters._
-      val sized = corpusCache.entrySet().asScala.toSeq.map { e =>
-        val mb = org.apache.spark.sql.graft.GraftSqlShims
-          .cachedResidentBytes(e.getValue._2)
-          .map { case (m, dk) => m + dk }.getOrElse(0L) / 1e6
-        (e, mb)
-      }
-      var total = sized.map(_._2).sum
-      // least-recently-searched first; only materialized entries are
-      // victims (evicting a 0-byte entry frees nothing — and skipping
-      // them guarantees the loop terminates)
-      var victims = sized
-        .filter { case (e, mb) => e.getKey != ckCorpus && mb > 0 }
-        .sortBy(_._1.getValue._3.get())
-      while (total > cacheMaxMb && victims.nonEmpty) {
-        val (e, mb) = victims.head
-        victims = victims.tail
-        // same two-arg remove + shared-plan guard as the entry cap
-        if (corpusCache.remove(e.getKey, e.getValue)) {
-          unpersistUnlessShared(e.getValue._2, e.getKey)
-          corpusCacheByteEvictions.incrementAndGet()
-          total -= mb
-        }
-      }
-    }
+    graft.CacheBounds.enforceByteBudget(corpusCache, ckCorpus,
+      (v: (String, DataFrame, java.util.concurrent.atomic.AtomicLong)) =>
+        v._3.get(),
+      (v: (String, DataFrame, java.util.concurrent.atomic.AtomicLong)) =>
+        org.apache.spark.sql.graft.GraftSqlShims
+          .cachedResidentBytes(v._2)
+          .map { case (m, dk) => m + dk }.getOrElse(0L) / 1e6,
+      graft.CacheBounds.confDouble(spark,
+        "spark.graft.serving.corpusCacheMaxMb", 4096.0),
+      evictEntry(_, _, counted = true))
     val sTab = servingTab(indexDir)
     // PINNED serving read (round-14 advice): resolve the serving
     // version whose meta equals THIS search's verTag and read exactly
