@@ -146,7 +146,12 @@ private[operators] object StageSnapshots {
     Option(fpCache.computeIfAbsent(d, dd =>
       try dataFingerprint(dd)
       catch {
-        case e: java.io.IOException =>
+        // UncheckedIOException too: the nio branch's Files.walk
+        // iteration wraps a concurrent-delete NoSuchFileException in
+        // it (round-20 review — it is a RuntimeException, so an
+        // IOException-only catch let the local-FS transient escape)
+        case e @ (_: java.io.IOException |
+            _: java.io.UncheckedIOException) =>
           System.err.println(s"[stage-snapshots] input fingerprint " +
             s"unavailable for $dd (${e.getMessage}) — snapshot " +
             "adoption disabled for this call, rebuilding")

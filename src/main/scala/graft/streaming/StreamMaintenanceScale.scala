@@ -309,8 +309,10 @@ object StreamMaintenanceScale {
         spark.conf.set("spark.graft.serving.corpusCacheMaxMb",
           bound.toString)
         step("cache_evict_drill",
-          f""","byte_evictions":${LifecycleIndex
-              .corpusCacheByteEvictions.get() - ev0}%d,""" +
+          // s-interpolation throughout: f"%d" localizes digits like
+          // f"%f" localizes the decimal separator (round-20 review)
+          s""","byte_evictions":${LifecycleIndex
+              .corpusCacheByteEvictions.get() - ev0},""" +
           s""""bound_mb":${math.round(bound * 10) / 10.0},""" +
           s""""resident_before_mb":${math.round(residentMb * 10) / 10.0}""") {
           LifecycleIndex.search(spark, base, idx2, queries)

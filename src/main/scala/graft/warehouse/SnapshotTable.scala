@@ -957,91 +957,113 @@ object SnapshotTable {
         if (ok) deleted += 1
       }
     }
-    // expire manifests below the keep window. The old loop deleted
-    // versions 0 until keep.head UNCONDITIONALLY every sweep — O(cur)
-    // delete RPCs per sweep forever on a long-lived table (sweep
-    // #1000 re-issuing ~998 no-op deletes against an object store).
-    // Prior sweeps already cleared a contiguous range, so walk DOWN
-    // from the window edge and stop after a few consecutive
-    // already-absent slots (tolerance 3 self-heals the hole a sweep
-    // crashed mid-walk can leave; a hole deeper than that strands
-    // only one-line manifest stubs that nothing can read — their
-    // versions' data files are swept regardless, and the
-    // contiguous-suffix scan contract only ever stops EARLIER at a
-    // hole, never matches below one).
-    var v = keep.head - 1
-    var misses = 0
+    // expire manifest stubs below the keep window — FLOOR-TRACKED
+    // (round-19 advice 2, third design after two round-20 review
+    // rejections: an unconditional 0..edge walk is O(cur) delete RPCs
+    // per sweep; a miss-tolerance walk strands stubs behind any
+    // crashed-sweep hole wider than the tolerance, because holes and
+    // cleared ranges are indistinguishable by probing; and a
+    // bottom-up "heal" walk assumed stubs sit at v0 when a crashed
+    // sweep actually strands them just BELOW its deleted run,
+    // anywhere in the range). The durable `_versions/TRIMFLOOR` hint
+    // records "every manifest below the keep-window edge was deleted
+    // as of this floor's write" — written only AFTER a completed
+    // walk, so a crash leaves it unchanged and the next sweep
+    // re-walks [floor, edge), re-deleting the crashed run as no-ops
+    // and clearing its stranded stubs: every post-floor crash hole
+    // heals STRUCTURALLY, at O(new versions since the last completed
+    // sweep) steady-state cost with zero probing heuristics. The
+    // floor is cached per (process, dir): steady state pays ZERO
+    // extra control reads (the serve-path read budgets hold) and one
+    // put per completed sweep; the hint is hygiene-only — an
+    // unreadable or stale floor costs extra no-op deletes, never
+    // correctness (reads never touch trimmed versions). Tables from
+    // before the hint exist get one legacy bounded walk (3-miss
+    // stop) and a floor claiming only the verified range — stubs
+    // below a PRE-floor hole strand harmlessly, exactly as before.
+    val edge = keep.head
     var trimAbort = false
-    while (!trimAbort && v >= 0 && misses < 3) {
-      // a transient delete fault defers the REST of the trim to the
-      // next sweep (round-20 fault sweep): the data files are already
-      // swept and the caller's materialize must not fail over stub
-      // cleanup
-      try {
-        if (be(dir).delete(manifestPath(dir, v))) misses = 0
-        else misses += 1
-      } catch {
+    def deleteStub(v: Int): Boolean =
+      try be(dir).delete(manifestPath(dir, v))
+      catch {
         case e: java.io.IOException =>
+          // a transient delete fault defers the REST of the trim to
+          // the next sweep (round-20 fault sweep): the data files are
+          // already swept and the caller's materialize must not fail
+          // over stub cleanup
           System.err.println(s"[vacuum] manifest trim under $dir " +
             s"failed at v$v — remaining stubs deferred to the next " +
             s"sweep: ${e.getClass.getSimpleName}: " +
             s"${Option(e.getMessage).getOrElse("").take(200)}")
           trimAbort = true
+          false
       }
-      v -= 1
-    }
-    // HEAL WALK (round-19 advice 2, redesigned by round-20 review):
-    // a sweep that crashed after deleting a run wider than the
-    // tolerance leaves a hole the 3-miss walk re-hits forever, so
-    // stubs below it strand. Those stubs sit at the BOTTOM of the
-    // version range by construction (the top-down walks clear from
-    // the window edge down), so healing walks UP from v0 — O(stubs)
-    // deletes plus a few misses, NEVER the O(cur) top-down full walk
-    // the first design ran (an unbounded walk at cur = 2^k issued
-    // one delete RPC per version INLINE in a serving search's
-    // post-commit sweep — minutes at cur ≈ 65k on an object store —
-    // and its exact-power-of-two trigger never fired for callers
-    // that vacuum at arbitrary versions). Cadence: once per
-    // (process, dir) at the first sweep with cur >= 16, then at
-    // table-age doublings — amortized O(1), and ANY sweep cadence
-    // heals. Bounds: a hole wider than `HealMissTolerance` strands
-    // what sits above it (needs two crashed sweeps in distinct
-    // ranges — pathological, and harmless stubs remain harmless);
-    // `HealMaxProbes` hard-caps a sweep's spend.
-    if (!trimAbort && cur >= 16) {
-      val mark = healMark.get(dir)
-      if (mark == null || cur >= 2L * mark) {
-        healMark.put(dir, cur.toLong)
-        var hv = 0
-        var hMisses = 0
-        var probes = 0
-        val floor = v // where the top-down walk stopped
-        while (!trimAbort && hv <= floor &&
-            hMisses < HealMissTolerance && probes < HealMaxProbes) {
-          try {
-            probes += 1
-            if (be(dir).delete(manifestPath(dir, hv))) hMisses = 0
-            else hMisses += 1
-          } catch {
-            case e: java.io.IOException =>
-              System.err.println(s"[vacuum] heal walk under $dir " +
-                s"failed at v$hv — deferred: " +
-                s"${e.getClass.getSimpleName}")
-              trimAbort = true
+    def advanceFloor(to: Int): Unit =
+      try {
+        be(dir).put(ctl(dir, "TRIMFLOOR"), utf8(to.toString))
+        trimFloors.merge(dir, Integer.valueOf(to),
+          (a, b) => if (a.intValue >= b.intValue) a else b)
+      } catch {
+        case e: java.io.IOException =>
+          // hint only: the next sweep just re-reads or re-walks
+          System.err.println(s"[vacuum] TRIMFLOOR write under $dir " +
+            s"deferred: ${e.getClass.getSimpleName}")
+      }
+    val cachedFloor = trimFloors.get(dir)
+    if (cachedFloor != null) {
+      // steady state: walk exactly the versions added since the last
+      // completed sweep — no probing, no reads
+      var v = edge - 1
+      while (!trimAbort && v >= cachedFloor.intValue) {
+        deleteStub(v); v -= 1
+      }
+      if (!trimAbort && edge > cachedFloor.intValue) advanceFloor(edge)
+    } else {
+      // first sweep in this process: legacy bounded walk, then
+      // resolve the durable floor (ONE control read, only when the
+      // walk stopped above v0 — young tables never pay it)
+      var v = edge - 1
+      var misses = 0
+      while (!trimAbort && v >= 0 && misses < 3) {
+        if (deleteStub(v)) misses = 0
+        else if (!trimAbort) misses += 1
+        v -= 1
+      }
+      if (!trimAbort) {
+        val verifiedFrom = v + 1 // [verifiedFrom, edge) now absent
+        if (verifiedFrom == 0) advanceFloor(edge)
+        else {
+          val durable =
+            try be(dir).readIfExists(ctl(dir, "TRIMFLOOR"))
+              .flatMap(b =>
+                scala.util.Try(str(b).trim.toInt).toOption)
+            catch { case _: java.io.IOException => None }
+          durable match {
+            case Some(f) if f < verifiedFrom =>
+              // a crashed post-floor sweep left stubs in
+              // [f, verifiedFrom) below its hole — clear them
+              var hv = verifiedFrom - 1
+              while (!trimAbort && hv >= f) { deleteStub(hv); hv -= 1 }
+              if (!trimAbort) advanceFloor(edge)
+            case Some(_) => advanceFloor(edge) // clean through
+            case None =>
+              // pre-floor table: claim only what this walk verified
+              advanceFloor(verifiedFrom)
           }
-          hv += 1
         }
       }
     }
     deleted
   }
 
-  // process-local heal-walk cadence marks (dir -> cur at last heal
-  // walk): lost on restart, which only means the next process pays
-  // one <= HealMaxProbes walk per table — the stubs it heals are
-  // durable state, so forgetting the mark never loses work
-  private val healMark =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private[graft] val HealMissTolerance = 16
-  private[graft] val HealMaxProbes = 256
+  // process-local cache of each dir's durable TRIMFLOOR hint: lost
+  // on restart, which only means the next process's FIRST sweep per
+  // table pays one bounded walk + one control read to re-resolve it
+  private val trimFloors =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Drop the in-process TRIMFLOOR cache — for specs that simulate a
+    * crashed sweep in another process (the durable hint is the
+    * recovery state; this just forces the re-resolve path). */
+  private[graft] def forgetTrimFloors(): Unit = trimFloors.clear()
 }

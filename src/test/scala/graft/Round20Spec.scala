@@ -427,43 +427,55 @@ class Round20Spec extends AnyFunSuite {
   // advice 2: manifest-trim crash holes self-heal
   // ---------------------------------------------------------------
 
-  test("a manifest-trim crash hole wider than the 3-miss tolerance " +
-      "strands stubs only until the next HEAL walk (first sweep at " +
-      "cur >= 16 in this process, then at table-age doublings): the " +
-      "bottom-up walk trims the stranded stubs in O(stubs) probes") {
+  test("a crashed trim sweep's stranded stubs heal STRUCTURALLY via " +
+      "the durable TRIMFLOOR (round-20 review, third design: a " +
+      "crashed sweep strands stubs just BELOW its deleted run — " +
+      "anywhere in the range, not at v0 — and no probing heuristic " +
+      "can tell a crash hole from a cleared range; the floor can)") {
     import spark.implicits._
     val dir = tmp("graft-r20-trim-") + "/t"
     // commits carry ledger metas so the test can prove the trim
     // sweeps MANIFEST stubs only, never the exactly-once ledger
-    (0 to 10).foreach { i =>
+    def commit(i: Int): Unit =
       SnapshotTable.overwrite(spark, Seq(i.toLong).toDF("x"), dir,
         Some(s"batch=$i"))
-    }
-    // simulate a sweep that crashed after deleting v1..v6 (a hole
-    // wider than the tolerance), stranding v0 below it
-    (1 to 6).foreach { v =>
+    (0 to 10).foreach(commit)
+    // a COMPLETED sweep establishes the durable floor at its edge
+    SnapshotTable.vacuum(dir, keepVersions = 1)
+    assert(java.nio.file.Files.readString(
+      Paths.get(s"$dir/_versions/TRIMFLOOR")).trim === "10",
+      "a completed sweep must record its edge as the floor")
+    // the table advances; a later sweep CRASHES mid-walk having
+    // deleted v19..v14 — stranding stubs v10..v13 below a 6-wide
+    // hole (wider than the 3-miss tolerance), with the floor still
+    // naming 10 (it is written only after a COMPLETED walk)
+    (11 to 20).foreach(commit)
+    (14 to 19).foreach { v =>
       Files.delete(Paths.get(f"$dir/_versions/v$v%05d.manifest"))
     }
+    SnapshotTable.forgetTrimFloors() // the crashed process is gone
+    // recovery is an ORDINARY sweep in a fresh process: the bounded
+    // walk stops at the hole (3 misses at v19..v17), the durable
+    // floor proves everything down to 10 should be clean, and the
+    // floor re-walk clears the stranded stubs
+    commit(21)
     SnapshotTable.vacuum(dir, keepVersions = 1)
-    assert(Files.exists(Paths.get(s"$dir/_versions/v00000.manifest")),
-      "the bounded walk stops at the crash hole — v0's stub strands")
-    // advance the table past the heal-walk gate (cur >= 16)
-    (11 to 16).foreach { i =>
-      SnapshotTable.overwrite(spark, Seq(i.toLong).toDF("x"), dir,
-        Some(s"batch=$i"))
+    (10 to 13).foreach { v =>
+      assert(!Files.exists(
+        Paths.get(f"$dir/_versions/v$v%05d.manifest")),
+        s"stub v$v must heal via the TRIMFLOOR re-walk")
     }
-    SnapshotTable.vacuum(dir, keepVersions = 1)
-    assert(!Files.exists(Paths.get(s"$dir/_versions/v00000.manifest")),
-      "the bottom-up heal walk trims the stranded stub")
-    // the exactly-once ledger is untouched by the heal sweep: every
-    // committed epoch's meta survives, including those whose
-    // manifest stubs the unbounded walk just trimmed
+    assert(java.nio.file.Files.readString(
+      Paths.get(s"$dir/_versions/TRIMFLOOR")).trim === "21",
+      "the completed recovery sweep advances the floor to its edge")
+    // the exactly-once ledger survives every sweep shape: all 22
+    // epoch metas intact, including those whose manifests the floor
+    // walk just trimmed
     assert(SnapshotTable.committedMetas(dir) ===
-      (0 to 16).map(i => s"batch=$i"),
-      "the unbounded trim must sweep manifest stubs only, " +
-      "never the per-version .meta ledger")
+      (0 to 21).map(i => s"batch=$i"),
+      "the trim must sweep manifest stubs only, never the ledger")
     assert(SnapshotTable.read(spark, dir)
-      .collect().map(_.getLong(0)).toSeq === Seq(16L))
+      .collect().map(_.getLong(0)).toSeq === Seq(21L))
   }
 
   // ---------------------------------------------------------------
