@@ -936,6 +936,22 @@ object SnapshotTable {
       } catch {
         case _: java.io.FileNotFoundException => ()
         case _: java.nio.file.NoSuchFileException => ()
+        // RawLocalFileSystem's LocatedFileStatus loads permissions by
+        // SHELLING OUT during listFiles iteration, so a file a
+        // CONCURRENT sweep deleted between the readdir and the stat
+        // surfaces as RuntimeException("Error while running command to
+        // get file permissions", cause ExitCodeException) — neither an
+        // IOException nor a missing-file type (round-20 inherited-state
+        // fix: LifecycleCrossProcessSpec's dueling-vacuum run hit
+        // exactly this shape). Same absorption as the transient class
+        // below: keep the victims already collected, defer the rest.
+        case e: RuntimeException
+            if Option(e.getMessage)
+              .exists(_.contains("to get file permissions")) =>
+          System.err.println(s"[vacuum] data listing of $dataPath " +
+            s"raced a concurrent delete (vanished-file stat) — " +
+            s"remaining victims deferred to the next sweep: " +
+            s"${Option(e.getMessage).getOrElse("").take(200)}")
         case e: java.io.IOException =>
           // transient store error mid-listing (the probe above
           // absorbs the same class): delete only the victims already
