@@ -46,3 +46,38 @@ class CmsAggregator(d: Int, w: Int)
   override def outputEncoder: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }
+
+/** WEIGHTED Count-Min update: each input row contributes `n` to its
+  * d bucket cells in one increment — the sketch built over a
+  * pre-aggregated (item, count) table is cell-for-cell identical to
+  * [[CmsAggregator]] over the raw occurrences (sums reassociate), but
+  * the d hash derivations run once per DISTINCT item instead of once
+  * per occurrence, and the only data-sized exchange is the count's
+  * map-side-combined groupBy (round 20 — guide §2.3, aggregate before
+  * you shuffle / hash the collapsed key space). */
+class CmsWeightedAggregator(d: Int, w: Int)
+    extends Aggregator[(Seq[Int], Long), Array[Long], Seq[Long]] {
+
+  override def zero: Array[Long] = new Array[Long](d * w)
+
+  override def reduce(buf: Array[Long],
+      in: (Seq[Int], Long)): Array[Long] = {
+    val (buckets, n) = in
+    var i = 0
+    while (i < d) { buf(i * w + buckets(i)) += n; i += 1 }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}

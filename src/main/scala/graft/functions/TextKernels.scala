@@ -196,6 +196,74 @@ object TextKernels {
         "top_trigram_n", "dup_trigram_n")
   }
 
+  private def md5HexFull(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < 16) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** 5-gram windows at stride 1, tail-truncating, count = max(n-4, 1)
+    * — the shared gram rule of t04/t06 (`w[i:i+4]` in the oracles'
+    * 1-based slice form; a short doc yields one truncated gram). */
+  private def grams5(w: Array[String]): Array[String] = {
+    val n = math.max(w.length - 4, 1)
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val end = math.min(i + 5, w.length)
+      out(i) = w.slice(i, end).mkString(" ")
+      i += 1
+    }
+    out
+  }
+
+  /** t04's fingerprint — min full md5 hex over the 5-gram windows —
+    * as a map-only kernel (round 20 — guide §1.2/§4.1: the
+    * transform/array_min expression form is CodegenFallback,
+    * interpreted per element). Lexicographic min over lowercase hex
+    * matches array_min/list_min on both engines (hex is ASCII). */
+  def docFingerprint(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.selectExpr("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val gs = grams5(tokenize(text))
+        var m = md5HexFull(gs(0))
+        var i = 1
+        while (i < gs.length) {
+          val h = md5HexFull(gs(i))
+          if (h.compareTo(m) < 0) m = h
+          i += 1
+        }
+        (id, m)
+      }
+      .toDF("doc_id", "fingerprint")
+  }
+
+  /** t06's repetition counts — total and non-distinct 5-gram windows
+    * per doc — as a map-only kernel (same CodegenFallback motivation
+    * as [[docFingerprint]]; the old form built every gram string
+    * through an interpreted transform and then array_distinct'ed it). */
+  def repetitionRatio(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.selectExpr("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val gs = grams5(tokenize(text))
+        val seen = new java.util.HashSet[String]()
+        var i = 0
+        while (i < gs.length) { seen.add(gs(i)); i += 1 }
+        val nRep = gs.length - seen.size
+        (id, gs.length, nRep, nRep.toDouble / gs.length)
+      }
+      .toDF("doc_id", "n_grams", "n_repeated", "rep_ratio")
+  }
+
   /** docs(doc_id, text) → (doc_id, s, sig: k minhashes). */
   def minhashSignatures(spark: SparkSession, docs: DataFrame,
       k: Int): DataFrame = {

@@ -47,6 +47,48 @@ object VectorKernels {
     (v << 4) | ((d(7) & 0xf0L) >> 4)
   }
 
+  /** The engine's exact quantization rule as a scalar —
+    * `CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)` replicated
+    * operation-for-operation: float→double widening (exact), one IEEE
+    * multiply, Spark Round's DoubleType path
+    * (`BigDecimal.valueOf(d).setScale(0, HALF_UP)` — half away from
+    * zero over the double's shortest decimal representation), then the
+    * exact integral-double→long cast. Pinned against the expression
+    * form by QuantizeKernelSpec. */
+  private[graft] def quantize1(x: Float): Long =
+    java.math.BigDecimal.valueOf(x.toDouble * 10000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  /** embeddings(vec_id, label, embedding: array<float>) →
+    * (vec_id, label, r: quantized array<long>, nn: Σr² long) — the
+    * map-only kernel form of DedupQueries.quantized (round 20 — guide
+    * §1.2/§4.1: the transform/aggregate expression form is
+    * CodegenFallback, interpreted per element, and this projection
+    * feeds nearly every similarity/dedup operator). Arithmetic
+    * identical to the expression form (see [[quantize1]]); the norm
+    * accumulates via addExact/multiplyExact so an overflow stays a
+    * loud failure exactly as the ANSI expression's Add would be. */
+  def quantize(spark: SparkSession, embeddings: DataFrame): DataFrame = {
+    import spark.implicits._
+    embeddings.selectExpr("vec_id", "label", "embedding")
+      .as[(Long, Int, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, label, e) =>
+          val r = new Array[Long](e.length)
+          var nn = 0L
+          var i = 0
+          while (i < e.length) {
+            val v = quantize1(e(i))
+            r(i) = v
+            nn = Math.addExact(nn, Math.multiplyExact(v, v))
+            i += 1
+          }
+          (id, label, r, nn)
+        }
+      }
+      .toDF("vec_id", "label", "r", "nn")
+  }
+
   /** All (query, candidate) cosines for a bounded query set
     * (vec_id < maxQueryId), skipping self-pairs. Returns
     * (query_id, neighbor_id, cos_sim); the caller ranks/filters

@@ -69,14 +69,14 @@ object DedupQueries {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b))
 
-  /** embeddings → (vec_id, r: array<long> quantized, nn: long self-dot). */
+  /** embeddings → (vec_id, r: array<long> quantized, nn: long self-dot).
+    * Map-only kernel (round 20): the transform/aggregate expression
+    * form is CodegenFallback — interpreted per element — and this
+    * projection underlies nearly every similarity/dedup operator; the
+    * kernel computes the identical arithmetic (VectorKernels.quantize,
+    * equivalence spec-pinned) in a tight loop. */
   private[graft] def quantized(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 10000).cast("long")).as("r"))
-      .withColumn("nn",
-        aggregate(transform(col("r"), x => x * x), lit(0L), (acc, v) => acc + v))
+    graft.functions.VectorKernels.quantize(s, Tables.embeddings(s, d))
 
   private[operators] val quantizedSql =
     """SELECT vec_id, label, r,
@@ -211,8 +211,18 @@ object DedupQueries {
       .union(p.select(col("pb"), col("pa")))
       .toDF("src", "dst").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id"))
-      .distinct().withColumn("lbl", col("id"))
+    // SEED = the first propagation round's closed form (round 20 —
+    // guide §2.4, remove whole passes): label₀(id) = min(id,
+    // min(neighbors(id))) is exactly what one loop iteration computes
+    // from the identity labeling (edges are symmetrized, so grouping
+    // by src covers every node and min(dst) is the min neighbor).
+    // Seeding it directly saves one full join+union+min round — for
+    // the shallow clusters near-dup graphs produce (diameter 1-2)
+    // that is a third to a half of the fixpoint's shuffles. The
+    // fixpoint itself is unchanged, so the result is identical.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min("dst").as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("lbl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // convergence monitor: min-propagation only ever DECREASES
     // labels, so the label sum is strictly decreasing until the
@@ -399,7 +409,13 @@ object DedupQueries {
         |  FROM cand JOIN sh x ON x.doc_id = cand.doc_a
         |            JOIN sh y ON y.doc_id = cand.doc_b) j
         |WHERE jacc >= 0.5 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      ngramJaccardPairs(s, d).orderBy("doc_a", "doc_b")
+      // d04 DEFINES the ngram-pairs table (round 20 — the same
+      // pipeline-stage contract as d02/d08/d10): always recompute +
+      // rewrite the snapshot; the audit (d13) consumes it instead of
+      // re-running the whole inverted-index chain.
+      s.read.parquet(
+          materialize(s, d, "ngram-pairs")(ngramJaccardPairs(s, d)))
+        .orderBy("doc_a", "doc_b")
     },
 
     // Embedding-cosine near-dup, brute-force pair scan (correctness
@@ -470,7 +486,11 @@ object DedupQueries {
         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      simhashNeardupPairs(s, d).orderBy("doc_a", "doc_b")
+      // d07 DEFINES the simhash-pairs table (round 20): always
+      // recompute + rewrite; the audit (d13) consumes it.
+      s.read.parquet(
+          materialize(s, d, "simhash-pairs")(simhashNeardupPairs(s, d)))
+        .orderBy("doc_a", "doc_b")
     },
 
     // Duplicate-CLUSTER formation: connected components over the
@@ -819,11 +839,15 @@ object DedupQueries {
         |SELECT in_minhash, in_ngram, in_simhash, count(*) AS n_pairs
         |FROM f GROUP BY in_minhash, in_ngram, in_simhash
         |ORDER BY in_minhash, in_ngram, in_simhash""".stripMargin) { (s, d) =>
+      // all three pair sets come from the shared stage snapshots
+      // (round 20 — previously only d02's did): a session that already
+      // ran d02/d04/d07 pays only the two audit joins here; a session
+      // that did not computes each set once (compute-if-absent).
       val m2 = snapshot(s, d, "dup-pairs")(confirmedMinhashPairs(s, d))
         .select(col("doc_a"), col("doc_b"), lit(true).as("in_minhash"))
-      val m4 = ngramJaccardPairs(s, d)
+      val m4 = snapshot(s, d, "ngram-pairs")(ngramJaccardPairs(s, d))
         .select(col("doc_a"), col("doc_b"), lit(true).as("in_ngram"))
-      val m7 = simhashNeardupPairs(s, d)
+      val m7 = snapshot(s, d, "simhash-pairs")(simhashNeardupPairs(s, d))
         .select(col("doc_a"), col("doc_b"), lit(true).as("in_simhash"))
       m2.join(m4, Seq("doc_a", "doc_b"), "full_outer")
         .join(m7, Seq("doc_a", "doc_b"), "full_outer")

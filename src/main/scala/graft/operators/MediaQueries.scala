@@ -22,41 +22,89 @@ object MediaQueries {
       .filter(length(col("payload")) >= 128)
     val rs = MediaOps.resize(s, media) // doc_id, out_len, resized
     // L >= 128 => every one of the 64 buckets is populated.
-    // Guard (distributed, zero-cost until violated): a source
-    // doc_id at or past the twin shift would alias a twin id and
-    // silently corrupt the probe's planted truth — fail loudly.
-    val twins = rs.select(
-      when(col("doc_id") >= TwinShift,
-        raise_error(concat(lit("m06: source doc_id "), col("doc_id"),
-          lit(s" >= twin shift $TwinShift"))))
-        .otherwise(col("doc_id") + TwinShift).as("doc_id"),
-      transform(col("resized"),
-        (v, j) => v + when(j % 7 === 0, 1).otherwise(0)).as("resized"))
-    val sig = rs.select(col("doc_id"), col("resized")).unionByName(twins)
-    // 256-bit gradient fingerprint, one word per comparison offset —
-    // pure per-row expressions (map-only; bitwiseOR keeps every term
-    // a bit-pattern op, no ANSI-overflow surface)
-    val offsets = Seq(1, 2, 4, 8)
-    val wordCols = offsets.zipWithIndex.map { case (off, k) =>
-      (0 until 64).map { j =>
-        when(element_at(col("resized"), j + 1) >
-          element_at(col("resized"), (j + off) % 64 + 1),
-          lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ bitwiseOR _).as(s"w$k")
-    }
-    // mixed MIH band columns (map-only): hash bit g lands in band
-    // (163g + 71) mod 256 div 32 at slot mod 32 — each band ORs
-    // its 32 pseudo-randomly assigned bits
-    def bitOf(g: Int) =
-      shiftright(col(s"w${g / 64}"), g % 64).bitwiseAND(lit(1L))
-    def permOf(g: Int) = (g * 163 + 71) % 256
-    val bandCols = (0 until 8).map { b =>
-      (0 until 256).filter(g => permOf(g) / 32 == b).map { g =>
-        shiftleft(bitOf(g), permOf(g) % 32)
-      }.reduce(_ bitwiseOR _).as(s"bv$b")
-    }
-    sig.select(
-      col("doc_id") +: col("resized") +: (wordCols ++ bandCols): _*)
+    //
+    // PRIMITIVE-LOOP KERNEL (round 20 — guide §1.2/§4: per-task work):
+    // the former expression form built ~800 nodes per row (4 words ×
+    // 64 comparison CASEs + 8 bands × 32 shift/ORs + a 256-element
+    // higher-order filter for the near-tie probes — the HOF is
+    // CodegenFallback, interpreted per element), the largest plan in
+    // the suite (the >600-field select behind the bench's
+    // maxToStringFields bump). One mapPartitions pass computes the
+    // identical integer arithmetic — same comparisons, same shifts,
+    // same mixing permutation, verified bit-for-bit by the unchanged
+    // DuckDB oracle — in a tight loop, and ALSO emits the adaptive
+    // multi-probe keys (b, bv-with-bit-flipped) that the old tieRows
+    // expression derived from `resized` downstream, so the cached
+    // fingerprint table no longer carries the resized signal at all.
+    //
+    // Twin guard semantics preserved: a source doc_id at or past the
+    // twin shift would alias a twin id and silently corrupt the
+    // probe's planted truth — fail loudly (require in the task, the
+    // kernel form of the old raise_error column).
+    import s.implicits._
+    val offsets = Array(1, 2, 4, 8)
+    rs.select(col("doc_id"), col("resized"))
+      .as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        it.flatMap { case (id0, r0) =>
+          require(id0 < TwinShift,
+            s"m06: source doc_id $id0 >= twin shift $TwinShift")
+          val twin = new Array[Int](r0.length)
+          var t = 0
+          while (t < r0.length) {
+            twin(t) = r0(t) + (if (t % 7 == 0) 1 else 0); t += 1
+          }
+          Iterator((id0, r0), (id0 + TwinShift, twin)).map {
+            case (id, arr) =>
+              // the old element_at((j + off) % 64 + 1) errored on a
+              // short array under ANSI; keep the same loudness
+              require(arr.length == 64,
+                s"m06: resized signal of doc $id has ${arr.length} " +
+                "buckets (eligibility guarantees 64)")
+              val w = new Array[Long](4)
+              var k = 0
+              while (k < 4) {
+                val off = offsets(k)
+                var word = 0L
+                var j = 0
+                while (j < 64) {
+                  if (arr(j) > arr((j + off) % 64)) word |= (1L << j)
+                  j += 1
+                }
+                w(k) = word
+                k += 1
+              }
+              // mixed MIH bands: hash bit g lands in band
+              // (163g + 71) mod 256 div 32 at slot mod 32
+              val bv = new Array[Long](8)
+              var g = 0
+              while (g < 256) {
+                val bit = (w(g / 64) >>> (g % 64)) & 1L
+                val p = (g * 163 + 71) % 256
+                bv(p / 32) |= bit << (p % 32)
+                g += 1
+              }
+              // adaptive multi-probe keys: for every near-tie
+              // comparison (diff in [1, 2]) the band value with that
+              // bit flipped — identical rule to the old tieRows expr
+              val probes =
+                scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+              g = 0
+              while (g < 256) {
+                val diff = arr(g % 64) - arr((g % 64 + offsets(g / 64)) % 64)
+                if (diff >= 1 && diff <= 2) {
+                  val p = (g * 163 + 71) % 256
+                  probes += ((p / 32, bv(p / 32) ^ (1L << (p % 32))))
+                }
+                g += 1
+              }
+              (id, w(0), w(1), w(2), w(3), bv(0), bv(1), bv(2), bv(3),
+                bv(4), bv(5), bv(6), bv(7), probes.toArray)
+          }
+        }
+      }
+      .toDF("doc_id", "w0", "w1", "w2", "w3", "bv0", "bv1", "bv2",
+        "bv3", "bv4", "bv5", "bv6", "bv7", "probes")
   }
 
   /** Number of exact MIH band keys whose multiplicity exceeds m06's
@@ -409,12 +457,12 @@ object MediaQueries {
         |      + CAST(bit_count(xor(fa.w2, fb.w2)) AS INT)
         |      + CAST(bit_count(xor(fa.w3, fb.w3)) AS INT) <= 15
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      // fingerprints + twins: see m06Fingerprints above. resized
-      // rides along for probe generation; the cache is released by
-      // the caller through PersistRegistry (and materialized eagerly
-      // there — three downstream branches scan fpr, and lazy
-      // materialization let their concurrent stages each recompute
-      // the fingerprint map: ~2.4 s of the round-10 stamped cost).
+      // fingerprints + twins: see m06Fingerprints above. The cache is
+      // released by the caller through PersistRegistry (and
+      // materialized eagerly there — three downstream branches scan
+      // fpr, and lazy materialization let their concurrent stages
+      // each recompute the fingerprint map: ~2.4 s of the round-10
+      // stamped cost).
       val fpr = graft.PersistRegistry.cached(m06Fingerprints(s, d))
       val bandArr = array((0 until 8).map(b => col(s"bv$b")): _*)
       // exact MIH keys, one row per (media, band)
@@ -429,20 +477,13 @@ object MediaQueries {
       // the cleared variant (bit set <=> diff >= 1; near-tie at the
       // contract's delta <=> diff <= 2) — the 0-side's exact key is
       // the match target. Measured on sf0.1 eligible media: ~24
-      // probe rows/doc (vs 8 exact keys), per-doc bounded.
+      // probe rows/doc (vs 8 exact keys), per-doc bounded. Probe
+      // keys come precomputed from the fingerprint kernel (one
+      // explode — the former 256-element interpreted HOF filter per
+      // row is gone).
       val tieRows = fpr
-        .select(col("doc_id"), bandArr.as("bvs"), explode(expr(
-          "filter(sequence(0, 255), g -> " +
-            "(element_at(resized, g % 64 + 1) - " +
-            "element_at(resized, (g % 64 + element_at(array(1, 2, 4, 8), " +
-            "CAST(g div 64 AS INT) + 1)) % 64 + 1)) BETWEEN 1 AND 2)"))
-          .as("g"))
-        .select(col("doc_id"),
-          expr("CAST(((g * 163 + 71) % 256) div 32 AS INT)").as("b"),
-          expr("element_at(bvs, " +
-            "CAST(((g * 163 + 71) % 256) div 32 AS INT) + 1) " +
-            "^ shiftleft(CAST(1 AS BIGINT), " +
-            "CAST(((g * 163 + 71) % 256) % 32 AS INT))").as("bv"))
+        .select(col("doc_id"), explode(col("probes")).as("p"))
+        .select(col("doc_id"), col("p._1").as("b"), col("p._2").as("bv"))
       val pr = eb.unionByName(tieRows)
       // hot-pattern cap on the EXACT side only (no lower bound: a
       // singleton exact key is a legitimate probe target) — total

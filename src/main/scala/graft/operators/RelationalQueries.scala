@@ -1495,12 +1495,23 @@ object RelationalQueries {
           .cast("int")
       val toks = Tables.documents(s, d)
         .select(explode(split(trim(col("text")), "\\s+")).as("t"))
-      val probe = toks.groupBy("t").agg(count(lit(1)).as("exact_n"))
+      // ONE tokenize pass + ONE map-side-combined count (round 20 —
+      // guide §2.3): the former shape tokenized the corpus twice and
+      // ran the 4 md5 bucket hashes per token OCCURRENCE; collapsing
+      // to (token, count) first runs them once per DISTINCT token and
+      // feeds the sketch through the weighted update, which is
+      // cell-for-cell identical (sums reassociate). The collapsed
+      // table is persisted because the probe and sketch branches both
+      // consume it.
+      val tokCounts = graft.PersistRegistry.cached(
+        toks.groupBy("t").agg(count(lit(1)).as("exact_n")))
+      val probe = tokCounts
         .orderBy(col("exact_n").desc, col("t")).limit(10)
-      val cms = udaf(new graft.functions.CmsAggregator(D, W))
-      val sketch = toks
-        .select(array((0 until D).map(i => bucket(col("t"), i)): _*).as("bs"))
-        .agg(cms(col("bs")).as("sk"))
+      val cms = udaf(new graft.functions.CmsWeightedAggregator(D, W))
+      val sketch = tokCounts
+        .select(array((0 until D).map(i => bucket(col("t"), i)): _*).as("bs"),
+          col("exact_n").as("n"))
+        .agg(cms(col("bs"), col("n")).as("sk"))
       probe.crossJoin(broadcast(sketch))
         .select(col("t").as("token"), col("exact_n"),
           least((0 until D).map(i =>

@@ -197,6 +197,28 @@ object SimilarityQueries {
         x => x.getField("q")).as("q"))
   }
 
+  /** (label, c: the cell's 64 exact integer component sums, cn: the
+    * centroid's norm² as double) — v03's integer-centroid rule in ONE
+    * map-side-combined hash aggregate (round 20 — guide §2.3/§2.4).
+    * The former shape, copied across v03/v05/v11/v12/v14, exploded
+    * the corpus 64× through two shuffles plus a collect_list/sort
+    * reassembly per label; `sum(element_at(r, j))` per literal j is
+    * the identical exact BIGINT sum, and the one exchange carries
+    * nlist rows of 64 longs. cn is the same 64-term Long
+    * sum-of-squares (overflow still throws under ANSI, as the old
+    * `aggregate` fold did) cast to double at the end. */
+  private def centDf(n: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sums = (1 to 64).map(j =>
+      sum(element_at(col("r"), lit(j))).as(s"c$j"))
+    n.groupBy(col("label"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("label"),
+        array((1 to 64).map(j => col(s"c$j")): _*).as("c"),
+        (1 to 64).map(j => col(s"c$j") * col(s"c$j"))
+          .reduce(_ + _).cast("double").as("cn"))
+  }
+
   /** The nprobe sweep levels for v14 — long to match DuckDB's
     * generate_series element type. */
   private def probeLevels(s: org.apache.spark.sql.SparkSession) = {
@@ -877,18 +899,9 @@ object SimilarityQueries {
       // DEFINES its result snapshot for the recall job (v06)
       StageSnapshots.define(s, d, "v03_ann_ivf_cell") {
         val n = quantized(s, d)
-        // integer centroid (component-wise sum) per cell, exact.
-        val cen = n.select(col("label"), col("r"),
-            explode(sequence(lit(1), lit(64))).as("j"))
-          .select(col("label"), col("j"),
-            element_at(col("r"), col("j")).as("rj"))
-          .groupBy("label", "j").agg(sum("rj").as("cj"))
-        val cent = cen.groupBy("label")
-          .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
-            x => x.getField("cj")).as("c"))
-          .withColumn("cn",
-            aggregate(transform(col("c"), x => x * x), lit(0L),
-              (acc, v) => acc + v).cast("double"))
+        // integer centroid (component-wise sum) per cell, exact —
+        // one-pass aggregate, see centDf
+        val cent = centDf(n)
         val q = n.filter(col("vec_id") < Q)
           .select(col("vec_id").as("query_id"), col("r").as("rq"),
             col("nn").as("nnq"))
@@ -970,17 +983,7 @@ object SimilarityQueries {
       // DEFINES its result snapshot for the recall job (v06)
       StageSnapshots.define(s, d, "v05_ann_ivf_multiprobe") {
         val n = quantized(s, d)
-        val cen = n.select(col("label"), col("r"),
-            explode(sequence(lit(1), lit(64))).as("j"))
-          .select(col("label"), col("j"),
-            element_at(col("r"), col("j")).as("rj"))
-          .groupBy("label", "j").agg(sum("rj").as("cj"))
-        val cent = cen.groupBy("label")
-          .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
-            x => x.getField("cj")).as("c"))
-          .withColumn("cn",
-            aggregate(transform(col("c"), x => x * x), lit(0L),
-              (acc, v) => acc + v).cast("double"))
+        val cent = centDf(n)
         val q = n.filter(col("vec_id") < Q)
           .select(col("vec_id").as("query_id"), col("r").as("rq"),
             col("nn").as("nnq"))
@@ -1026,17 +1029,7 @@ object SimilarityQueries {
       v12Sql) { (s, d) =>
       GraftExtensions.register(s)
       val n = quantized(s, d)
-      val cen = n.select(col("label"), col("r"),
-          explode(sequence(lit(1), lit(64))).as("j"))
-        .select(col("label"), col("j"),
-          element_at(col("r"), col("j")).as("rj"))
-        .groupBy("label", "j").agg(sum("rj").as("cj"))
-      val cent = cen.groupBy("label")
-        .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
-          x => x.getField("cj")).as("c"))
-        .withColumn("cn",
-          aggregate(transform(col("c"), x => x * x), lit(0L),
-            (acc, v) => acc + v).cast("double"))
+      val cent = centDf(n)
       val q = n.filter(col("vec_id") < Q)
         .select(col("vec_id").as("query_id"), col("r").as("rq"),
           col("nn").as("nnq"))
@@ -1343,17 +1336,7 @@ object SimilarityQueries {
       // coarse probe — v03's rule verbatim: cell "centroid" = exact
       // integer component-wise sum (direction of the mean), best cell
       // by cosine, ties to the smaller label
-      val cen = n.select(col("label"), col("r"),
-          explode(sequence(lit(1), lit(64))).as("j"))
-        .select(col("label"), col("j"),
-          element_at(col("r"), col("j")).as("rj"))
-        .groupBy("label", "j").agg(sum("rj").as("cj"))
-      val cent = cen.groupBy("label")
-        .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
-          x => x.getField("cj")).as("c"))
-        .withColumn("cn",
-          aggregate(transform(col("c"), x => x * x), lit(0L),
-            (acc, v) => acc + v).cast("double"))
+      val cent = centDf(n)
       val wProbe = Window.partitionBy("query_id").orderBy(
         (call_function("dot_long", col("rq"), col("c")).cast("double") /
           sqrt(col("nnq").cast("double") * col("cn"))).desc, col("label"))
@@ -1472,17 +1455,7 @@ object SimilarityQueries {
          |FROM h JOIN cnd USING (p) ORDER BY nprobe""".stripMargin) { (s, d) =>
       GraftExtensions.register(s)
       val n = quantized(s, d)
-      val cen = n.select(col("label"), col("r"),
-          explode(sequence(lit(1), lit(64))).as("j"))
-        .select(col("label"), col("j"),
-          element_at(col("r"), col("j")).as("rj"))
-        .groupBy("label", "j").agg(sum("rj").as("cj"))
-      val cent = cen.groupBy("label")
-        .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
-          x => x.getField("cj")).as("c"))
-        .withColumn("cn",
-          aggregate(transform(col("c"), x => x * x), lit(0L),
-            (acc, v) => acc + v).cast("double"))
+      val cent = centDf(n)
       val q = n.filter(col("vec_id") < Q)
         .select(col("vec_id").as("query_id"), col("r").as("rq"),
           col("nn").as("nnq"))
@@ -2703,15 +2676,19 @@ object SimilarityQueries {
   private[graft] def centroidTable(s: org.apache.spark.sql.SparkSession,
       n: org.apache.spark.sql.DataFrame): Array[(Long, Array[Long])] = {
     import s.implicits._
-    n.select(col("label"), col("r"),
-        explode(sequence(lit(1), lit(64))).as("j"))
-      .select(col("label"), col("j"),
-        element_at(col("r"), col("j")).as("rj"))
-      .groupBy("label", "j").agg(sum("rj").as("cj"))
-      .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
-        x => x.getField("cj")).as("c"))
-      .select(col("label").cast("long"), col("c"))
+    // ONE map-side-combined hash aggregate with 64 long sums (round
+    // 20 — guide §2.3/§2.4): the former shape exploded the corpus 64×
+    // and paid two shuffles (per-(label,j) partial sums, then a
+    // collect_list+sort reassembly per label). sum(element_at(r, j))
+    // per literal j is the identical integer sum — exact BIGINT
+    // arithmetic, order-independent — computed in one codegen'd
+    // aggregate whose exchange carries nlist rows of 64 longs.
+    val sums = (1 to 64).map(j =>
+      sum(element_at(col("r"), lit(j))).as(s"c$j"))
+    n.groupBy(col("label"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("label").cast("long"),
+        array((1 to 64).map(j => col(s"c$j")): _*).as("c"))
       .as[(Long, Array[Long])].collect()
   }
 
@@ -2869,9 +2846,18 @@ object SimilarityQueries {
     // directed 3-out graph strands greedy walks (measured 28%
     // recall@3 vs v03 before symmetrizing). A preSymmetrized caller
     // already stored exactly this union+distinct.
+    // the symmetrized graph is PERSISTED for the walk's duration
+    // (round 20 — guide §2.4): `g` is probed once per hop, and the
+    // lazy plan re-ran the union+distinct SHUFFLE on every hop (H-1
+    // redundant exchanges per search). cached() is idempotent by
+    // plan and tracked, so the harness releases it with the query's
+    // other intermediates; a preSymmetrized (serving) caller already
+    // reads its materialized snapshot and is untouched. eager=false:
+    // the first hop's probe fills it.
     val g = if (preSymmetrized) gd
-      else gd.unionByName(gd.select(col("neighbor_id").as("vec_id"),
-        col("vec_id").as("neighbor_id"))).distinct()
+      else graft.PersistRegistry.cached(
+        gd.unionByName(gd.select(col("neighbor_id").as("vec_id"),
+          col("vec_id").as("neighbor_id"))).distinct(), eager = false)
     // visited state: query -> node -> cosine. The walk is
     // BEST-FIRST WITH A CLOSED SET (round 11): each hop expands the
     // top-B visited nodes NOT yet expanded. Beaming over all

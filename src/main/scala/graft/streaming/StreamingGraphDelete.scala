@@ -45,7 +45,7 @@ import graft.warehouse.SnapshotTable
   * re-delivery skips even across an interleaved compact or fold — at
   * one control read, not an O(table age) scan (round 20).
   *
-  * Scale: per-epoch cost is one bounded distributed count plus one
+  * Scale: per-epoch cost is one LIMIT-bounded intake scan plus one
   * O(|batch|) append — flat in |E| by construction (measured flat in
   * StreamMaintenanceScale). Readers pay the prune+repair derivation,
   * bounded by the fold policy; the auto-fold below triggers the
@@ -91,12 +91,23 @@ object StreamingGraphDelete {
     if (SnapshotTable.newestLedgerId(delTab, "del:batch=")
         .exists(_ >= batchId))
       return
-    // distributed pre-check — bounded intake, no driver collect
-    val n = batch.limit(EpochCap + 1).count()
-    if (n == 0) return
-    require(n <= EpochCap,
+    // bounded intake in ONE job (round 20): the former shape scanned
+    // the batch three times — a pre-check count plus one distributed
+    // scan per append. A tombstone epoch is ≤ EpochCap single ids
+    // (32 KB at the cap), so collecting them once under the same
+    // LIMIT bound and appending the localized rows keeps the
+    // boundedness contract (the limit caps what can ever reach the
+    // driver) while cutting two full batch scans per epoch; the
+    // single-partition local relation also writes ONE data file per
+    // append instead of one per upstream partition.
+    val ids = batch.select("vec_id").limit(EpochCap + 1)
+      .as(org.apache.spark.sql.Encoders.LONG).collect()
+    if (ids.isEmpty) return
+    require(ids.length <= EpochCap,
       s"streaming delete epoch exceeds the $EpochCap-tombstone intake " +
       "budget — size maxFilesPerTrigger so each micro-batch fits")
+    val idsDf = spark.createDataset(ids.toSeq)(
+      org.apache.spark.sql.Encoders.LONG).toDF("vec_id")
     // the CUMULATIVE retired set first (never folded — the search
     // corpus filter; see LifecycleIndex.retiredTab), then the repair
     // delta whose ledger line certifies the whole epoch. A crash
@@ -106,10 +117,8 @@ object StreamingGraphDelete {
     val retTab = LifecycleIndex.retiredTab(indexDir)
     if (!SnapshotTable.newestLedgerId(retTab, "del:batch=")
         .exists(_ >= batchId))
-      SnapshotTable.append(spark, batch.select("vec_id"), retTab,
-        Some(ledgerLine))
-    SnapshotTable.append(spark, batch.select("vec_id"), delTab,
-      Some(ledgerLine))
+      SnapshotTable.append(spark, idsDf, retTab, Some(ledgerLine))
+    SnapshotTable.append(spark, idsDf, delTab, Some(ledgerLine))
     // AUTO-FOLD (round-13 verdict stretch): compact once the
     // cumulative tombstone set exceeds the read-cost bound. Running
     // it HERE makes the fold serial with every delete epoch by
@@ -117,8 +126,18 @@ object StreamingGraphDelete {
     // commits throw (LifecycleIndex concurrency note) — caught and
     // retried on the next delete epoch, with the epoch itself
     // already durably committed either way.
-    val cum = SnapshotTable.read(spark, delTab)
-      .select("vec_id").distinct().count()
+    // fold-trigger check without the every-epoch DISTINCT shuffle
+    // (round 20 — guide §2.4): the raw row count bounds the distinct
+    // count from above, so under the threshold (the steady state —
+    // folds are rare by design) one columnless scan decides; the
+    // exact distinct count is computed only when rows alone cross
+    // the threshold. Identical fold decisions: rows ≤ foldAt ⇒
+    // distinct ≤ foldAt ⇒ no fold, same as before.
+    val cumRows = SnapshotTable.read(spark, delTab).count()
+    val cum = if (cumRows > foldAt)
+      SnapshotTable.read(spark, delTab)
+        .select("vec_id").distinct().count()
+    else cumRows
     if (cum > foldAt) {
       try LifecycleIndex.foldTombstones(spark, d, indexDir)
       catch {

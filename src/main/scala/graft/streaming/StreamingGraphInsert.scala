@@ -119,6 +119,11 @@ object StreamingGraphInsert {
     // would silently diverge from v27's rule (fail loudly instead;
     // bootstrap() cures the index)
     LifecycleIndex.requireInsertCompatibleBase(indexDir)
+    // the pre-check count stays a SEPARATE job (a round-20 one-job
+    // merge was reverted): the spec-pinned contract is that an
+    // over-budget epoch fails BEFORE any row is quantized or
+    // materialized driver-side — a merged collect necessarily
+    // evaluates the quantize transform on the rows it scans.
     val n = batch.limit(EpochCap + 1).count()
     if (n == 0) return
     require(n <= EpochCap,
