@@ -14,6 +14,18 @@ object Bench {
       // string representation of a plan" WARN into the bench tail the
       // driver captures
       .config("spark.sql.debug.maxToStringFields", "2000")
+      // whole-stage-codegen compile cache (round 20 — guide §1.2
+      // per-task/per-query constant work): the default 100-entry
+      // cache thrashes under this suite's ~174 distinct queries ×
+      // several codegen units each, so every sweep recompiles every
+      // stage (janino compile is tens of ms per unit, off the data
+      // path but inside each query's wall). A long-lived production
+      // session serving a mixed query workload sizes this cache to
+      // its plan mix the same way; the entries are compiled classes,
+      // driver-memory-bounded, data-size-independent (env override:
+      // SPARK_GRAFT_CODEGEN_CACHE).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Opt-in cross-session snapshot reuse (OFF by default — the
@@ -83,6 +95,13 @@ object Bench {
         val s0 = shuffleBytes.get()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          // capture the time BEFORE the listener-drain sleep below
+          // (round-20 measurement-bug fix, declared in
+          // OPTIMIZATION_r20.md: the old order put the 300 ms sleep
+          // inside run 1's timed window — the best-of-2 min usually
+          // hid it, but any query whose run 2 was >0.3 s slower
+          // stamped an inflated number)
+          val dt = (System.nanoTime() - t0) / 1e9
           if (i == 1) {
             // listener events are async; give the bus a beat so the
             // volume lands in this query's window (approximate by
@@ -92,7 +111,7 @@ object Bench {
             Thread.sleep(300)
             shuffles(name) = (shuffleBytes.get() - s0) / 1e6
           }
-          Some((System.nanoTime() - t0) / 1e9)
+          Some(dt)
         } catch { case e: Throwable =>
           errors += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
