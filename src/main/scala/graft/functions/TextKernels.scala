@@ -264,6 +264,60 @@ object TextKernels {
       .toDF("doc_id", "n_grams", "n_repeated", "rep_ratio")
   }
 
+  /** d16's collapsed duplicate-gram table — one row per DISTINCT
+    * 8-token window (stride 1) per doc with >= 8 tokens: (gram
+    * fingerprint, doc_id, c = occurrences). Map-only kernel (round
+    * 20 — guide §1.2/§4.1): the old
+    * explode(transform(sequence, slice → hash struct)) chain was
+    * CodegenFallback — interpreted per window — and its
+    * groupBy(gram, doc_id) collapse paid a corpus-wide exchange
+    * whose partial-agg input was one row per WINDOW. A doc's windows
+    * all live in its single input row, so the kernel collapses them
+    * completely inside the scan and the widest exchange of the query
+    * disappears. The fingerprint (md5 of the space-joined window,
+    * read as two big-endian longs = 128 bits) is engine-INTERNAL:
+    * only per-doc counts reach d16's declared output (the oracle
+    * groups the real gram strings), so any deterministic
+    * injective-on-data hash preserves the result; collision odds
+    * ~ n²/2^129 at the 1e13 grams of a 100 TB corpus — same budget
+    * as the previous dual-seed xxhash64 pair. */
+  def gram8Counts(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.selectExpr("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w = tokenize(text)
+        if (w.length < 8) Iterator.empty
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val counts = new java.util.HashMap[(Long, Long), Long]()
+          val sb = new java.lang.StringBuilder
+          val n = w.length - 7
+          var i = 0
+          while (i < n) {
+            sb.setLength(0)
+            var j = i
+            while (j < i + 8) {
+              if (j > i) sb.append(' ')
+              sb.append(w(j)); j += 1
+            }
+            val dg = md.digest(
+              sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var h1 = 0L; var h2 = 0L
+            var b = 0
+            while (b < 8) { h1 = (h1 << 8) | (dg(b) & 0xffL); b += 1 }
+            while (b < 16) { h2 = (h2 << 8) | (dg(b) & 0xffL); b += 1 }
+            val k = (h1, h2)
+            counts.put(k, counts.getOrDefault(k, 0L) + 1L)
+            i += 1
+          }
+          import scala.jdk.CollectionConverters._
+          counts.entrySet().iterator().asScala
+            .map(e => (e.getKey, id, e.getValue))
+        }
+      }
+      .toDF("gram", "doc_id", "c")
+  }
+
   /** docs(doc_id, text) → (doc_id, s, sig: k minhashes). */
   def minhashSignatures(spark: SparkSession, docs: DataFrame,
       k: Int): DataFrame = {

@@ -1119,13 +1119,24 @@ object RelationalQueries {
         |        list_sort(list(CAST(l_quantity AS BIGINT))) AS q
         |      FROM lineitem GROUP BY 1)
         |ORDER BY okey""".stripMargin) { (s, d) =>
+      // Round 20 (guide §2.3, §1.2): every output is an
+      // order-independent scalar of the quantity MULTISET — list
+      // length = non-null count, fold of squares = sum of squares
+      // (addition reassociates; the fold's 0L seed = coalesce(_, 0)
+      // on an all-null group), filtered length = conditional count —
+      // so the sort_array(collect_list(...)) + interpreted HOF chain
+      // (CodegenFallback `aggregate`/`transform`/`filter`) collapses
+      // into ONE codegen'd hash aggregate with map-side partial
+      // aggregation: the exchange carries 3 longs per key instead of
+      // every quantity value. ANSI overflow still throws (sum over
+      // BIGINT ≡ the fold's Add).
+      val qq = col("l_quantity").cast("bigint")
       Tables.lineitem(s, d)
         .groupBy(col("l_orderkey").as("okey"))
-        .agg(sort_array(collect_list(col("l_quantity").cast("bigint"))).as("q"))
-        .select(col("okey"), size(col("q")).as("n_items"),
-          aggregate(transform(col("q"), x => x * x), lit(0L),
-            (a, b) => a + b).as("sumsq"),
-          size(filter(col("q"), _ > 25)).as("n_big"))
+        .agg(
+          count(qq).cast("int").as("n_items"),
+          coalesce(sum(qq * qq), lit(0L)).as("sumsq"),
+          count(when(qq > 25, lit(1))).cast("int").as("n_big"))
         .orderBy("okey")
     },
 

@@ -2870,6 +2870,72 @@ object SimilarityQueries {
     }
     var closed: Map[Long, Set[Long]] =
       probed.map { case (q, _) => q -> Set.empty[Long] }
+    // DRIVER-SIDE FETCH CACHES for the walk (round 20 — guide §1.2:
+    // the hop loop was H sequential actions, each a broadcast-build
+    // job plus a collect whose hash join SCANNED THE FULL CORPUS to
+    // attach neighbor vectors; at H≈10 that is ~20 jobs and 10
+    // corpus passes per search, the measured dominant term of warm
+    // serving latency). The restructure fetches the SAME rows
+    // through key-pruned scans and memoizes them for the walk's
+    // duration:
+    //  - edgeCache: src -> its full neighbor list from g (the exact
+    //    rows g.filter(vec_id = src) returns — a consume only ever
+    //    reads complete lists, never a truncated prefetch);
+    //  - vecCache/vecAbsent: node -> (r, nn) from n, or proven
+    //    absent (an edge to a corpus-absent node was dropped by the
+    //    old inner join; the consume below drops exactly those).
+    // Each hop then needs ONE job — new neighbors' vectors unioned
+    // with an edge PREFETCH for those same nodes (any of which may
+    // be in the next hop's beam; prefetching a superset never
+    // changes what a consume reads) — and the beam's own edge fetch
+    // is a cache hit from hop 2 on. The walk's state evolution
+    // (beams, closed set, cosines, hub guard) is byte-identical to
+    // the joined form, so the knob-generated oracle chain and every
+    // caller's declared result are unchanged.
+    val edgeCache = scala.collection.mutable.HashMap.empty[Long, Array[Long]]
+    val vecCache =
+      scala.collection.mutable.HashMap.empty[Long, (Array[Long], Long)]
+    val vecAbsent = scala.collection.mutable.HashSet.empty[Long]
+    seeds.foreach { case (_, node, rc, nnc) => vecCache(node) = (rc, nnc) }
+    // prefetch gate: edge lists are hub-bounded only at consume time,
+    // so cap the PREFETCH fan-out (sources per job) to bound the
+    // driver at ≤ cap·512 two-long rows; an over-cap frontier just
+    // skips the prefetch and the next hop's beam fetches exactly its
+    // own edges (identical consume, one extra pruned-scan job)
+    val prefetchCap = 2048
+    def fetchEdges(srcs: Set[Long]): Unit = if (srcs.nonEmpty) {
+      val pairs = g.filter(col("vec_id").isInCollection(srcs))
+        .select(col("vec_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect()
+      val bySrc = pairs.groupBy(_._1)
+      srcs.foreach(sr =>
+        edgeCache(sr) = bySrc.get(sr).map(_.map(_._2)).getOrElse(Array.empty))
+    }
+    // one job per hop: vectors this hop must score (required) + the
+    // discovered nodes' edge lists (prefetch) — both sides key-pruned
+    // scans of already-materialized tables, no join, no broadcast
+    def fetchVecsAndEdges(vecIds: Set[Long], edgeSrcs: Set[Long]): Unit = {
+      if (vecIds.isEmpty) { fetchEdges(edgeSrcs); return }
+      val vPart = n.filter(col("vec_id").isInCollection(vecIds))
+        .select(col("vec_id"), col("r"), col("nn"),
+          lit(null).cast("bigint").as("nbr"))
+      val df = if (edgeSrcs.isEmpty) vPart
+        else vPart.unionByName(
+          g.filter(col("vec_id").isInCollection(edgeSrcs))
+            .select(col("vec_id"), lit(null).cast("array<bigint>").as("r"),
+              lit(null).cast("bigint").as("nn"),
+              col("neighbor_id").as("nbr")))
+      val rows =
+        df.as[(Long, Option[Array[Long]], Option[Long], Option[Long])]
+          .collect()
+      val (eRows, vRows) = rows.partition(_._4.isDefined)
+      vRows.foreach(r => vecCache(r._1) = (r._2.get, r._3.get))
+      vecIds.foreach(i => if (!vecCache.contains(i)) vecAbsent += i)
+      val bySrc = eRows.groupBy(_._1)
+      edgeSrcs.foreach(sr =>
+        edgeCache(sr) =
+          bySrc.get(sr).map(_.map(_._4.get)).getOrElse(Array.empty))
+    }
     for (_ <- 1 to vH) {
       val beams: Map[Long, Seq[Long]] = visited.map { case (q, m) =>
         q -> m.toSeq.filterNot { case (node, _) => closed(q)(node) }
@@ -2878,26 +2944,29 @@ object SimilarityQueries {
       }
       val beamNodes = beams.values.flatten.toSet
       if (beamNodes.nonEmpty) {
-        // ONE distributed probe per hop: beam nodes' edges joined
-        // with the neighbors' vectors, both sides filter-pushed. The
-        // edge side carries an EXPLICIT broadcast hint: it is
-        // require()-bounded below to beam·512 rows of two longs (KBs
-        // — always broadcastable), but Catalyst only sees the scan's
-        // InSet-filtered size ESTIMATE, which scales with the number
-        // of IN literals — at v26's tripled beam the estimate crossed
-        // autoBroadcastJoinThreshold and the planner flipped this
-        // join to shuffle the CORPUS side every hop (measured: v26's
-        // 100× wall 94 s vs v20's 5.5 s at identical shuffle-visible
-        // work). The hint pins the plan to what the bound guarantees.
-        val ed = broadcast(g.filter(col("vec_id").isInCollection(beamNodes)))
-          .join(n.select(col("vec_id").as("neighbor_id"),
-            col("r"), col("nn")), Seq("neighbor_id"))
-          .select(col("vec_id"), col("neighbor_id"), col("r"), col("nn"))
-          .as[(Long, Long, Array[Long], Long)].collect()
+        // beam edges: cache hit except hop 1 (seed edges) and any
+        // node whose discovery hop skipped the gated prefetch
+        fetchEdges(beamNodes.filterNot(edgeCache.contains))
+        val nbrs = beamNodes.iterator.flatMap(edgeCache(_)).toSet
+        val needVecs =
+          nbrs.filterNot(i => vecCache.contains(i) || vecAbsent.contains(i))
+        val prefSrcs0 = nbrs.filterNot(edgeCache.contains)
+        val prefSrcs =
+          if (prefSrcs0.size <= prefetchCap) prefSrcs0
+          else Set.empty[Long]
+        fetchVecsAndEdges(needVecs, prefSrcs)
+        // the surviving edge rows are exactly the old join's output:
+        // (src ∈ beams) × its g-neighbors whose vector exists in n
+        val ed = beamNodes.iterator.flatMap { bn =>
+          edgeCache(bn).iterator.flatMap(nb =>
+            vecCache.get(nb).map { case (rc, nnc) => (bn, nb, rc, nnc) })
+        }.toArray
         // out-degree is <= 2k symmetric, but a reverse edge adds the
         // ORIGINAL graph's in-degree — unbounded only for
         // pathological hubs; guard loudly rather than truncate
-        // (truncation would silently diverge from the oracle's walk)
+        // (truncation would silently diverge from the oracle's walk).
+        // Same quantity as the joined form counted: corpus-surviving
+        // edges of this hop's beam.
         require(ed.length <= beamNodes.size * 512,
           "graph hub exceeded the per-hop edge bound")
         val bySrc = ed.groupBy(_._1)
