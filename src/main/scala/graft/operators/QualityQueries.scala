@@ -63,6 +63,15 @@ object QualityQueries {
     // which on a healthy corpus are ~none — it shrinks nothing
     // precisely when the audit passes; the key-level pre-aggregation
     // shrinks always.
+    // Round 21: a one-scan form (groupBy over ALL FKs incl. the null
+    // group, n_child = sum of group counts, both branches sharing the
+    // exchange) was tried and MEASURED WORSE in the plan: Catalyst
+    // pushes the anti join below the aggregate (PushDownLeftSemiAnti-
+    // Join), so the two branches' subtrees differ and ReuseExchange
+    // cannot merge them — the rewrite just added a full groupBy-fk
+    // exchange on the count leg where the current form pays a
+    // columnless count scan (plans/r21/a02_dq_referential_before.txt
+    // vs the rejected variant). Left as is.
     val childKeys = child.filter(col(fk).isNotNull)
       .groupBy(col(fk)).agg(count(lit(1)).as("c"))
     val orphans = childKeys
@@ -76,10 +85,15 @@ object QualityQueries {
 
   private def uniq(name: String, df: DataFrame,
       keys: Seq[String]): DataFrame = {
+    // Round 21 (guide §1.2 — one pass, not two): n_rows derives from
+    // the SAME per-key aggregate as n_keys/max_mult (sum of group
+    // counts ≡ count(*) — exact), so each audited table is scanned
+    // once instead of twice. coalesce keeps the 0-row-corpus row
+    // identical to the old crossJoin form (sum over no groups is
+    // NULL where count(*) was 0).
     val perKey = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
-    df.agg(count(lit(1)).as("n_rows"))
-      .crossJoin(perKey.agg(count(lit(1)).as("n_keys"),
-        max(col("c")).as("max_mult")))
+    perKey.agg(coalesce(sum("c"), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_keys"), max(col("c")).as("max_mult"))
       .select(lit(name).as("table_name"), col("n_rows"), col("n_keys"),
         (col("n_rows") - col("n_keys")).as("n_dup_rows"), col("max_mult"))
   }

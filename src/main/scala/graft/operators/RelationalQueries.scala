@@ -1030,8 +1030,21 @@ object RelationalQueries {
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
       val rev = (col("l_extendedprice").cast("decimal(18,4)") *
         (lit(1) - col("l_discount").cast("decimal(18,4)")))
-      Tables.lineitem(s, d)
+      // Round 21 (guide §2.3 — aggregate before you shuffle): the
+      // R-filtered lineitems collapse to one (l_orderkey, partial
+      // revenue) row per order BEFORE the join chain. The partial agg
+      // rides the exact exchange the l_orderkey equi-join needed
+      // anyway (§2.4 — no extra shuffle), and every downstream
+      // exchange (o_custkey, the final group) now carries order-grain
+      // rows instead of lineitem-grain ones. Equivalent on ANY input:
+      // decimal addition reassociates exactly, and join multiplicity
+      // is unchanged (the per-order row duplicates exactly where the
+      // raw lineitem rows would have).
+      val perOrder = Tables.lineitem(s, d)
         .filter(col("l_returnflag") === "R")
+        .groupBy("l_orderkey")
+        .agg(sum(rev).as("rev"))
+      perOrder
         .join(Tables.orders(s, d),
           col("l_orderkey") === col("o_orderkey"))
         .join(Tables.customer(s, d),
@@ -1039,7 +1052,7 @@ object RelationalQueries {
         .join(broadcast(Tables.nation(s, d)),
           col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(round(sum(rev).cast("double"), 2).as("revenue"))
+        .agg(round(sum(col("rev")).cast("double"), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     },
@@ -1104,11 +1117,19 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     },
 
-    // Array higher-order functions (transform / filter / aggregate)
-    // over grouped lists — the lambda-expression surface. NB these are
-    // CodegenFallback in Spark 4 (interpreted per element): fine on
-    // per-group arrays like here, but hot full-corpus loops belong in
-    // kernels or native expressions (see TextKernels / dot_long).
+    // Multiset scalars of grouped quantity lists. The DECLARED form
+    // (the oracle SQL below) exercises the array higher-order-function
+    // surface (sort + transform/reduce/filter over grouped lists); the
+    // Spark side computes the identical values as one codegen'd hash
+    // aggregate (round 20 — every output is order-independent, so the
+    // sorted-list+fold form collapses; see the body comment). The
+    // lambda-expression surface itself stays load-bearing — and
+    // oracle-covered — in the engine's array internals (d02's band
+    // pair-expansion, d11's transform-over-collect_list); HOFs are
+    // CodegenFallback in Spark 4 (interpreted per element), which is
+    // exactly why hot full-corpus loops belong in kernels or native
+    // expressions (TextKernels / dot_long) while per-group arrays
+    // tolerate them.
     QueryDef(
       "q46_array_hof",
       """SELECT okey, CAST(len(q) AS INT) AS n_items,

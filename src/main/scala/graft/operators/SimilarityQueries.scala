@@ -1474,10 +1474,16 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"), col("rn"),
           cosine(call_function("dot_long", col("rq"), col("rc")),
             col("nnq"), col("nnc")).as("cos_sim"))
-      val lev = cand
+      // PERSISTED (round 21 — §1.2): `lev` feeds BOTH the per-level
+      // top-3 window and the per-level candidate counts; as a lazy
+      // plan each branch re-ran the probe (corpus scan + centroid
+      // window) and the in-cell candidate join. Bounded
+      // O(Q·nprobe·|cell|) rows — the recall job's working set, never
+      // the corpus; tracked, harness-released.
+      val lev = graft.PersistRegistry.cached(cand
         .join(broadcast(probeLevels(s)), col("rn") <= col("p"))
         .select(col("p"), col("query_id"), col("neighbor_id"),
-          col("cos_sim"))
+          col("cos_sim")))
       val wTop = Window.partitionBy("query_id", "p")
         .orderBy(col("cos_sim").desc, col("neighbor_id"))
       val top = lev.withColumn("rank", row_number().over(wTop))
@@ -2228,39 +2234,62 @@ object SimilarityQueries {
     * is a global rule over the whole delete set, so it must be
     * recomputed against the cumulative set, never unioned
     * per-wave). All joins below are keyed and distributed; nothing
-    * collects. */
+    * collects.
+    *
+    * Round 21 (guide §1.2 — stop re-running shared subtrees): the
+    * graph was consumed FOUR times (prune, both inc directions, the
+    * existing-edge base), the delete set FIVE times (for v23/v27 each
+    * evaluation re-ran the quantize kernel over the corpus), and
+    * `inc` THREE times (both self-join legs + srcs — each paying its
+    * distinct shuffle and two graph joins again). Each is now
+    * persisted once via `cache` (default: PersistRegistry.cached,
+    * released by the harness per query; the serving/fold paths pass
+    * their own collector and unpersist right after their action so a
+    * long-lived process never leaks). The repair's vector lookups
+    * read ONE corpus pass narrowed to the repair-source set instead
+    * of two full corpus joins. Same rows everywhere — persist and
+    * semi-narrowing change evaluation count, never content. */
   private[graft] def deleteRepairCore(
       s: org.apache.spark.sql.SparkSession,
       gd: org.apache.spark.sql.DataFrame,
-      del: org.apache.spark.sql.DataFrame,
-      vecs: org.apache.spark.sql.DataFrame)
+      delIn: org.apache.spark.sql.DataFrame,
+      vecs: org.apache.spark.sql.DataFrame,
+      cache: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        df => graft.PersistRegistry.cached(df))
       : org.apache.spark.sql.DataFrame = {
     GraftExtensions.register(s)
+    val gdc = cache(gd.select("vec_id", "neighbor_id"))
+    val del = cache(delIn)
     // pruned: both endpoints survive
-    val pruned = gd
+    val pruned = gdc
       .join(del.withColumnRenamed("del_id", "vec_id"), Seq("vec_id"),
         "left_anti")
       .join(del.withColumnRenamed("del_id", "neighbor_id"),
         Seq("neighbor_id"), "left_anti")
       .select("vec_id", "neighbor_id")
     // each deleted node's SURVIVING neighbors, over both directions
-    val inc = gd.join(del.withColumnRenamed("del_id", "vec_id"),
+    val inc = cache(gdc.join(del.withColumnRenamed("del_id", "vec_id"),
         Seq("vec_id"))
       .select(col("vec_id").as("del_id"), col("neighbor_id").as("node"))
       .unionByName(
-        gd.join(del.withColumnRenamed("del_id", "neighbor_id"),
+        gdc.join(del.withColumnRenamed("del_id", "neighbor_id"),
             Seq("neighbor_id"))
           .select(col("neighbor_id").as("del_id"),
             col("vec_id").as("node")))
       .join(del.withColumnRenamed("del_id", "node"), Seq("node"),
         "left_anti")
-      .distinct()
+      .distinct())
+    val srcs = inc.select(col("node").as("vec_id")).distinct()
     // repair candidates: ordered survivor pairs sharing a deleted
-    // neighbor, ranked per source by true cosine
-    val n = vecs
-    val a = n.select(col("vec_id").as("u"), col("r").as("ru"),
+    // neighbor, ranked per source by true cosine. Vector lookups go
+    // through ONE corpus pass narrowed map-side to the repair-source
+    // set (srcs ⊇ every u and w below, so the semi filter drops no
+    // join match), then both join legs read the persisted narrow set.
+    val nodeVecs = cache(vecs.join(broadcast(srcs), Seq("vec_id"),
+      "left_semi").select("vec_id", "r", "nn"))
+    val a = nodeVecs.select(col("vec_id").as("u"), col("r").as("ru"),
       col("nn").as("nnu"))
-    val b = n.select(col("vec_id").as("w"), col("r").as("rw"),
+    val b = nodeVecs.select(col("vec_id").as("w"), col("r").as("rw"),
       col("nn").as("nnw"))
     val wnd = Window.partitionBy("u")
       .orderBy(col("cos_sim").desc, col("w"))
@@ -2287,8 +2316,7 @@ object SimilarityQueries {
     // broadcast semi join on the repair-source set (O(|D|·deg) ids,
     // bounded by the fold policy) before the anti join, so the read
     // path shuffles repair-neighborhood edges only, never O(|E|).
-    val srcs = inc.select(col("node").as("vec_id")).distinct()
-    val existing = gd.join(broadcast(srcs), Seq("vec_id"), "left_semi")
+    val existing = gdc.join(broadcast(srcs), Seq("vec_id"), "left_semi")
     val freshRepairs = repairs.join(existing,
       Seq("vec_id", "neighbor_id"), "left_anti")
     pruned.unionByName(freshRepairs)
@@ -2623,7 +2651,22 @@ object SimilarityQueries {
       d: String): org.apache.spark.sql.DataFrame = {
     val del = quantized(s, d).filter(v23DeleteFilter)
       .select(col("vec_id").as("del_id"))
-    deleteRepairCore(s, insertAugmentedGraph(s, d), del, quantized(s, d))
+    // Round 21 (guide §1.2, the d13 snapshot-sharing precedent): the
+    // insert-augmented graph IS v22's "knn-graph-plus" table —
+    // re-deriving it here re-ran the entire v21 insert walk (a
+    // centroid aggregate + H driver-coordinated hops) inside every
+    // v27 run. Consume the committed snapshot compute-if-absent
+    // instead: in a session where v22 (the DEFINING query, always
+    // recompute + rewrite, full cost on its own bench number) has
+    // run, v27 pays only its incremental work — the delete repair
+    // and its own search; an isolated v27 still computes everything
+    // itself. insertAugmentedGraph is deterministic, so adopt vs
+    // recompute is row-identical and the composed oracle is
+    // unchanged.
+    val aug = StageSnapshots.snapshot(s, d, "knn-graph-plus")(
+      insertAugmentedGraph(s, d))
+      .select(col("vec_id"), col("neighbor_id"))
+    deleteRepairCore(s, aug, del, quantized(s, d))
   }
 
   /** Coordinator-side closed-set beam walk, shared by v20 (search:
@@ -2907,6 +2950,14 @@ object SimilarityQueries {
       val pairs = g.filter(col("vec_id").isInCollection(srcs))
         .select(col("vec_id"), col("neighbor_id"))
         .as[(Long, Long)].collect()
+      // fail-loud row bound AT THE FETCH (round-20 advice): the
+      // consume-time hub guard below counts only corpus-surviving
+      // edges of beam nodes, so edges that were merely fetched (or
+      // prefetched) used to reach the driver unguarded — the same
+      // cap·512 budget here makes a pathological hub loud at the
+      // first collect that touches it instead of silently resident
+      require(pairs.length <= srcs.size * 512,
+        "graph hub exceeded the per-fetch edge bound")
       val bySrc = pairs.groupBy(_._1)
       srcs.foreach(sr =>
         edgeCache(sr) = bySrc.get(sr).map(_.map(_._2)).getOrElse(Array.empty))
@@ -2929,6 +2980,13 @@ object SimilarityQueries {
         df.as[(Long, Option[Array[Long]], Option[Long], Option[Long])]
           .collect()
       val (eRows, vRows) = rows.partition(_._4.isDefined)
+      // same fetch-time budget as fetchEdges (round-20 advice): the
+      // prefetch leg's sources are degree-unbounded until now — a hub
+      // among them was collected in full, silently, and the
+      // consume-time guard never saw it (prefetch-only edges feed a
+      // LATER hop's cache hit)
+      require(eRows.length <= math.max(edgeSrcs.size, 1) * 512,
+        "graph hub exceeded the per-fetch edge bound (prefetch)")
       vRows.foreach(r => vecCache(r._1) = (r._2.get, r._3.get))
       vecIds.foreach(i => if (!vecCache.contains(i)) vecAbsent += i)
       val bySrc = eRows.groupBy(_._1)
@@ -2950,7 +3008,16 @@ object SimilarityQueries {
         val nbrs = beamNodes.iterator.flatMap(edgeCache(_)).toSet
         val needVecs =
           nbrs.filterNot(i => vecCache.contains(i) || vecAbsent.contains(i))
-        val prefSrcs0 = nbrs.filterNot(edgeCache.contains)
+        // exclude nodes already PROVEN corpus-absent (round-20 advice
+        // low 4): an absent neighbor never enters visited, so no
+        // future beam can consume its edge list — prefetching it
+        // wastes the fetch and inflates prefSrcs0.size against the
+        // cap, which could spuriously skip the prefetch for useful
+        // nodes. (This hop's newly-absent nodes are only discovered
+        // inside the fused fetch below — they are excluded from the
+        // NEXT hop's prefetch by this same filter.)
+        val prefSrcs0 = nbrs.filterNot(i =>
+          edgeCache.contains(i) || vecAbsent.contains(i))
         val prefSrcs =
           if (prefSrcs0.size <= prefetchCap) prefSrcs0
           else Set.empty[Long]

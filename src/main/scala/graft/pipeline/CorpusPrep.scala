@@ -49,9 +49,20 @@ object CorpusPrep {
       .filter(col("__rn") === 1).drop("__rn")
 
     // 3. split
-    val withSplit = deduped.withColumn("split",
-      when(bucket(col("doc_id")) < 80, "train")
-        .when(bucket(col("doc_id")) < 90, "val").otherwise("test"))
+    // PERSISTED (round 21 — guide §1.2/§5): the gate→dedup→split
+    // subtree feeds THREE branches of the one output plan (the test
+    // grams, the train grams, and the anti-joined train split
+    // itself), and as a lazy plan each branch re-ran the full scan
+    // plus the dedup window's corpus-wide shuffle — the pipeline's
+    // most expensive stage, paid 3×. One tracked cache fill (eager:
+    // the branches' stages run concurrently and would race the
+    // unfilled cache — the measured round-12 rule) makes it one
+    // pass; harnesses release it with the query's other
+    // intermediates via PersistRegistry.
+    val withSplit = graft.PersistRegistry.cached(
+      deduped.withColumn("split",
+        when(bucket(col("doc_id")) < 80, "train")
+          .when(bucket(col("doc_id")) < 90, "val").otherwise("test")))
 
     // 4. decontamination: 32-char grams at stride 16 (any shared run
     // >= 47 chars produces an aligned-equal gram); LEFT ANTI join

@@ -372,19 +372,46 @@ object LifecycleIndex {
 
   /** [[maintainedEdges]] with every table read PINNED to a version —
     * the serving path and the fold derive from a consistent snapshot
-    * of the index regardless of concurrent epoch commits. */
+    * of the index regardless of concurrent epoch commits.
+    *
+    * `cache` is the repair rule's persist hook (round 21 — see
+    * deleteRepairCore): the default routes through PersistRegistry
+    * (harness-released, right for the public read-resolve verbs);
+    * the serving materialize and the fold pass a COLLECTOR and
+    * unpersist right after their own action, so a long-lived
+    * process's state changes never leak tracked cache blocks. */
   private def maintainedAt(spark: SparkSession, d: String,
       indexDir: String, vB: Option[Int], vI: Option[Int],
-      vD: Option[Int]): DataFrame = {
+      vD: Option[Int],
+      cache: DataFrame => DataFrame =
+        df => graft.PersistRegistry.cached(df)): DataFrame = {
     val cut = foldCutAt(indexDir, vB)
     maintainedFrom(spark, d, baseEdgesAt(spark, d, indexDir, vB, vI),
       insertEdgesAt(spark, indexDir, vI, cut),
-      tombstonesAt(spark, indexDir, vD, cut))
+      tombstonesAt(spark, indexDir, vD, cut), cache)
+  }
+
+  /** A deleteRepairCore persist hook that records what it persisted
+    * into `buf` (eagerly filled — the branches race an unfilled
+    * cache, the measured round-12 rule) for the caller to unpersist
+    * after its consuming action. */
+  private def collectingCache(
+      buf: scala.collection.mutable.Buffer[DataFrame])
+      : DataFrame => DataFrame = df => {
+    if (df.storageLevel ==
+        org.apache.spark.storage.StorageLevel.NONE) {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      buf += df
+      df.count()
+    }
+    df
   }
 
   private def maintainedFrom(spark: SparkSession, d: String,
       base: DataFrame, ins: Option[DataFrame],
-      del: Option[DataFrame]): DataFrame = {
+      del: Option[DataFrame],
+      cache: DataFrame => DataFrame =
+        df => graft.PersistRegistry.cached(df)): DataFrame = {
     val live = ins.map(base.unionByName(_)).getOrElse(base)
     del match {
       case None => live
@@ -398,7 +425,7 @@ object LifecycleIndex {
       case Some(dl) if dl.isEmpty => live
       case Some(dl) =>
         SimilarityQueries.deleteRepairCore(spark, live, dl,
-          graft.operators.DedupQueries.quantized(spark, d))
+          graft.operators.DedupQueries.quantized(spark, d), cache)
     }
   }
 
@@ -1317,8 +1344,11 @@ object LifecycleIndex {
           .select(col("vec_id"), col("neighbor_id"))
         val oldTouched = prevServing
           .join(broadcast(touched), Seq("vec_id"), "left_semi")
+        // sorted like the full path's write (§6): the walk's per-hop
+        // pushed filter prunes row groups in these appended files too
         val newRows = deltaSym.join(oldTouched,
           Seq("vec_id", "neighbor_id"), "left_anti")
+          .sortWithinPartitions("vec_id")
         // appendFromKnown: the parent file list is already in hand —
         // the stale-parent contract moves to the pinned CAS itself
         // (claim collision / vacated-slot / pinned-stale checks), so
@@ -1406,11 +1436,30 @@ object LifecycleIndex {
               SnapshotTable.dataFiles(edgesTab(indexDir), v))
             catch { case _: java.nio.file.NoSuchFileException => "" }
           }.getOrElse("")
-          val m = maintainedAt(spark, d, indexDir, vB, vI, vD)
-          val (fv, fvFiles) = SnapshotTable.overwriteReturning(spark,
-            m.unionByName(m.select(col("neighbor_id").as("vec_id"),
-              col("vec_id").as("neighbor_id"))).distinct(), sTab,
-            Some(fullMeta))
+          // repair-rule persists are collected and dropped right
+          // after the overwrite consumes them (round 21): the
+          // harness-released default would leak tracked corpus-sized
+          // blocks in a long-lived serving process, which never
+          // calls PersistRegistry.release
+          val repairCaches =
+            scala.collection.mutable.Buffer.empty[DataFrame]
+          val m = maintainedAt(spark, d, indexDir, vB, vI, vD,
+            collectingCache(repairCaches))
+          // sortWithinPartitions(vec_id) before the write (round 21 —
+          // guide §6): the walk probes this table by beam-node keys
+          // EVERY HOP of every search; the distinct's hash
+          // partitioning scatters vec_ids uniformly, so unsorted row
+          // groups have full-range min/max and the hop's pushed
+          // filter prunes nothing. Sorted row groups make the
+          // per-hop scan read only matching groups. Row SET
+          // unchanged — order inside an unordered table is free.
+          val (fv, fvFiles) =
+            try SnapshotTable.overwriteReturning(spark,
+              m.unionByName(m.select(col("neighbor_id").as("vec_id"),
+                col("vec_id").as("neighbor_id"))).distinct()
+                .sortWithinPartitions("vec_id"), sTab,
+              Some(fullMeta))
+            finally repairCaches.foreach(_.unpersist(false))
           heldManifests(fv) = fvFiles
           (fv, fvFiles)
       }
@@ -1641,9 +1690,12 @@ object LifecycleIndex {
     // subtracted (maintainedAt) — under a half-folded base this is
     // exactly the un-folded remainder; under a healthy base the
     // subtraction is a content no-op
-    val maintained =
-      maintainedAt(spark, d, indexDir, vBase, vIns, vDel).distinct()
-    SnapshotTable.overwriteFrom(spark, maintained, bTab, vBase, through)
+    val foldCaches = scala.collection.mutable.Buffer.empty[DataFrame]
+    val maintained = maintainedAt(spark, d, indexDir, vBase, vIns, vDel,
+      collectingCache(foldCaches)).distinct()
+    try SnapshotTable.overwriteFrom(spark, maintained, bTab, vBase,
+      through)
+    finally foldCaches.foreach(_.unpersist(false))
     restartDeltas()
     compactRetired(spark, indexDir)
     ()

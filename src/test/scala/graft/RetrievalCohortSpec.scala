@@ -231,12 +231,13 @@ class RetrievalCohortSpec extends AnyFunSuite {
     assert(!p15.contains("SortMergeJoin"),
       s"v15's stats row regressed to a data-sized join:\n$p15")
     PersistRegistry.release()
-    // d16 (round 12): the exploded gram table exists only inside one
-    // exchange — the distinct-doc count is a window over the
-    // collapsed (gram, doc_id) aggregate, so the plan explodes the
-    // corpus EXACTLY ONCE and needs no persist at all (the round-11
-    // cached form paid a full materialization pass over the suite's
-    // largest intermediate)
+    // d16 (round 21 — tightened from round 12's "explodes exactly
+    // once"): the per-doc gram windows collapse INSIDE the scan
+    // (TextKernels.gram8Counts, a MapPartitions kernel), so the plan
+    // now explodes the corpus ZERO times — no Generate at all — and
+    // still needs no persist (single lineage; the round-11 cached
+    // form paid a full materialization pass over the suite's largest
+    // intermediate)
     val d16 = SparkEntry.queries("d16_substring_dedup")(spark, sf)
     d16.collect()
     // AQE's toString prints BOTH the final and the initial plan —
@@ -244,8 +245,11 @@ class RetrievalCohortSpec extends AnyFunSuite {
     val p16 = d16.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
     val explodes = "Generate explode".r.findAllIn(p16).length
-    assert(explodes === 1,
-      s"d16 must explode the corpus exactly once ($explodes):\n$p16")
+    assert(explodes === 0,
+      s"d16 must not explode the corpus — the gram windows collapse " +
+      s"in the kernel ($explodes):\n$p16")
+    assert(p16.contains("MapPartitions"),
+      s"d16 lost its gram-count kernel:\n$p16")
     assert(!p16.contains("InMemoryTableScan"),
       s"d16 needs no cache — single lineage:\n$p16")
     PersistRegistry.release()
