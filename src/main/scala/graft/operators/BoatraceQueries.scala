@@ -54,6 +54,29 @@ object BoatraceQueries {
     }
   }
 
+  /** The typed denormalized race table, shared through a pipeline-
+    * stage snapshot (round 21 — guide §1.2, the d02→d08/d10 and
+    * d04/d07→d13 precedent): FIVE queries (race_table, player_stats,
+    * player_form, lane_bias, betting_sim) each re-ran the same
+    * env⋈result⋈schedule join over the parsed corpus.
+    * boatrace_race_table is the DEFINING query (always recompute +
+    * rewrite — its bench number keeps the full parse+join cost); the
+    * others consume compute-if-absent, so their numbers are the
+    * aggregation/window work they actually add. The ScaleCheck
+    * boatraceBaseDir override bypasses the snapshot entirely: its
+    * data varies under one session key, and the scale harness must
+    * time the real recompute. */
+  private def race(s: SparkSession, define: Boolean = false): DataFrame = {
+    def build() = {
+      val (env, result, _, schedule) = tables(s)
+      BoatracePipeline.typedRace(
+        BoatracePipeline.raceTable(env, result, schedule))
+    }
+    if (s.conf.get("spark.graft.boatraceBaseDir", "").nonEmpty) build()
+    else if (define) StageSnapshots.define(s, txtDir, "boatrace-race")(build())
+    else StageSnapshots.snapshot(s, txtDir, "boatrace-race")(build())
+  }
+
   /** Write the string-typed parsed base tables for the DuckDB oracle
     * to join/aggregate over (called by Verify; see class doc). The
     * dump is the direct flatMap output — the joins/aggs under test are
@@ -96,10 +119,13 @@ object BoatraceQueries {
     * (QualityQueries.uniq), over a parsed boatrace base table. */
   private def uniqB(name: String, df: DataFrame,
       keys: Seq[String]): DataFrame = {
+    // Round 21 (guide §1.2, same one-pass rewrite as a04's uniq):
+    // n_rows = sum of per-key counts ≡ count(*) — exact — so each
+    // audited table pays ONE extraction pass over the parsed corpus
+    // instead of two; coalesce keeps the 0-row case identical.
     val perKey = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
-    df.agg(count(lit(1)).as("n_rows"))
-      .crossJoin(perKey.agg(count(lit(1)).as("n_keys"),
-        max(col("c")).as("max_mult")))
+    perKey.agg(coalesce(sum("c"), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_keys"), max(col("c")).as("max_mult"))
       .select(lit(name).as("table_name"), col("n_rows"), col("n_keys"),
         (col("n_rows") - col("n_keys")).as("n_dup_rows"), col("max_mult"))
   }
@@ -132,10 +158,7 @@ object BoatraceQueries {
       s"""WITH $raceOracleCte
          |SELECT * FROM race ORDER BY "レースID", "艇番"""".stripMargin) {
       (s, _) =>
-        val (env, result, _, schedule) = tables(s)
-        BoatracePipeline.typedRace(
-          BoatracePipeline.raceTable(env, result, schedule))
-          .orderBy("レースID", "艇番")
+        race(s, define = true).orderBy("レースID", "艇番")
     },
 
     // Odds payout table (main.py:107) with void sentinel semantics.
@@ -164,9 +187,7 @@ object BoatraceQueries {
          |    * 100 // count(*)) / 10000.0 AS avg_national_win_rate
          |FROM race GROUP BY "選手登番" ORDER BY "選手登番"""".stripMargin) {
       (s, _) =>
-        val (env, result, _, schedule) = tables(s)
-        val race = BoatracePipeline.typedRace(
-          BoatracePipeline.raceTable(env, result, schedule))
+        val raceDf = race(s)
         // The means are fixed-point to 4 decimals via exact integer
         // arithmetic: sum integer cents (source values have 2
         // decimals), floor-divide, then ONE division by 10⁴. A float
@@ -174,7 +195,7 @@ object BoatraceQueries {
         // round() of a near-tie double disagrees across engines
         // (decimal-string vs binary rounding) — the integer form is
         // bit-identical everywhere by construction.
-        race.groupBy("選手登番")
+        raceDf.groupBy("選手登番")
           .agg(
             count(lit(1)).as("starts"),
             sum(when(col("順位") === 1, 1).otherwise(0)).as("wins"),
@@ -216,12 +237,9 @@ object BoatraceQueries {
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
          |ORDER BY "レースID", "選手登番"""".stripMargin) { (s, _) =>
       import org.apache.spark.sql.expressions.Window
-      val (env, result, _, schedule) = tables(s)
-      val race = BoatracePipeline.typedRace(
-        BoatracePipeline.raceTable(env, result, schedule))
       val w = Window.partitionBy("選手登番").orderBy("date", "レースID")
         .rowsBetween(Window.unboundedPreceding, -1)
-      race.select(col("レースID"), col("date"), col("選手登番"),
+      race(s).select(col("レースID"), col("date"), col("選手登番"),
           col("順位"), col("展示"))
         .withColumn("prior_starts", count(lit(1)).over(w))
         // sum over the empty first-race frame is NULL (count is 0) —
@@ -256,11 +274,8 @@ object BoatraceQueries {
          |  (CAST(sum(CASE WHEN "順位" = 1 THEN 1 ELSE 0 END) AS BIGINT)
          |    * 10000 // count(*)) / 10000.0 AS win_rate
          |FROM race GROUP BY "艇番" ORDER BY "艇番"""".stripMargin) { (s, _) =>
-      val (env, result, _, schedule) = tables(s)
-      val race = BoatracePipeline.typedRace(
-        BoatracePipeline.raceTable(env, result, schedule))
       // win_rate as exact integer fixed-point (see player_stats note)
-      race.groupBy("艇番")
+      race(s).groupBy("艇番")
         .agg(count(lit(1)).as("starts"),
           sum(when(col("順位") === 1, 1L).otherwise(0L)).as("wins"))
         .withColumn("win_rate", expr("wins * 10000 div starts") / 10000.0)
@@ -308,12 +323,10 @@ object BoatraceQueries {
          |  (payout_sum * 100 // n_races) / 10000.0 AS roi
          |FROM m""".stripMargin) { (s, _) =>
       import org.apache.spark.sql.expressions.Window
-      val (env, result, odds, schedule) = tables(s)
-      val race = BoatracePipeline.typedRace(
-        BoatracePipeline.raceTable(env, result, schedule))
+      val odds = tables(s)._3
       val w = Window.partitionBy("レースID")
         .orderBy(col("全国勝率").desc, col("艇番"))
-      val bets = race
+      val bets = race(s)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("レースID"), col("艇番").as("bet_boat"),

@@ -392,9 +392,14 @@ object LifecycleIndex {
   }
 
   /** A deleteRepairCore persist hook that records what it persisted
-    * into `buf` (eagerly filled — the branches race an unfilled
-    * cache, the measured round-12 rule) for the caller to unpersist
-    * after its consuming action. */
+    * into `buf` for the caller to unpersist after its consuming
+    * action. LAZY fills, unlike PersistRegistry.cached's measured
+    * eager default: the serving materialize and the fold consume the
+    * whole repair plan in ONE overwrite job, so an eager count() per
+    * cached subtree added a driver job each (4 jobs ≈ half of the
+    * factor-1 serve_materialize wall, round-21 sub-phase stamp)
+    * while the lazy fill costs at worst one concurrent-branch
+    * double-compute of a bounded subtree inside the single job. */
   private def collectingCache(
       buf: scala.collection.mutable.Buffer[DataFrame])
       : DataFrame => DataFrame = df => {
@@ -402,7 +407,6 @@ object LifecycleIndex {
         org.apache.spark.storage.StorageLevel.NONE) {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       buf += df
-      df.count()
     }
     df
   }
@@ -906,6 +910,8 @@ object LifecycleIndex {
     // the serving snapshot's meta = state tag + FORMAT marker (sym1 =
     // pre-symmetrized edges; see materialize below)
     val servingMeta = verTag + "|sym1"
+    lap("version_capture") // 4 control reads — sub-lap of the old
+    // centroid_cache window (round 21, §1.1 attribution)
     val nAll = graft.operators.DedupQueries.quantized(spark, d)
     // ONE manifest read pins the retired table: the incarnation
     // digest (for the cache tags below) and the file list (for the
@@ -931,6 +937,7 @@ object LifecycleIndex {
         Seq("vec_id"), "left_anti")
       }
       .getOrElse(nAll)
+    lap("retired_pin") // manifest read + corpus-plan construction
     // CACHED per retired-state (round-17 serving budget: the walk's
     // per-hop probe joins the corpus side every hop — H parquet scans
     // of the byte-heavy quantized arrays per search, the measured
@@ -1419,7 +1426,22 @@ object LifecycleIndex {
       // old per-hop-symmetrize code path can never adopt (or be
       // adopted by) a snapshot in the other format: a mismatch is
       // just a cache miss that rematerializes under its own tag.
-      val (v, vFiles) = deltaMaterialize() match {
+      // sub-phase laps (round 21 — guide §1.1: the next materialize
+      // cut must be chosen from a measured breakdown): mat_guard =
+      // the delta attempt incl. its early-return guards (on the
+      // delta path this is the whole derivation), mat_derive = the
+      // full path's plan construction + repair-cache fills,
+      // mat_commit = the overwrite job + commit, mat_vacuum = the
+      // pinned sweep. Additive rows in the SCALE_STREAM stamp.
+      var subT = System.nanoTime()
+      def subLap(name: String): Unit = {
+        val now = System.nanoTime()
+        phases += name -> (now - subT) / 1e9
+        subT = now
+      }
+      val deltaRes = deltaMaterialize()
+      subLap("mat_guard")
+      val (v, vFiles) = deltaRes match {
         case Some((dv, dvFiles)) =>
           setServeMode(indexDir, "delta"); (dv, dvFiles)
         case None =>
@@ -1445,6 +1467,7 @@ object LifecycleIndex {
             scala.collection.mutable.Buffer.empty[DataFrame]
           val m = maintainedAt(spark, d, indexDir, vB, vI, vD,
             collectingCache(repairCaches))
+          subLap("mat_derive")
           // sortWithinPartitions(vec_id) before the write (round 21 —
           // guide §6): the walk probes this table by beam-node keys
           // EVERY HOP of every search; the distinct's hash
@@ -1460,9 +1483,11 @@ object LifecycleIndex {
                 .sortWithinPartitions("vec_id"), sTab,
               Some(fullMeta))
             finally repairCaches.foreach(_.unpersist(false))
+          subLap("mat_commit")
           heldManifests(fv) = fvFiles
           (fv, fvFiles)
       }
+      subT = System.nanoTime()
       // bound the serving table's disk to the last 2 states (2, not
       // 1, so an in-flight reader of the previous state survives).
       // The fresh-file grace makes CONCURRENT serving processes safe
@@ -1481,6 +1506,7 @@ object LifecycleIndex {
           try spark.conf
             .get("spark.graft.serving.vacuumGraceMs", "30000").toLong
           catch { case _: NumberFormatException => 30000L })
+      subLap("mat_vacuum")
       phases += "serve_materialize" -> (System.nanoTime() - mT) / 1e9
       phT = System.nanoTime() // materialize billed to its own phase
       (v, vFiles)
@@ -1740,13 +1766,34 @@ object LifecycleIndex {
       indexDir: String): Unit = {
     val rTab = retiredTab(indexDir)
     SnapshotTable.currentVersionOf(rTab).foreach { v =>
-      try SnapshotTable.overwriteFrom(spark,
-        SnapshotTable.read(spark, rTab, v).distinct().repartition(1),
-        rTab, Some(v), Some("retired-compaction"))
-      catch {
-        case e: IllegalStateException =>
-          System.err.println(s"[lifecycle-fold] retired compaction " +
-            s"deferred (concurrent commit): ${e.getMessage}")
+      // SKIP when the table is already compact (round 21): the
+      // compaction is pure storage hygiene — readers distinct() the
+      // retired set themselves, so duplicates and file layout are
+      // invisible to every consumer — but the rewrite bumps vR and
+      // changes the manifest digest, which rotates the serving
+      // corpus AND centroid caches (both keyed by the retired
+      // state's version@digest) even though the retired SET is
+      // unchanged: every fold forced a spurious corpus-sized refill
+      // + centroid re-aggregation on the next search (measured
+      // 0.94 s of search_post_fold's 2.7 s at factor 1). A
+      // few-files table gains nothing from compaction; past the
+      // threshold (one file per delete epoch since the last fold)
+      // the rewrite is real hygiene and the refill is amortized.
+      val nFiles =
+        try SnapshotTable.dataFiles(rTab, v).size
+        catch { case _: java.nio.file.NoSuchFileException => 0 }
+      val compactAt =
+        try spark.conf.get("spark.graft.retiredCompactAt", "8").toInt
+        catch { case _: NumberFormatException => 8 }
+      if (nFiles >= compactAt) {
+        try SnapshotTable.overwriteFrom(spark,
+          SnapshotTable.read(spark, rTab, v).distinct().repartition(1),
+          rTab, Some(v), Some("retired-compaction"))
+        catch {
+          case e: IllegalStateException =>
+            System.err.println(s"[lifecycle-fold] retired compaction " +
+              s"deferred (concurrent commit): ${e.getMessage}")
+        }
       }
     }
   }

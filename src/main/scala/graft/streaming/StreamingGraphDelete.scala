@@ -106,8 +106,16 @@ object StreamingGraphDelete {
     require(ids.length <= EpochCap,
       s"streaming delete epoch exceeds the $EpochCap-tombstone intake " +
       "budget — size maxFilesPerTrigger so each micro-batch fits")
+    // coalesce(1): a local relation otherwise splits its handful of
+    // rows across defaultParallelism write tasks — measured 20 data
+    // files PER EPOCH APPEND (round 21), which defeated the
+    // retired-table compaction skip (file count ≥ threshold on the
+    // very first fold, so every fold bumped vR and forced a spurious
+    // corpus+centroid cache refill on the next search) and inflated
+    // every later manifest walk and serving scan. One bounded epoch
+    // = one data file, the streaming-sink small-files discipline.
     val idsDf = spark.createDataset(ids.toSeq)(
-      org.apache.spark.sql.Encoders.LONG).toDF("vec_id")
+      org.apache.spark.sql.Encoders.LONG).toDF("vec_id").coalesce(1)
     // the CUMULATIVE retired set first (never folded — the search
     // corpus filter; see LifecycleIndex.retiredTab), then the repair
     // delta whose ledger line certifies the whole epoch. A crash

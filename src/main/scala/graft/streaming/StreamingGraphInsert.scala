@@ -140,7 +140,12 @@ object StreamingGraphInsert {
       .as[(Long, Array[Long], Long)].collect()
     val edges = graft.operators.SimilarityQueries
       .streamInsertEdges(spark, d, qrows)
-    SnapshotTable.append(spark, edges, tab, Some(ledgerLine))
+    // coalesce(1): the walk's output is a driver-local relation that
+    // otherwise fans its O(batch·k) rows across defaultParallelism
+    // write tasks — ~20 tiny data files per epoch append (round 21),
+    // inflating every delta-materialize file diff/byte listing and
+    // the serving read's file count. One bounded epoch = one file.
+    SnapshotTable.append(spark, edges.coalesce(1), tab, Some(ledgerLine))
     // AUTO-FOLD (round 14): symmetric with the delete stream's
     // tombstone-count trigger. Epochs since the last fold = ledger
     // entries after the last `folded-…` marker (the fold stamps one
