@@ -1928,7 +1928,7 @@ object SimilarityQueries {
       // EVERY key-shifted copy and blew the bound the first time the
       // scale suite ran v21.
       graphBeamWalk(s, d, v21BatchFilter, !v21BatchFilter,
-        "knn-graph-base", v21Knobs, maxQ = 64)
+        "knn-graph-base", v21Knobs, maxQ = 64, centsTag = "base")
     },
 
     // INSERT COMMIT + SEARCH — v21's other half (round 12): v21
@@ -1981,7 +1981,7 @@ object SimilarityQueries {
       graphBeamWalk(s, d, col("vec_id") < Q && !v23DeleteFilter,
         !v23DeleteFilter, "knn-graph-del", v23Knobs, maxQ = Q,
         graphBuilder = Some(() => deleteRepairedGraph(s, d)),
-        defineSnap = true)
+        defineSnap = true, centsTag = "nodel")
     },
 
     // FILTERED GRAPH SEARCH — the serving matrix's remaining cell
@@ -2029,7 +2029,7 @@ object SimilarityQueries {
       graphBeamWalk(s, d, col("vec_id") < Q && !v23DeleteFilter,
         !v23DeleteFilter, "knn-graph-live", v27Knobs, maxQ = Q,
         graphBuilder = Some(() => lifecycleMaintainedGraph(s, d)),
-        defineSnap = true)
+        defineSnap = true, centsTag = "nodel")
     },
 
     // GRAPH HEALTH REPORT — the observability op an index operator
@@ -2566,7 +2566,7 @@ object SimilarityQueries {
     graphBeamWalk(s, d, col("vec_id") < Q && !v23DeleteFilter,
       !v23DeleteFilter, "knn-graph-del-rebuild",
       new java.util.concurrent.atomic.AtomicReference(v20SizeKnobs(2)),
-      maxQ = Q)
+      maxQ = Q, centsTag = "nodel")
 
   /** v23's oracle: prune + local repair + walk in one statement.
     * The full graph is v13's rule over the whole corpus; survivors
@@ -2634,7 +2634,7 @@ object SimilarityQueries {
   private[graft] def insertAugmentedGraph(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val inserts = graphBeamWalk(s, d, v21BatchFilter, !v21BatchFilter,
-      "knn-graph-base", v21Knobs, maxQ = 64)
+      "knn-graph-base", v21Knobs, maxQ = 64, centsTag = "base")
       .select(col("query_id").as("vec_id"), col("neighbor_id"))
     insertFreeBaseGraph(s, d).unionByName(inserts)
   }
@@ -2696,7 +2696,17 @@ object SimilarityQueries {
       graphBuilder: Option[() => org.apache.spark.sql.DataFrame] = None,
       defineSnap: Boolean = false,
       resultKeep: Long => Boolean = _ => true,
-      sizeKnobs: Long => (Int, Int) = v20SizeKnobs)
+      sizeKnobs: Long => (Int, Int) = v20SizeKnobs,
+      // snapshot tag of the walk's CENTROID table, keyed by the base
+      // corpus filter (round 21 — guide §1.2, the knn-graph-base /
+      // pq_codebook compute-if-absent precedent): seven batch walks
+      // per session re-aggregated the corpus for a table that depends
+      // only on (dataset, base filter). "full" (no filter: v20, v22's
+      // search, v26), "base" (insert-free: v21 and the insert walks),
+      // "nodel" (survivors: v23, v27). First consumer materializes,
+      // the rest read nlist rows; the aggregate is deterministic so
+      // adopt ≡ recompute row-for-row.
+      centsTag: String = "full")
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val nAll = quantized(s, d)
@@ -2708,7 +2718,11 @@ object SimilarityQueries {
     val gd = (if (defineSnap) StageSnapshots.define(s, d, snapName)(build())
       else StageSnapshots.snapshot(s, d, snapName)(build()))
       .select(col("vec_id"), col("neighbor_id"))
-    beamWalkCore(s, n, qrows, gd, knobsRef, maxQ, resultKeep, sizeKnobs)
+    val cents = StageSnapshots
+      .snapshot(s, d, s"walk-cents-$centsTag")(centroidAggDf(n))
+      .select("label", "c").as[(Long, Array[Long])].collect()
+    beamWalkCore(s, n, qrows, gd, knobsRef, maxQ, resultKeep, sizeKnobs,
+      centsIn = Some(cents))
   }
 
   /** The centroid table of a (possibly tombstone-filtered) quantized
@@ -2716,9 +2730,12 @@ object SimilarityQueries {
     * coordinator rows. Factored out of beamWalkCore (round 14) so
     * the serving path can compute it ONCE per index-version triple
     * and hand it back on every subsequent search. */
-  private[graft] def centroidTable(s: org.apache.spark.sql.SparkSession,
-      n: org.apache.spark.sql.DataFrame): Array[(Long, Array[Long])] = {
-    import s.implicits._
+  /** The (label, 64 component sums) centroid aggregate as a
+    * DataFrame — the distributed half of [[centroidTable]], split out
+    * (round 21) so the batch walks can share ONE materialization per
+    * base-corpus filter through a pipeline-stage snapshot. */
+  private def centroidAggDf(n: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     // ONE map-side-combined hash aggregate with 64 long sums (round
     // 20 — guide §2.3/§2.4): the former shape exploded the corpus 64×
     // and paid two shuffles (per-(label,j) partial sums, then a
@@ -2732,7 +2749,12 @@ object SimilarityQueries {
       .agg(sums.head, sums.tail: _*)
       .select(col("label").cast("long"),
         array((1 to 64).map(j => col(s"c$j")): _*).as("c"))
-      .as[(Long, Array[Long])].collect()
+  }
+
+  private[graft] def centroidTable(s: org.apache.spark.sql.SparkSession,
+      n: org.apache.spark.sql.DataFrame): Array[(Long, Array[Long])] = {
+    import s.implicits._
+    centroidAggDf(n).as[(Long, Array[Long])].collect()
   }
 
   /** The walk itself, decoupled from WHERE queries come from: the
